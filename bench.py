@@ -1,0 +1,53 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from surrealdb_spark import get_spark  # noqa: E402
+from surrealdb_spark import suite  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("surrealdb_spark_bench")
+
+    bench = suite.bench_queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM/parquet footers once with the cheapest action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for name in sorted(bench):
+        fn = bench[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink computes every output column (count() would let Catalyst
+        # prune the projections we're trying to measure).
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

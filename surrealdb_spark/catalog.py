@@ -1,0 +1,73 @@
+"""Parquet table catalog over a scale-factor directory.
+
+The reference resolves tables lazily against its catalog at plan time
+(surrealdb: core/src/exec/planner/select.rs plan_sources); here the catalog
+is a directory of parquet files — the native table format of this engine —
+and ``Catalog.table`` is the TableScan operator
+(reference: core/src/exec/operators/scan/table.rs:39).  Catalyst handles
+predicate pushdown / column pruning / partition pruning on top of the scan,
+subsuming the reference's IndexScan/UnionIndexScan/CountScan fast paths
+(core/src/exec/operators/scan/{index,union_index,count}.rs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Lazy table loader + temp-view registrar for one scale-factor dir."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def table(self, name: str) -> DataFrame:
+        """TableScan: full scan of a table; Catalyst prunes columns/rows."""
+        if name not in self._cache:
+            if name == "events":
+                # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects
+                # outright; read the raw int64 nanos and convert (µs precision).
+                try:
+                    self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                except Exception:
+                    pass
+            df = self.spark.read.parquet(self.path(name))
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: list[str] | None = None) -> None:
+        """Register temp views so spark.sql() sees the same tables DuckDB does."""
+        for name in names or TABLES:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)
