@@ -1,0 +1,159 @@
+"""vector:: namespace — element-wise ops, norms, distances, similarities.
+
+Reference: core/src/fnc/vector.rs:1-193 (Euclidean/Manhattan/Cosine/
+Chebyshev/Hamming/Minkowski/Jaccard/Pearson + add/sub/mul/div/scale/dot/
+magnitude/normalize/project/cross/angle) over arrays of numbers.
+
+All implemented as JVM-side higher-order Column expressions over
+``array<float|double>`` — no UDFs, fully codegen'd, scale-safe.
+
+Determinism note: reductions fold LEFT-TO-RIGHT in double via
+``F.aggregate`` — a fixed evaluation order, so results are bit-stable
+(and reproducible against any engine that folds sequentially, e.g.
+DuckDB's list_reduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _d(x: Column) -> Column:
+    return x.cast("double")
+
+
+def fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum in double (deterministic order)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + _d(x))
+
+
+# -- element-wise arithmetic (vector::add/sub/mul/div/scale) ----------------
+
+
+def add(a: Column | str, b: Column | str) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: _d(x) + _d(y))
+
+
+def sub(a: Column | str, b: Column | str) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: _d(x) - _d(y))
+
+
+def mul(a: Column | str, b: Column | str) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: _d(x) * _d(y))
+
+
+def divide(a: Column | str, b: Column | str) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: _d(x) / _d(y))
+
+
+def scale(a: Column | str, s: Column) -> Column:
+    return F.transform(_c(a), lambda x: _d(x) * _d(s))
+
+
+# -- reductions --------------------------------------------------------------
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """vector::dot — Σ aᵢbᵢ, sequential double fold."""
+    return fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: _d(x) * _d(y)))
+
+
+def magnitude(a: Column | str) -> Column:
+    """vector::magnitude — L2 norm."""
+    return F.sqrt(dot(a, a))
+
+
+def normalize(a: Column | str) -> Column:
+    """vector::normalize — a / |a|."""
+    return scale(a, F.lit(1.0) / magnitude(a))
+
+
+def project(a: Column | str, b: Column | str) -> Column:
+    """vector::project — (a·b / b·b) b."""
+    return scale(b, dot(a, b) / dot(b, b))
+
+
+def cross(a: Column | str, b: Column | str) -> Column:
+    """vector::cross — 3-D cross product."""
+    a, b = _c(a), _c(b)
+
+    def at(v: Column, i: int) -> Column:
+        return _d(F.element_at(v, i))
+
+    return F.array(
+        at(a, 2) * at(b, 3) - at(a, 3) * at(b, 2),
+        at(a, 3) * at(b, 1) - at(a, 1) * at(b, 3),
+        at(a, 1) * at(b, 2) - at(a, 2) * at(b, 1),
+    )
+
+
+# -- distances (vector::distance::*) ----------------------------------------
+
+
+def euclidean(a: Column | str, b: Column | str) -> Column:
+    return F.sqrt(fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y)))))
+
+
+def manhattan(a: Column | str, b: Column | str) -> Column:
+    return fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: F.abs(_d(x) - _d(y))))
+
+
+def chebyshev(a: Column | str, b: Column | str) -> Column:
+    return F.array_max(F.zip_with(_c(a), _c(b), lambda x, y: F.abs(_d(x) - _d(y))))
+
+
+def minkowski(a: Column | str, b: Column | str, p: float) -> Column:
+    return F.pow(
+        fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: F.pow(F.abs(_d(x) - _d(y)), F.lit(p)))),
+        F.lit(1.0 / p),
+    )
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    return fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: (x != y).cast("double")))
+
+
+# -- similarities (vector::similarity::*) -----------------------------------
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (magnitude(a) * magnitude(b))
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def jaccard_similarity(a: Column | str, b: Column | str) -> Column:
+    """Set Jaccard over vector elements (reference treats inputs as sets)."""
+    inter = F.size(F.array_intersect(_c(a), _c(b))).cast("double")
+    union = F.size(F.array_union(_c(a), _c(b))).cast("double")
+    return inter / union
+
+
+def pearson_similarity(a: Column | str, b: Column | str) -> Column:
+    """Pearson correlation of paired elements (sequential folds)."""
+    a, b = _c(a), _c(b)
+    n = F.size(a).cast("double")
+    sa, sb = fold_sum(a), fold_sum(b)
+    saa = fold_sum(F.zip_with(a, a, lambda x, y: _d(x) * _d(y)))
+    sbb = fold_sum(F.zip_with(b, b, lambda x, y: _d(x) * _d(y)))
+    sab = fold_sum(F.zip_with(a, b, lambda x, y: _d(x) * _d(y)))
+    cov = sab / n - sa * sb / n / n
+    va = saa / n - sa * sa / n / n
+    vb = sbb / n - sb * sb / n / n
+    return cov / F.sqrt(va * vb)
+
+
+METRICS = {
+    "cosine": cosine_distance,
+    "euclidean": euclidean,
+    "manhattan": manhattan,
+    "chebyshev": chebyshev,
+    "hamming": hamming,
+}

@@ -1,0 +1,66 @@
+"""KNN: brute-force k-nearest-neighbor top-k (the `<|k,ef|>` operator).
+
+Reference: KnnScan over an HNSW index (core/src/exec/operators/scan/knn.rs:37)
+and brute-force KnnTopK (core/src/exec/operators/knn_topk.rs:81); distance
+kinds from core/src/fnc/vector.rs.  The HNSW *structure* is not ported —
+on Spark the scale path is scan + local top-k (below) or LSH bucketing
+(surrealdb_spark.pipeline.similarity); `ef` is accepted-but-advisory.
+
+Plan shape:
+  1. broadcast the (small) query set; nested-loop join against the corpus —
+     corpus rows never shuffle for the join;
+  2. salted per-(partition, query) local top-k window, then a global top-k
+     over the k·|partitions| survivors.  The salted window still shuffles
+     the scored pairs once, but into many small groups (parallel, skew-free)
+     instead of |queries| giant groups, and the final per-query shuffle sees
+     only survivors.
+At 100 TB the win comes from pruning candidates BEFORE scoring — LSH
+bucketing in surrealdb_spark.pipeline.similarity — with this operator as
+the exact re-scorer inside each bucket.
+
+Ordering is deterministic: (distance, neighbor id) — distances are
+bit-stable (sequential double folds, functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from surrealdb_spark.functions import vector as V
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """For each query row, the k nearest corpus rows → (q_id, c_id, dist, rank)."""
+    dist_fn = V.METRICS[metric]
+    q = F.broadcast(queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("__qv")))
+    c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("__cv"))
+    pairs = c.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
+    scored = pairs.select(
+        "q_id", "c_id", dist_fn("__qv", "__cv").alias("dist")
+    )
+    order = [F.col("dist").asc(), F.col("c_id").asc()]
+    local = W.partitionBy(F.spark_partition_id(), "q_id").orderBy(*order)
+    survivors = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    top = W.partitionBy("q_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(top))
+        .filter(F.col("rank") <= k)
+    )

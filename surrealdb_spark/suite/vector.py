@@ -1,1 +1,142 @@
-"""Suite module: vector (filled in incrementally)."""
+"""Vector suite: KNN (`<|k|>`), vector:: functions, similar-pair mining, LSH.
+
+Oracle determinism: all distance math folds LEFT-TO-RIGHT in double on both
+sides (Spark F.aggregate / DuckDB list_reduce) → bit-identical scores, so
+top-k membership ordered by (dist, id) matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from surrealdb_spark.catalog import Catalog
+from surrealdb_spark.functions import vector as V
+from surrealdb_spark.operators.knn import knn_join
+from surrealdb_spark.pipeline.similarity import srp_lsh_topk
+from surrealdb_spark.suite import query
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_cos_dist(a: str, b: str) -> str:
+    return f"1.0 - {_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+
+
+def _sql_cos_sim(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+
+
+@query(
+    "knn_cosine",
+    oracle=f"""
+    SELECT q_id, c_id, dist, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {_sql_cos_dist('q.embedding', 'c.embedding')} AS dist,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_sql_cos_dist('q.embedding', 'c.embedding')}, c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+    """,
+    bench=True,
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # <|5|> brute-force KNN (knn_topk.rs:81), cosine distance.
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return knn_join(
+        q, emb, 5, "cosine", "vec_id", "embedding", "vec_id", "embedding", exclude_self=True
+    )
+
+
+@query(
+    "knn_euclidean",
+    oracle=f"""
+    SELECT q_id, c_id, dist, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+                 i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                    * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x)) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+                 i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                    * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x)), c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id IN (10, 20, 30) AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id").isin(10, 20, 30))
+    return knn_join(
+        q, emb, 3, "euclidean", "vec_id", "embedding", "vec_id", "embedding", exclude_self=True
+    )
+
+
+@query(
+    "vector_similarity_scan",
+    oracle=f"""
+    SELECT c.vec_id, c.label,
+           sqrt({_sql_dot('c.embedding', 'c.embedding')}) AS magnitude,
+           {_sql_cos_sim('c.embedding', 'q.qv')} AS cos_to_q0,
+           list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> abs(CAST(c.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))),
+             (acc, x) -> acc + x) AS manhattan_to_q0
+    FROM embeddings c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    """,
+)
+def vector_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vector::magnitude / similarity::cosine / distance::manhattan
+    # (core/src/fnc/vector.rs) as full-scan column expressions.
+    emb = Catalog(spark, sf_dir).embeddings
+    q0 = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return emb.crossJoin(q0).select(
+        "vec_id",
+        "label",
+        V.magnitude("embedding").alias("magnitude"),
+        V.cosine_similarity("embedding", "qv").alias("cos_to_q0"),
+        V.manhattan("embedding", "qv").alias("manhattan_to_q0"),
+    )
+
+
+@query(
+    "similar_pairs",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+             {_sql_cos_sim('e1.embedding', 'e2.embedding')} AS sim
+      FROM embeddings e1, embeddings e2
+      WHERE e1.vec_id < e2.vec_id
+    ) WHERE sim > 0.35
+    """,
+)
+def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup pair mining (brute force; LSH is the scale path).
+    emb = Catalog(spark, sf_dir).embeddings
+    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (
+        e1.join(e2, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", V.cosine_similarity("v1", "v2").alias("sim"))
+        .filter(F.col("sim") > 0.35)
+    )
+
+
+@query("ann_srp_lsh", bench=True)
+def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate NN via banded sign-random-projection LSH (no SQL oracle —
+    # approximate op; recall vs brute force is asserted in tests/test_vector.py).
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return srp_lsh_topk(q, emb, k=10, dim=64, n_planes=16, bands=4, exclude_self=True)
