@@ -1,0 +1,104 @@
+"""Full-text search: inverted index + BM25 ranking (the `@@` MATCHES operator).
+
+Reference: FullTextScan over an inverted index with BM25 scoring
+(core/src/exec/operators/scan/fulltext.rs:46; BM25 k1/b params
+core/src/catalog/schema/index.rs:194-196; scorer core/src/idx/ft/
+fulltext.rs).  Analyzer = pipeline.text.words (BLANK/PUNCT + LOWERCASE).
+
+Spark shape: the inverted index is a (term, doc, tf) DataFrame + per-doc
+lengths + corpus stats; BM25 is a closed-form column expression over the
+posting join.  Per-term scores are summed in a FIXED expression order
+(one conditional aggregate per query term) so results are bit-deterministic.
+
+At scale: postings are built with one explode+groupBy (shuffle on
+(doc,term)), the query join touches only the queried terms' postings
+(predicate pushdown on term), and doc-length/stats joins broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from surrealdb_spark.pipeline.text import words
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf) — term frequencies per document."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, dl) — token counts per document."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.size(words(text_col)).alias("dl")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); score(d) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).  Returns (doc, score, rank),
+    ties broken by doc id.
+    """
+    postings = build_postings(df, id_col, text_col).filter(F.col("term").isin(*terms))
+    dls = doc_lengths(df, id_col, text_col)
+    # Corpus stats: tiny aggregates, computed once and joined as literals
+    # via crossJoin(broadcast) — no driver collect in the plan-build path
+    # would be ideal, but N/avgdl are two scalars; a driver-side action here
+    # keeps the main query plan simple and is amortized for repeated queries.
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("N"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs, avgdl = stats["N"], stats["sum_dl"] / stats["N"]
+
+    dfreq = {
+        r["term"]: r["df"]
+        for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+
+    scored = postings.join(dls, "doc")
+    per_term = []
+    for t in terms:
+        df_t = dfreq.get(t, 0)
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        tf = F.col("tf").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        s = F.lit(idf) * tf * F.lit(k1 + 1.0) / denom
+        per_term.append(
+            F.sum(F.when(F.col("term") == t, s).otherwise(F.lit(0.0))).alias(f"__s{len(per_term)}")
+        )
+    agg = scored.groupBy("doc").agg(*per_term)
+    total = None
+    for i in range(len(terms)):
+        c = F.col(f"__s{i}")
+        total = c if total is None else total + c
+    ranked = (
+        agg.select("doc", total.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+    )
+    from pyspark.sql import Window as W
+
+    return ranked.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc"))),
+    )

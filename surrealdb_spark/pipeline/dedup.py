@@ -1,0 +1,183 @@
+"""Deduplication operators for training-data pipelines.
+
+Tiers (each a standalone DataFrame transformation):
+  * exact        — md5 fingerprint groupBy (hash-dedup)
+  * jaccard      — word-set Jaccard over an explode+self-join (exact near-dup)
+  * minhash_lsh  — MinHash signatures + banded bucketing + Jaccard verify:
+                   the 100 TB path (shuffle keyed on (band, bucket), no
+                   full cross product)
+  * simhash      — 32-plane sign fingerprint (hamming-space near-dup)
+
+Determinism: all hashes are md5 (stable everywhere); MinHash is min-over-
+md5-hex (string order), SimHash planes read hex digits of md5(word) — so an
+external SQL engine reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from surrealdb_spark.pipeline.text import fingerprint, words
+
+
+def doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word) distinct pairs — the set representation of each doc."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("w")
+    ).distinct()
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: canonical (min id) per normalized-text fingerprint."""
+    return (
+        df.select(F.col(id_col).alias("doc"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc").alias("canonical"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, max_doc_freq: int | None = None
+) -> DataFrame:
+    """All pairs with word-set Jaccard ≥ threshold (exact, via self-join).
+
+    ``max_doc_freq`` prunes ultra-common words before the join — at scale
+    the hot-word skew dominates; dropping words in >X% of docs is the
+    standard fix (they contribute little to Jaccard discrimination anyway).
+    """
+    dw = doc_words(df, id_col, text_col)
+    if max_doc_freq is not None:
+        freq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        dw = dw.join(F.broadcast(freq.filter(F.col("df") <= max_doc_freq)), "w")
+    sizes = dw.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = dw.select(F.col("doc").alias("id1"), "w")
+    b = dw.select(F.col("doc").alias("id2"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("c").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(dw: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc, seed, minhash): min of md5("seed|word") per doc per seed.
+
+    Min-over-md5-hex is a valid MinHash family (each seed permutes the word
+    universe independently); hex-string min is engine-portable.
+    """
+    seeded = dw.select(
+        "doc", F.explode(F.array(*[F.lit(s) for s in range(n_hashes)])).alias("seed"), "w"
+    )
+    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("w")))
+    return seeded.select("doc", "seed", h.alias("h")).groupBy("doc", "seed").agg(
+        F.min("h").alias("mh")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified.
+
+    shingle→minhash→band→bucket-join: docs sharing ANY band bucket are
+    candidates; candidates are verified with exact word-set Jaccard and
+    filtered by ``threshold``.  Only candidate pairs ever join on words, so
+    the full cross product never materializes — the LSH contract.
+    """
+    rows = n_hashes // bands
+    dw = doc_words(df, id_col, text_col)
+    sig = minhash_signatures(dw, n_hashes)
+    buckets = (
+        sig.withColumn("band", F.expr(f"seed div {rows}"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s.mh,
+                ),
+            ).alias("bucket")
+        )
+    )
+    b1 = buckets.select(F.col("doc").alias("id1"), "band", "bucket")
+    b2 = buckets.select(F.col("doc").alias("id2"), "band", "bucket")
+    cand = (
+        b1.join(b2, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    # Verify: exact Jaccard restricted to candidate pairs.
+    sizes = dw.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = dw.select(F.col("doc").alias("id1"), "w")
+    b = dw.select(F.col("doc").alias("id2"), "w")
+    inter = (
+        cand.join(a, "id1")
+        .join(b, ["id2", "w"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("c").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_planes: int = 32) -> DataFrame:
+    """(doc, simhash): sign fingerprint over ``n_planes`` ≤ 32 hyperplanes.
+
+    Plane j's projection of word w is +1 if hex digit j of md5(w) has its
+    top bit set, else −1; the fingerprint bit is the sign of the sum over
+    the doc's word set.  Integer sums → order-independent and portable.
+    """
+    dw = doc_words(df, id_col, text_col)
+    h = F.md5(F.col("w"))
+    aggs = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(n_planes)
+    ]
+    sums = dw.groupBy("doc").agg(*aggs)
+    bits = [
+        F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n_planes)
+    ]
+    return sums.select("doc", F.concat(*bits).alias("simhash"))
