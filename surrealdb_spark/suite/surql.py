@@ -1,1 +1,187 @@
-"""Suite module: surql (filled in incrementally)."""
+"""SurrealQL-semantics suite: FETCH, cross-type ORDER BY, containment
+operators, null/truthy coalescing, idiom paths over nested data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from surrealdb_spark import values as V
+from surrealdb_spark.catalog import Catalog
+from surrealdb_spark.expr import operators as O
+from surrealdb_spark.expr.idiom import compile_idiom
+from surrealdb_spark.operators.fetch import fetch
+from surrealdb_spark.operators.graph import record_id
+from surrealdb_spark.suite import query
+
+
+@query(
+    "fetch_embed",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           c_name AS cust_name, c_acctbal AS cust_acctbal
+    FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def fetch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FETCH customer (fetch.rs:27): record-link left join + struct embed,
+    # flattened here for the oracle (struct shape covered in pytest).
+    cat = Catalog(spark, sf_dir)
+    ords = cat.orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "customer", record_id("customer", "o_custkey")
+    )
+    cust = cat.customer.withColumn("id", record_id("customer", "c_custkey"))
+    fetched = fetch(ords, "customer", cust, "id")
+    return fetched.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("customer.c_name").alias("cust_name"),
+        F.col("customer.c_acctbal").alias("cust_acctbal"),
+    )
+
+
+@query(
+    "cross_type_order",
+    oracle="""
+    SELECT o_orderkey, tag FROM (
+      SELECT o_orderkey, tag, b, n, s
+      FROM (
+        SELECT o_orderkey,
+               CASE o_orderkey % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                                   WHEN 3 THEN 3 ELSE 4 END AS tag,
+               CASE WHEN o_orderkey % 5 = 2 THEN o_orderkey % 2 = 0 END AS b,
+               CASE WHEN o_orderkey % 5 = 3 THEN o_totalprice END AS n,
+               CASE WHEN o_orderkey % 5 = 4 THEN o_orderpriority END AS s
+        FROM orders
+      )
+      ORDER BY tag, b, n, s, o_orderkey
+      LIMIT 50
+    )
+    """,
+)
+def cross_type_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-type total order (types/src/value/mod.rs:126-210): a mixed
+    # None/Null/Bool/Number/String column sorts by (type tag, value) —
+    # ORDER BY never errors on mixed types.
+    ords = Catalog(spark, sf_dir).orders
+    m = F.col("o_orderkey") % 5
+    variant = (
+        F.when(m == 0, V.v_none())
+        .when(m == 1, V.v_null())
+        .when(m == 2, V.v_bool(F.col("o_orderkey") % 2 == 0))
+        .when(m == 3, V.v_number(F.col("o_totalprice")))
+        .otherwise(V.v_string(F.col("o_orderpriority")))
+    )
+    return (
+        ords.withColumn("v", variant)
+        .orderBy(V.sort_key(F.col("v")).asc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", F.col("v.tag").alias("tag"))
+    )
+
+
+@query(
+    "containment_ops",
+    oracle="""
+    SELECT o_orderkey,
+           list_contains(arr, 'URGENT') AS has_urgent,
+           list_has_any(arr, ['URGENT', 'HIGH']) AS any_priority,
+           list_has_all(arr, ['1', 'URGENT']) AS is_1_urgent,
+           NOT list_has_any(arr, ['LOW', 'MEDIUM']) AS none_low,
+           list_contains(arr, '3') AS any_eq_3
+    FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS arr FROM orders)
+    """,
+)
+def containment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CONTAINS / CONTAINSANY / CONTAINSALL / CONTAINSNONE / ?= family
+    # (operator.rs:72-106) → array_contains / arrays_overlap / forall.
+    ords = Catalog(spark, sf_dir).orders
+    arr = F.split(F.col("o_orderpriority"), "-")
+    return ords.select(
+        "o_orderkey",
+        O.contains(arr, F.lit("URGENT")).alias("has_urgent"),
+        O.contains_any(arr, F.array(F.lit("URGENT"), F.lit("HIGH"))).alias("any_priority"),
+        O.contains_all(arr, F.array(F.lit("1"), F.lit("URGENT"))).alias("is_1_urgent"),
+        O.contains_none(arr, F.array(F.lit("LOW"), F.lit("MEDIUM"))).alias("none_low"),
+        O.any_eq(arr, F.lit("3")).alias("any_eq_3"),
+    )
+
+
+@query(
+    "nullish_coalesce",
+    oracle="""
+    SELECT event_id,
+           COALESCE(k_sparse, -1) AS k_or_default,
+           CASE WHEN COALESCE(v_nonzero, 0.0e0) <> 0.0e0 THEN v_nonzero ELSE -99.0e0 END AS v_or_fallback
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_type <> 'view'
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_sparse,
+             CASE WHEN value > 10.0e0 THEN value END AS v_nonzero
+      FROM events
+    )
+    """,
+)
+def nullish_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `??` (null-coalescing) and `?:` (truthy ternary) — operator.rs:60-66.
+    ev = Catalog(spark, sf_dir).events
+    k_sparse = F.when(
+        F.col("event_type") != "view",
+        F.get_json_object("props", "$.k").cast("bigint"),
+    )
+    v_nonzero = F.when(F.col("value") > 10.0, F.col("value"))
+    return ev.select(
+        "event_id",
+        O.nco(k_sparse, F.lit(-1)).alias("k_or_default"),
+        O.tco(v_nonzero, F.lit(-99.0), truthy=O.truthy_number(v_nonzero)).alias(
+            "v_or_fallback"
+        ),
+    )
+
+
+@query(
+    "idiom_paths",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             array_agg(struct_pack(k := o_orderkey, p := o_totalprice)
+                       ORDER BY o_orderkey) AS os
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(os) AS n_orders,
+           os[1].k AS first_key,
+           os[-1].k AS last_key,
+           len(list_filter(os, x -> x.p > 200000)) AS n_big,
+           COALESCE(CAST(list_sum(list_transform(list_filter(os, x -> x.p > 200000),
+                                                 x -> x.k)) AS BIGINT), 0) AS big_key_sum
+    FROM per
+    """,
+)
+def idiom_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Idiom paths over nested arrays-of-structs (part.rs:21-38):
+    # orders[0].k, orders[$].k, orders[WHERE p > 200000] → HOFs.
+    ords = Catalog(spark, sf_dir).orders
+    per = ords.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+            )
+        ).alias("os")
+    )
+    os_col = F.col("os")
+    big = compile_idiom(os_col, [("where", lambda x: x.getField("p") > 200000)])
+    return per.select(
+        "o_custkey",
+        F.size(os_col).alias("n_orders"),
+        compile_idiom(os_col, [("first",), ("field", "k")]).alias("first_key"),
+        compile_idiom(os_col, [("last",), ("field", "k")]).alias("last_key"),
+        F.size(big).alias("n_big"),
+        F.aggregate(
+            compile_idiom(big, [("all",), ("field", "k")]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("big_key_sum"),
+    )

@@ -1,0 +1,152 @@
+"""Value/type layer: the SurrealQL data model on Spark columns.
+
+Reference: surrealdb/types/src/value/mod.rs:84-122 (Value enum) and the
+total cross-type Ord at :126-210 — ORDER BY and comparisons never error on
+mixed types; values order first by type tag:
+
+    None < Null < Bool < Number < String < Duration < Datetime < Uuid
+         < Array < Set < Object < Geometry < Bytes < Table < RecordId
+         < File < Range < Regex
+
+Design decisions (SURVEY.md §1.4, written down here once):
+  * None vs Null — the reference distinguishes absence (None) from explicit
+    null.  Typed Spark columns collapse both to SQL NULL; where the
+    distinction matters (schemaless/dynamic fields) values are carried as a
+    VARIANT-style struct with an explicit type tag (TAG_NONE vs TAG_NULL).
+  * Numbers — int64 | float64 | decimal(38,10) union; per-column narrowest
+    type when schema is declared, tagged variant otherwise.
+  * RecordId — canonical string ``table:key`` (operators/graph.py builds
+    them); struct form available via record_parts().
+  * Duration — struct{months, nanos}: day-time intervals fit nanos; year/
+    week units need months (core/src/fnc/duration.rs).
+  * Datetime — TimestampType (µs); the reference is ns.  Documented
+    truncation; keep a raw int64-ns column where ns fidelity is required
+    (catalog does this for events.ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Type tags — the cross-type sort order (types/src/value/mod.rs:165-210).
+TAG_NONE = 0
+TAG_NULL = 1
+TAG_BOOL = 2
+TAG_NUMBER = 3
+TAG_STRING = 4
+TAG_DURATION = 5
+TAG_DATETIME = 6
+TAG_UUID = 7
+TAG_ARRAY = 8
+TAG_SET = 9
+TAG_OBJECT = 10
+TAG_GEOMETRY = 11
+TAG_BYTES = 12
+TAG_TABLE = 13
+TAG_RECORD_ID = 14
+TAG_FILE = 15
+TAG_RANGE = 16
+TAG_REGEX = 17
+
+# Variant encoding for dynamic (schemaless) values: a tag plus one slot per
+# comparable family.  Slots unused by a tag stay NULL; struct comparison
+# then yields exactly the reference's (tag, value) lexicographic order.
+VARIANT_SCHEMA = T.StructType(
+    [
+        T.StructField("tag", T.IntegerType(), False),
+        T.StructField("b", T.BooleanType(), True),
+        T.StructField("n", T.DoubleType(), True),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("j", T.StringType(), True),  # JSON for array/object/rest
+    ]
+)
+
+
+def v_none() -> Column:
+    return _variant(TAG_NONE)
+
+
+def v_null() -> Column:
+    return _variant(TAG_NULL)
+
+
+def v_bool(c: Column) -> Column:
+    return _variant(TAG_BOOL, b=c)
+
+
+def v_number(c: Column) -> Column:
+    return _variant(TAG_NUMBER, n=c.cast("double"))
+
+
+def v_string(c: Column) -> Column:
+    return _variant(TAG_STRING, s=c)
+
+
+def _variant(tag: int, b: Column | None = None, n: Column | None = None,
+             s: Column | None = None, j: Column | None = None) -> Column:
+    return F.struct(
+        F.lit(tag).alias("tag"),
+        (b if b is not None else F.lit(None).cast("boolean")).alias("b"),
+        (n if n is not None else F.lit(None).cast("double")).alias("n"),
+        (s if s is not None else F.lit(None).cast("string")).alias("s"),
+        (j if j is not None else F.lit(None).cast("string")).alias("j"),
+    )
+
+
+def sort_key(variant: Column) -> Column:
+    """Total-order sort key for a variant column.
+
+    Struct comparison is field-by-field; tag orders the families exactly as
+    the reference's Ord, then the family's slot orders within it (booleans
+    false<true, numbers numerically, strings lexicographically — matching
+    bool::cmp / Number::cmp / String::cmp).
+    """
+    return F.struct(
+        variant.getField("tag").alias("t"),
+        variant.getField("b").alias("b"),
+        variant.getField("n").alias("n"),
+        variant.getField("s").alias("s"),
+        variant.getField("j").alias("j"),
+    )
+
+
+def is_none(variant: Column) -> Column:
+    return variant.getField("tag") == TAG_NONE
+
+
+def is_null(variant: Column) -> Column:
+    return variant.getField("tag") == TAG_NULL
+
+
+def truthy(variant: Column) -> Column:
+    """SurrealQL truthiness (Value::is_truthy): true bools, non-zero
+    numbers, non-empty strings/arrays/objects; None/Null are falsy.
+    """
+    tag = variant.getField("tag")
+    return (
+        F.when(tag == TAG_BOOL, variant.getField("b"))
+        .when(tag == TAG_NUMBER, variant.getField("n") != 0.0)
+        .when(tag == TAG_STRING, F.length(variant.getField("s")) > 0)
+        .when(
+            tag.isin(TAG_ARRAY, TAG_OBJECT, TAG_SET),
+            ~variant.getField("j").isin("[]", "{}"),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+def record_parts(rid: Column) -> Column:
+    """RecordId string → struct{tb, key} (types/src/value/record_id/mod.rs:22)."""
+    return F.struct(
+        F.substring_index(rid, ":", 1).alias("tb"),
+        F.substring_index(rid, ":", -1).alias("key"),
+    )
+
+
+def duration(months: Column | int = 0, nanos: Column | int = 0) -> Column:
+    """Duration as struct{months, nanos} — see module docstring."""
+    m = F.lit(months) if isinstance(months, int) else months
+    n = F.lit(nanos) if isinstance(nanos, int) else nanos
+    return F.struct(m.cast("long").alias("months"), n.cast("long").alias("nanos"))
