@@ -1,0 +1,306 @@
+"""DML as batch jobs: CREATE / INSERT / UPDATE / UPSERT / DELETE / RELATE.
+
+Reference: the per-record document pipeline (core/src/doc/create.rs:17-33
+stage order: input → id → permissions → table checks → field checks →
+defaults → computed → store → indexes → views → lives → events →
+changefeed) re-expressed as set-oriented DataFrame writes:
+
+  * id generation         → uuid/monotonic expressions
+  * field type/ASSERT     → schema casts + validation predicates (errors
+                            collected set-wide, matching SCHEMAFULL writes)
+  * DEFAULT / VALUE       → coalesce / computed columns
+  * store                 → parquet append/overwrite (Delta-less MERGE
+                            emulation: anti-join + union)
+  * changefeed            → per-mutation change rows under <table>/_changes
+                            (consumed by streaming.changefeed — the
+                            Delta-CDF stand-in)
+  * events (DEFINE EVENT) → post-write Python hooks
+
+Tables live under <root>/<table>/data (parquet) so the change log can sit
+beside them.  At scale both dirs are partitioned parquet; the id-collision
+anti-joins shuffle on the id column only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class FieldDef:
+    """DEFINE FIELD ... TYPE kind [DEFAULT expr] [ASSERT expr] [READONLY]
+    (core/src/catalog/schema/field.rs)."""
+
+    name: str
+    dtype: str | None = None
+    default: Callable[[], Column] | None = None
+    assert_fn: Callable[[Column], Column] | None = None
+    readonly: bool = False
+
+
+@dataclass
+class TableDef:
+    """DEFINE TABLE (core/src/catalog/table.rs:45-65): SCHEMAFULL fields,
+    optional changefeed, event hooks."""
+
+    name: str
+    id_col: str = "id"
+    fields: list[FieldDef] = field(default_factory=list)
+    changefeed: bool = False
+    # DEFINE EVENT hooks: fn(action, df_of_affected_rows) — core/src/doc/event.rs
+    events: list[Callable[[str, DataFrame], None]] = field(default_factory=list)
+
+
+class MutationError(Exception):
+    pass
+
+
+class Database:
+    """A database directory: one subdir per table (<root>/<tbl>/data)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.tables: dict[str, TableDef] = {}
+
+    # -- catalog ------------------------------------------------------------
+
+    def define_table(self, td: TableDef) -> None:
+        self.tables[td.name] = td
+        os.makedirs(self._data(td.name), exist_ok=True)
+
+    def _data(self, tbl: str) -> str:
+        return f"{self.root}/{tbl}/data"
+
+    def _changes(self, tbl: str) -> str:
+        return f"{self.root}/{tbl}/_changes"
+
+    def table(self, tbl: str) -> DataFrame:
+        path = self._data(tbl)
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            raise MutationError(f"table {tbl} is empty — no schema to read")
+        return self.spark.read.parquet(path)
+
+    def _exists(self, tbl: str) -> bool:
+        path = self._data(tbl)
+        return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+
+    # -- field pipeline (doc/field.rs process_table_fields) ------------------
+
+    def _apply_fields(self, tbl: str, df: DataFrame, existing: bool) -> DataFrame:
+        td = self.tables[tbl]
+        for fd in td.fields:
+            col = F.col(fd.name) if fd.name in df.columns else F.lit(None)
+            if fd.default is not None:
+                col = F.coalesce(col, fd.default())
+            if fd.dtype:
+                col = col.cast(fd.dtype)
+            df = df.withColumn(fd.name, col)
+        for fd in td.fields:
+            if fd.assert_fn is not None:
+                bad = df.filter(~F.coalesce(fd.assert_fn(F.col(fd.name)), F.lit(False)))
+                n = bad.count()
+                if n:
+                    sample = bad.limit(3).collect()
+                    raise MutationError(
+                        f"ASSERT failed for field {fd.name} on {n} records, e.g. {sample}"
+                    )
+        return df
+
+    # -- changefeed + events -------------------------------------------------
+
+    def _post_write(self, tbl: str, action: str, rows: DataFrame) -> None:
+        td = self.tables[tbl]
+        if td.changefeed:
+            vs = int(time.time() * 1000)
+            change = rows.select(
+                F.lit(vs).alias("versionstamp"),
+                F.lit(action).alias("action"),
+                F.col(td.id_col).cast("string").alias("record_id"),
+                F.to_json(F.struct(*[F.col(c) for c in rows.columns])).alias("after"),
+            )
+            change.write.mode("append").parquet(self._changes(tbl))
+        for hook in td.events:
+            hook(action, rows)
+
+    # -- statements ----------------------------------------------------------
+
+    def create(self, tbl: str, records: DataFrame) -> DataFrame:
+        """CREATE — insert new records, ERROR if an id already exists
+        (expr/statements/create.rs; Iterable::GenerateRecordId)."""
+        td = self.tables[tbl]
+        records = self._apply_fields(tbl, records, existing=False)
+        if self._exists(tbl):
+            clash = records.join(
+                self.table(tbl).select(td.id_col), td.id_col, "left_semi"
+            )
+            n = clash.count()
+            if n:
+                raise MutationError(f"CREATE: {n} record id(s) already exist in {tbl}")
+        records.write.mode("append").parquet(self._data(tbl))
+        self._post_write(tbl, "CREATE", records)
+        return records
+
+    def insert(self, tbl: str, records: DataFrame, on_duplicate: dict[str, Column] | None = None) -> DataFrame:
+        """INSERT — bulk load; ON DUPLICATE KEY UPDATE applies SET exprs to
+        clashing ids (expr/data.rs Data::UpdateExpression, Iterable::Mergeable).
+        MERGE emulation: existing⟕new anti-join + resolved duplicates + fresh.
+        """
+        td = self.tables[tbl]
+        records = self._apply_fields(tbl, records, existing=False)
+        if not self._exists(tbl):
+            records.write.mode("append").parquet(self._data(tbl))
+            self._post_write(tbl, "CREATE", records)
+            return records
+        current = self.table(tbl)
+        fresh = records.join(current.select(td.id_col), td.id_col, "left_anti")
+        if on_duplicate is None:
+            merged = current.unionByName(fresh)
+            touched = fresh.localCheckpoint(eager=True)
+        else:
+            dup_ids = records.select(td.id_col)
+            updated = current.join(dup_ids, td.id_col, "left_semi")
+            for k, v in on_duplicate.items():
+                updated = updated.withColumn(k, v)
+            untouched = current.join(dup_ids, td.id_col, "left_anti")
+            merged = untouched.unionByName(updated).unionByName(fresh)
+            touched = updated.unionByName(fresh).localCheckpoint(eager=True)
+        self._overwrite(tbl, merged)
+        self._post_write(tbl, "UPDATE", touched)
+        return touched
+
+    def update(
+        self,
+        tbl: str,
+        set_exprs: dict[str, Column],
+        where: Column | None = None,
+        return_: str = "AFTER",
+    ) -> DataFrame:
+        """UPDATE ... SET ... WHERE — RETURN NONE/BEFORE/AFTER/DIFF
+        (expr/output.rs:7-15; diff via value::diff)."""
+        td = self.tables[tbl]
+        current = self.table(tbl)
+        cond = where if where is not None else F.lit(True)
+        before = current.filter(cond).localCheckpoint(eager=True)
+        after = before
+        for k, v in set_exprs.items():
+            after = after.withColumn(k, v)
+        after = self._apply_fields(tbl, after, existing=True).localCheckpoint(eager=True)
+        untouched = current.filter(~F.coalesce(cond, F.lit(False)))
+        self._overwrite(tbl, untouched.unionByName(after))
+        self._post_write(tbl, "UPDATE", after)
+        return self._returning(td, before, after, return_)
+
+    def upsert(
+        self, tbl: str, records: DataFrame, set_exprs: dict[str, Column] | None = None
+    ) -> DataFrame:
+        """UPSERT — update matching ids, create the rest."""
+        td = self.tables[tbl]
+        if not self._exists(tbl):
+            return self.create(tbl, records)
+        records = self._apply_fields(tbl, records, existing=False)
+        current = self.table(tbl)
+        fresh = records.join(current.select(td.id_col), td.id_col, "left_anti")
+        replaced = records.join(current.select(td.id_col), td.id_col, "left_semi")
+        if set_exprs:
+            for k, v in set_exprs.items():
+                replaced = replaced.withColumn(k, v)
+        untouched = current.join(records.select(td.id_col), td.id_col, "left_anti")
+        replaced = replaced.localCheckpoint(eager=True)
+        fresh = fresh.localCheckpoint(eager=True)
+        merged = untouched.unionByName(replaced.select(current.columns)).unionByName(
+            fresh.select(current.columns)
+        )
+        self._overwrite(tbl, merged)
+        self._post_write(tbl, "UPDATE", replaced)
+        self._post_write(tbl, "CREATE", fresh)
+        return replaced.unionByName(fresh)
+
+    def delete(self, tbl: str, where: Column | None = None, return_: str = "NONE") -> DataFrame:
+        """DELETE ... WHERE — anti-join rewrite (+ edge purge analogue:
+        callers drop edges referencing deleted ids, doc/purge.rs)."""
+        td = self.tables[tbl]
+        current = self.table(tbl)
+        cond = where if where is not None else F.lit(True)
+        doomed = current.filter(cond).localCheckpoint(eager=True)
+        kept = current.filter(~F.coalesce(cond, F.lit(False)))
+        self._overwrite(tbl, kept)
+        self._post_write(tbl, "DELETE", doomed)
+        return doomed if return_ == "BEFORE" else doomed.limit(0)
+
+    def relate(self, edge_tbl: str, edges: DataFrame) -> DataFrame:
+        """RELATE a->e->b — append edge records carrying in/out
+        (doc/relate.rs; operators/graph.relate builds the rows)."""
+        if edge_tbl not in self.tables:
+            self.define_table(TableDef(edge_tbl, id_col="id"))
+        td = self.tables[edge_tbl]
+        if td.id_col not in edges.columns:
+            edges = edges.withColumn(
+                td.id_col, F.concat(F.lit(edge_tbl), F.lit(":"), F.md5(F.concat_ws("|", "in", "out")))
+            )
+        edges.write.mode("append").parquet(self._data(edge_tbl))
+        self._post_write(edge_tbl, "CREATE", edges)
+        return edges
+
+    # -- helpers -------------------------------------------------------------
+
+    def _overwrite(self, tbl: str, df: DataFrame) -> None:
+        # Materialize before truncating the source dir (lazy plans read it).
+        staged = df.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(self._data(tbl))
+
+    @staticmethod
+    def _returning(td: TableDef, before: DataFrame, after: DataFrame, mode: str) -> DataFrame:
+        if mode == "NONE":
+            return after.limit(0)
+        if mode == "BEFORE":
+            return before
+        if mode == "AFTER":
+            return after
+        if mode == "DIFF":
+            b = before.select(
+                F.col(td.id_col),
+                F.to_json(F.struct(*[F.col(c) for c in before.columns])).alias("before"),
+            )
+            a = after.select(
+                F.col(td.id_col),
+                F.to_json(F.struct(*[F.col(c) for c in after.columns])).alias("after"),
+            )
+            return b.join(a, td.id_col)
+        raise ValueError(mode)
+
+
+def diff_patch(before: dict, after: dict) -> list[dict]:
+    """value::diff — JSON-Patch ops between two records
+    (core/src/expr/operation.rs; used by RETURN DIFF / LIVE DIFF)."""
+    ops: list[dict] = []
+    for k in sorted(set(before) | set(after)):
+        if k not in after:
+            ops.append({"op": "remove", "path": f"/{k}"})
+        elif k not in before:
+            ops.append({"op": "add", "path": f"/{k}", "value": after[k]})
+        elif before[k] != after[k]:
+            ops.append({"op": "replace", "path": f"/{k}", "value": after[k]})
+    return ops
+
+
+def apply_patch(doc: dict, ops: list[dict]) -> dict:
+    """value::patch — apply JSON-Patch ops."""
+    out = dict(doc)
+    for op in ops:
+        key = op["path"].lstrip("/")
+        if op["op"] == "remove":
+            out.pop(key, None)
+        else:
+            out[key] = op["value"]
+    return out
+
+
+_ = json  # retained for DIFF consumers

@@ -1,0 +1,364 @@
+"""array:: namespace (62 functions) — core/src/fnc/array.rs (1040 LoC).
+
+All native Column expressions (builtins + higher-order functions); closures
+(array::map/filter/fold with |$x| bodies, core/src/expr/closure.rs:12) are
+Python lambdas producing Column trees — same "closure compiles to
+expression" design as the reference's new executor.
+
+0-based indexing follows the reference; Spark's element_at is 1-based, so
+helpers shift.  Functions whose reference semantics error on bad input
+return NULL instead (Spark convention, documented divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, str):
+        return F.col(x)
+    return F.lit(x)
+
+
+# -- basics ------------------------------------------------------------------
+
+
+def add(arr, v) -> Column:
+    """array::add — append if not present (set-insert)."""
+    arr, v = _c(arr), _c(v)
+    return F.when(F.array_contains(arr, v), arr).otherwise(F.array_append(arr, v))
+
+
+def append(arr, v) -> Column:
+    return F.array_append(_c(arr), _c(v))
+
+
+def prepend(arr, v) -> Column:
+    return F.array_prepend(_c(arr), _c(v))
+
+
+def push(arr, v) -> Column:
+    return F.array_append(_c(arr), _c(v))
+
+
+def pop(arr) -> Column:
+    """array::pop — array minus its last element."""
+    a = _c(arr)
+    return F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0)))
+
+
+def insert(arr, v, idx: int) -> Column:
+    """array::insert — 0-based position insert."""
+    return F.array_insert(_c(arr), idx + 1 if idx >= 0 else idx, _c(v))
+
+
+def remove(arr, idx: int) -> Column:
+    """array::remove — drop the element at 0-based index."""
+    a = _c(arr)
+    if idx < 0:
+        return F.array_remove(a, F.element_at(a, idx))  # fallback by value
+    return F.concat(F.slice(a, 1, idx), F.slice(a, idx + 2, F.size(a)))
+
+
+def at(arr, idx: int) -> Column:
+    """array::at — 0-based pick, negatives from the end."""
+    return F.element_at(_c(arr), idx + 1 if idx >= 0 else idx)
+
+
+def first(arr) -> Column:
+    return F.element_at(_c(arr), 1)
+
+
+def last(arr) -> Column:
+    return F.element_at(_c(arr), -1)
+
+
+def len_(arr) -> Column:
+    return F.size(_c(arr))
+
+
+def is_empty(arr) -> Column:
+    return F.size(_c(arr)) == 0
+
+
+def slice_(arr, start: int, length: int | None = None) -> Column:
+    a = _c(arr)
+    return F.slice(a, start + 1, F.size(a) if length is None else F.lit(length))
+
+
+def reverse(arr) -> Column:
+    return F.reverse(_c(arr))
+
+
+def concat(a, b) -> Column:
+    return F.concat(_c(a), _c(b))
+
+
+def join(arr, sep) -> Column:
+    return F.array_join(_c(arr), sep)
+
+
+def fill(arr, v) -> Column:
+    return F.transform(_c(arr), lambda _: _c(v))
+
+
+def repeat(v, n: int) -> Column:
+    return F.array_repeat(_c(v), n)
+
+
+def range_(start: int, count: int) -> Column:
+    """array::range(start, count) — [start, start+count)."""
+    return F.sequence(F.lit(start), F.lit(start + count - 1))
+
+
+def sequence(start: int, end: int) -> Column:
+    return F.sequence(F.lit(start), F.lit(end))
+
+
+def swap(arr, i: int, j: int) -> Column:
+    a = _c(arr)
+    return F.transform(
+        a,
+        lambda x, pos: F.when(pos == i, F.element_at(a, j + 1))
+        .when(pos == j, F.element_at(a, i + 1))
+        .otherwise(x),
+    )
+
+
+# -- set algebra (also the set:: namespace, core/src/fnc/set.rs) -------------
+
+
+def distinct(arr) -> Column:
+    return F.array_distinct(_c(arr))
+
+
+def union(a, b) -> Column:
+    return F.array_union(_c(a), _c(b))
+
+
+def intersect(a, b) -> Column:
+    return F.array_intersect(_c(a), _c(b))
+
+
+def difference(a, b) -> Column:
+    """array::difference — symmetric difference."""
+    a, b = _c(a), _c(b)
+    return F.array_union(F.array_except(a, b), F.array_except(b, a))
+
+
+def complement(a, b) -> Column:
+    """array::complement — a \\ b."""
+    return F.array_except(_c(a), _c(b))
+
+
+def combine(a, b) -> Column:
+    """array::combine — all pairs [x, y] (cartesian)."""
+    a, b = _c(a), _c(b)
+    return F.flatten(F.transform(a, lambda x: F.transform(b, lambda y: F.array(x, y))))
+
+
+# -- logic over boolean arrays ----------------------------------------------
+
+
+def all_(arr) -> Column:
+    return F.forall(_c(arr), lambda x: x.cast("boolean"))
+
+
+def any_(arr) -> Column:
+    return F.exists(_c(arr), lambda x: x.cast("boolean"))
+
+
+def boolean_and(a, b) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("boolean") & y.cast("boolean"))
+
+
+def boolean_or(a, b) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("boolean") | y.cast("boolean"))
+
+
+def boolean_xor(a, b) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("boolean") != y.cast("boolean"))
+
+
+def boolean_not(arr) -> Column:
+    return F.transform(_c(arr), lambda x: ~x.cast("boolean"))
+
+
+def logical_and(a, b) -> Column:
+    """Truthy-aware pairwise and: keeps the deciding value (reference
+    returns values, not booleans)."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: F.when(x.cast("boolean"), y).otherwise(x))
+
+
+def logical_or(a, b) -> Column:
+    return F.zip_with(_c(a), _c(b), lambda x, y: F.when(x.cast("boolean"), x).otherwise(y))
+
+
+def logical_xor(a, b) -> Column:
+    return F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: F.when(x.cast("boolean") & ~y.cast("boolean"), x)
+        .when(y.cast("boolean") & ~x.cast("boolean"), y)
+        .otherwise(F.lit(False)),
+    )
+
+
+# -- higher-order (closure-taking) ------------------------------------------
+
+
+def map_(arr, fn) -> Column:
+    return F.transform(_c(arr), fn)
+
+
+def filter_(arr, fn) -> Column:
+    return F.filter(_c(arr), fn)
+
+
+def filter_index(arr, fn) -> Column:
+    """Indices (0-based) where fn holds."""
+    a = _c(arr)
+    pairs = F.transform(a, lambda x, i: F.struct(x.alias("x"), i.alias("i")))
+    return F.transform(
+        F.filter(pairs, lambda s: fn(s.getField("x"))), lambda s: s.getField("i")
+    )
+
+
+def find(arr, fn) -> Column:
+    return F.element_at(F.filter(_c(arr), fn), 1)
+
+
+def find_index(arr, fn) -> Column:
+    return F.element_at(filter_index(arr, fn), 1)
+
+
+def includes(arr, v) -> Column:
+    return F.array_contains(_c(arr), _c(v))
+
+
+def index_of(arr, v) -> Column:
+    """0-based first index of v, NULL if absent."""
+    pos = F.array_position(_c(arr), _c(v))
+    return F.when(pos > 0, pos - 1)
+
+
+def every(arr, fn) -> Column:
+    return F.forall(_c(arr), fn)
+
+
+def some(arr, fn) -> Column:
+    return F.exists(_c(arr), fn)
+
+
+def fold(arr, init, fn) -> Column:
+    return F.aggregate(_c(arr), _c(init), fn)
+
+
+def reduce(arr, fn) -> Column:
+    """Fold with the first element as the accumulator."""
+    a = _c(arr)
+    return F.aggregate(F.slice(a, 2, F.size(a)), F.element_at(a, 1), fn)
+
+
+def matches(arr, v) -> Column:
+    """array::matches — elementwise equality flags."""
+    return F.transform(_c(arr), lambda x: x == _c(v))
+
+
+# -- aggregate-ish -----------------------------------------------------------
+
+
+def max_(arr) -> Column:
+    return F.array_max(_c(arr))
+
+
+def min_(arr) -> Column:
+    return F.array_min(_c(arr))
+
+
+def flatten(arr) -> Column:
+    return F.flatten(_c(arr))
+
+
+def group(arr) -> Column:
+    """array::group — flatten + distinct."""
+    return F.array_distinct(F.flatten(_c(arr)))
+
+
+# -- sorting -----------------------------------------------------------------
+
+
+def sort(arr, asc: bool = True) -> Column:
+    a = F.array_sort(_c(arr))
+    return a if asc else F.reverse(a)
+
+
+def sort_asc(arr) -> Column:
+    return sort(arr, True)
+
+
+def sort_desc(arr) -> Column:
+    return sort(arr, False)
+
+
+def sort_lexical(arr) -> Column:
+    return F.array_sort(F.transform(_c(arr), lambda x: x.cast("string")))
+
+
+def sort_natural(arr) -> Column:
+    """Natural sort: order by (embedded-number-aware key)."""
+    key = lambda x: F.struct(  # noqa: E731
+        F.lpad(F.regexp_extract(x.cast("string"), r"(\d+)", 1), 20, "0").alias("num"),
+        x.cast("string").alias("s"),
+    )
+    pairs = F.transform(_c(arr), lambda x: F.struct(key(x).alias("k"), x.alias("v")))
+    return F.transform(F.array_sort(pairs), lambda s: s.getField("v"))
+
+
+def shuffle(arr, seed: int = 42) -> Column:
+    """array::shuffle — deterministic-by-seed permutation (md5 keys)."""
+    a = _c(arr)
+    pairs = F.transform(
+        a,
+        lambda x, i: F.struct(
+            F.md5(F.concat(F.lit(str(seed)), F.lit(":"), i.cast("string"))).alias("k"),
+            x.alias("v"),
+        ),
+    )
+    return F.transform(F.array_sort(pairs), lambda s: s.getField("v"))
+
+
+# -- shaping -----------------------------------------------------------------
+
+
+def clump(arr, n: int) -> Column:
+    """array::clump — chunks of size n."""
+    a = _c(arr)
+    n_chunks = F.ceil(F.size(a) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: F.slice(a, i * n + 1, n)
+    )
+
+
+def windows(arr, n: int) -> Column:
+    """array::windows — sliding windows of size n (empty when len < n)."""
+    a = _c(arr)
+    cnt = F.size(a) - (n - 1)
+    idx = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.slice(a, i, n))
+
+
+def transpose(arr) -> Column:
+    """array::transpose — rows↔columns for rectangular array-of-arrays."""
+    a = _c(arr)
+    width = F.size(F.element_at(a, 1))
+    return F.transform(
+        F.sequence(F.lit(1), width),
+        lambda j: F.transform(a, lambda row: F.element_at(row, j)),
+    )

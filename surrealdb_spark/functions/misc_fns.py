@@ -1,0 +1,237 @@
+"""object:: / duration:: / parse:: / crypto:: / rand:: / encoding:: /
+record:: namespaces — the smaller function families
+(core/src/fnc/{object,duration,parse,crypto,rand,encoding,record}.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, str):
+        return F.col(x)
+    return F.lit(x)
+
+
+# -- object:: (8) over MapType ----------------------------------------------
+
+
+def obj_keys(m) -> Column:
+    return F.map_keys(_c(m))
+
+
+def obj_values(m) -> Column:
+    return F.map_values(_c(m))
+
+
+def obj_len(m) -> Column:
+    return F.size(_c(m))
+
+
+def obj_is_empty(m) -> Column:
+    return F.size(_c(m)) == 0
+
+
+def obj_entries(m) -> Column:
+    """object::entries — array of [key, value] structs."""
+    return F.map_entries(_c(m))
+
+
+def obj_from_entries(arr) -> Column:
+    return F.map_from_entries(_c(arr))
+
+
+def obj_extend(a, b) -> Column:
+    """object::extend — right-biased merge."""
+    return F.map_zip_with(
+        _c(a), _c(b), lambda _, v1, v2: F.coalesce(v2, v1)
+    )
+
+
+def obj_remove(m, key) -> Column:
+    return F.map_filter(_c(m), lambda k, _: k != _c(key))
+
+
+# -- duration:: (17) over struct{months, nanos} ------------------------------
+
+_NS = {"nanos": 1, "micros": 1_000, "millis": 1_000_000, "secs": 1_000_000_000,
+       "mins": 60_000_000_000, "hours": 3_600_000_000_000, "days": 86_400_000_000_000,
+       "weeks": 604_800_000_000_000}
+
+
+def dur_unit(d, unit: str) -> Column:
+    """duration::{nanos,micros,millis,secs,mins,hours,days,weeks} — whole
+    units of the day-time component."""
+    return (_c(d).getField("nanos") / _NS[unit]).cast("long")
+
+
+def dur_years(d) -> Column:
+    return (_c(d).getField("months") / 12).cast("long")
+
+
+def dur_months(d) -> Column:
+    return _c(d).getField("months")
+
+
+def dur_from(unit: str, n) -> Column:
+    from surrealdb_spark.values import duration as mk
+
+    if unit in ("years", "months"):
+        months = _c(n) * (12 if unit == "years" else 1)
+        return mk(months, 0)
+    return mk(0, _c(n) * _NS[unit])
+
+
+# -- parse:: (9) -------------------------------------------------------------
+
+
+def parse_email_user(s) -> Column:
+    return F.substring_index(_c(s), "@", 1)
+
+
+def parse_email_host(s) -> Column:
+    return F.substring_index(_c(s), "@", -1)
+
+
+def parse_url_domain(s) -> Column:
+    return F.parse_url(_c(s), F.lit("HOST"))
+
+
+def parse_url_path(s) -> Column:
+    return F.parse_url(_c(s), F.lit("PATH"))
+
+
+def parse_url_query(s) -> Column:
+    return F.parse_url(_c(s), F.lit("QUERY"))
+
+
+def parse_url_fragment(s) -> Column:
+    return F.parse_url(_c(s), F.lit("REF"))
+
+
+def parse_url_scheme(s) -> Column:
+    return F.parse_url(_c(s), F.lit("PROTOCOL"))
+
+
+def parse_url_port(s) -> Column:
+    return F.regexp_extract(_c(s), r"^[a-z]+://[^/:]+:(\d+)", 1).try_cast("int")
+
+
+# -- crypto:: (7) ------------------------------------------------------------
+
+
+def crypto_md5(s) -> Column:
+    return F.md5(_c(s).cast("binary"))
+
+
+def crypto_sha1(s) -> Column:
+    return F.sha1(_c(s).cast("binary"))
+
+
+def crypto_sha256(s) -> Column:
+    return F.sha2(_c(s).cast("binary"), 256)
+
+
+def crypto_sha512(s) -> Column:
+    return F.sha2(_c(s).cast("binary"), 512)
+
+
+def crypto_joaat(s) -> Column:
+    """Jenkins one-at-a-time — loop over chars via aggregate (32-bit)."""
+    chars = F.split(_c(s), "")
+    M = F.lit(0xFFFFFFFF).cast("bigint")
+
+    def step(acc: Column, ch: Column) -> Column:
+        h = (acc + F.ascii(ch)).bitwiseAND(M)
+        h = (h + F.shiftleft(h, 10)).bitwiseAND(M)
+        return h.bitwiseXOR(F.shiftright(h, 6))
+
+    h = F.aggregate(chars, F.lit(0).cast("bigint"), step)
+    h = (h + F.shiftleft(h, 3)).bitwiseAND(M)
+    h = h.bitwiseXOR(F.shiftright(h, 11))
+    return (h + F.shiftleft(h, 15)).bitwiseAND(M)
+
+
+# bcrypt/scrypt/argon2/pbkdf2: password KDFs are out of analytics scope —
+# gate behind an import-try of passlib-style libs (absent in this image).
+def crypto_bcrypt_generate(_s) -> Column:
+    raise NotImplementedError("bcrypt requires a KDF library not present in this image")
+
+
+# -- rand:: (10) — nondeterministic by nature --------------------------------
+
+
+def rand_float() -> Column:
+    return F.rand()
+
+
+def rand_int(lo: int, hi: int) -> Column:
+    return (F.rand() * (hi - lo + 1)).cast("long") + lo
+
+
+def rand_bool() -> Column:
+    return F.rand() > 0.5
+
+
+def rand_enum(*vals) -> Column:
+    arr = F.array(*[F.lit(v) for v in vals])
+    return F.element_at(arr, (F.rand() * len(vals)).cast("int") + 1)
+
+
+def rand_uuid() -> Column:
+    return F.uuid()
+
+
+def rand_string(length: int = 10) -> Column:
+    return F.substring(F.md5(F.rand().cast("string")), 1, length)
+
+
+# -- encoding:: (4) ----------------------------------------------------------
+
+
+def base64_encode(s) -> Column:
+    return F.base64(_c(s).cast("binary"))
+
+
+def base64_decode(s) -> Column:
+    return F.unbase64(_c(s)).cast("string")
+
+
+def json_encode(x) -> Column:
+    return F.to_json(_c(x))
+
+
+def json_decode(s, schema: str) -> Column:
+    return F.from_json(_c(s), schema)
+
+
+# -- record:: (5) ------------------------------------------------------------
+
+
+def record_id_part(r) -> Column:
+    return F.substring_index(_c(r), ":", -1)
+
+
+def record_tb(r) -> Column:
+    return F.substring_index(_c(r), ":", 1)
+
+
+record_table = record_tb
+
+
+def record_exists(r, target, target_id: str = "id"):
+    """record::exists — semi-join against the target table (DataFrame-level
+    op, returns a joined DataFrame; per-row form needs the join)."""
+    raise NotImplementedError(
+        "record::exists is a semi-join: df.join(target, cond, 'left_semi')"
+    )
+
+
+def record_is_edge(r) -> Column:
+    """Edge records' keys embed in/out — our engine marks edges by table
+    membership; string form can't tell, so test key shape."""
+    return _c(r).rlike("^[A-Za-z0-9_]+:.+")

@@ -1,0 +1,139 @@
+"""DML batch semantics + changefeed/LIVE SELECT streaming tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from surrealdb_spark.dml import Database, FieldDef, MutationError, TableDef, diff_patch
+from surrealdb_spark.streaming.changefeed import (
+    live_select,
+    show_changes,
+    start_live,
+)
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = Database(spark, str(tmp_path))
+    d.define_table(
+        TableDef(
+            "person",
+            id_col="id",
+            fields=[
+                FieldDef("age", dtype="bigint", assert_fn=lambda c: c >= 0),
+                FieldDef("active", dtype="boolean", default=lambda: F.lit(True)),
+            ],
+            changefeed=True,
+        )
+    )
+    return d
+
+
+def _people(spark, rows):
+    return spark.createDataFrame(
+        [Row(**r) for r in rows], schema="id string, age bigint, active boolean"
+    )
+
+
+def test_create_and_collision(spark, db):
+    db.create("person", _people(spark, [{"id": "person:1", "age": 30, "active": None}]))
+    got = db.table("person").collect()
+    assert got[0].active is True  # DEFAULT applied
+    with pytest.raises(MutationError, match="already exist"):
+        db.create("person", _people(spark, [{"id": "person:1", "age": 9, "active": None}]))
+
+
+def test_assert_rejects(spark, db):
+    with pytest.raises(MutationError, match="ASSERT failed"):
+        db.create("person", _people(spark, [{"id": "person:2", "age": -5, "active": None}]))
+
+
+def test_update_returns_and_diff(spark, db):
+    db.create(
+        "person",
+        _people(
+            spark,
+            [
+                {"id": "person:1", "age": 30, "active": None},
+                {"id": "person:2", "age": 40, "active": None},
+            ],
+        ),
+    )
+    after = db.update(
+        "person", {"age": F.col("age") + 1}, F.col("id") == "person:1", return_="AFTER"
+    ).collect()
+    assert after[0].age == 31
+    rows = {r.id: r.age for r in db.table("person").collect()}
+    assert rows == {"person:1": 31, "person:2": 40}
+    diff = db.update(
+        "person", {"age": F.lit(99)}, F.col("id") == "person:2", return_="DIFF"
+    ).collect()
+    assert '"age":99' in diff[0].after.replace(" ", "")
+
+
+def test_upsert_insert_delete(spark, db):
+    db.create("person", _people(spark, [{"id": "person:1", "age": 1, "active": None}]))
+    db.upsert(
+        "person",
+        _people(
+            spark,
+            [
+                {"id": "person:1", "age": 10, "active": None},
+                {"id": "person:3", "age": 3, "active": None},
+            ],
+        ),
+    )
+    rows = {r.id: r.age for r in db.table("person").collect()}
+    assert rows == {"person:1": 10, "person:3": 3}
+    db.insert(
+        "person",
+        _people(spark, [{"id": "person:1", "age": 0, "active": None}]),
+        on_duplicate={"age": F.col("age") + 100},
+    )
+    rows = {r.id: r.age for r in db.table("person").collect()}
+    assert rows["person:1"] == 110  # ON DUPLICATE KEY UPDATE
+    gone = db.delete("person", F.col("age") > 50, return_="BEFORE").collect()
+    assert {r.id for r in gone} == {"person:1"}
+    assert {r.id for r in db.table("person").collect()} == {"person:3"}
+
+
+def test_relate_and_events(spark, db):
+    seen = []
+    db.define_table(TableDef("knows", id_col="id", events=[lambda a, df: seen.append(a)]))
+    edges = spark.createDataFrame([Row(**{"in": "person:1", "out": "person:2"})])
+    db.relate("knows", edges)
+    got = db.table("knows").collect()[0]
+    assert got["in"] == "person:1" and got.out == "person:2" and got.id.startswith("knows:")
+    assert seen == ["CREATE"]
+
+
+def test_changefeed_and_live_select(spark, db, tmp_path):
+    db.create("person", _people(spark, [{"id": "person:1", "age": 5, "active": None}]))
+    db.update("person", {"age": F.lit(6)}, F.col("id") == "person:1")
+    db.delete("person")
+    root = f"{tmp_path}/person"
+    changes = show_changes(spark, root).collect()
+    assert [c.action for c in changes] == ["CREATE", "UPDATE", "DELETE"]
+
+    stream = live_select(
+        spark,
+        root,
+        where=F.col("age") >= 6,
+        fields=["age"],
+        record_schema="id string, age bigint, active boolean",
+    )
+    q = start_live(stream, "live_person")
+    try:
+        q.processAllAvailable()
+        notes = spark.sql("SELECT action, age FROM live_person ORDER BY age").collect()
+        # CREATE(age=5) filtered out; UPDATE and DELETE (last-known age 6) pass.
+        assert [n.action for n in notes] == ["UPDATE", "DELETE"]
+    finally:
+        q.stop()
+
+
+def test_diff_patch_roundtrip():
+    ops = diff_patch({"a": 1, "b": 2}, {"a": 1, "b": 3, "c": 4})
+    assert {(o["op"], o["path"]) for o in ops} == {("replace", "/b"), ("add", "/c")}
