@@ -1,0 +1,317 @@
+"""SELECT compiler: AST → DataFrame plan.
+
+Pipeline order is the reference's authoritative one — source → filter →
+split → aggregate → sort → limit → project → fetch
+(core/src/exec/planner/select.rs:3-4,1238-1242) — with the aggregate
+decomposition of core/src/catalog/aggregation.rs:19-39 / planner/
+aggregate.rs: aggregate calls inside field expressions are extracted into
+agg() aliases, the surrounding expression becomes a post-projection.
+
+Everything lowers to declarative DataFrame ops; Catalyst then does
+pushdown/pruning/top-k (subsuming the reference's index analysis,
+SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from surrealdb_spark.catalog import Catalog
+from surrealdb_spark.expr import operators as O
+from surrealdb_spark.expr.idiom import compile_idiom
+from surrealdb_spark.functions.registry import REGISTRY
+from surrealdb_spark.sql.parser import Select, parse_select
+
+# Aggregate functions recognized in SELECT context
+# (core/src/exec/function/builtin/aggregates.rs:26-48).
+_AGGREGATES = {
+    "count": lambda args: F.count(F.lit(1)) if not args else F.count(args[0]),
+    "math::sum": lambda args: F.sum(args[0]),
+    "math::mean": lambda args: F.avg(args[0]),
+    "math::min": lambda args: F.min(args[0]),
+    "math::max": lambda args: F.max(args[0]),
+    "math::stddev": lambda args: F.stddev_samp(args[0]),
+    "math::variance": lambda args: F.var_samp(args[0]),
+    "math::median": lambda args: F.median(args[0]),
+    "time::min": lambda args: F.min(args[0]),
+    "time::max": lambda args: F.max(args[0]),
+    "array::group": lambda args: F.array_distinct(F.flatten(F.collect_list(args[0]))),
+    "array::distinct": lambda args: F.array_distinct(F.collect_list(args[0])),
+    "array::join": lambda args: F.concat_ws(", ", F.collect_list(args[0])),
+}
+
+_BINOPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+    "**": lambda a, b: F.pow(a, b),
+    "=": lambda a, b: a == b,
+    "==": lambda a, b: a.eqNullSafe(b),
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "AND": lambda a, b: a & b,
+    "&&": lambda a, b: a & b,
+    "OR": lambda a, b: a | b,
+    "||": lambda a, b: a | b,
+    "??": O.nco,
+    "?:": O.tco,
+    "IN": O.inside,
+    "INSIDE": O.inside,
+    "NOTINSIDE": O.not_inside,
+    "CONTAINS": O.contains,
+    "CONTAINSNOT": O.contains_not,
+    "CONTAINSALL": O.contains_all,
+    "CONTAINSANY": O.contains_any,
+    "CONTAINSNONE": O.contains_none,
+    "ALLINSIDE": O.all_inside,
+    "ANYINSIDE": O.any_inside,
+    "NONEINSIDE": O.none_inside,
+    "*=": O.all_eq,
+    "?=": O.any_eq,
+    "..": lambda a, b: O.range_struct(a, b, True, False),
+    "..=": lambda a, b: O.range_struct(a, b, True, True),
+}
+
+
+def compile_expr(ast, params: dict | None = None) -> Column:
+    """Expression AST → Column (no aggregate handling — see _decompose)."""
+    params = params or {}
+    kind = ast[0]
+    if kind == "lit":
+        return F.lit(ast[1])
+    if kind == "param":
+        name = ast[1]
+        if name not in params:
+            raise KeyError(f"unbound parameter ${name}")
+        v = params[name]
+        return v if isinstance(v, Column) else F.lit(v)
+    if kind == "ident":
+        return F.col(ast[1])
+    if kind == "all":
+        raise ValueError("* only valid as a projection")
+    if kind == "array":
+        return F.array(*[compile_expr(e, params) for e in ast[1]])
+    if kind == "path":
+        base = compile_expr(ast[1], params)
+        parts = [
+            ("where", (lambda cond: lambda el: _compile_lambda(cond, el, params))(p[1]))
+            if p[0] == "where"
+            else p
+            for p in ast[2]
+        ]
+        return compile_idiom(base, parts)
+    if kind == "un":
+        op, e = ast[1], ast[2]
+        c = compile_expr(e, params)
+        if op == "!":
+            return ~c
+        if op == "-":
+            return -c
+        return c
+    if kind == "bin":
+        _, op, l, r = ast
+        return _BINOPS[op](compile_expr(l, params), compile_expr(r, params))
+    if kind == "call":
+        name, args = ast[1], ast[2]
+        cols = [compile_expr(a, params) for a in args]
+        if name in REGISTRY:
+            return REGISTRY[name](*cols)
+        raise KeyError(f"unknown function {name}")
+    raise ValueError(f"bad AST node {ast!r}")
+
+
+def _compile_lambda(cond_ast, element: Column, params: dict) -> Column:
+    """[WHERE cond] inside a path: idents resolve against the array element
+    (the reference's $this scoping, CurrentValueSource)."""
+
+    def walk(ast) -> Column:
+        k = ast[0]
+        if k == "ident":
+            return element.getField(ast[1])
+        if k == "lit":
+            return F.lit(ast[1])
+        if k == "param":
+            v = params[ast[1]]
+            return v if isinstance(v, Column) else F.lit(v)
+        if k == "bin":
+            return _BINOPS[ast[1]](walk(ast[2]), walk(ast[3]))
+        if k == "un":
+            c = walk(ast[2])
+            return ~c if ast[1] == "!" else -c if ast[1] == "-" else c
+        if k == "call":
+            return REGISTRY[ast[1]](*[walk(a) for a in ast[2]])
+        raise ValueError(f"unsupported in [WHERE]: {ast!r}")
+
+    return walk(cond_ast)
+
+
+def _decompose(ast, aggs: list, params: dict):
+    """Replace aggregate calls with placeholder idents; collect agg specs
+    (catalog/aggregation.rs:19-39 decomposition)."""
+    if ast[0] == "call" and ast[1] in _AGGREGATES:
+        args = [compile_expr(a, params) for a in ast[2]]
+        alias = f"__agg{len(aggs)}"
+        aggs.append(_AGGREGATES[ast[1]](args).alias(alias))
+        return ("ident", alias)
+    if ast[0] in ("bin",):
+        return ("bin", ast[1], _decompose(ast[2], aggs, params), _decompose(ast[3], aggs, params))
+    if ast[0] == "un":
+        return ("un", ast[1], _decompose(ast[2], aggs, params))
+    if ast[0] == "call":
+        return ("call", ast[1], [_decompose(a, aggs, params) for a in ast[2]])
+    if ast[0] == "path":
+        return ("path", _decompose(ast[1], aggs, params), ast[2])
+    if ast[0] == "array":
+        return ("array", [_decompose(a, aggs, params) for a in ast[2]])
+    return ast
+
+
+def _has_aggregate(ast) -> bool:
+    if ast[0] == "call":
+        if ast[1] in _AGGREGATES:
+            return True
+        return any(_has_aggregate(a) for a in ast[2])
+    if ast[0] == "bin":
+        return _has_aggregate(ast[2]) or _has_aggregate(ast[3])
+    if ast[0] == "un":
+        return _has_aggregate(ast[2])
+    if ast[0] == "path":
+        return _has_aggregate(ast[1])
+    if ast[0] == "array":
+        return any(_has_aggregate(a) for a in ast[1])
+    return False
+
+
+def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
+                   catalog: Catalog | None = None, params: dict | None = None) -> DataFrame:
+    cat = catalog or Catalog(spark, sf_dir)
+    params = params or {}
+
+    # source (multi-source FROM = Union, exec/operators/union.rs:19)
+    dfs = [cat.table(s) for s in sel.sources]
+    df = dfs[0]
+    for other in dfs[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+
+    # filter
+    if sel.where is not None:
+        df = df.filter(compile_expr(sel.where, params))
+
+    # split (explode, operators/split.rs)
+    for f_ in sel.split:
+        df = df.withColumn(f_, F.explode(F.col(f_)))
+
+    # aggregate
+    is_grouped = sel.group is not None
+    post_fields: list[tuple] = []
+    if is_grouped:
+        aggs: list[Column] = []
+        keys = [compile_expr(g, params) for g in sel.group]
+        key_names = [g[1] if g[0] == "ident" else f"__k{i}" for i, g in enumerate(sel.group)]
+        assert sel.fields is not None, "GROUP BY requires an explicit field list"
+        out_names: set[str] = set(key_names)
+        for fld in sel.fields:
+            name = fld.alias or _default_name(fld.expr)
+            if fld.expr[0] == "ident" and fld.expr[1] in key_names:
+                post_fields.append((fld.expr, name))
+                continue
+            if _has_aggregate(fld.expr):
+                post_fields.append((_decompose(fld.expr, aggs, params), name))
+            else:
+                # non-aggregate field under GROUP BY → first() per reference
+                alias = f"__agg{len(aggs)}"
+                aggs.append(F.first(compile_expr(fld.expr, params)).alias(alias))
+                post_fields.append((("ident", alias), name))
+            out_names.add(name)
+        gb = df.groupBy(*[c.alias(n) for c, n in zip(keys, key_names)])
+        df = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+
+    # sort (Sort/SortTopK; with LIMIT Catalyst emits TakeOrderedAndProject)
+    if sel.order:
+        order_cols = []
+        for k in sel.order:
+            c = compile_expr(k.expr, params)
+            if k.numeric:
+                # ORDER NUMERIC: natural sort by embedded number then text
+                c = F.struct(
+                    F.regexp_extract(c.cast("string"), r"(\d+)", 1).cast("bigint"),
+                    c.cast("string"),
+                )
+            order_cols.append(c.desc() if k.desc else c.asc())
+        df = df.orderBy(*order_cols)
+
+    # limit/start (operators/limit.rs; Spark offset() is 3.4+)
+    if sel.start:
+        df = df.offset(sel.start)
+    if sel.limit is not None:
+        df = df.limit(sel.limit)
+
+    # project
+    if sel.value_expr is not None:
+        # SELECT VALUE → single bare column (operators/project_value.rs:30)
+        df = df.select(compile_expr(sel.value_expr, params).alias("value"))
+    elif is_grouped:
+        df = df.select(
+            *[compile_expr(a, params).alias(n) for a, n in post_fields]
+        )
+    elif sel.fields is not None and sel.fields:
+        cols = []
+        for fld in sel.fields:
+            name = fld.alias or _default_name(fld.expr)
+            cols.append(compile_expr(fld.expr, params).alias(name))
+        df = df.select(*cols)
+    if sel.omit:
+        df = df.drop(*sel.omit)
+
+    # fetch (operators/fetch.rs) — target table inferred from id prefix
+    for f_ in sel.fetch:
+        from surrealdb_spark.operators.fetch import fetch
+        from surrealdb_spark.operators.graph import record_id
+
+        sample = df.select(f_).filter(F.col(f_).isNotNull()).first()
+        if sample is None:
+            continue
+        tbl = str(sample[0]).split(":", 1)[0]
+        target = cat.table(tbl)
+        id_col = _guess_id_col(target, tbl)
+        target = target.withColumn("id", record_id(tbl, id_col))
+        df = fetch(df, f_, target.drop(id_col) if id_col != "id" else target, "id")
+
+    if sel.only:
+        head = df.limit(2).collect()
+        if len(head) != 1:
+            raise ValueError(f"ONLY expects exactly one record, got {len(head)}")
+
+    return df
+
+
+def _default_name(ast) -> str:
+    if ast[0] == "ident":
+        return ast[1]
+    if ast[0] == "call":
+        return ast[1].replace("::", "_")
+    if ast[0] == "path" and ast[1][0] == "ident":
+        return ast[1][1]
+    return "value"
+
+
+def _guess_id_col(df: DataFrame, tbl: str) -> str:
+    for cand in ("id", f"{tbl[0]}_{tbl}key", f"{tbl}_id"):
+        if cand in df.columns:
+            return cand
+    prefixed = [c for c in df.columns if c.endswith("key")]
+    if prefixed:
+        return prefixed[0]
+    raise KeyError(f"cannot infer id column for {tbl}")
+
+
+def surql(spark: SparkSession, text: str, sf_dir: str | None = None,
+          catalog: Catalog | None = None, params: dict | None = None) -> DataFrame:
+    """Run a SurrealQL SELECT against the parquet catalog."""
+    return compile_select(spark, parse_select(text), sf_dir, catalog, params)

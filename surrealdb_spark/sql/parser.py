@@ -1,0 +1,354 @@
+"""SurrealQL tokenizer + recursive-descent/Pratt parser (SELECT subset).
+
+Grammar sources: the reference's standalone parser stack (surrealdb/parser,
+surrealdb/ast) and binding powers (core/src/expr/operator.rs:204
+BindingPower).  Round-1 scope: SELECT statements with expressions, idiom
+paths, function calls, containment operators, GROUP/SPLIT/ORDER/LIMIT/
+START/FETCH/VALUE clauses.
+
+AST is plain tuples:
+  ("lit", v) ("param", name) ("ident", name) ("all",)
+  ("path", base, [part...])          part: ("field",n) ("index",i) ("all",)
+                                           ("where", expr) ("first",) ("last",)
+  ("bin", op, l, r) ("un", op, e) ("call", name, [args]) ("array", [e...])
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+(\.\d+)?([eE][+-]?\d+)?)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
+  | (?P<op>\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||->|<-|<->|\.\.=|\.\.|\*\*|[-+*/%=<>!(),\[\].$:*])
+    """,
+    re.X,
+)
+
+KEYWORDS = {
+    "SELECT", "VALUE", "FROM", "WHERE", "SPLIT", "GROUP", "ORDER", "BY", "ALL",
+    "LIMIT", "START", "FETCH", "AS", "ASC", "DESC", "ON", "AT", "ONLY", "AND",
+    "OR", "NOT", "IN", "CONTAINS", "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY",
+    "CONTAINSNONE", "INSIDE", "NOTINSIDE", "ALLINSIDE", "ANYINSIDE",
+    "NONEINSIDE", "TRUE", "FALSE", "NULL", "NONE", "OMIT", "WITH", "NOINDEX",
+    "TIMEOUT", "PARALLEL", "EXPLAIN", "COLLATE", "NUMERIC",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # num str param name op kw eof
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"unexpected char {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "name" and text.upper() in KEYWORDS:
+            out.append(Tok("kw", text.upper(), m.start()))
+        else:
+            out.append(Tok(kind, text, m.start()))
+    out.append(Tok("eof", "", len(src)))
+    return out
+
+
+# Binding powers adapted from core/src/expr/operator.rs:204 (BindingPower):
+# Nullish < Or < And < Equality/Relation/Containment < Add < Mul < Power.
+_BIN_BP = {
+    "??": (2, 3), "?:": (2, 3),
+    "OR": (4, 5), "||": (4, 5),
+    "AND": (6, 7), "&&": (6, 7),
+    "=": (8, 9), "==": (8, 9), "!=": (8, 9), "<": (8, 9), "<=": (8, 9),
+    ">": (8, 9), ">=": (8, 9), "*=": (8, 9), "?=": (8, 9),
+    "IN": (8, 9), "CONTAINS": (8, 9), "CONTAINSNOT": (8, 9),
+    "CONTAINSALL": (8, 9), "CONTAINSANY": (8, 9), "CONTAINSNONE": (8, 9),
+    "INSIDE": (8, 9), "NOTINSIDE": (8, 9), "ALLINSIDE": (8, 9),
+    "ANYINSIDE": (8, 9), "NONEINSIDE": (8, 9),
+    "..": (10, 11), "..=": (10, 11),
+    "+": (12, 13), "-": (12, 13),
+    "*": (14, 15), "/": (14, 15), "%": (14, 15),
+    "**": (17, 16),  # right-associative
+}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.eat(kind, text)
+        if t is None:
+            got = self.peek()
+            raise SyntaxError(f"expected {text or kind}, got {got.text!r} at {got.pos}")
+        return t
+
+    # -- expressions --------------------------------------------------------
+
+    def expr(self, min_bp: int = 0):
+        lhs = self.prefix()
+        while True:
+            t = self.peek()
+            op = t.text if t.kind == "op" else (t.text if t.kind == "kw" else None)
+            if op not in _BIN_BP:
+                break
+            lbp, rbp = _BIN_BP[op]
+            if lbp < min_bp:
+                break
+            self.next()
+            rhs = self.expr(rbp)
+            lhs = ("bin", op, lhs, rhs)
+        return lhs
+
+    def prefix(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            txt = t.text
+            val = float(txt) if ("." in txt or "e" in txt or "E" in txt) else int(txt)
+            return self.postfix(("lit", val))
+        if t.kind == "str":
+            self.next()
+            body = t.text[1:-1]
+            body = re.sub(r"\\(.)", r"\1", body)
+            return self.postfix(("lit", body))
+        if t.kind == "param":
+            self.next()
+            return self.postfix(("param", t.text[1:]))
+        if t.kind == "kw" and t.text in ("TRUE", "FALSE"):
+            self.next()
+            return ("lit", t.text == "TRUE")
+        if t.kind == "kw" and t.text in ("NULL", "NONE"):
+            self.next()
+            return ("lit", None)
+        if t.kind == "kw" and t.text == "NOT":
+            self.next()
+            return ("un", "!", self.expr(15))
+        if t.kind == "op" and t.text in ("!", "-", "+"):
+            self.next()
+            return ("un", t.text, self.expr(15))
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            e = self.expr(0)
+            self.expect("op", ")")
+            return self.postfix(e)
+        if t.kind == "op" and t.text == "[":
+            self.next()
+            elems = []
+            while not self.eat("op", "]"):
+                elems.append(self.expr(0))
+                if not self.eat("op", ","):
+                    self.expect("op", "]")
+                    break
+            return self.postfix(("array", elems))
+        if t.kind == "op" and t.text == "*":
+            self.next()
+            return ("all",)
+        if t.kind == "name":
+            self.next()
+            if self.peek().kind == "op" and self.peek().text == "(":
+                self.next()
+                args = []
+                while not self.eat("op", ")"):
+                    args.append(self.expr(0))
+                    if not self.eat("op", ","):
+                        self.expect("op", ")")
+                        break
+                return self.postfix(("call", t.text, args))
+            # record-id literal tb:key
+            if self.peek().kind == "op" and self.peek().text == ":":
+                nxt = self.toks[self.i + 1]
+                if nxt.kind in ("name", "num"):
+                    self.next()
+                    self.next()
+                    return self.postfix(("lit", f"{t.text}:{nxt.text}"))
+            return self.postfix(("ident", t.text))
+        raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def postfix(self, base):
+        parts = []
+        while True:
+            if self.eat("op", "."):
+                nt = self.next()
+                if nt.kind == "op" and nt.text == "*":
+                    parts.append(("all",))
+                elif nt.kind == "name":
+                    parts.append(("field", nt.text))
+                else:
+                    raise SyntaxError(f"bad path segment {nt.text!r} at {nt.pos}")
+                continue
+            if self.peek().kind == "op" and self.peek().text == "[":
+                self.next()
+                if self.eat("op", "*"):
+                    self.expect("op", "]")
+                    parts.append(("all",))
+                elif self.eat("kw", "WHERE"):
+                    cond = self.expr(0)
+                    self.expect("op", "]")
+                    parts.append(("where", cond))
+                elif self.eat("op", "$"):
+                    self.expect("op", "]")
+                    parts.append(("last",))
+                else:
+                    idx = self.expr(0)
+                    self.expect("op", "]")
+                    if idx[0] != "lit" or not isinstance(idx[1], int):
+                        raise SyntaxError("only literal integer indexes supported")
+                    parts.append(("index", idx[1]))
+                continue
+            break
+        return ("path", base, parts) if parts else base
+
+
+# -- SELECT statement --------------------------------------------------------
+
+
+@dataclass
+class Field:
+    expr: tuple
+    alias: str | None = None
+
+
+@dataclass
+class OrderKey:
+    expr: tuple
+    desc: bool = False
+    collate: bool = False
+    numeric: bool = False
+
+
+@dataclass
+class Select:
+    fields: list[Field] | None  # None = SELECT *
+    value_expr: tuple | None
+    sources: list[str] = field(default_factory=list)
+    where: tuple | None = None
+    split: list[str] = field(default_factory=list)
+    group: list[tuple] | None = None  # [] = GROUP ALL
+    order: list[OrderKey] = field(default_factory=list)
+    limit: int | None = None
+    start: int | None = None
+    fetch: list[str] = field(default_factory=list)
+    omit: list[str] = field(default_factory=list)
+    only: bool = False
+
+
+def parse_expr(src: str):
+    p = Parser(src)
+    e = p.expr(0)
+    p.expect("eof")
+    return e
+
+
+def parse_select(src: str) -> Select:
+    p = Parser(src.strip().rstrip(";"))
+    p.expect("kw", "SELECT")
+    sel = Select(fields=None, value_expr=None)
+    if p.eat("kw", "VALUE"):
+        sel.value_expr = p.expr(0)
+    else:
+        fields: list[Field] = []
+        star = p.eat("op", "*")
+        if star:
+            if p.eat("op", ","):
+                pass  # SELECT *, extra fields
+            else:
+                fields = []
+        if not star or (star and p.peek().kind != "kw"):
+            while p.peek().kind != "kw":
+                e = p.expr(0)
+                alias = None
+                if p.eat("kw", "AS"):
+                    alias = p.expect("name").text
+                fields.append(Field(e, alias))
+                if not p.eat("op", ","):
+                    break
+        sel.fields = None if star and not fields else fields
+    if p.eat("kw", "OMIT"):
+        while True:
+            sel.omit.append(p.expect("name").text)
+            if not p.eat("op", ","):
+                break
+    p.expect("kw", "FROM")
+    sel.only = bool(p.eat("kw", "ONLY"))
+    while True:
+        sel.sources.append(p.expect("name").text)
+        if not p.eat("op", ","):
+            break
+    if p.eat("kw", "WITH"):  # WITH NOINDEX hint: accepted and ignored
+        p.eat("kw", "NOINDEX")
+    if p.eat("kw", "WHERE"):
+        sel.where = p.expr(0)
+    if p.eat("kw", "SPLIT"):
+        p.eat("kw", "ON")
+        while True:
+            sel.split.append(p.expect("name").text)
+            if not p.eat("op", ","):
+                break
+    if p.eat("kw", "GROUP"):
+        if p.eat("kw", "ALL"):
+            sel.group = []
+        else:
+            p.eat("kw", "BY")
+            sel.group = []
+            while True:
+                sel.group.append(p.expr(0))
+                if not p.eat("op", ","):
+                    break
+    if p.eat("kw", "ORDER"):
+        p.eat("kw", "BY")
+        while True:
+            k = OrderKey(p.expr(0))
+            if p.eat("kw", "COLLATE"):
+                k.collate = True
+            if p.eat("kw", "NUMERIC"):
+                k.numeric = True
+            if p.eat("kw", "DESC"):
+                k.desc = True
+            else:
+                p.eat("kw", "ASC")
+            sel.order.append(k)
+            if not p.eat("op", ","):
+                break
+    if p.eat("kw", "LIMIT"):
+        p.eat("kw", "BY")
+        sel.limit = int(p.expect("num").text)
+    if p.eat("kw", "START"):
+        p.eat("kw", "AT")
+        sel.start = int(p.expect("num").text)
+    if p.eat("kw", "FETCH"):
+        while True:
+            sel.fetch.append(p.expect("name").text)
+            if not p.eat("op", ","):
+                break
+    p.expect("eof")
+    return sel

