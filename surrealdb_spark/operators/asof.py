@@ -1,0 +1,73 @@
+"""As-of join + sessionization — time-series operators Spark lacks natively.
+
+Neither exists in the reference (its time-series story is record-id range
+scans, dbs/iterator.rs:63-65); both are required superset operators for
+event analytics at scale (SURVEY §2.5 notes Window as the mechanism).
+
+As-of join avoids per-group Python (`pd.merge_asof`) entirely: union the
+two sides tagged, sort within (keys, time), and carry the right side's
+last value forward with last_value(ignoreNulls) — one shuffle on the keys,
+all JVM-side window evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    right_ts <= left_ts within the same keys (backward as-of join).
+
+    Right side must be unique per (keys, right_ts) — pre-dedupe if not.
+    """
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # Right rows sort before left rows at the same timestamp (__side 0 < 1)
+    # so an exactly-simultaneous right row IS visible to the left row.
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = unioned
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+        )
+    return carried.filter(F.col("__side") == 1).drop("__t", "__side")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: Column,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event exceeds ``gap`` (same units as ts_col).  Adds ``session_id``
+    (0-based per user) — lag + cumulative-sum-of-boundaries, one shuffle.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (order_tiebreak or [])]
+    w = W.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = (prev.isNull() | ((F.col(ts_col) - prev) > gap)).cast("int")
+    run = W.partitionBy(user_col).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    return events.withColumn("session_id", F.sum(new_session).over(run) - 1)

@@ -102,3 +102,40 @@ def bm25_search(
         "rank",
         F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc"))),
     )
+
+
+def rrf_fuse(ranked: list[DataFrame], k: int = 60, id_col: str = "doc") -> DataFrame:
+    """search::rrf — reciprocal-rank fusion of ranked result sets
+    (core/src/fnc/search.rs): score = Σ 1/(k + rank_i), missing lists
+    contribute 0.  Inputs carry (id_col, rank); output (id_col, rrf).
+    Terms are summed in list order → bit-deterministic.
+    """
+    out = None
+    for i, df in enumerate(ranked):
+        side = df.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
+        out = side if out is None else out.join(side, id_col, "full_outer")
+    assert out is not None
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return out.select(id_col, score.alias("rrf"))
+
+
+def linear_fuse(
+    scored: list[tuple[DataFrame, float]], id_col: str = "doc"
+) -> DataFrame:
+    """search::linear — weighted linear fusion of scored result sets:
+    Σ wᵢ·scoreᵢ (missing → 0), fixed summation order."""
+    out = None
+    for i, (df, _) in enumerate(scored):
+        side = df.select(F.col(id_col), F.col("score").alias(f"__s{i}"))
+        out = side if out is None else out.join(side, id_col, "full_outer")
+    assert out is not None
+    total = None
+    for i, (_, w) in enumerate(scored):
+        term = F.coalesce(F.col(f"__s{i}") * F.lit(w), F.lit(0.0))
+        total = term if total is None else total + term
+    return out.select(id_col, total.alias("score"))

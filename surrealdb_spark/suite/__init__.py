@@ -63,6 +63,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from surrealdb_spark.suite import (  # noqa: F401
+        analytics,
         dedup,
         graph,
         relational,

@@ -57,3 +57,39 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+SQL_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def sql_bm25(terms: list[str], limit: int) -> str:
+    """DuckDB mirror of operators.fulltext.bm25_search over ``documents``
+    (shared by the bm25 and fusion oracles) — identical expression tree to
+    the Spark side so scores are bit-deterministic."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    per_term = []
+    for i, t in enumerate(terms):
+        per_term.append(
+            f"SUM(CASE WHEN term = '{t}' THEN ln(1 + (N - df + 0.5e0)/(df + 0.5e0))"
+            f" * tf * (1.2e0 + 1.0e0) / (tf + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0 * dl / (sdl / N)))"
+            f" ELSE 0.0e0 END) AS s{i}"
+        )
+    sums = ", ".join(per_term)
+    total = " + ".join(f"s{i}" for i in range(len(terms)))
+    return f"""
+    WITH w AS (SELECT doc_id AS doc, {SQL_WORDS} AS ws FROM documents),
+    dl AS (SELECT doc, len(ws) AS dl FROM w),
+    tf AS (SELECT doc, term, COUNT(*) AS tf
+           FROM (SELECT doc, unnest(ws) AS term FROM w)
+           WHERE term IN ({terms_sql}) GROUP BY doc, term),
+    stats AS (SELECT COUNT(*) AS N, SUM(dl) AS sdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    agg AS (
+      SELECT tf.doc, {sums}
+      FROM tf JOIN dl USING (doc) JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY tf.doc
+    )
+    SELECT doc, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS INT) AS rank
+    FROM (SELECT doc, {total} AS score FROM agg) WHERE score > 0
+    ORDER BY score DESC, doc LIMIT {limit}
+    """

@@ -45,6 +45,7 @@ _SQL_JACCARD_TAIL = """
     SELECT {_SQL_FP} AS fp, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
     FROM documents GROUP BY 1
     """,
+    bench=True,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact hash-groupBy dedup (canonical keep-min-id per fingerprint).
@@ -61,7 +62,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     {_SQL_JACCARD_TAIL}
     """,
-    bench=True,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact word-set Jaccard near-dup pairs (n-gram Jaccard tier).
@@ -88,7 +88,6 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     {_SQL_JACCARD_TAIL}
     """,
-    bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash (12 hashes) + LSH (4 bands × 3 rows) + exact-Jaccard verify:
@@ -112,7 +111,7 @@ def _simhash_oracle(n_planes: int = 32) -> str:
     """
 
 
-@query("dedup_simhash", oracle=_simhash_oracle())
+@query("dedup_simhash", oracle=_simhash_oracle(), bench=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-plane SimHash fingerprints (hamming-space near-dup tier).
     return simhash(Catalog(spark, sf_dir).documents, "doc_id", "text")
