@@ -304,3 +304,34 @@ def apply_patch(doc: dict, ops: list[dict]) -> dict:
 
 
 _ = json  # retained for DIFF consumers
+
+
+class ViewDef:
+    """DEFINE TABLE <name> AS SELECT — materialized/aggregated views
+    (core/src/catalog/view.rs:12-36: Materialized / Aggregated / Select).
+
+    ``builder`` maps the source table's DataFrame to the view's content.
+    Maintenance is hooked into every mutation via Database.define_view
+    (the analogue of process_table_views, core/src/doc/table.rs): batch
+    recompute-on-write — the documented Spark strategy for the Aggregated
+    flavor at this stage (incremental delta-merge arrives with streaming
+    aggregation over the changefeed; SURVEY §2.4).
+    """
+
+    def __init__(self, name: str, source: str, builder: Callable[[DataFrame], DataFrame]):
+        self.name = name
+        self.source = source
+        self.builder = builder
+
+
+def define_view(db: Database, view: ViewDef) -> None:
+    """Register the view and hook recompute into the source's mutations."""
+    db.define_table(TableDef(view.name, id_col="id"))
+
+    def maintain(_action: str, _rows: DataFrame) -> None:
+        content = view.builder(db.table(view.source)).localCheckpoint(eager=True)
+        content.write.mode("overwrite").parquet(db._data(view.name))
+
+    db.tables[view.source].events.append(maintain)
+    if db._exists(view.source):
+        maintain("CREATE", db.table(view.source))
