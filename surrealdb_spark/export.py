@@ -1,0 +1,90 @@
+"""Export/import + sequences.
+
+Reference: full-DB SurrealQL-text export (core/src/kvs/export.rs; streaming
+import via ds.rs:1979) and named monotonic sequences
+(core/src/kvs/sequences.rs, sequence::nextval core/src/fnc/sequence.rs).
+
+Spark reality: parquet/zstd snapshots ARE the native export (a capability
+superset — the reference has no columnar format); the SurrealQL-text writer
+below exists for interchange with the reference.  Statements are generated
+distributed (one expression per row) and only streamed to the file at the
+end; at 100 TB you'd write the statement column straight back out with
+df.write.text, sharded.
+
+Sequences allocate driver-side BLOCKS (not per-row calls): nextval_block(n)
+reserves [start, start+n) in one counter bump, then ids are assigned with
+row_number/zipWithIndex inside the allocated range — the standard
+distributed-sequence pattern (per-row global counters don't scale and the
+reference itself documents batch allocation in kvs/sequences.rs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def record_to_statement(table: str, id_col: str) -> F.Column:
+    """Per-row SurrealQL: INSERT INTO <tbl> <json-object>; (export.rs shape)."""
+    return F.concat(
+        F.lit(f"INSERT INTO {table} "),
+        F.to_json(F.struct("*")),
+        F.lit(";"),
+    )
+
+
+def export_table_surql(df: DataFrame, table: str, id_col: str, path: str) -> int:
+    """Write a table as SurrealQL INSERT statements (text, one per line).
+    Returns the row count."""
+    stmts = df.select(record_to_statement(table, id_col).alias("stmt"))
+    stmts.write.mode("overwrite").text(path)
+    return df.count()
+
+
+def import_table_surql(spark, path: str) -> DataFrame:
+    """Read a SurrealQL-text export back into (table, record-json) rows —
+    the streaming-import analogue (ds.rs:1979): parse statements
+    distributed, then route per table."""
+    lines = spark.read.text(path)
+    pat = r"^INSERT INTO (\w+) (\{.*\});$"
+    return lines.select(
+        F.regexp_extract("value", pat, 1).alias("table"),
+        F.regexp_extract("value", pat, 2).alias("record_json"),
+    ).filter(F.col("table") != "")
+
+
+class Sequence:
+    """DEFINE SEQUENCE + sequence::nextval — file-backed counter with
+    block allocation."""
+
+    def __init__(self, root: str, name: str, start: int = 1):
+        self.path = os.path.join(root, f"_seq_{name}.json")
+        if not os.path.exists(self.path):
+            os.makedirs(root, exist_ok=True)
+            with open(self.path, "w") as f:
+                json.dump({"next": start}, f)
+
+    def nextval(self) -> int:
+        return self.nextval_block(1)
+
+    def nextval_block(self, n: int) -> int:
+        """Reserve [start, start+n); returns start."""
+        with open(self.path) as f:
+            state = json.load(f)
+        start = state["next"]
+        state["next"] = start + n
+        with open(self.path, "w") as f:
+            json.dump(state, f)
+        return start
+
+    def assign_ids(self, df: DataFrame, col: str = "seq_id") -> DataFrame:
+        """Assign contiguous sequence ids to every row of df (one block
+        reservation + zipWithIndex-style numbering)."""
+        n = df.count()
+        start = self.nextval_block(n)
+        w = F.row_number().over(W.orderBy(F.monotonically_increasing_id()))
+        return df.withColumn(col, w + F.lit(start - 1))

@@ -139,3 +139,21 @@ def linear_fuse(
         term = F.coalesce(F.col(f"__s{i}") * F.lit(w), F.lit(0.0))
         total = term if total is None else total + term
     return out.select(id_col, total.alias("score"))
+
+
+def highlight(text: F.Column | str, terms: list[str], pre: str = "<em>", post: str = "</em>") -> F.Column:
+    """search::highlight — wrap whole-word matches (fnc/search.rs,
+    idx/ft/highlighter.rs).  One regexp_replace, JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    return F.regexp_replace(c, pat, f"{pre}$1{post}")
+
+
+def match_offsets(text: F.Column | str, terms: list[str]) -> tuple[F.Column, F.Column]:
+    """search::offsets (first match position, 0-based; -1 = no match) and
+    match count for a term set."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    n = F.regexp_count(c, F.lit(pat))
+    first = F.regexp_instr(c, F.lit(pat)) - 1
+    return first, n

@@ -185,3 +185,65 @@ def shortest_depth(
         .groupBy("start")
         .agg(F.min("depth").alias("depth"))
     )
+
+
+def recurse_paths(
+    start: DataFrame,
+    edges: DataFrame,
+    min_depth: int = 1,
+    max_depth: int = 1,
+    direction: str = "out",
+    start_id: str = "id",
+) -> DataFrame:
+    """``@{min..max}+path`` — collect every path, not just reached nodes
+    (recursion.rs path instruction).  Returns (start, node, depth, path)
+    where path is '->'-joined record ids including the start.
+
+    Cycle rule: a path never revisits one of its own nodes
+    (recursion.rs:8-15) — checked with array_contains against the path
+    accumulator.  No cross-path visited set: distinct paths to the same
+    node are all kept (that's the +path semantics).  One eager
+    localCheckpoint per round, as in recurse().
+    """
+    if max_depth > RECURSION_LIMIT:
+        raise ValueError(f"max_depth {max_depth} exceeds IDIOM_RECURSION_LIMIT {RECURSION_LIMIT}")
+    here, there = (IN, OUT) if direction == "out" else (OUT, IN)
+    e = edges.select(F.col(here).alias("__here"), F.col(there).alias("__there"))
+
+    frontier = start.select(
+        F.col(start_id).alias("start"),
+        F.col(start_id).alias("node"),
+        F.array(F.col(start_id)).alias("__path"),
+    ).localCheckpoint(eager=True)
+    steps: list[DataFrame] = []
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.__here)
+            .filter(~F.array_contains(F.col("__path"), F.col("__there")))
+            .select(
+                "start",
+                F.col("__there").alias("node"),
+                F.array_append(F.col("__path"), F.col("__there")).alias("__path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        if depth >= min_depth:
+            steps.append(
+                nxt.select(
+                    "start",
+                    "node",
+                    F.lit(depth).alias("depth"),
+                    F.array_join(F.col("__path"), "->").alias("path"),
+                )
+            )
+        frontier = nxt
+    if not steps:
+        return start.sparkSession.createDataFrame(
+            [], "start string, node string, depth int, path string"
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

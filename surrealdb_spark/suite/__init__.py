@@ -67,6 +67,7 @@ def _load_all() -> None:
         dedup,
         graph,
         relational,
+        relational2,
         surql,
         text,
         vector,
