@@ -193,15 +193,32 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     cat = catalog or Catalog(spark, sf_dir)
     params = params or {}
 
-    # source (multi-source FROM = Union, exec/operators/union.rs:19)
-    dfs = [cat.table(s) for s in sel.sources]
+    # source (multi-source FROM = Union, exec/operators/union.rs:19;
+    # FROM-subquery = nested plan, SourceExpr/DynamicScan analogue)
+    def resolve(src) -> DataFrame:
+        if isinstance(src, Select):
+            return compile_select(spark, src, sf_dir, cat, params)
+        return cat.table(src)
+
+    dfs = [resolve(s) for s in sel.sources]
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
 
-    # filter
+    # filter — IN/NOTINSIDE (subquery) conjuncts become semi/anti joins
+    # (Catalyst decorrelation territory, SURVEY §4; here: explicit rewrite)
     if sel.where is not None:
-        df = df.filter(compile_expr(sel.where, params))
+        rest, sub_filters = _split_subquery_filters(sel.where)
+        for lhs_ast, sub_sel, positive in sub_filters:
+            sub_df = compile_select(spark, sub_sel, sf_dir, cat, params)
+            key = sub_df.columns[0]
+            lhs = compile_expr(lhs_ast, params)
+            probe = sub_df.select(F.col(key).alias("__sq"))
+            df = df.join(
+                probe, lhs == probe.__sq, "left_semi" if positive else "left_anti"
+            )
+        if rest is not None:
+            df = df.filter(compile_expr(rest, params))
 
     # split (explode, operators/split.rs)
     for f_ in sel.split:
@@ -289,6 +306,33 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             raise ValueError(f"ONLY expects exactly one record, got {len(head)}")
 
     return df
+
+
+def _split_subquery_filters(ast):
+    """Pull `x IN (SELECT ...)` / `x NOTINSIDE (SELECT ...)` conjuncts out of
+    a WHERE tree (top-level ANDs only).  Returns (remaining_ast|None,
+    [(lhs_ast, Select, positive)])."""
+    subs: list = []
+
+    def walk(node):
+        if node[0] == "bin" and node[1] in ("AND", "&&"):
+            l, r = walk(node[2]), walk(node[3])
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return ("bin", "AND", l, r)
+        if (
+            node[0] == "bin"
+            and node[1] in ("IN", "INSIDE", "NOTINSIDE")
+            and node[3][0] == "subquery"
+        ):
+            subs.append((node[2], node[3][1], node[1] != "NOTINSIDE"))
+            return None
+        return node
+
+    rest = walk(ast)
+    return rest, subs
 
 
 def _default_name(ast) -> str:

@@ -158,6 +158,10 @@ class Parser:
             return ("un", t.text, self.expr(15))
         if t.kind == "op" and t.text == "(":
             self.next()
+            if self.peek().kind == "kw" and self.peek().text == "SELECT":
+                sub = _parse_select_body(self)
+                self.expect("op", ")")
+                return ("subquery", sub)
             e = self.expr(0)
             self.expect("op", ")")
             return self.postfix(e)
@@ -271,6 +275,12 @@ def parse_expr(src: str):
 
 def parse_select(src: str) -> Select:
     p = Parser(src.strip().rstrip(";"))
+    sel = _parse_select_body(p)
+    p.expect("eof")
+    return sel
+
+
+def _parse_select_body(p: Parser) -> Select:
     p.expect("kw", "SELECT")
     sel = Select(fields=None, value_expr=None)
     if p.eat("kw", "VALUE"):
@@ -301,7 +311,12 @@ def parse_select(src: str) -> Select:
     p.expect("kw", "FROM")
     sel.only = bool(p.eat("kw", "ONLY"))
     while True:
-        sel.sources.append(p.expect("name").text)
+        if p.peek().kind == "op" and p.peek().text == "(":
+            p.next()
+            sel.sources.append(_parse_select_body(p))
+            p.expect("op", ")")
+        else:
+            sel.sources.append(p.expect("name").text)
         if not p.eat("op", ","):
             break
     if p.eat("kw", "WITH"):  # WITH NOINDEX hint: accepted and ignored
@@ -350,5 +365,4 @@ def parse_select(src: str) -> Select:
             sel.fetch.append(p.expect("name").text)
             if not p.eat("op", ","):
                 break
-    p.expect("eof")
     return sel

@@ -282,3 +282,64 @@ def surql_value_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         params={"min": 400000},
     )
+
+
+@query(
+    "surql_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+      AND c_acctbal > 0
+    """,
+)
+def surql_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WHERE <subquery> IN pattern → left_semi join (SURVEY §2.3 note).
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey IN (SELECT VALUE o_custkey FROM orders WHERE o_totalprice > 450000) "
+        "AND c_acctbal > 0",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def surql_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTINSIDE <subquery> → left_anti join (customers with no orders).
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT c_custkey FROM customer "
+        "WHERE c_custkey NOTINSIDE (SELECT VALUE o_custkey FROM orders)",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_from_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 200000)
+    GROUP BY o_orderpriority
+    """,
+)
+def surql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FROM (SELECT ...) — nested plan as source.
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT o_orderpriority, count() AS n FROM "
+        "(SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 200000) "
+        "GROUP BY o_orderpriority",
+        sf_dir,
+    )
