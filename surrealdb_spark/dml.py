@@ -116,7 +116,9 @@ class Database:
 
     # -- changefeed + events -------------------------------------------------
 
-    def _post_write(self, tbl: str, action: str, rows: DataFrame) -> None:
+    def _post_write(
+        self, tbl: str, action: str, rows: DataFrame, before: DataFrame | None = None
+    ) -> None:
         td = self.tables[tbl]
         if td.changefeed:
             vs = int(time.time() * 1000)
@@ -126,6 +128,24 @@ class Database:
                 F.col(td.id_col).cast("string").alias("record_id"),
                 F.to_json(F.struct(*[F.col(c) for c in rows.columns])).alias("after"),
             )
+            if before is not None:
+                b = before.select(
+                    F.col(td.id_col).cast("string").alias("record_id"),
+                    F.to_json(F.struct(*[F.col(c) for c in before.columns])).alias(
+                        "before"
+                    ),
+                )
+                change = change.join(b, "record_id", "left").select(
+                    "versionstamp", "action", "record_id", "before", "after"
+                )
+            else:
+                change = change.select(
+                    "versionstamp",
+                    "action",
+                    "record_id",
+                    F.lit(None).cast("string").alias("before"),
+                    "after",
+                )
             change.write.mode("append").parquet(self._changes(tbl))
         for hook in td.events:
             hook(action, rows)
@@ -195,7 +215,7 @@ class Database:
         after = self._apply_fields(tbl, after, existing=True).localCheckpoint(eager=True)
         untouched = current.filter(~F.coalesce(cond, F.lit(False)))
         self._overwrite(tbl, untouched.unionByName(after))
-        self._post_write(tbl, "UPDATE", after)
+        self._post_write(tbl, "UPDATE", after, before=before)
         return self._returning(td, before, after, return_)
 
     def upsert(
@@ -232,7 +252,7 @@ class Database:
         doomed = current.filter(cond).localCheckpoint(eager=True)
         kept = current.filter(~F.coalesce(cond, F.lit(False)))
         self._overwrite(tbl, kept)
-        self._post_write(tbl, "DELETE", doomed)
+        self._post_write(tbl, "DELETE", doomed, before=doomed)
         return doomed if return_ == "BEFORE" else doomed.limit(0)
 
     def relate(self, edge_tbl: str, edges: DataFrame) -> DataFrame:

@@ -26,6 +26,8 @@ event-time analytics over the same stream.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -36,6 +38,7 @@ CHANGE_SCHEMA = T.StructType(
         T.StructField("versionstamp", T.LongType(), False),
         T.StructField("action", T.StringType(), False),
         T.StructField("record_id", T.StringType(), True),
+        T.StructField("before", T.StringType(), True),  # JSON pre-image (UPDATE/DELETE)
         T.StructField("after", T.StringType(), True),  # JSON of the record
     ]
 )
@@ -117,3 +120,26 @@ def windowed_agg(
     w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     grouped = events.withWatermark(ts_col, watermark).groupBy(w, *(keys or []))
     return grouped.agg(*(aggs or [F.count(F.lit(1)).alias("n")]))
+
+
+def live_select_diff(spark: SparkSession, table_root: str) -> DataFrame:
+    """LIVE SELECT DIFF — notifications carry a JSON-Patch between the pre-
+    and post-image (live.rs DIFF mode; patches via value::diff semantics,
+    expr/operation.rs).  Arrow-batched UDF computes the patch."""
+    import json
+
+    @F.pandas_udf(T.StringType())
+    def patch(before: pd.Series, after: pd.Series) -> pd.Series:
+        from surrealdb_spark.dml import diff_patch
+
+        out = []
+        for b, a in zip(before, after):
+            bd = json.loads(b) if b else {}
+            ad = json.loads(a) if a else {}
+            out.append(json.dumps(diff_patch(bd, ad)))
+        return pd.Series(out)
+
+    stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(f"{table_root}/_changes")
+    return stream.select(
+        "versionstamp", "action", "record_id", patch("before", "after").alias("diff")
+    )
