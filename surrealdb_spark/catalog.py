@@ -39,6 +39,9 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        # RELATE-created edge tables (in/out record-id columns) registered
+        # for graph traversal in queries (operators/graph.py shapes them).
+        self.edges: dict[str, DataFrame] = {}
 
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
@@ -65,6 +68,10 @@ class Catalog:
         if name in TABLES:
             return self.table(name)
         raise AttributeError(name)
+
+    def register_edges(self, name: str, edges: DataFrame) -> None:
+        """Register an edge table (columns ``in``/``out`` [+payload])."""
+        self.edges[name] = edges
 
     def register_views(self, names: list[str] | None = None) -> None:
         """Register temp views so spark.sql() sees the same tables DuckDB does."""

@@ -54,6 +54,12 @@ class TableDef:
     id_col: str = "id"
     fields: list[FieldDef] = field(default_factory=list)
     changefeed: bool = False
+    # SELECT ... VERSION <ts> support: snapshot the table before every
+    # mutation (the Delta-less stand-in for versioned reads — the reference
+    # needs its SurrealKV backend for this too, exec/operators/
+    # version_scope.rs).  Off by default: full-copy snapshots are only
+    # sane for modest tables; the scale path is Delta/Iceberg time travel.
+    versioned: bool = False
     # DEFINE EVENT hooks: fn(action, df_of_affected_rows) — core/src/doc/event.rs
     events: list[Callable[[str, DataFrame], None]] = field(default_factory=list)
 
@@ -81,6 +87,36 @@ class Database:
 
     def _changes(self, tbl: str) -> str:
         return f"{self.root}/{tbl}/_changes"
+
+    def _versions(self, tbl: str) -> str:
+        return f"{self.root}/{tbl}/_versions"
+
+    def _snapshot(self, tbl: str) -> None:
+        """Archive the current table state under a versionstamp."""
+        td = self.tables[tbl]
+        if not td.versioned or not self._exists(tbl):
+            return
+        import shutil
+
+        vs = time.time_ns() // 1_000_000
+        dst = f"{self._versions(tbl)}/{vs}"
+        while os.path.exists(dst):  # same-ms mutations
+            vs += 1
+            dst = f"{self._versions(tbl)}/{vs}"
+        shutil.copytree(self._data(tbl), dst)
+
+    def table_at(self, tbl: str, versionstamp: int) -> DataFrame:
+        """SELECT ... VERSION — the table as of ``versionstamp`` (ms).
+
+        Reads the newest snapshot taken AFTER that instant (snapshots
+        capture the pre-mutation state); if none, the live table."""
+        vdir = self._versions(tbl)
+        if os.path.isdir(vdir):
+            stamps = sorted(int(d) for d in os.listdir(vdir))
+            later = [v for v in stamps if v > versionstamp]
+            if later:
+                return self.spark.read.parquet(f"{vdir}/{later[0]}")
+        return self.table(tbl)
 
     def table(self, tbl: str) -> DataFrame:
         path = self._data(tbl)
@@ -164,6 +200,7 @@ class Database:
             n = clash.count()
             if n:
                 raise MutationError(f"CREATE: {n} record id(s) already exist in {tbl}")
+        self._snapshot(tbl)
         records.write.mode("append").parquet(self._data(tbl))
         self._post_write(tbl, "CREATE", records)
         return records
@@ -274,6 +311,7 @@ class Database:
     def _overwrite(self, tbl: str, df: DataFrame) -> None:
         # Materialize before truncating the source dir (lazy plans read it).
         staged = df.localCheckpoint(eager=True)
+        self._snapshot(tbl)
         staged.write.mode("overwrite").parquet(self._data(tbl))
 
     @staticmethod

@@ -198,7 +198,17 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     def resolve(src) -> DataFrame:
         if isinstance(src, Select):
             return compile_select(spark, src, sf_dir, cat, params)
-        return cat.table(src)
+        t = cat.table(src)
+        if "id" not in t.columns:
+            # every record exposes its RecordId as `id` (types/src/value/
+            # record_id) — synthesize the canonical tb:key form
+            try:
+                from surrealdb_spark.operators.graph import record_id
+
+                t = t.withColumn("id", record_id(src, _guess_id_col(t, src)))
+            except KeyError:
+                pass
+        return t
 
     dfs = [resolve(s) for s in sel.sources]
     df = dfs[0]
@@ -278,10 +288,16 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             *[compile_expr(a, params).alias(n) for a, n in post_fields]
         )
     elif sel.fields is not None and sel.fields:
+        graph_fields = [f for f in sel.fields if f.expr[0] == "graphpath"]
+        if graph_fields:
+            df = _attach_graph_fields(df, cat, sel, graph_fields, params)
         cols = []
         for fld in sel.fields:
             name = fld.alias or _default_name(fld.expr)
-            cols.append(compile_expr(fld.expr, params).alias(name))
+            if fld.expr[0] == "graphpath":
+                cols.append(F.col(name))
+            else:
+                cols.append(compile_expr(fld.expr, params).alias(name))
         df = df.select(*cols)
     if sel.omit:
         df = df.drop(*sel.omit)
@@ -306,6 +322,42 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             raise ValueError(f"ONLY expects exactly one record, got {len(head)}")
 
     return df
+
+
+def _attach_graph_fields(df, cat: Catalog, sel: Select, graph_fields, params):
+    """Graph-path projections: ``SELECT ->edge->target FROM tbl`` returns a
+    sorted array of reached record ids per row (GraphEdgeScan TargetId
+    output, scan/graph.rs:28-36) — joins + collect_list re-nest.
+
+    Requires edge tables registered via Catalog.register_edges (RELATE
+    output shape: in/out record-id columns)."""
+    from surrealdb_spark.operators.graph import record_id
+
+    src = sel.sources[0]
+    assert isinstance(src, str), "graph paths need a table FROM source"
+    df = df.withColumn("__rid", F.col("id"))
+    for fld in graph_fields:
+        steps = fld.expr[1]
+        alias = fld.alias or steps[-1][2]
+        frontier = df.select(F.col("__rid").alias("start"), F.col("__rid").alias("node"))
+        for direction, edge, target in steps:
+            if edge not in cat.edges:
+                raise KeyError(f"edge table {edge!r} not registered on the catalog")
+            e = cat.edges[edge]
+            here, there = ("in", "out") if direction == "out" else ("out", "in")
+            hop = e.select(F.col(here).alias("__here"), F.col(there).alias("__nbr")).filter(
+                F.col(there).startswith(f"{target}:")
+            )
+            frontier = (
+                frontier.join(hop, frontier.node == hop.__here)
+                .select("start", F.col("__nbr").alias("node"))
+            )
+        nested = frontier.groupBy("start").agg(
+            F.array_sort(F.collect_list("node")).alias(alias)
+        )
+        df = df.join(nested, df.__rid == nested.start, "left").drop("start")
+        df = df.withColumn(alias, F.coalesce(F.col(alias), F.array().cast("array<string>")))
+    return df.drop("__rid")
 
 
 def _split_subquery_filters(ast):

@@ -131,6 +131,8 @@ class Parser:
 
     def prefix(self):
         t = self.peek()
+        if t.kind == "op" and t.text in ("->", "<-"):
+            return ("graphpath", self._graph_steps())
         if t.kind == "num":
             self.next()
             txt = t.text
@@ -197,6 +199,16 @@ class Parser:
                     return self.postfix(("lit", f"{t.text}:{nxt.text}"))
             return self.postfix(("ident", t.text))
         raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _graph_steps(self):
+        steps = []
+        while self.peek().kind == "op" and self.peek().text in ("->", "<-"):
+            arrow = self.next().text
+            edge = self.expect("name").text
+            self.expect("op", arrow)
+            target = self.expect("name").text
+            steps.append(("out" if arrow == "->" else "in", edge, target))
+        return steps
 
     def postfix(self, base):
         parts = []

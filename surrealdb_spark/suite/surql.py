@@ -343,3 +343,41 @@ def surql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderpriority",
         sf_dir,
     )
+
+
+@query(
+    "surql_graph_traversal",
+    oracle="""
+    SELECT concat('customer:', CAST(c_custkey AS VARCHAR)) AS id, c_name,
+           COALESCE(o.orders, []) AS orders
+    FROM customer LEFT JOIN (
+      SELECT o_custkey,
+             list_sort(list(concat('orders:', CAST(o_orderkey AS VARCHAR)))) AS orders
+      FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+    ) o ON o.o_custkey = c_custkey
+    WHERE c_custkey % 200 = 0
+    """,
+)
+def surql_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `SELECT ->placed->orders FROM customer` through the parser: per-row
+    # sorted arrays of reached record ids (GraphEdgeScan TargetId output).
+    from surrealdb_spark.operators.graph import relate
+    from surrealdb_spark.sql import surql
+
+    cat = Catalog(spark, sf_dir)
+    cat.register_edges(
+        "placed",
+        relate(
+            cat.orders.filter(F.col("o_totalprice") > 150000),
+            "customer",
+            "o_custkey",
+            "orders",
+            "o_orderkey",
+        ),
+    )
+    return surql(
+        spark,
+        "SELECT id, c_name, ->placed->orders AS orders FROM customer "
+        "WHERE c_custkey % 200 = 0",
+        catalog=cat,
+    )

@@ -137,3 +137,19 @@ def test_changefeed_and_live_select(spark, db, tmp_path):
 def test_diff_patch_roundtrip():
     ops = diff_patch({"a": 1, "b": 2}, {"a": 1, "b": 3, "c": 4})
     assert {(o["op"], o["path"]) for o in ops} == {("replace", "/b"), ("add", "/c")}
+
+
+def test_version_time_travel(spark, tmp_path):
+    import time as _t
+
+    db = Database(spark, str(tmp_path))
+    db.define_table(TableDef("v", id_col="id", versioned=True))
+    db.create("v", spark.createDataFrame([Row(id="v:1", x=1)], "id string, x bigint"))
+    t1 = int(_t.time() * 1000)
+    _t.sleep(0.01)
+    db.update("v", {"x": F.lit(2)})
+    t2 = int(_t.time() * 1000)
+    _t.sleep(0.01)
+    db.delete("v")
+    assert db.table_at("v", t1).collect()[0].x == 1   # before the update
+    assert db.table_at("v", t2).collect()[0].x == 2   # after update, before delete
