@@ -84,6 +84,10 @@ def compile_expr(ast, params: dict | None = None) -> Column:
     params = params or {}
     kind = ast[0]
     if kind == "lit":
+        # SurrealQL integers are i64 (Number::Int) — keep literals BIGINT so
+        # HOF accumulators and arithmetic don't downcast to INT.
+        if isinstance(ast[1], int) and not isinstance(ast[1], bool):
+            return F.lit(ast[1]).cast("bigint")
         return F.lit(ast[1])
     if kind == "param":
         name = ast[1]
@@ -92,6 +96,10 @@ def compile_expr(ast, params: dict | None = None) -> Column:
         v = params[name]
         return v if isinstance(v, Column) else F.lit(v)
     if kind == "ident":
+        from surrealdb_spark.functions.math_fns import CONSTANTS
+
+        if ast[1].startswith("math::") and ast[1][6:] in CONSTANTS:
+            return F.lit(CONSTANTS[ast[1][6:]])
         return F.col(ast[1])
     if kind == "all":
         raise ValueError("* only valid as a projection")
@@ -119,11 +127,39 @@ def compile_expr(ast, params: dict | None = None) -> Column:
         return _BINOPS[op](compile_expr(l, params), compile_expr(r, params))
     if kind == "call":
         name, args = ast[1], ast[2]
-        cols = [compile_expr(a, params) for a in args]
+        cols = []
+        for a in args:
+            if a[0] == "closure":
+                cols.append(_compile_closure(a, params))
+            else:
+                cols.append(compile_expr(a, params))
         if name in REGISTRY:
             return REGISTRY[name](*cols)
         raise KeyError(f"unknown function {name}")
+    if kind == "closure":
+        return _compile_closure(ast, params)
     raise ValueError(f"bad AST node {ast!r}")
+
+
+def _compile_closure(ast, params: dict):
+    """Closure literal → Python lambda over Columns (the reference compiles
+    closure bodies to expressions the same way — closure.rs + HOF usage in
+    array::map/filter/fold, SURVEY §2.11)."""
+    _, cparams, body = ast
+
+    def apply(cols: tuple[Column, ...]) -> Column:
+        bound = dict(params)
+        for name, col in zip(cparams, cols):
+            bound[name] = col
+        return compile_expr(body, bound)
+
+    # Spark's HOF binder inspects the signature — positional args only,
+    # exact arity (no *args).
+    if len(cparams) == 1:
+        return lambda a: apply((a,))
+    if len(cparams) == 2:
+        return lambda a, b: apply((a, b))
+    return lambda a, b, c: apply((a, b, c))
 
 
 def _compile_lambda(cond_ast, element: Column, params: dict) -> Column:

@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op>\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||->|<-|<->|\.\.=|\.\.|\*\*|[-+*/%=<>!(),\[\].$:*])
+  | (?P<op>\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||->|<-|<->|\.\.=|\.\.|\*\*|[-+*/%=<>!(),\[\].$:*|])
     """,
     re.X,
 )
@@ -158,6 +158,17 @@ class Parser:
         if t.kind == "op" and t.text in ("!", "-", "+"):
             self.next()
             return ("un", t.text, self.expr(15))
+        if t.kind == "op" and t.text == "|":
+            # closure |$x[, $i]| body (core/src/expr/closure.rs:12)
+            self.next()
+            cparams = []
+            while self.peek().kind == "param":
+                cparams.append(self.next().text[1:])
+                if not self.eat("op", ","):
+                    break
+            self.expect("op", "|")
+            body = self.expr(0)
+            return ("closure", cparams, body)
         if t.kind == "op" and t.text == "(":
             self.next()
             if self.peek().kind == "kw" and self.peek().text == "SELECT":

@@ -381,3 +381,42 @@ def surql_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c_custkey % 200 = 0",
         catalog=cat,
     )
+
+
+@query(
+    "surql_closures",
+    oracle="""
+    SELECT o_orderkey,
+           [o_orderkey % 10 * 2, o_orderkey % 7 * 2] AS doubled,
+           (o_orderkey % 10) + (o_orderkey % 7) AS folded,
+           round(pi() * 100, 0) AS pi100
+    FROM orders WHERE o_orderkey % 400 = 0
+    """,
+)
+def surql_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Closures |$x| body (core/src/expr/closure.rs:12) compiled to HOF
+    # lambdas; math::PI constant resolution (expr/constant.rs).
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT o_orderkey, "
+        "array::map([o_orderkey % 10, o_orderkey % 7], |$n| $n * 2) AS doubled, "
+        "array::fold([o_orderkey % 10, o_orderkey % 7], 0, |$a, $x| $a + $x) AS folded, "
+        "math::round(math::PI * 100) AS pi100 "
+        "FROM orders WHERE o_orderkey % 400 = 0",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_select_star",
+    oracle="""
+    SELECT *, concat('region:', CAST(r_regionkey AS VARCHAR)) AS id FROM region
+    """,
+)
+def surql_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SELECT * — full projection incl. the synthesized record id.
+    from surrealdb_spark.sql import surql
+
+    return surql(spark, "SELECT * FROM region", sf_dir)

@@ -44,9 +44,9 @@ def _canon_cell(v):
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+        return "[" + ",".join(str(_canon_cell(x)) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_canon_cell(v[k])}" for k in sorted(v)) + "}"
+        return "{" + ",".join(f"{k}:{_canon_cell(v[k])!s}" for k in sorted(v)) + "}"
     if isinstance(v, bytes):
         return v.hex()
     return v
