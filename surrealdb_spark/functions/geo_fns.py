@@ -35,7 +35,10 @@ def distance(a, b) -> Column:
     lat1, lat2 = F.radians(a.getField("lat")), F.radians(b.getField("lat"))
     dlat = lat2 - lat1
     dlon = F.radians(b.getField("lon")) - F.radians(a.getField("lon"))
-    h = F.sin(dlat / 2) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
+    s1, s2 = F.sin(dlat / 2), F.sin(dlon / 2)
+    # explicit squares (not pow/**): Math.pow(x,2) and C pow(x,2) aren't
+    # guaranteed bit-identical; x*x is
+    h = s1 * s1 + F.cos(lat1) * F.cos(lat2) * (s2 * s2)
     return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(h))
 
 

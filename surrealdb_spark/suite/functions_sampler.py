@@ -1,0 +1,113 @@
+"""Oracle-checked samplers over the scalar function namespaces (§2.11) —
+string::, time::, geo:: expressions evaluated per-row against DuckDB
+equivalents (libm trig/log parity verified empirically)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from surrealdb_spark.catalog import Catalog
+from surrealdb_spark.functions import geo_fns as G
+from surrealdb_spark.functions import string_fns as S
+from surrealdb_spark.functions import time_fns as TM
+from surrealdb_spark.suite import query
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           length(c_name) AS name_len,
+           reverse(c_name) AS rev,
+           regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'),
+                          '(^-+)|(-+$)', '', 'g') AS slugged,
+           levenshtein(c_name, 'Customer#000000042') AS lev,
+           starts_with(c_name, 'Customer') AS is_cust,
+           substring(c_name, 10, 9) AS key_digits
+    FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string:: namespace sampler (core/src/fnc/string.rs).
+    cust = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") % 100 == 0)
+    return cust.select(
+        "c_custkey",
+        S.uppercase("c_name").alias("uname"),
+        S.len_("c_name").alias("name_len"),
+        S.reverse("c_name").alias("rev"),
+        S.slug("c_name").alias("slugged"),
+        S.levenshtein("c_name", F.lit("Customer#000000042")).alias("lev"),
+        S.starts_with("c_name", F.lit("Customer")).alias("is_cust"),
+        S.slice_("c_name", 9, 9).alias("key_digits"),
+    )
+
+
+@query(
+    "time_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           dayofmonth(o_orderdate) AS d,
+           isodow(o_orderdate) AS wd,
+           dayofyear(o_orderdate) AS yd,
+           epoch(o_orderdate) AS unix_s,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_floor,
+           CASE WHEN (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+                  OR year(o_orderdate) % 400 = 0 THEN TRUE ELSE FALSE END AS leap
+    FROM orders WHERE o_orderkey % 250 = 0
+    """,
+)
+def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time:: namespace sampler (core/src/fnc/time.rs).
+    ords = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") % 250 == 0)
+    return ords.select(
+        "o_orderkey",
+        TM.year("o_orderdate").alias("y"),
+        TM.month("o_orderdate").alias("m"),
+        TM.day("o_orderdate").alias("d"),
+        TM.wday("o_orderdate").alias("wd"),
+        TM.yday("o_orderdate").alias("yd"),
+        TM.unix("o_orderdate").alias("unix_s"),
+        F.date_format(TM.floor("o_orderdate", "month"), "yyyy-MM-dd").alias("month_floor"),
+        TM.is_leap_year("o_orderdate").alias("leap"),
+    )
+
+
+_SQL_PT = """
+  struct_pack(lon := CAST(c_custkey % 360 - 180 AS DOUBLE) * 0.9e0,
+              lat := CAST(c_custkey % 170 - 85 AS DOUBLE) * 0.9e0)
+"""
+
+
+@query(
+    "geo_functions",
+    oracle=f"""
+    SELECT c_custkey,
+           (2 * 6371008.8e0) * asin(sqrt(
+             sin((radians(48.8566e0) - radians(p.lat)) / 2)
+               * sin((radians(48.8566e0) - radians(p.lat)) / 2)
+             + cos(radians(p.lat)) * cos(radians(48.8566e0))
+               * (sin((radians(2.3522e0) - radians(p.lon)) / 2)
+                  * sin((radians(2.3522e0) - radians(p.lon)) / 2))
+           )) AS dist_to_paris,
+           p.lon >= -180 AND p.lon <= 180 AND p.lat >= -90 AND p.lat <= 90 AS valid
+    FROM (SELECT c_custkey, {_SQL_PT} AS p FROM customer WHERE c_custkey % 150 = 0)
+    """,
+)
+def geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # geo:: namespace sampler: haversine distance + validity over
+    # key-derived synthetic coordinates (core/src/fnc/geo.rs).
+    cust = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") % 150 == 0)
+    pt = G.point(
+        (F.col("c_custkey") % 360 - 180).cast("double") * 0.9,
+        (F.col("c_custkey") % 170 - 85).cast("double") * 0.9,
+    )
+    paris = G.point(F.lit(2.3522), F.lit(48.8566))
+    return cust.select(
+        "c_custkey",
+        G.distance(pt, paris).alias("dist_to_paris"),
+        G.is_valid(pt).alias("valid"),
+    )
