@@ -73,6 +73,12 @@ def _walk(col: Column, parts: list[Part], mapped: bool) -> Column:
     if kind == "flatten":
         return _walk(F.flatten(col), rest, mapped)
 
+    if kind == "optional":
+        # `?.` — null-propagating access (part.rs Optional).  Spark's
+        # getField/element_at already propagate NULL through missing
+        # parents, so this part is accepted as an explicit no-op marker.
+        return _walk(col, rest, mapped)
+
     if kind == "destructure":
         (paths,) = args
         fields = [

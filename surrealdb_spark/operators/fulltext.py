@@ -41,6 +41,35 @@ def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+class FulltextIndex:
+    """Materialized inverted index (DEFINE INDEX ... FULLTEXT analogue,
+    catalog/schema/index.rs FullText kind): postings + doc lengths +
+    corpus stats built once, cached, shared across queries — the index
+    build is the one-scan job; searches touch only the queried terms'
+    postings."""
+
+    def __init__(self, df: DataFrame, id_col: str, text_col: str):
+        self.postings = build_postings(df, id_col, text_col).cache()
+        self.doc_lengths = doc_lengths(df, id_col, text_col).cache()
+        stats = self.doc_lengths.agg(
+            F.count(F.lit(1)).alias("N"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        self.n_docs = stats["N"]
+        self.avgdl = stats["sum_dl"] / stats["N"]
+
+    def search(self, terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        return _bm25_over(
+            self.postings.filter(F.col("term").isin(*terms)),
+            self.doc_lengths,
+            self.n_docs,
+            self.avgdl,
+            terms,
+            k,
+            k1,
+            b,
+        )
+
+
 def bm25_search(
     df: DataFrame,
     id_col: str,
@@ -50,7 +79,8 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Top-k documents for a bag-of-terms query under BM25.
+    """Top-k documents for a bag-of-terms query under BM25 (one-shot form;
+    use FulltextIndex for repeated queries over one corpus).
 
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); score(d) = Σ_t idf(t) ·
     tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).  Returns (doc, score, rank),
@@ -58,15 +88,24 @@ def bm25_search(
     """
     postings = build_postings(df, id_col, text_col).filter(F.col("term").isin(*terms))
     dls = doc_lengths(df, id_col, text_col)
-    # Corpus stats: tiny aggregates, computed once and joined as literals
-    # via crossJoin(broadcast) — no driver collect in the plan-build path
-    # would be ideal, but N/avgdl are two scalars; a driver-side action here
-    # keeps the main query plan simple and is amortized for repeated queries.
     stats = dls.agg(
         F.count(F.lit(1)).alias("N"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
-    n_docs, avgdl = stats["N"], stats["sum_dl"] / stats["N"]
+    return _bm25_over(
+        postings, dls, stats["N"], stats["sum_dl"] / stats["N"], terms, k, k1, b
+    )
 
+
+def _bm25_over(
+    postings: DataFrame,
+    dls: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
     dfreq = {
         r["term"]: r["df"]
         for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()

@@ -88,3 +88,15 @@ def test_aggregate_view_maintenance(spark, tmp_path):
     )
     totals = {r.grp: r.total for r in db.table("sale_totals").collect()}
     assert totals == {"a": 17, "b": 5}
+
+
+def test_fulltext_index_reuse(spark):
+    from surrealdb_spark.operators.fulltext import FulltextIndex, bm25_search
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    idx = FulltextIndex(docs, "doc_id", "text")
+    a = idx.search(["spark", "join"], k=5).collect()
+    b = bm25_search(docs, "doc_id", "text", ["spark", "join"], k=5).collect()
+    assert a == b and len(a) == 5
+    c = idx.search(["filter"], k=3).collect()  # second query reuses the index
+    assert len(c) == 3
