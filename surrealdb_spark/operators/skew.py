@@ -45,17 +45,19 @@ def salted_join(
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, key: str, buckets: int = 32, mode: str = "overwrite"
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist hash-bucketed by ``key`` so subsequent joins/aggregations on
     it are shuffle-free (SortMergeJoin over pre-bucketed scans)."""
-    (
-        df.write.mode(mode)
-        .format("parquet")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .saveAsTable(table_name)
-    )
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, key).sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Multi-statement scripts: LET / RETURN / IF-style control flow.
+
+Reference: LET/IF/FOR/RETURN/THROW statements and blocks run as operators
+in the streaming executor (core/src/exec/operators/{let_plan,ifelse,
+foreach,return}.rs) with ControlFlow signals (exec/mod.rs:150-155).
+
+Spark mapping (SURVEY §2.8 row): the DRIVER is the control-flow engine —
+statements execute sequentially, LET binds results (scalar, list, or
+DataFrame) into the parameter scope consumed by later SurrealQL statements,
+RETURN picks the script's result.  Python callers just write Python; this
+runner exists for SurrealQL-text scripts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from surrealdb_spark.catalog import Catalog
+from surrealdb_spark.sql.compiler import compile_select
+from surrealdb_spark.sql.parser import parse_select
+
+
+@dataclass
+class ScriptResult:
+    value: object  # DataFrame | scalar | list
+    bindings: dict
+
+
+class ScriptRunner:
+    """Executes `LET $name = <SELECT...|literal>` / `RETURN <SELECT|$param>`
+    statement sequences."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None, catalog: Catalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or Catalog(spark, sf_dir)
+
+    def run(self, script: str, **params) -> ScriptResult:
+        bindings: dict = dict(params)
+        result: object = None
+        for stmt in self._statements(script):
+            up = stmt.upper()
+            if up.startswith("LET "):
+                rest = stmt[4:].strip()
+                name, _, rhs = rest.partition("=")
+                name = name.strip().lstrip("$")
+                bindings[name] = self._eval(rhs.strip(), bindings)
+            elif up.startswith("RETURN "):
+                result = self._eval(stmt[7:].strip(), bindings)
+            elif up.startswith("SELECT"):
+                result = self._eval(stmt, bindings)
+            elif not stmt.strip():
+                continue
+            else:
+                raise ValueError(f"unsupported statement: {stmt[:40]!r}")
+        return ScriptResult(result, bindings)
+
+    def _eval(self, rhs: str, bindings: dict):
+        rhs = rhs.strip().rstrip(";")
+        if rhs.startswith("(") and rhs.endswith(")"):
+            rhs = rhs[1:-1].strip()
+        if rhs.upper().startswith("SELECT"):
+            df = compile_select(
+                self.spark, parse_select(rhs), catalog=self.catalog, params=bindings
+            )
+            # SELECT VALUE with one column → list of scalars (LET-friendly,
+            # mirroring the reference's value semantics for subquery binds)
+            if df.columns == ["value"]:
+                vals = [r.value for r in df.collect()]
+                return vals[0] if len(vals) == 1 else vals
+            return df
+        if rhs.startswith("$"):
+            return bindings[rhs[1:]]
+        try:
+            return int(rhs)
+        except ValueError:
+            try:
+                return float(rhs)
+            except ValueError:
+                return rhs.strip("'\"")
+
+    @staticmethod
+    def _statements(script: str) -> list[str]:
+        out, depth, cur = [], 0, []
+        for ch in script:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == ";" and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
+        return out

@@ -273,13 +273,19 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # aggregate
     is_grouped = sel.group is not None
     post_fields: list[tuple] = []
+    grouped_fields = sel.fields
+    if is_grouped and sel.value_expr is not None:
+        # SELECT VALUE <agg-expr> ... GROUP — single bare aggregate
+        from surrealdb_spark.sql.parser import Field as _Field
+
+        grouped_fields = [_Field(sel.value_expr, "value")]
     if is_grouped:
         aggs: list[Column] = []
         keys = [compile_expr(g, params) for g in sel.group]
         key_names = [g[1] if g[0] == "ident" else f"__k{i}" for i, g in enumerate(sel.group)]
-        assert sel.fields is not None, "GROUP BY requires an explicit field list"
+        assert grouped_fields is not None, "GROUP BY requires an explicit field list"
         out_names: set[str] = set(key_names)
-        for fld in sel.fields:
+        for fld in grouped_fields:
             name = fld.alias or _default_name(fld.expr)
             if fld.expr[0] == "ident" and fld.expr[1] in key_names:
                 post_fields.append((fld.expr, name))
@@ -316,7 +322,7 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         df = df.limit(sel.limit)
 
     # project
-    if sel.value_expr is not None:
+    if sel.value_expr is not None and not is_grouped:
         # SELECT VALUE → single bare column (operators/project_value.rs:30)
         df = df.select(compile_expr(sel.value_expr, params).alias("value"))
     elif is_grouped:
