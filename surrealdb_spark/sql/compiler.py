@@ -41,6 +41,25 @@ _AGGREGATES = {
     "array::join": lambda args: F.concat_ws(", ", F.collect_list(args[0])),
 }
 
+# Registry builders whose N-th parameter must be a Python literal (regex
+# patterns, separators, sizes) rather than a Column.
+_RAW_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
+    "array::join": (1,), "array::at": (1,), "array::slice": (1, 2),
+    "array::repeat": (1,), "array::clump": (1,), "array::windows": (1,),
+    "array::insert": (2,), "array::remove": (1,), "array::range": (0, 1),
+    "array::sequence": (0, 1), "array::swap": (1, 2), "array::sort": (1,),
+    "string::split": (1,), "string::repeat": (1,), "string::slice": (1, 2),
+    "string::matches": (1,), "string::join": (0,),
+    "math::round": (1,), "math::fixed": (1,), "math::percentile": (1,),
+    "math::nearestrank": (1,), "math::top": (1,), "math::bottom": (1,),
+    "math::log": (1,),
+    "time::format": (1,), "time::floor": (1,), "time::ceil": (1,),
+    "time::round": (1,), "time::group": (1,),
+    "encoding::json::decode": (1,),
+    "vector::distance::minkowski": (2,),
+    "geo::hash::encode": (1,),
+}
+
 _BINOPS = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
@@ -127,10 +146,13 @@ def compile_expr(ast, params: dict | None = None) -> Column:
         return _BINOPS[op](compile_expr(l, params), compile_expr(r, params))
     if kind == "call":
         name, args = ast[1], ast[2]
+        raw_idx = _RAW_LITERAL_ARGS.get(name, ())
         cols = []
-        for a in args:
+        for i, a in enumerate(args):
             if a[0] == "closure":
                 cols.append(_compile_closure(a, params))
+            elif i in raw_idx and a[0] == "lit":
+                cols.append(a[1])  # builder wants the Python literal
             else:
                 cols.append(compile_expr(a, params))
         if name in REGISTRY:

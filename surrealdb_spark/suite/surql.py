@@ -420,3 +420,83 @@ def surql_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from surrealdb_spark.sql import surql
 
     return surql(spark, "SELECT * FROM region", sf_dir)
+
+
+@query(
+    "surql_split_on",
+    oracle="""
+    SELECT o_orderkey, UNNEST(string_split(o_orderpriority, '-')) AS token
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def surql_split_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SPLIT ON <field> through the parser (split.rs:13) — explode before
+    # projection, per the reference pipeline order.
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT o_orderkey, toks AS token FROM "
+        "(SELECT o_orderkey, string::split(o_orderpriority, '-') AS toks "
+        " FROM orders WHERE o_orderstatus = 'P') "
+        "SPLIT ON toks",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_type_casts",
+    oracle="""
+    SELECT r_regionkey,
+           CAST(r_regionkey AS DOUBLE) AS as_float,
+           CAST(r_regionkey AS VARCHAR) AS as_str,
+           concat('region:', CAST(r_regionkey AS VARCHAR)) AS thing,
+           CAST('7' AS BIGINT) + r_regionkey AS parsed_int
+    FROM region
+    """,
+)
+def surql_type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # type:: casts (fnc/type.rs): float/string/thing/int parsing.
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT r_regionkey, type::float(r_regionkey) AS as_float, "
+        "type::string(r_regionkey) AS as_str, "
+        "type::thing('region', r_regionkey) AS thing, "
+        "type::int('7') + r_regionkey AS parsed_int "
+        "FROM region",
+        sf_dir,
+    )
+
+
+@query(
+    "surql_array_fns",
+    oracle="""
+    SELECT o_orderkey,
+           list_sort(list_distinct(arr)) AS uniq,
+           len(arr) AS n,
+           list_reverse(arr) AS rev,
+           array_to_string(arr, '|') AS joined,
+           list_contains(arr, 'URGENT') AS has_urgent
+    FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS arr
+          FROM orders WHERE o_orderkey % 300 = 0)
+    """,
+)
+def surql_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array:: namespace through the parser: distinct/sort/len/reverse/join/
+    # includes (fnc/array.rs).
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT o_orderkey, "
+        "array::sort(array::distinct(arr)) AS uniq, "
+        "array::len(arr) AS n, "
+        "array::reverse(arr) AS rev, "
+        "array::join(arr, '|') AS joined, "
+        "array::includes(arr, 'URGENT') AS has_urgent "
+        "FROM (SELECT o_orderkey, string::split(o_orderpriority, '-') AS arr "
+        "      FROM orders WHERE o_orderkey % 300 = 0)",
+        sf_dir,
+    )
