@@ -25,8 +25,15 @@ def main() -> None:
 
     bench = suite.bench_queries()
     timings: dict[str, float] = {}
-    # Warm the JVM/parquet footers once with the cheapest action.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM + parquet footers once (metadata-only counts) so the
+    # first measured query doesn't pay session/scan setup.
+    from surrealdb_spark.catalog import TABLES
+
+    for t in TABLES:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
     for name in sorted(bench):
         fn = bench[name]
         t0 = time.perf_counter()

@@ -54,22 +54,26 @@ def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def srp_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Bit-string signature: one sign bit per hyperplane."""
-    bits = [
-        F.when(
+    """Bit-string signature: one sign bit per hyperplane.
+
+    One nested HOF over a single 2-D plane literal (not one fold-expression
+    per plane): 16 separate aggregate trees made Catalyst analysis the
+    dominant cost — measured ~8 s fixed overhead at ANY scale factor.
+    """
+    planes_lit = F.array(
+        *[F.array(*[F.lit(w) for w in plane]) for plane in planes]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda plane: F.when(
             V.fold_sum(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda x, w: x.cast("double") * w,
-                )
+                F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w)
             )
             >= 0,
             F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def srp_lsh_topk(
