@@ -69,6 +69,7 @@ def _load_all() -> None:
         graph,
         relational,
         relational2,
+        relational3,
         surql,
         text,
         vector,
