@@ -65,6 +65,7 @@ def _load_all() -> None:
     from surrealdb_spark.suite import (  # noqa: F401
         analytics,
         dedup,
+        events_analytics,
         functions_sampler,
         graph,
         relational,
