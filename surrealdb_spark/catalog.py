@@ -39,6 +39,13 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        # The engine's timestamp semantics are UTC (values.py); pin the
+        # session so results don't depend on the caller's session defaults
+        # (the driver runs queries() under its own SparkSession).
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
         # RELATE-created edge tables (in/out record-id columns) registered
         # for graph traversal in queries (operators/graph.py shapes them).
         self.edges: dict[str, DataFrame] = {}
