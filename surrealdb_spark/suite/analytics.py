@@ -51,8 +51,8 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
     s AS (SELECT user_id, tms,
-            SUM(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
-                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
           FROM m)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(tms) AS start_ms, MAX(tms) AS end_ms

@@ -22,10 +22,10 @@ from surrealdb_spark.suite import query
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS stage_signup,
-           SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS stage_click,
-           SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS stage_purchase
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
     FROM firsts
     """,
 )
@@ -65,7 +65,7 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(a.day, '%Y-%m-%d') AS day,
            COUNT(*) AS active_users,
-           SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS retained_next_day
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_next_day
     FROM active a
     LEFT JOIN active b ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
     GROUP BY a.day

@@ -53,7 +53,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            dayofmonth(o_orderdate) AS d,
            isodow(o_orderdate) AS wd,
            dayofyear(o_orderdate) AS yd,
-           epoch(o_orderdate) AS unix_s,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_floor,
            CASE WHEN (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
                   OR year(o_orderdate) % 400 = 0 THEN TRUE ELSE FALSE END AS leap

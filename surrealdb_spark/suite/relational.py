@@ -420,7 +420,7 @@ def math_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_props",
     oracle="""
-    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )

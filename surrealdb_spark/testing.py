@@ -80,6 +80,14 @@ def compare_frames(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
     g, w = canonicalize(got), canonicalize(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        # Dtype-strict: the driver's value-hash distinguishes int64 from
+        # float64 (67 != 67.0), so a numeric cross-dtype match here would
+        # pass locally and fail the driver.  Round-1 lesson (VERDICT.md).
+        if gv.dtype != wv.dtype:
+            raise AssertionError(
+                f"{name}: column {c} dtype {gv.dtype} != oracle {wv.dtype} "
+                f"(driver hash is dtype-sensitive; CAST the oracle or the query)"
+            )
         if gv.dtype.kind == "f":
             ok = (gv == wv) | (np.isnan(gv) & np.isnan(wv))
         else:
