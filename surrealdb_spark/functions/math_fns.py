@@ -61,9 +61,13 @@ def round_(x, digits: int = 0) -> Column:
 
 
 def fixed(x, digits: int) -> Column:
-    """math::fixed — truncate toward zero to N decimal places."""
-    p = 10**digits
-    return (_c(x) * p).cast("long") / F.lit(p)
+    """math::fixed — round to N decimal places (Number::fixed formats via
+    Rust's `{v:.p$}` = round-half-even-ish float formatting; F.round is the
+    closest Spark builtin).  digits must be positive (the reference errors
+    on digits <= 0, fnc/math.rs)."""
+    if digits <= 0:
+        raise ValueError(f"math::fixed requires digits > 0, got {digits}")
+    return F.round(_c(x), digits)
 
 
 def sign(x) -> Column:

@@ -25,6 +25,9 @@ from surrealdb_spark.sql.parser import Select, parse_select
 
 # Aggregate functions recognized in SELECT context
 # (core/src/exec/function/builtin/aggregates.rs:26-48).
+# count(expr) counts TRUTHY values (CountFieldAccumulator, exec/function/
+# builtin/aggregates/count.rs) — handled specially in _decompose, which
+# knows the argument's inferred type; this entry is the zero-arg form.
 _AGGREGATES = {
     "count": lambda args: F.count(F.lit(1)) if not args else F.count(args[0]),
     "math::sum": lambda args: F.sum(args[0]),
@@ -98,9 +101,121 @@ _BINOPS = {
 }
 
 
-def compile_expr(ast, params: dict | None = None) -> Column:
+def _type_cat(simple: str) -> str | None:
+    """Spark simpleString dtype → coarse SurrealQL Number/value category."""
+    if simple in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "int"
+    if simple in ("float", "double"):
+        return "float"
+    if simple.startswith("decimal"):
+        return "decimal"
+    if simple == "boolean":
+        return "bool"
+    if simple == "string":
+        return "string"
+    if simple.startswith("array"):
+        return "array"
+    return None
+
+
+def types_of(df: DataFrame) -> dict[str, str]:
+    """Column name → coarse type category, for static operator dispatch."""
+    out = {}
+    for f_ in df.schema.fields:
+        cat = _type_cat(f_.dataType.simpleString())
+        if cat:
+            out[f_.name] = cat
+    return out
+
+
+def _infer(ast, types: dict[str, str], params: dict) -> str | None:
+    """Best-effort static type of an expression AST (None = unknown).
+
+    The reference evaluates dynamically (operate.rs dispatches on runtime
+    Number variants); Spark columns are statically typed, so `/` truncation,
+    `?:` truthiness, and count(expr) truthiness dispatch here instead.
+    """
+    kind = ast[0]
+    if kind == "lit":
+        v = ast[1]
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, list):
+            return "array"
+        return None
+    if kind == "ident":
+        return types.get(ast[1])
+    if kind == "param":
+        v = params.get(ast[1])
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (list, tuple)):
+            return "array"
+        return None
+    if kind == "un":
+        if ast[1] == "!":
+            return "bool"
+        return _infer(ast[2], types, params)
+    if kind == "bin":
+        op = ast[1]
+        if op in ("=", "==", "!=", "<", "<=", ">", ">=", "AND", "&&", "OR", "||",
+                  "IN", "INSIDE", "NOTINSIDE", "CONTAINS", "CONTAINSNOT",
+                  "CONTAINSALL", "CONTAINSANY", "CONTAINSNONE", "ALLINSIDE",
+                  "ANYINSIDE", "NONEINSIDE", "*=", "?="):
+            return "bool"
+        lt = _infer(ast[2], types, params)
+        rt = _infer(ast[3], types, params)
+        if op in ("+", "-", "*", "%"):
+            if lt == "int" and rt == "int":
+                return "int"
+            if "decimal" in (lt, rt):
+                return "decimal"
+            if lt in ("int", "float") and rt in ("int", "float"):
+                return "float"
+            if op == "+" and lt == "string" and rt == "string":
+                return "string"
+            return None
+        if op == "/":
+            if lt == "int" and rt == "int":
+                return "int"  # truncating division (number.rs:823-825)
+            return "float" if lt in ("int", "float") and rt in ("int", "float") else None
+        if op == "**":
+            return "float"
+        if op in ("??", "?:"):
+            return lt or rt
+    return None
+
+
+def _truthy_col(col: Column, cat: str | None) -> Column:
+    """SurrealQL truthiness predicate for a typed column (Value::is_truthy:
+    non-false, non-zero, non-empty, non-null)."""
+    if cat == "bool":
+        return F.coalesce(col, F.lit(False))
+    if cat in ("int", "float", "decimal"):
+        return O.truthy_number(col)
+    if cat == "string":
+        return O.truthy_string(col)
+    if cat == "array":
+        return O.truthy_array(col)
+    return col.isNotNull()
+
+
+def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> Column:
     """Expression AST → Column (no aggregate handling — see _decompose)."""
     params = params or {}
+    types = types or {}
     kind = ast[0]
     if kind == "lit":
         # SurrealQL integers are i64 (Number::Int) — keep literals BIGINT so
@@ -123,9 +238,9 @@ def compile_expr(ast, params: dict | None = None) -> Column:
     if kind == "all":
         raise ValueError("* only valid as a projection")
     if kind == "array":
-        return F.array(*[compile_expr(e, params) for e in ast[1]])
+        return F.array(*[compile_expr(e, params, types) for e in ast[1]])
     if kind == "path":
-        base = compile_expr(ast[1], params)
+        base = compile_expr(ast[1], params, types)
         parts = [
             ("where", (lambda cond: lambda el: _compile_lambda(cond, el, params))(p[1]))
             if p[0] == "where"
@@ -135,7 +250,7 @@ def compile_expr(ast, params: dict | None = None) -> Column:
         return compile_idiom(base, parts)
     if kind == "un":
         op, e = ast[1], ast[2]
-        c = compile_expr(e, params)
+        c = compile_expr(e, params, types)
         if op == "!":
             return ~c
         if op == "-":
@@ -143,27 +258,34 @@ def compile_expr(ast, params: dict | None = None) -> Column:
         return c
     if kind == "bin":
         _, op, l, r = ast
-        return _BINOPS[op](compile_expr(l, params), compile_expr(r, params))
+        lc, rc = compile_expr(l, params, types), compile_expr(r, params, types)
+        if op == "/" and _infer(l, types, params) == "int" and _infer(r, types, params) == "int":
+            # Int/Int truncates toward zero (operate.rs try_div; 5/4 == 1)
+            return O.div(lc, rc, integer_operands=True)
+        if op == "?:":
+            # `?:` tests is_truthy, not is-not-null (expr TenaryCondition)
+            return O.tco(lc, rc, truthy=_truthy_col(lc, _infer(l, types, params)))
+        return _BINOPS[op](lc, rc)
     if kind == "call":
         name, args = ast[1], ast[2]
         raw_idx = _RAW_LITERAL_ARGS.get(name, ())
         cols = []
         for i, a in enumerate(args):
             if a[0] == "closure":
-                cols.append(_compile_closure(a, params))
+                cols.append(_compile_closure(a, params, types))
             elif i in raw_idx and a[0] == "lit":
                 cols.append(a[1])  # builder wants the Python literal
             else:
-                cols.append(compile_expr(a, params))
+                cols.append(compile_expr(a, params, types))
         if name in REGISTRY:
             return REGISTRY[name](*cols)
         raise KeyError(f"unknown function {name}")
     if kind == "closure":
-        return _compile_closure(ast, params)
+        return _compile_closure(ast, params, types)
     raise ValueError(f"bad AST node {ast!r}")
 
 
-def _compile_closure(ast, params: dict):
+def _compile_closure(ast, params: dict, types: dict | None = None):
     """Closure literal → Python lambda over Columns (the reference compiles
     closure bodies to expressions the same way — closure.rs + HOF usage in
     array::map/filter/fold, SURVEY §2.11)."""
@@ -173,7 +295,7 @@ def _compile_closure(ast, params: dict):
         bound = dict(params)
         for name, col in zip(cparams, cols):
             bound[name] = col
-        return compile_expr(body, bound)
+        return compile_expr(body, bound, types)
 
     # Spark's HOF binder inspects the signature — positional args only,
     # exact arity (no *args).
@@ -209,24 +331,33 @@ def _compile_lambda(cond_ast, element: Column, params: dict) -> Column:
     return walk(cond_ast)
 
 
-def _decompose(ast, aggs: list, params: dict):
+def _decompose(ast, aggs: list, params: dict, types: dict | None = None):
     """Replace aggregate calls with placeholder idents; collect agg specs
     (catalog/aggregation.rs:19-39 decomposition)."""
+    types = types or {}
     if ast[0] == "call" and ast[1] in _AGGREGATES:
-        args = [compile_expr(a, params) for a in ast[2]]
         alias = f"__agg{len(aggs)}"
-        aggs.append(_AGGREGATES[ast[1]](args).alias(alias))
+        if ast[1] == "count" and ast[2]:
+            # count(expr) counts truthy values, not non-null ones
+            # (CountFieldAccumulator, aggregates/count.rs)
+            t = _truthy_col(compile_expr(ast[2][0], params, types),
+                            _infer(ast[2][0], types, params))
+            aggs.append(F.coalesce(F.sum(t.cast("long")), F.lit(0)).alias(alias))
+        else:
+            args = [compile_expr(a, params, types) for a in ast[2]]
+            aggs.append(_AGGREGATES[ast[1]](args).alias(alias))
         return ("ident", alias)
     if ast[0] in ("bin",):
-        return ("bin", ast[1], _decompose(ast[2], aggs, params), _decompose(ast[3], aggs, params))
+        return ("bin", ast[1], _decompose(ast[2], aggs, params, types),
+                _decompose(ast[3], aggs, params, types))
     if ast[0] == "un":
-        return ("un", ast[1], _decompose(ast[2], aggs, params))
+        return ("un", ast[1], _decompose(ast[2], aggs, params, types))
     if ast[0] == "call":
-        return ("call", ast[1], [_decompose(a, aggs, params) for a in ast[2]])
+        return ("call", ast[1], [_decompose(a, aggs, params, types) for a in ast[2]])
     if ast[0] == "path":
-        return ("path", _decompose(ast[1], aggs, params), ast[2])
+        return ("path", _decompose(ast[1], aggs, params, types), ast[2])
     if ast[0] == "array":
-        return ("array", [_decompose(a, aggs, params) for a in ast[2]])
+        return ("array", [_decompose(a, aggs, params, types) for a in ast[2]])
     return ast
 
 
@@ -272,6 +403,7 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
+    types = types_of(df)  # static dispatch for /, ?:, count(expr)
 
     # filter — IN/NOTINSIDE (subquery) conjuncts become semi/anti joins
     # (Catalyst decorrelation territory, SURVEY §4; here: explicit rewrite)
@@ -280,13 +412,13 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         for lhs_ast, sub_sel, positive in sub_filters:
             sub_df = compile_select(spark, sub_sel, sf_dir, cat, params)
             key = sub_df.columns[0]
-            lhs = compile_expr(lhs_ast, params)
+            lhs = compile_expr(lhs_ast, params, types)
             probe = sub_df.select(F.col(key).alias("__sq"))
             df = df.join(
                 probe, lhs == probe.__sq, "left_semi" if positive else "left_anti"
             )
         if rest is not None:
-            df = df.filter(compile_expr(rest, params))
+            df = df.filter(compile_expr(rest, params, types))
 
     # split (explode, operators/split.rs)
     for f_ in sel.split:
@@ -303,7 +435,7 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         grouped_fields = [_Field(sel.value_expr, "value")]
     if is_grouped:
         aggs: list[Column] = []
-        keys = [compile_expr(g, params) for g in sel.group]
+        keys = [compile_expr(g, params, types) for g in sel.group]
         key_names = [g[1] if g[0] == "ident" else f"__k{i}" for i, g in enumerate(sel.group)]
         assert grouped_fields is not None, "GROUP BY requires an explicit field list"
         out_names: set[str] = set(key_names)
@@ -313,11 +445,11 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 post_fields.append((fld.expr, name))
                 continue
             if _has_aggregate(fld.expr):
-                post_fields.append((_decompose(fld.expr, aggs, params), name))
+                post_fields.append((_decompose(fld.expr, aggs, params, types), name))
             else:
                 # non-aggregate field under GROUP BY → first() per reference
                 alias = f"__agg{len(aggs)}"
-                aggs.append(F.first(compile_expr(fld.expr, params)).alias(alias))
+                aggs.append(F.first(compile_expr(fld.expr, params, types)).alias(alias))
                 post_fields.append((("ident", alias), name))
             out_names.add(name)
         gb = df.groupBy(*[c.alias(n) for c, n in zip(keys, key_names)])
@@ -327,7 +459,7 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     if sel.order:
         order_cols = []
         for k in sel.order:
-            c = compile_expr(k.expr, params)
+            c = compile_expr(k.expr, params, types)
             if k.numeric:
                 # ORDER NUMERIC: natural sort by embedded number then text
                 c = F.struct(
@@ -346,22 +478,22 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # project
     if sel.value_expr is not None and not is_grouped:
         # SELECT VALUE → single bare column (operators/project_value.rs:30)
-        df = df.select(compile_expr(sel.value_expr, params).alias("value"))
+        df = df.select(compile_expr(sel.value_expr, params, types).alias("value"))
     elif is_grouped:
         df = df.select(
-            *[compile_expr(a, params).alias(n) for a, n in post_fields]
+            *[compile_expr(a, params, types).alias(n) for a, n in post_fields]
         )
     elif sel.fields is not None and sel.fields:
         graph_fields = [f for f in sel.fields if f.expr[0] == "graphpath"]
         if graph_fields:
             df = _attach_graph_fields(df, cat, sel, graph_fields, params)
-        cols = []
+        cols = [F.col("*")] if sel.star else []
         for fld in sel.fields:
             name = fld.alias or _default_name(fld.expr)
             if fld.expr[0] == "graphpath":
                 cols.append(F.col(name))
             else:
-                cols.append(compile_expr(fld.expr, params).alias(name))
+                cols.append(compile_expr(fld.expr, params, types).alias(name))
         df = df.select(*cols)
     if sel.omit:
         df = df.drop(*sel.omit)

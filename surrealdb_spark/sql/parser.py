@@ -275,8 +275,9 @@ class OrderKey:
 
 @dataclass
 class Select:
-    fields: list[Field] | None  # None = SELECT *
+    fields: list[Field] | None  # None = SELECT * (no extras)
     value_expr: tuple | None
+    star: bool = False  # SELECT *, extra... keeps all columns plus extras
     sources: list[str] = field(default_factory=list)
     where: tuple | None = None
     split: list[str] = field(default_factory=list)
@@ -311,12 +312,8 @@ def _parse_select_body(p: Parser) -> Select:
     else:
         fields: list[Field] = []
         star = p.eat("op", "*")
-        if star:
-            if p.eat("op", ","):
-                pass  # SELECT *, extra fields
-            else:
-                fields = []
-        if not star or (star and p.peek().kind != "kw"):
+        had_comma = bool(star and p.eat("op", ","))  # SELECT *, extra fields
+        if not star or had_comma:
             while p.peek().kind != "kw":
                 e = p.expr(0)
                 alias = None
@@ -325,6 +322,8 @@ def _parse_select_body(p: Parser) -> Select:
                 fields.append(Field(e, alias))
                 if not p.eat("op", ","):
                     break
+        # star + extras: keep both — the compiler emits select('*', *extras)
+        sel.star = bool(star) and bool(fields)
         sel.fields = None if star and not fields else fields
     if p.eat("kw", "OMIT"):
         while True:

@@ -91,3 +91,49 @@ def test_unbound_param_raises(spark):
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse_select("SELECT FROM WHERE")
+
+
+def test_advice_r1_semantics(spark, sf_dir):
+    """Round-1 advisor findings: int division truncates, count(expr) counts
+    truthy values, SELECT *, extra keeps the star, ?: tests truthiness."""
+    # 5 / 4 == 1 for int operands (operate.rs try_div); float stays float
+    r = surql(spark, "SELECT VALUE 5 / 4 FROM nation LIMIT 1", sf_dir).collect()[0][0]
+    assert r == 1
+    rf = surql(spark, "SELECT VALUE 5.0 / 4 FROM nation LIMIT 1", sf_dir).collect()[0][0]
+    assert rf == 1.25
+    # column-typed int division
+    r2 = surql(
+        spark, "SELECT VALUE o_orderkey / 2 FROM orders ORDER BY o_orderkey LIMIT 1",
+        sf_dir,
+    ).collect()[0][0]
+    assert r2 == 0  # orderkey 1 → 1/2 == 0 truncated
+    # count(expr) counts truthy, not non-null
+    df = surql(
+        spark,
+        "SELECT count() AS n, count(o_orderkey > 3) AS big FROM orders "
+        "WHERE o_orderkey <= 10 GROUP ALL",
+        sf_dir,
+    ).collect()[0]
+    assert df["n"] == 11 and df["big"] == 7  # keys 0..10; truthy > 3 → 4..10
+    # SELECT *, extra keeps all columns plus the extra
+    sel = parse_select("SELECT *, n_name AS nm FROM nation")
+    assert sel.star and len(sel.fields) == 1
+    out = surql(spark, "SELECT *, n_nationkey + 100 AS shifted FROM nation", sf_dir)
+    assert "n_name" in out.columns and "shifted" in out.columns
+    assert out.count() == 25
+    # ?: falls through falsy (0, '') lhs; keeps truthy lhs
+    vals = surql(
+        spark,
+        "SELECT VALUE (o_orderkey % 2) ?: 99 FROM orders ORDER BY o_orderkey LIMIT 2",
+        sf_dir,
+    ).collect()
+    assert [v[0] for v in vals] == [99, 1]  # key 0 → falsy 0 ?: 99; key 1 → 1
+
+
+def test_math_fixed_rounds():
+    from surrealdb_spark.functions import math_fns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        math_fns.fixed(F.lit(1.5), 0)
