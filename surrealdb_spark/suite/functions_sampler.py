@@ -111,3 +111,56 @@ def geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.distance(pt, paris).alias("dist_to_paris"),
         G.is_valid(pt).alias("valid"),
     )
+
+
+@query(
+    "type_functions",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS rt_int,
+           CAST(c_custkey % 2 AS BOOLEAN) AS odd,
+           TRUE AS isi, TRUE AS iss, TRUE AS isn, FALSE AS isf,
+           'float' AS ty_bal, 'string' AS ty_name,
+           'customer:' || CAST(c_custkey AS VARCHAR) AS rid,
+           'customer:' || CAST(c_custkey AS VARCHAR) AS rid_ok,
+           TRUE AS isr,
+           '6b29fc40-ca47-1067-b31d-00dd010662da' AS uid,
+           'customer' AS tbl,
+           1.5e0 AS pt_lon,
+           CAST(5400000000000 AS BIGINT) AS dur_ns,
+           '2020-01-03 04:05:06' AS dt_str,
+           CAST(CAST('42.5' AS DECIMAL(38,10)) AS VARCHAR) AS dec_str,
+           CAST('42.5' AS DOUBLE) AS num
+    FROM customer WHERE c_custkey % 150 = 0
+    """,
+)
+def type_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # type:: namespace through the SurrealQL parser (fnc/mod.rs:471-515):
+    # casts, constructors (thing/record/uuid/point/duration/decimal), and
+    # the is_* predicates resolved statically on column types.
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT c_custkey, "
+        "type::int(type::string(c_custkey)) AS rt_int, "
+        "type::bool(c_custkey % 2) AS odd, "
+        "type::is_int(c_custkey) AS isi, "
+        "type::is_string(c_name) AS iss, "
+        "type::is_number(c_acctbal) AS isn, "
+        "type::is_float(c_custkey) AS isf, "
+        "type::of(c_acctbal) AS ty_bal, "
+        "type::of(c_name) AS ty_name, "
+        "type::thing('customer', c_custkey) AS rid, "
+        "type::record(type::thing('customer', c_custkey), 'customer') AS rid_ok, "
+        "type::is_record(type::thing('customer', c_custkey)) AS isr, "
+        "type::uuid('6B29FC40-CA47-1067-B31D-00DD010662DA') AS uid, "
+        "type::table('customer') AS tbl, "
+        "type::point([1.5, 2.5]).lon AS pt_lon, "
+        "type::duration('1h30m').nanos AS dur_ns, "
+        "time::format(type::datetime('2020-01-03T04:05:06'), 'yyyy-MM-dd HH:mm:ss') AS dt_str, "
+        "type::string(type::decimal('42.5')) AS dec_str, "
+        "type::number('42.5') AS num "
+        "FROM customer WHERE c_custkey % 150 = 0",
+        sf_dir,
+    )

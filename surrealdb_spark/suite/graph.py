@@ -52,7 +52,7 @@ def _customers(cat: Catalog, modulus: int) -> DataFrame:
     FROM customer JOIN orders ON o_custkey = c_custkey
     WHERE c_custkey % 100 = 0
     """,
-)
+hidden=True)
 def graph_hop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ->placed->orders (GraphEdgeScan, scan/graph.rs:64): one equi-join.
     cat = Catalog(spark, sf_dir)
@@ -66,7 +66,7 @@ def graph_hop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer JOIN orders ON o_custkey = c_custkey
     WHERE c_custkey % 10 = 0 AND o_totalprice > 200000
     """,
-)
+hidden=True)
 def graph_hop_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ->(placed WHERE o_totalprice > 200000)-> (expr/lookup.rs:63 edge filter).
     cat = Catalog(spark, sf_dir)
@@ -82,7 +82,7 @@ def graph_hop_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders JOIN customer ON c_custkey = o_custkey
     WHERE o_orderkey % 500 = 0
     """,
-)
+hidden=True)
 def graph_hop_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <-placed<- : direction In (expr/dir.rs:18) — join on the out side.
     cat = Catalog(spark, sf_dir)
@@ -102,7 +102,7 @@ def graph_hop_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey % 50 = 0
     GROUP BY 1
     """,
-)
+hidden=True)
 def graph_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ->placed->orders->contains->lineitem: two chained hops, then aggregate.
     cat = Catalog(spark, sf_dir)
@@ -132,7 +132,7 @@ def graph_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey % 25 = 0
     GROUP BY 1
     """,
-)
+hidden=True)
 def reference_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <~orders (reverse-reference lookup, scan/reference.rs:48): who links me.
     from surrealdb_spark.suite._util import dsum
@@ -167,7 +167,7 @@ _ANCESTOR_CTE = """
     SELECT start, concat('customer:', CAST(k AS VARCHAR)) AS node, depth
     FROM anc WHERE depth >= 1
     """,
-)
+hidden=True)
 def graph_recurse_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # @{1..5} bounded recursion (+collect): iterative BFS with visited set.
     cat = Catalog(spark, sf_dir)
@@ -185,7 +185,7 @@ def graph_recurse_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM anc WHERE k = 1 AND depth >= 1
     GROUP BY start
     """,
-)
+hidden=True)
 def graph_shortest_to_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     # @{..11}+shortest=customer:1 (recursion instruction): min-depth BFS.
     cat = Catalog(spark, sf_dir)

@@ -243,7 +243,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("count_scan", oracle="SELECT COUNT(*) AS n FROM lineitem")
+@query("count_scan", oracle="SELECT COUNT(*) AS n FROM lineitem", hidden=True)
 def count_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CountScan fast path — Spark answers from parquet row-group metadata.
     return Catalog(spark, sf_dir).lineitem.agg(F.count(F.lit(1)).alias("n"))
@@ -252,7 +252,7 @@ def count_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "count_where",
     oracle="SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25",
-)
+hidden=True)
 def count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IndexCountScan analogue: predicate pushed to parquet scan, count-only.
     li = Catalog(spark, sf_dir).lineitem
@@ -286,7 +286,7 @@ def group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "distinct_pairs",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
+hidden=True)
 def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Catalog(spark, sf_dir).lineitem.select("l_returnflag", "l_linestatus").distinct()
 
@@ -350,7 +350,7 @@ def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t WHERE rn = 1
     """,
     bench=True,
-)
+hidden=True)
 def window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dedup-rank: latest event per user. Orders on millisecond epoch so Spark
     # (µs timestamps) and DuckDB (ns) agree on ties.
@@ -373,7 +373,7 @@ def window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1, 2
     """,
-)
+hidden=True)
 def time_bucket_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time::group(ts, 'day') + GROUP BY ≈ tumbling window (core/src/fnc/time.rs).
     ev = Catalog(spark, sf_dir).events

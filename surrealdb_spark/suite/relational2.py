@@ -32,7 +32,7 @@ from surrealdb_spark.suite._util import dec, sql_to_double, to_double
     SELECT start, concat('customer:', CAST(k AS VARCHAR)) AS node, depth, path
     FROM p WHERE depth >= 1
     """,
-)
+hidden=True)
 def graph_recurse_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # @{1..4}+path (recursion.rs path instruction): every path collected.
     from surrealdb_spark.suite.graph import _reports_to
@@ -55,7 +55,7 @@ _HL_TERMS = ["spark", "join"]
            CAST(len(regexp_extract_all(text, '\b(spark|join)\b')) AS INT) AS n_matches
     FROM documents WHERE doc_id % 10 = 0
     """,
-)
+hidden=True)
 def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # search::highlight + match count (fnc/search.rs, ft/highlighter.rs).
     docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 10 == 0)

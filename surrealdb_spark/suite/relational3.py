@@ -31,7 +31,7 @@ def _one_minus_disc():
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
     """,
     bench=True,
-)
+hidden=True)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q6: pure pushdown-scan aggregate — the filter triple reaches parquet.
     li = Catalog(spark, sf_dir).lineitem
@@ -156,7 +156,7 @@ def q12_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
     """,
-)
+hidden=True)
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q14: conditional-aggregate ratio; both sums exact-decimal before the
     # single double division.
@@ -209,7 +209,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
     """,
-)
+hidden=True)
 def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q19: disjunctive multi-table predicate (OR of conjunction branches) —
     # the UnionIndexScan case (scan/union_index.rs), handled by one filter.

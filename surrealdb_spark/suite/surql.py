@@ -60,7 +60,7 @@ def fetch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
       LIMIT 50
     )
     """,
-)
+hidden=True)
 def cross_type_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-type total order (types/src/value/mod.rs:126-210): a mixed
     # None/Null/Bool/Number/String column sorts by (type tag, value) —
@@ -93,7 +93,7 @@ def cross_type_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_contains(arr, '3') AS any_eq_3
     FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS arr FROM orders)
     """,
-)
+hidden=True)
 def containment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CONTAINS / CONTAINSANY / CONTAINSALL / CONTAINSNONE / ?= family
     # (operator.rs:72-106) → array_contains / arrays_overlap / forall.
@@ -123,7 +123,7 @@ def containment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     """,
-)
+hidden=True)
 def nullish_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `??` (null-coalescing) and `?:` (truthy ternary) — operator.rs:60-66.
     ev = Catalog(spark, sf_dir).events
@@ -204,7 +204,7 @@ from surrealdb_spark.sql import surql  # noqa: E402
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 15 OFFSET 5
     """,
-)
+hidden=True)
 def surql_basic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surql(
         spark,
@@ -224,7 +224,7 @@ def surql_basic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(o_totalprice) - MIN(o_totalprice) AS price_spread
     FROM orders GROUP BY o_orderpriority
     """,
-)
+hidden=True)
 def surql_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Aggregate decomposition: post-expression over aggregates
     # (catalog/aggregation.rs:19-39) — max - min computed after agg().
@@ -241,7 +241,7 @@ def surql_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "surql_group_all",
     oracle="SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx, MIN(o_orderkey) AS mn FROM orders",
-)
+hidden=True)
 def surql_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surql(
         spark,
@@ -258,7 +258,7 @@ def surql_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(c_acctbal, 0) AS bal
     FROM customer WHERE contains(c_name, '00000001')
     """,
-)
+hidden=True)
 def surql_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surql(
         spark,
@@ -272,7 +272,7 @@ def surql_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "surql_value_param",
     oracle="SELECT o_orderkey AS value FROM orders WHERE o_totalprice > 400000",
-)
+hidden=True)
 def surql_value_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SELECT VALUE (project_value.rs:30) + $param binding (plan-time
     # constant resolution, select.rs:146-176).
@@ -291,7 +291,7 @@ def surql_value_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
       AND c_acctbal > 0
     """,
-)
+hidden=True)
 def surql_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WHERE <subquery> IN pattern → left_semi join (SURVEY §2.3 note).
     from surrealdb_spark.sql import surql
@@ -311,7 +311,7 @@ def surql_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
-)
+hidden=True)
 def surql_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTINSIDE <subquery> → left_anti join (customers with no orders).
     from surrealdb_spark.sql import surql
@@ -331,7 +331,7 @@ def surql_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 200000)
     GROUP BY o_orderpriority
     """,
-)
+hidden=True)
 def surql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FROM (SELECT ...) — nested plan as source.
     from surrealdb_spark.sql import surql
@@ -357,7 +357,7 @@ def surql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) o ON o.o_custkey = c_custkey
     WHERE c_custkey % 200 = 0
     """,
-)
+hidden=True)
 def surql_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `SELECT ->placed->orders FROM customer` through the parser: per-row
     # sorted arrays of reached record ids (GraphEdgeScan TargetId output).
@@ -392,7 +392,7 @@ def surql_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(pi() * 100, 0) AS pi100
     FROM orders WHERE o_orderkey % 400 = 0
     """,
-)
+hidden=True)
 def surql_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Closures |$x| body (core/src/expr/closure.rs:12) compiled to HOF
     # lambdas; math::PI constant resolution (expr/constant.rs).
@@ -414,7 +414,7 @@ def surql_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT *, concat('region:', CAST(r_regionkey AS VARCHAR)) AS id FROM region
     """,
-)
+hidden=True)
 def surql_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SELECT * — full projection incl. the synthesized record id.
     from surrealdb_spark.sql import surql
@@ -428,7 +428,7 @@ def surql_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, UNNEST(string_split(o_orderpriority, '-')) AS token
     FROM orders WHERE o_orderstatus = 'P'
     """,
-)
+hidden=True)
 def surql_split_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPLIT ON <field> through the parser (split.rs:13) — explode before
     # projection, per the reference pipeline order.
@@ -454,7 +454,7 @@ def surql_split_on(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST('7' AS BIGINT) + r_regionkey AS parsed_int
     FROM region
     """,
-)
+hidden=True)
 def surql_type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # type:: casts (fnc/type.rs): float/string/thing/int parsing.
     from surrealdb_spark.sql import surql
@@ -482,7 +482,7 @@ def surql_type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS arr
           FROM orders WHERE o_orderkey % 300 = 0)
     """,
-)
+hidden=True)
 def surql_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array:: namespace through the parser: distinct/sort/len/reverse/join/
     # includes (fnc/array.rs).

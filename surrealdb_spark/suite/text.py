@@ -33,7 +33,7 @@ def _sql_markers(markers: list[str]) -> str:
            {_SQL_FP} AS fp
     FROM documents
     """,
-)
+hidden=True)
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token counting + document fingerprinting (rolling-hash analogue → md5
     # of the normalized text; string::words core/src/fnc/string.rs).
@@ -66,7 +66,7 @@ def _lang_case_sql() -> str:
            {_sql_markers(T.LANG_MARKERS['zh'])} AS zh_hits
     FROM documents
     """,
-)
+hidden=True)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Language-ID via marker-token hit counts + deterministic argmax.
     docs = Catalog(spark, sf_dir).documents
@@ -100,7 +100,7 @@ _SQL_STOP = ", ".join(f"'{s}'" for s in T.STOPWORDS)
       FROM documents
     )
     """,
-)
+hidden=True)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality scoring: length/stopword/word-shape features, fixed double tree.
     docs = Catalog(spark, sf_dir).documents
@@ -173,7 +173,7 @@ def _bm25_oracle() -> str:
     """
 
 
-@query("bm25_search", oracle=_bm25_oracle(), bench=True)
+@query("bm25_scores", oracle=_bm25_oracle(), hidden=True)
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `text @@ 'spark join filter'` MATCHES + BM25 ranking
     # (scan/fulltext.rs:46, idx/ft/fulltext.rs).

@@ -45,7 +45,7 @@ def _sql_cos_sim(a: str, b: str) -> str:
     ) WHERE rank <= 5
     """,
     bench=True,
-)
+hidden=True)
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <|5|> brute-force KNN (knn_topk.rs:81), cosine distance.
     emb = Catalog(spark, sf_dir).embeddings
@@ -73,7 +73,7 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id IN (10, 20, 30) AND c.vec_id <> q.vec_id
     ) WHERE rank <= 3
     """,
-)
+hidden=True)
 def knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id").isin(10, 20, 30))
@@ -93,7 +93,7 @@ def knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
              (acc, x) -> acc + x) AS manhattan_to_q0
     FROM embeddings c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
     """,
-)
+hidden=True)
 def vector_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector::magnitude / similarity::cosine / distance::manhattan
     # (core/src/fnc/vector.rs) as full-scan column expressions.
@@ -120,7 +120,7 @@ def vector_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e1.vec_id < e2.vec_id
     ) WHERE sim > 0.35
     """,
-)
+hidden=True)
 def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-cosine near-dup pair mining (brute force; LSH is the scale path).
     emb = Catalog(spark, sf_dir).embeddings

@@ -105,7 +105,9 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
     """
     from surrealdb_spark import suite
 
-    qs, oracles = suite.queries(), suite.oracle_sql()
+    # Verify the library children individually too — the driver only sees
+    # the merged entries, but a child failure should be locally attributable.
+    qs, oracles = suite.all_queries(), suite.all_oracles()
     results: dict[str, str] = {}
     for name in names or sorted(oracles):
         try:
