@@ -76,6 +76,11 @@ class Catalog:
             return self.table(name)
         raise AttributeError(name)
 
+    def register(self, name: str, df: DataFrame) -> None:
+        """Register a DataFrame as a named table (DML-created tables,
+        views, subquery results) resolvable in FROM clauses."""
+        self._cache[name] = df
+
     def register_edges(self, name: str, edges: DataFrame) -> None:
         """Register an edge table (columns ``in``/``out`` [+payload])."""
         self.edges[name] = edges

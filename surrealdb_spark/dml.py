@@ -251,7 +251,9 @@ class Database:
             after = after.withColumn(k, v)
         after = self._apply_fields(tbl, after, existing=True).localCheckpoint(eager=True)
         untouched = current.filter(~F.coalesce(cond, F.lit(False)))
-        self._overwrite(tbl, untouched.unionByName(after))
+        # allowMissingColumns: SET may introduce a new field (schemaless
+        # semantics — untouched records get NULL for it)
+        self._overwrite(tbl, untouched.unionByName(after, allowMissingColumns=True))
         self._post_write(tbl, "UPDATE", after, before=before)
         return self._returning(td, before, after, return_)
 

@@ -245,6 +245,11 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         raise ValueError("* only valid as a projection")
     if kind == "array":
         return F.array(*[compile_expr(e, params, types) for e in ast[1]])
+    if kind == "object":
+        # object literal → struct (expr/object.rs; typed-engine mapping)
+        return F.struct(
+            *[compile_expr(v, params, types).alias(k) for k, v in ast[1]]
+        )
     if kind == "path":
         base = compile_expr(ast[1], params, types)
         parts = [

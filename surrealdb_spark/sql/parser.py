@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op>\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||->|<-|<->|\.\.=|\.\.|\*\*|[-+*/%=<>!(),\[\].$:*|])
+  | (?P<op>\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|<->|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
     """,
     re.X,
 )
@@ -37,6 +37,12 @@ KEYWORDS = {
     "CONTAINSNONE", "INSIDE", "NOTINSIDE", "ALLINSIDE", "ANYINSIDE",
     "NONEINSIDE", "TRUE", "FALSE", "NULL", "NONE", "OMIT", "WITH", "NOINDEX",
     "TIMEOUT", "PARALLEL", "EXPLAIN", "COLLATE", "NUMERIC",
+    # DML / DDL statements (expr/statements/*.rs)
+    "CREATE", "INSERT", "INTO", "UPDATE", "UPSERT", "DELETE", "RELATE",
+    "CONTENT", "MERGE", "PATCH", "RETURN", "BEFORE", "AFTER", "DIFF",
+    "DUPLICATE", "KEY", "VALUES", "DEFINE", "TABLE", "FIELD", "TYPE",
+    "ASSERT", "DEFAULT", "FUNCTION", "SCHEMAFULL", "SCHEMALESS", "MATCHES",
+    "SET",
 }
 
 
@@ -45,6 +51,7 @@ class Tok:
     kind: str  # num str param name op kw eof
     text: str
     pos: int
+    orig: str = ""  # original (pre-uppercase) text for kw tokens
 
 
 def tokenize(src: str) -> list[Tok]:
@@ -60,9 +67,9 @@ def tokenize(src: str) -> list[Tok]:
             continue
         text = m.group()
         if kind == "name" and text.upper() in KEYWORDS:
-            out.append(Tok("kw", text.upper(), m.start()))
+            out.append(Tok("kw", text.upper(), m.start(), text))
         else:
-            out.append(Tok(kind, text, m.start()))
+            out.append(Tok(kind, text, m.start(), text))
     out.append(Tok("eof", "", len(src)))
     return out
 
@@ -187,6 +194,21 @@ class Parser:
                     self.expect("op", "]")
                     break
             return self.postfix(("array", elems))
+        if t.kind == "op" and t.text == "{":
+            # object literal {key: expr, ...} (expr/object.rs)
+            self.next()
+            pairs = []
+            while not self.eat("op", "}"):
+                kt = self.next()
+                if kt.kind not in ("name", "str", "kw"):
+                    raise SyntaxError(f"bad object key {kt.text!r} at {kt.pos}")
+                key = kt.text[1:-1] if kt.kind == "str" else (kt.orig or kt.text)
+                self.expect("op", ":")
+                pairs.append((key, self.expr(0)))
+                if not self.eat("op", ","):
+                    self.expect("op", "}")
+                    break
+            return self.postfix(("object", pairs))
         if t.kind == "op" and t.text == "*":
             self.next()
             return ("all",)

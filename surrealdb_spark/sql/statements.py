@@ -1,0 +1,533 @@
+"""SurrealQL DML/DDL statement parser + executor.
+
+Grammar sources: the reference's statement ASTs —
+  CREATE  /root/reference/surrealdb/core/src/expr/statements/create.rs
+  INSERT  .../insert.rs   UPDATE .../update.rs   UPSERT .../upsert.rs
+  DELETE  .../delete.rs   RELATE .../relate.rs
+  DEFINE  .../define/{table,field,function}.rs
+behavior fixtures: /root/reference/language-tests/tests/language/statements/.
+
+Each statement lowers onto the set-oriented ``dml.Database`` operations
+(create/insert/update/upsert/delete/relate) — the Spark-first execution is
+there; this module is only surface syntax → plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from surrealdb_spark.catalog import Catalog
+from surrealdb_spark.dml import Database, FieldDef, TableDef
+from surrealdb_spark.sql.parser import Parser, Select, _parse_select_body
+
+
+# -- statement ASTs ----------------------------------------------------------
+
+
+@dataclass
+class Target:
+    table: str
+    key: object | None = None  # record-id target tb:key
+
+
+@dataclass
+class CreateStmt:
+    target: Target
+    data: tuple | None = None  # ("set",[(f,op,expr)]) | ("content",obj_ast)
+    return_: str = "AFTER"
+
+
+@dataclass
+class InsertStmt:
+    table: str
+    rows: list | None = None          # list of object ASTs
+    select: Select | None = None      # INSERT INTO t (SELECT ...)
+    on_duplicate: list = dc_field(default_factory=list)  # [(f,op,expr)]
+    return_: str = "AFTER"
+
+
+@dataclass
+class UpdateStmt:
+    target: Target
+    data: tuple | None = None  # set/content/merge/patch
+    where: tuple | None = None
+    return_: str = "AFTER"
+    upsert: bool = False
+
+
+@dataclass
+class DeleteStmt:
+    target: Target
+    where: tuple | None = None
+    return_: str = "NONE"
+
+
+@dataclass
+class RelateStmt:
+    from_expr: tuple
+    edge: str
+    to_expr: tuple
+    data: tuple | None = None
+    return_: str = "AFTER"
+
+
+@dataclass
+class DefineTableStmt:
+    name: str
+    schemafull: bool = False
+
+
+@dataclass
+class DefineFieldStmt:
+    table: str
+    name: str
+    dtype: str | None = None
+    default: tuple | None = None
+    assert_: tuple | None = None
+
+
+@dataclass
+class DefineFunctionStmt:
+    name: str                 # fn::<name>
+    params: list = dc_field(default_factory=list)
+    body: tuple = None        # expression AST over the params
+
+
+# -- parsing -----------------------------------------------------------------
+
+_RETURNS = ("NONE", "BEFORE", "AFTER", "DIFF")
+
+
+def parse_statement(src: str):
+    """One statement → Select or a *Stmt dataclass."""
+    p = Parser(src.strip().rstrip(";"))
+    stmt = _parse_statement_body(p)
+    p.expect("eof")
+    return stmt
+
+
+def _parse_statement_body(p: Parser):
+    t = p.peek()
+    if t.kind != "kw":
+        raise SyntaxError(f"expected a statement keyword, got {t.text!r}")
+    if t.text == "SELECT":
+        return _parse_select_body(p)
+    if t.text == "CREATE":
+        p.next()
+        p.eat("kw", "ONLY")
+        tgt = _target(p)
+        data = _data_clause(p)
+        return CreateStmt(tgt, data, _return_clause(p))
+    if t.text == "INSERT":
+        p.next()
+        p.eat("kw", "INTO")
+        tbl = p.expect("name").text
+        st = InsertStmt(tbl)
+        if p.peek().kind == "op" and p.peek().text == "(":
+            p.next()
+            if p.peek().kind == "kw" and p.peek().text == "SELECT":
+                st.select = _parse_select_body(p)
+                p.expect("op", ")")
+            else:
+                # (col, ...) VALUES (expr, ...), (...) — insert.rs VALUES form
+                cols = []
+                while True:
+                    cols.append(p.expect("name").text)
+                    if not p.eat("op", ","):
+                        break
+                p.expect("op", ")")
+                p.expect("kw", "VALUES")
+                st.rows = []
+                while True:
+                    p.expect("op", "(")
+                    vals = []
+                    while True:
+                        vals.append(p.expr(0))
+                        if not p.eat("op", ","):
+                            break
+                    p.expect("op", ")")
+                    st.rows.append(("object", list(zip(cols, vals))))
+                    if not p.eat("op", ","):
+                        break
+        elif p.peek().kind == "op" and p.peek().text == "[":
+            arr = p.expr(0)
+            st.rows = [e for e in arr[1]]
+        else:
+            st.rows = [p.expr(0)]
+        if p.eat("kw", "ON"):
+            p.expect("kw", "DUPLICATE")
+            p.expect("kw", "KEY")
+            p.expect("kw", "UPDATE")
+            st.on_duplicate = _assignments(p)
+        st.return_ = _return_clause(p)
+        return st
+    if t.text in ("UPDATE", "UPSERT"):
+        p.next()
+        p.eat("kw", "ONLY")
+        tgt = _target(p)
+        data = _data_clause(p)
+        where = p.expr(0) if p.eat("kw", "WHERE") else None
+        return UpdateStmt(tgt, data, where, _return_clause(p),
+                          upsert=t.text == "UPSERT")
+    if t.text == "DELETE":
+        p.next()
+        p.eat("kw", "FROM")
+        p.eat("kw", "ONLY")
+        tgt = _target(p)
+        where = p.expr(0) if p.eat("kw", "WHERE") else None
+        return DeleteStmt(tgt, where, _return_clause(p, default="NONE"))
+    if t.text == "RELATE":
+        p.next()
+        frm = p.expr(9)  # bind tighter than -> steps
+        p.expect("op", "->")
+        edge = p.expect("name").text
+        p.expect("op", "->")
+        to = p.expr(9)
+        data = _data_clause(p)
+        return RelateStmt(frm, edge, to, data, _return_clause(p))
+    if t.text == "DEFINE":
+        p.next()
+        what = p.next()
+        if what.text == "TABLE":
+            name = p.expect("name").text
+            schemafull = bool(p.eat("kw", "SCHEMAFULL"))
+            p.eat("kw", "SCHEMALESS")
+            return DefineTableStmt(name, schemafull)
+        if what.text == "FIELD":
+            name = p.expect("name").text
+            p.expect("kw", "ON")
+            p.eat("kw", "TABLE")
+            tbl = p.expect("name").text
+            st = DefineFieldStmt(tbl, name)
+            if p.eat("kw", "TYPE"):
+                st.dtype = p.expect("name").text
+            if p.eat("kw", "DEFAULT"):
+                st.default = p.expr(0)
+            if p.eat("kw", "ASSERT"):
+                st.assert_ = p.expr(0)
+            return st
+        if what.text == "FUNCTION":
+            # DEFINE FUNCTION fn::name($a, $b) { RETURN <expr> }
+            name = p.expect("name").text
+            p.expect("op", "(")
+            params = []
+            while p.peek().kind == "param":
+                params.append(p.next().text[1:])
+                if not p.eat("op", ","):
+                    break
+            p.expect("op", ")")
+            p.expect("op", "{")
+            p.expect("kw", "RETURN")
+            body = p.expr(0)
+            p.eat("op", ";")
+            p.expect("op", "}")
+            return DefineFunctionStmt(name, params, body)
+        raise SyntaxError(f"DEFINE {what.text} not supported")
+    raise SyntaxError(f"unsupported statement {t.text!r}")
+
+
+def _target(p: Parser) -> Target:
+    tb = p.expect("name").text
+    if p.peek().kind == "op" and p.peek().text == ":":
+        p.next()
+        kt = p.next()
+        key: object = int(kt.text) if kt.kind == "num" else kt.text
+        return Target(tb, key)
+    return Target(tb)
+
+
+def _assignments(p: Parser) -> list:
+    out = []
+    while True:
+        f_ = p.expect("name").text
+        opt = p.next()
+        if opt.text not in ("=", "+=", "-="):
+            raise SyntaxError(f"expected assignment op, got {opt.text!r}")
+        out.append((f_, opt.text, p.expr(0)))
+        if not p.eat("op", ","):
+            break
+    return out
+
+
+def _data_clause(p: Parser):
+    """SET/CONTENT/MERGE/PATCH (expr/data.rs Data variants)."""
+    if p.eat("kw", "SET"):
+        return ("set", _assignments(p))
+    if p.eat("kw", "CONTENT"):
+        return ("content", p.expr(0))
+    if p.eat("kw", "MERGE"):
+        return ("merge", p.expr(0))
+    if p.eat("kw", "PATCH"):
+        return ("patch", p.expr(0))
+    return None
+
+
+def _return_clause(p: Parser, default: str = "AFTER") -> str:
+    if not p.eat("kw", "RETURN"):
+        return default
+    t = p.next()
+    if t.text in _RETURNS:
+        return t.text
+    raise SyntaxError(f"RETURN {t.text!r} not supported (NONE/BEFORE/AFTER/DIFF)")
+
+
+# -- execution ---------------------------------------------------------------
+
+
+class StatementRunner:
+    """Executes parsed statements against a Database + Catalog pair.
+
+    SELECTs read through the catalog (DML-created tables are registered on
+    it); mutations lower to dml.Database batch jobs.
+    """
+
+    def __init__(self, spark: SparkSession, db: Database,
+                 catalog: Catalog | None = None, sf_dir: str | None = None):
+        self.spark = spark
+        self.db = db
+        self.catalog = catalog if catalog is not None else (
+            Catalog(spark, sf_dir) if sf_dir else Catalog(spark)
+        )
+        self.functions: dict[str, DefineFunctionStmt] = {}
+
+    # public --------------------------------------------------------------
+
+    def run(self, text: str, params: dict | None = None) -> DataFrame | None:
+        from surrealdb_spark.sql.compiler import compile_select
+
+        stmt = parse_statement(text)
+        params = dict(params or {})
+        if isinstance(stmt, Select):
+            self._refresh_catalog()
+            return compile_select(self.spark, stmt, catalog=self.catalog,
+                                  params=params)
+        return self._execute(stmt, params)
+
+    # internals -----------------------------------------------------------
+
+    def _refresh_catalog(self) -> None:
+        for name in self.db.tables:
+            if self.db._exists(name):
+                self.catalog.register(name, self.db.table(name))
+
+    def _execute(self, stmt, params: dict) -> DataFrame | None:
+        if isinstance(stmt, DefineTableStmt):
+            self.db.define_table(TableDef(stmt.name))
+            return None
+        if isinstance(stmt, DefineFieldStmt):
+            td = self.db.tables[stmt.table]
+            dtype = {"int": "bigint", "float": "double", "number": "double",
+                     "string": "string", "bool": "boolean",
+                     "datetime": "timestamp"}.get(stmt.dtype, stmt.dtype)
+            default = None
+            if stmt.default is not None:
+                dast = stmt.default
+                default = (lambda a: (lambda: self._expr(a, {})))(dast)
+            assert_fn = None
+            if stmt.assert_ is not None:
+                aast = stmt.assert_
+                assert_fn = (lambda a: (
+                    lambda col: self._expr(a, {"value": col, "this": col})
+                ))(aast)
+            td.fields.append(FieldDef(stmt.name, dtype, default, assert_fn))
+            return None
+        if isinstance(stmt, DefineFunctionStmt):
+            # UDF-as-macro: the body is inlined at call sites
+            # (define/function.rs — the reference stores the AST too).
+            self.functions[stmt.name] = stmt
+            from surrealdb_spark.functions.registry import REGISTRY
+
+            body, names = stmt.body, list(stmt.params)
+
+            def call(*cols):
+                binds = dict(zip(names, cols))
+                return self._expr(body, binds)
+
+            REGISTRY[f"fn::{stmt.name}"] = call
+            return None
+        if isinstance(stmt, CreateStmt):
+            rows = self._literal_rows(
+                [self._data_obj(stmt.data, params)], stmt.target, params
+            )
+            out = self.db.create(stmt.target.table, rows)
+            return self._ret(out, out, stmt.return_)
+        if isinstance(stmt, InsertStmt):
+            if stmt.select is not None:
+                from surrealdb_spark.sql.compiler import compile_select
+
+                self._refresh_catalog()
+                df = compile_select(self.spark, stmt.select,
+                                    catalog=self.catalog, params=params)
+            else:
+                df = self._literal_rows(
+                    [self._obj(r, params) for r in stmt.rows],
+                    Target(stmt.table), params,
+                )
+            dup = None
+            if stmt.on_duplicate:
+                dup = {f_: self._assign_col(f_, op, ast, df, params)
+                       for f_, op, ast in stmt.on_duplicate}
+            out = self.db.insert(stmt.table, df, on_duplicate=dup)
+            return self._ret(out, out, stmt.return_)
+        if isinstance(stmt, UpdateStmt):
+            tbl = stmt.target.table
+            where = self._where(stmt.target, stmt.where, tbl, params)
+            if stmt.upsert and stmt.target.key is not None and not self._matches(tbl, where):
+                rows = self._literal_rows(
+                    [self._data_obj(stmt.data, params)], stmt.target, params
+                )
+                out = self.db.upsert(tbl, rows)
+                return self._ret(out, out, stmt.return_)
+            set_exprs = self._set_exprs(stmt.data, tbl, params)
+            return self.db.update(tbl, set_exprs, where, stmt.return_)
+        if isinstance(stmt, DeleteStmt):
+            tbl = stmt.target.table
+            where = self._where(stmt.target, stmt.where, tbl, params)
+            return self.db.delete(tbl, where, stmt.return_)
+        if isinstance(stmt, RelateStmt):
+            frm = self._scalar(stmt.from_expr, params)
+            to = self._scalar(stmt.to_expr, params)
+            extra = self._data_obj(stmt.data, params) if stmt.data else {}
+            row = {"in": frm, "out": to, **extra}
+            edges = self.spark.createDataFrame([row])
+            out = self.db.relate(stmt.edge, edges)
+            return self._ret(out, out, stmt.return_)
+        raise ValueError(f"unhandled statement {stmt!r}")
+
+    # helpers --------------------------------------------------------------
+
+    def _expr(self, ast, params: dict) -> Column:
+        from surrealdb_spark.sql.compiler import compile_expr
+
+        return compile_expr(ast, params)
+
+    def _scalar(self, ast, params: dict):
+        """Evaluate a driver-side literal expression (record ids, constants)."""
+        if ast[0] == "lit":
+            return ast[1]
+        if ast[0] == "param":
+            return params[ast[1]]
+        row = self.spark.range(1).select(self._expr(ast, params).alias("v")).first()
+        return row["v"]
+
+    def _obj(self, ast, params: dict) -> dict:
+        if ast[0] != "object":
+            raise ValueError("expected an object literal")
+        return {k: self._scalar(v, params) for k, v in ast[1]}
+
+    def _data_obj(self, data, params: dict) -> dict:
+        if data is None:
+            return {}
+        kind, payload = data
+        if kind == "content":
+            return self._obj(payload, params)
+        if kind == "set":
+            out = {}
+            for f_, op, ast in payload:
+                if op != "=":
+                    raise ValueError("+=/-= need an existing record (use UPDATE)")
+                out[f_] = self._scalar(ast, params)
+            return out
+        raise ValueError(f"{kind.upper()} not valid here")
+
+    def _literal_rows(self, dicts: list[dict], tgt: Target, params: dict) -> DataFrame:
+        rows = []
+        for i, d in enumerate(dicts):
+            d = dict(d)
+            if "id" not in d:
+                if tgt.key is not None:
+                    d["id"] = f"{tgt.table}:{tgt.key}"
+                else:
+                    import uuid as _uuid
+
+                    d["id"] = f"{tgt.table}:{_uuid.uuid4().hex[:16]}"
+            elif not isinstance(d["id"], str) or ":" not in str(d["id"]):
+                d["id"] = f"{tgt.table}:{d['id']}"
+            rows.append(d)
+        keys = sorted({k for d in rows for k in d})
+        return self.spark.createDataFrame([{k: d.get(k) for k in keys} for d in rows])
+
+    def _where(self, tgt: Target, where_ast, tbl: str, params: dict) -> Column | None:
+        conds = []
+        if tgt.key is not None:
+            conds.append(F.col("id") == f"{tgt.table}:{tgt.key}")
+        if where_ast is not None:
+            from surrealdb_spark.sql.compiler import compile_expr, types_of
+
+            types = types_of(self.db.table(tbl)) if self.db._exists(tbl) else {}
+            conds.append(compile_expr(where_ast, params, types))
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def _matches(self, tbl: str, where: Column | None) -> bool:
+        if not self.db._exists(tbl):
+            return False
+        df = self.db.table(tbl)
+        if where is not None:
+            df = df.filter(where)
+        return df.limit(1).count() > 0
+
+    def _set_exprs(self, data, tbl: str, params: dict) -> dict[str, Column]:
+        from surrealdb_spark.sql.compiler import compile_expr, types_of
+
+        if data is None:
+            return {}
+        types = types_of(self.db.table(tbl)) if self.db._exists(tbl) else {}
+        kind, payload = data
+        if kind == "set":
+            out = {}
+            for f_, op, ast in payload:
+                rhs = compile_expr(ast, params, types)
+                if op == "+=":
+                    rhs = F.coalesce(F.col(f_), F.lit(0)) + rhs
+                elif op == "-=":
+                    rhs = F.coalesce(F.col(f_), F.lit(0)) - rhs
+                out[f_] = rhs
+            return out
+        if kind in ("content", "merge"):
+            obj = self._obj(payload, params)
+            out = {k: F.lit(v) for k, v in obj.items()}
+            if kind == "content":
+                # CONTENT replaces the document: non-listed fields → NULL
+                existing = set(self.db.table(tbl).columns) if self.db._exists(tbl) else set()
+                td = self.db.tables[tbl]
+                for c in existing - set(obj) - {td.id_col}:
+                    out[c] = F.lit(None)
+            return out
+        if kind == "patch":
+            # JSON-Patch array: add/replace/remove ops on flat fields
+            out = {}
+            for op_ast in payload[1]:
+                op = self._obj(op_ast, params)
+                key = str(op["path"]).lstrip("/")
+                if op["op"] in ("add", "replace"):
+                    out[key] = F.lit(op["value"])
+                elif op["op"] == "remove":
+                    out[key] = F.lit(None)
+            return out
+        raise ValueError(kind)
+
+    def _assign_col(self, f_: str, op: str, ast, df: DataFrame, params: dict) -> Column:
+        from surrealdb_spark.sql.compiler import compile_expr
+
+        rhs = compile_expr(ast, params)
+        if op == "+=":
+            return F.coalesce(F.col(f_), F.lit(0)) + rhs
+        if op == "-=":
+            return F.coalesce(F.col(f_), F.lit(0)) - rhs
+        return rhs
+
+    @staticmethod
+    def _ret(before: DataFrame, after: DataFrame, mode: str) -> DataFrame:
+        if mode == "NONE":
+            return after.limit(0)
+        if mode == "BEFORE":
+            return before
+        return after

@@ -500,3 +500,34 @@ def surql_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      FROM orders WHERE o_orderkey % 300 = 0)",
         sf_dir,
     )
+
+
+@query(
+    "surql_dml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice > 450000 THEN 'big' END AS flag
+    FROM orders
+    WHERE o_totalprice > 400000 AND o_orderkey % 10 <> 0
+    """,
+)
+def surql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SurrealQL DML statements end-to-end (expr/statements/{create,insert,
+    # update,delete}.rs): INSERT-from-SELECT, UPDATE SET with a new field,
+    # DELETE WHERE, then SELECT back — the oracle recomputes the surviving
+    # state directly from the source table.
+    import tempfile
+
+    from surrealdb_spark.dml import Database, TableDef
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, tempfile.mkdtemp(prefix="surql_dml_"))
+    db.define_table(TableDef("hot"))
+    r = StatementRunner(spark, db, catalog=Catalog(spark, sf_dir))
+    r.run(
+        "INSERT INTO hot (SELECT id, o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 400000)"
+    )
+    r.run("UPDATE hot SET flag = 'big' WHERE o_totalprice > 450000")
+    r.run("DELETE hot WHERE o_orderkey % 10 = 0")
+    return r.run("SELECT o_orderkey, o_totalprice, flag FROM hot")

@@ -1,0 +1,124 @@
+"""SurrealQL DML/DDL statement parsing + execution (sql/statements.py).
+
+Parity targets: /root/reference/surrealdb/core/src/expr/statements/
+{create,insert,update,delete,relate}.rs and language-tests fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from surrealdb_spark.dml import Database, TableDef
+from surrealdb_spark.sql.statements import (
+    CreateStmt,
+    DeleteStmt,
+    InsertStmt,
+    StatementRunner,
+    UpdateStmt,
+    parse_statement,
+)
+
+
+def test_parse_shapes():
+    c = parse_statement("CREATE person:1 SET name = 'Tobie', age = 30 + 4")
+    assert isinstance(c, CreateStmt)
+    assert (c.target.table, c.target.key) == ("person", 1)
+    assert c.data[0] == "set" and c.data[1][0][0] == "name"
+
+    i = parse_statement(
+        "INSERT INTO person [{id: 2, name: 'Jaime'}, {id: 3, name: 'A'}]"
+    )
+    assert isinstance(i, InsertStmt) and len(i.rows) == 2
+
+    iv = parse_statement("INSERT INTO person (id, name) VALUES (4, 'B'), (5, 'C')")
+    assert len(iv.rows) == 2 and iv.rows[0][1][0][0] == "id"
+
+    u = parse_statement(
+        "UPDATE person SET age += 1 WHERE age > 18 RETURN DIFF"
+    )
+    assert isinstance(u, UpdateStmt) and u.return_ == "DIFF"
+    assert u.data[1][0][1] == "+="
+
+    d = parse_statement("DELETE person:9 RETURN BEFORE")
+    assert isinstance(d, DeleteStmt) and d.target.key == 9
+
+    sub = parse_statement("INSERT INTO hot (SELECT * FROM orders)")
+    assert sub.select is not None
+
+    content = parse_statement("UPDATE person:1 CONTENT {name: 'Z', age: 1}")
+    assert content.data[0] == "content"
+
+
+def test_dml_roundtrip(spark, tmp_path):
+    db = Database(spark, str(tmp_path))
+    db.define_table(TableDef("person"))
+    r = StatementRunner(spark, db)
+
+    out = r.run("CREATE person:1 SET name = 'Tobie', age = 30")
+    assert out.count() == 1
+    r.run("INSERT INTO person [{id: 2, name: 'Jaime', age: 28}, "
+          "{id: 3, name: 'Alex', age: 17}]")
+    assert db.table("person").count() == 3
+
+    r.run("UPDATE person SET age += 1 WHERE age >= 28")
+    rows = {x["id"]: x["age"] for x in db.table("person").collect()}
+    assert rows["person:1"] == 31 and rows["person:2"] == 29 and rows["person:3"] == 17
+
+    before = r.run("DELETE person WHERE age < 20 RETURN BEFORE")
+    assert before.count() == 1
+    assert db.table("person").count() == 2
+
+    # UPSERT creates the missing record, updates the present one
+    r.run("UPSERT person:9 SET name = 'New', age = 1")
+    r.run("UPSERT person:9 SET age = 2")
+    nine = [x for x in db.table("person").collect() if x["id"] == "person:9"]
+    assert nine[0]["age"] == 2
+
+    # SELECT reads back through the same runner
+    got = r.run("SELECT name, age FROM person WHERE age > 1 ORDER BY name")
+    assert [x["name"] for x in got.collect()] == ["Jaime", "New", "Tobie"]
+
+
+def test_relate_and_define(spark, tmp_path):
+    db = Database(spark, str(tmp_path))
+    db.define_table(TableDef("person"))
+    r = StatementRunner(spark, db)
+    r.run("CREATE person:1 SET name = 'a'")
+    r.run("CREATE person:2 SET name = 'b'")
+    r.run("RELATE person:1->knows->person:2 SET since = 2020")
+    edges = db.table("knows").collect()
+    assert len(edges) == 1
+    assert edges[0]["in"] == "person:1" and edges[0]["out"] == "person:2"
+    assert edges[0]["since"] == 2020
+
+    r.run("DEFINE TABLE animal")
+    r.run("DEFINE FIELD legs ON animal TYPE int DEFAULT 4")
+    r.run("CREATE animal:cat SET sound = 'meow'")
+    cat = db.table("animal").collect()[0]
+    assert cat["legs"] == 4
+
+    # DEFINE FUNCTION — UDF-as-macro inlined at call sites
+    r.run("DEFINE FUNCTION greet($who) { RETURN string::concat('hi ', $who) }")
+    got = r.run("SELECT VALUE fn::greet(name) FROM person ORDER BY name")
+    assert [x["value"] for x in got.collect()] == ["hi a", "hi b"]
+
+
+def test_insert_on_duplicate(spark, tmp_path):
+    db = Database(spark, str(tmp_path))
+    db.define_table(TableDef("cnt"))
+    r = StatementRunner(spark, db)
+    r.run("INSERT INTO cnt {id: 'a', n: 1}")
+    r.run("INSERT INTO cnt {id: 'a', n: 1} ON DUPLICATE KEY UPDATE n += 1")
+    rows = db.table("cnt").collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2
+
+
+def test_create_clash_errors(spark, tmp_path):
+    from surrealdb_spark.dml import MutationError
+
+    db = Database(spark, str(tmp_path))
+    db.define_table(TableDef("t"))
+    r = StatementRunner(spark, db)
+    r.run("CREATE t:1 SET x = 1")
+    with pytest.raises(MutationError):
+        r.run("CREATE t:1 SET x = 2")
