@@ -144,6 +144,20 @@ def truthy_array(c) -> Column:
     return _c(c).isNotNull() & (F.size(_c(c)) > 0)
 
 
+# -- full-text match (operator.rs Matches `@@`) -----------------------------
+
+
+def matches(text, query) -> Column:
+    """`@@` — the document's analyzed tokens contain at least one query term
+    (FullTextScan predicate semantics; BM25 scoring lives in
+    operators/fulltext.py — the predicate form is index-free and JVM-side).
+    Tokenization mirrors pipeline/text.py: lowercase, split on non-alnum.
+    """
+    toks = F.split(F.lower(_c(text)), r"[^a-z0-9]+")
+    qtoks = F.split(F.lower(_c(query)), r"[^a-z0-9]+")
+    return F.arrays_overlap(toks, qtoks)
+
+
 # -- ranges (operator.rs:108-112: .. ..= >.. >..=) --------------------------
 
 

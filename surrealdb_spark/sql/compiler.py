@@ -98,6 +98,7 @@ _BINOPS = {
     "?=": O.any_eq,
     "..": lambda a, b: O.range_struct(a, b, True, False),
     "..=": lambda a, b: O.range_struct(a, b, True, True),
+    "@@": O.matches,
 }
 
 
@@ -482,6 +483,10 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
 
     # filter — IN/NOTINSIDE (subquery) conjuncts become semi/anti joins
     # (Catalyst decorrelation territory, SURVEY §4; here: explicit rewrite)
+    knn_specs: list[tuple] = []
+    if sel.where is not None:
+        sel_where, knn_specs = _split_knn_filters(sel.where)
+        sel = _replace(sel, where=sel_where)
     if sel.where is not None:
         rest, sub_filters = _split_subquery_filters(sel.where)
         for lhs_ast, sub_sel, positive in sub_filters:
@@ -494,6 +499,22 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             )
         if rest is not None:
             df = df.filter(compile_expr(rest, params, types))
+
+    # KNN `<|k[,metric]|>` — global top-k by distance after the other
+    # filters (operator.rs NearestNeighbor → KnnScan; brute-force path of
+    # operators/knn.py: TakeOrderedAndProject, no full sort at scale)
+    for k, metric, lhs_ast, rhs_ast in knn_specs:
+        from surrealdb_spark.functions import vector as V
+
+        lhs = compile_expr(lhs_ast, params, types)
+        rhs = compile_expr(rhs_ast, params, types)
+        dist = {
+            "cosine": lambda a, b: 1 - V.cosine_similarity(a, b),
+            "manhattan": V.manhattan,
+            "chebyshev": V.chebyshev,
+        }.get((metric or "euclidean").lower(), V.euclidean)(lhs, rhs)
+        df = df.withColumn("__knn_dist", dist).orderBy("__knn_dist").limit(k)
+        df = df.drop("__knn_dist")
 
     # split (explode, operators/split.rs)
     for f_ in sel.split:
@@ -562,10 +583,13 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         graph_fields = [f for f in sel.fields if f.expr[0] == "graphpath"]
         if graph_fields:
             df = _attach_graph_fields(df, cat, sel, graph_fields, params)
+        rec_fields = [f for f in sel.fields if _is_recurse_path(f.expr)]
+        if rec_fields:
+            df = _attach_recurse_fields(df, cat, rec_fields)
         cols = [F.col("*")] if sel.star else []
         for fld in sel.fields:
             name = fld.alias or _default_name(fld.expr)
-            if fld.expr[0] == "graphpath":
+            if fld.expr[0] == "graphpath" or _is_recurse_path(fld.expr):
                 cols.append(F.col(name))
             else:
                 cols.append(compile_expr(fld.expr, params, types).alias(name))
@@ -629,6 +653,90 @@ def _attach_graph_fields(df, cat: Catalog, sel: Select, graph_fields, params):
         df = df.join(nested, df.__rid == nested.start, "left").drop("start")
         df = df.withColumn(alias, F.coalesce(F.col(alias), F.array().cast("array<string>")))
     return df.drop("__rid")
+
+
+def _replace(sel: Select, **kw) -> Select:
+    import dataclasses
+
+    return dataclasses.replace(sel, **kw)
+
+
+def _split_knn_filters(ast):
+    """Pull `field <|k[,metric]|> vec` conjuncts out of a WHERE tree
+    (top-level ANDs).  Returns (remaining_ast|None, [(k, metric, lhs, rhs)])."""
+    specs: list = []
+
+    def walk(node):
+        if node[0] == "bin" and node[1] in ("AND", "&&"):
+            l, r = walk(node[2]), walk(node[3])
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return ("bin", "AND", l, r)
+        if node[0] == "knn":
+            _, k, metric, lhs, rhs = node
+            specs.append((k, metric, lhs, rhs))
+            return None
+        return node
+
+    return walk(ast), specs
+
+
+def _is_recurse_path(expr) -> bool:
+    return expr[0] == "path" and any(p[0] == "recurse" for p in expr[2])
+
+
+def _attach_recurse_fields(df: DataFrame, cat: Catalog, fields) -> DataFrame:
+    """`id.{min..max}[+instr](->edge->tbl)` projections → iterative BFS
+    (operators/graph.py recurse/recurse_paths/shortest_depth; reference
+    exec/operators/recursion.rs).  Results re-nest per start record:
+    +collect (default) → sorted node array, +path → sorted path-string
+    array, +shortest=<rid> → min depth int."""
+    from surrealdb_spark.operators import graph as GR
+
+    for fld in fields:
+        base, parts = fld.expr[1], fld.expr[2]
+        assert base[0] == "ident", "recursion paths start from a record-id column"
+        id_col = base[1]
+        recs = [p for p in parts if p[0] == "recurse"]
+        if len(recs) != 1 or len(parts) != 1:
+            raise ValueError("a recursion part must be the whole path")
+        _, (lo, hi), instr, steps = recs[0]
+        if len(steps) != 1:
+            raise ValueError("recursion repeats exactly one ->edge->target step")
+        direction, edge, target = steps[0]
+        if edge not in cat.edges:
+            raise KeyError(f"edge table {edge!r} not registered on the catalog")
+        there = "out" if direction == "out" else "in"
+        e = cat.edges[edge].filter(F.col(there).startswith(f"{target}:"))
+        lo = 1 if lo is None else lo
+        hi = GR.RECURSION_LIMIT if hi is None else hi
+        name = fld.alias or "recurse"
+        start = df.select(F.col(id_col).alias("id")).distinct()
+        kind = instr.get("kind", "collect")
+        if "shortest" in instr:
+            tgt = instr["shortest"]
+            tgt_col = F.lit(tgt[1]) if tgt[0] == "lit" else F.lit(str(tgt[1]))
+            agg = GR.shortest_depth(start, e, tgt_col, hi, direction).select(
+                "start", F.col("depth").alias(name)
+            )
+        elif kind == "path":
+            reached = GR.recurse_paths(start, e, lo, hi, direction)
+            agg = reached.groupBy("start").agg(
+                F.array_sort(F.collect_list("path")).alias(name)
+            )
+        else:
+            reached = GR.recurse(start, e, lo, hi, direction)
+            agg = reached.groupBy("start").agg(
+                F.array_sort(F.collect_list("node")).alias(name)
+            )
+        df = df.join(agg, df[id_col] == agg.start, "left").drop("start")
+        if "shortest" not in instr:  # array-valued kinds → [] for no matches
+            df = df.withColumn(
+                name, F.coalesce(F.col(name), F.array().cast("array<string>"))
+            )
+    return df
 
 
 def _split_subquery_filters(ast):

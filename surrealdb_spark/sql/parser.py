@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op>\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|<->|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
+  | (?P<op><\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|<->|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
     """,
     re.X,
 )
@@ -90,6 +90,7 @@ _BIN_BP = {
     "+": (12, 13), "-": (12, 13),
     "*": (14, 15), "/": (14, 15), "%": (14, 15),
     "**": (17, 16),  # right-associative
+    "@@": (8, 9), "MATCHES": (8, 9),  # full-text match (operator.rs Matches)
 }
 
 
@@ -126,6 +127,20 @@ class Parser:
         while True:
             t = self.peek()
             op = t.text if t.kind == "op" else (t.text if t.kind == "kw" else None)
+            if op == "<|":
+                # KNN operator <|k[,metric_or_ef]|> (operator.rs NearestNeighbor)
+                if 8 < min_bp:
+                    break
+                self.next()
+                k = int(self.expect("num").text)
+                metric = None
+                if self.eat("op", ","):
+                    mt = self.next()
+                    metric = mt.text if mt.kind in ("name", "num") else None
+                self.expect("op", "|>")
+                rhs = self.expr(9)
+                lhs = ("knn", k, metric, lhs, rhs)
+                continue
             if op not in _BIN_BP:
                 break
             lbp, rbp = _BIN_BP[op]
@@ -133,6 +148,8 @@ class Parser:
                 break
             self.next()
             rhs = self.expr(rbp)
+            if op == "MATCHES":
+                op = "@@"
             lhs = ("bin", op, lhs, rhs)
         return lhs
 
@@ -233,6 +250,57 @@ class Parser:
             return self.postfix(("ident", t.text))
         raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
+    def _curly_part(self):
+        """`.{...}` — recursion `{min..max}[+instr]` or destructure `{a, b}`
+        (syn/parser/idiom.rs parse_curly_part; `{` already consumed)."""
+        t = self.peek()
+        if t.kind == "num" or (t.kind == "op" and t.text == ".."):
+            lo = None
+            if t.kind == "num":
+                lo = int(self.next().text)
+            if self.eat("op", ".."):
+                hi = int(self.next().text) if self.peek().kind == "num" else None
+            else:
+                hi = lo  # {n} = Recurse::Fixed
+            instr: dict = {}
+            while self.eat("op", "+"):
+                kind = self.expect("name").text.lower()
+                if kind == "shortest":
+                    self.expect("op", "=")
+                    instr["shortest"] = self.expr(0)
+                elif kind == "inclusive":
+                    instr["inclusive"] = True
+                elif kind in ("collect", "path"):
+                    instr["kind"] = kind
+                else:
+                    raise SyntaxError(f"unknown recursion instruction +{kind}")
+            self.expect("op", "}")
+            steps = []
+            if self.eat("op", "("):
+                steps = self._graph_steps()
+                self.eat("op", ".")  # optional trailing .@ repeat marker
+                self.eat("op", "@")
+                self.expect("op", ")")
+            return ("recurse", (lo, hi), instr, steps)
+        # destructure: {a, b.*, c.{...}}
+        fields = []
+        while not self.eat("op", "}"):
+            name = self.expect("name").text
+            sub: list = []
+            if self.eat("op", "."):
+                nt = self.next()
+                if nt.kind == "op" and nt.text == "*":
+                    sub = [("all",)]
+                elif nt.kind == "op" and nt.text == "{":
+                    sub = [self._curly_part()]
+                else:
+                    raise SyntaxError(f"bad destructure segment {nt.text!r}")
+            fields.append((name, sub))
+            if not self.eat("op", ","):
+                self.expect("op", "}")
+                break
+        return ("destructure", fields)
+
     def _graph_steps(self):
         steps = []
         while self.peek().kind == "op" and self.peek().text in ("->", "<-"):
@@ -246,10 +314,23 @@ class Parser:
     def postfix(self, base):
         parts = []
         while True:
+            if self.eat("op", "?."):
+                # ?. optional chaining (part.rs Optional) — null-propagating
+                parts.append(("optional",))
+                nt = self.next()
+                if nt.kind == "op" and nt.text == "*":
+                    parts.append(("all",))
+                elif nt.kind == "name":
+                    parts.append(("field", nt.text))
+                else:
+                    raise SyntaxError(f"bad path segment {nt.text!r} at {nt.pos}")
+                continue
             if self.eat("op", "."):
                 nt = self.next()
                 if nt.kind == "op" and nt.text == "*":
                     parts.append(("all",))
+                elif nt.kind == "op" and nt.text == "{":
+                    parts.append(self._curly_part())
                 elif nt.kind == "name":
                     parts.append(("field", nt.text))
                 else:

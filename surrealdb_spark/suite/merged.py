@@ -415,6 +415,9 @@ _QUERY_CHILDREN = {
     "surql_anti_join": dict(k="c_custkey"),
     "surql_from_subquery": dict(k="n", s1="o_orderpriority"),
     "surql_graph_traversal": dict(s1="id", s2="c_name", s3="__join:orders"),
+    "surql_recurse": dict(s1="id", s2="__join:anc"),
+    "surql_matches": dict(k="doc_id"),
+    "surql_knn": dict(k="vec_id", d1="dist"),
 }
 
 

@@ -531,3 +531,94 @@ def surql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r.run("UPDATE hot SET flag = 'big' WHERE o_totalprice > 450000")
     r.run("DELETE hot WHERE o_orderkey % 10 = 0")
     return r.run("SELECT o_orderkey, o_totalprice, flag FROM hot")
+
+
+_SQL_DOCWORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@query(
+    "surql_recurse",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT concat('customer:', CAST(c_custkey AS VARCHAR)) AS start,
+             c_custkey AS k, 0 AS depth
+      FROM customer WHERE c_custkey % 97 = 0 AND c_custkey >= 2
+      UNION ALL
+      SELECT start, k // 2, depth + 1 FROM anc WHERE depth < 5 AND k >= 2
+    )
+    SELECT start AS id,
+           list_sort(list(concat('customer:', CAST(k AS VARCHAR)))) AS anc
+    FROM anc WHERE depth >= 1 GROUP BY start
+    """,
+    hidden=True,
+)
+def surql_recurse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `.{min..max}(->edge->tbl)` recursion in SurrealQL text (syn/parser/
+    # idiom.rs parse_recurse_part → exec/operators/recursion.rs), lowered
+    # to the BFS of operators/graph.py.
+    from surrealdb_spark.sql import surql
+    from surrealdb_spark.suite.graph import _reports_to
+
+    cat = Catalog(spark, sf_dir)
+    cat.register_edges("reports_to", _reports_to(cat))
+    return surql(
+        spark,
+        "SELECT id, id.{1..5}(->reports_to->customer) AS anc "
+        "FROM customer WHERE c_custkey % 97 = 0 AND c_custkey >= 2",
+        sf_dir,
+        catalog=cat,
+    )
+
+
+@query(
+    "surql_matches",
+    oracle=f"""
+    SELECT doc_id FROM documents
+    WHERE doc_id % 7 = 0
+      AND list_has_any({_SQL_DOCWORDS}, ['customer', 'window'])
+    """,
+    hidden=True,
+)
+def surql_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `@@` MATCHES operator in query text (operator.rs Matches): index-free
+    # token-overlap predicate; BM25 scoring is operators/fulltext.py.
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id % 7 = 0 AND text @@ 'customer window'",
+        sf_dir,
+    )
+
+
+_KNN_Q = [round(i / 100, 2) for i in range(64)]
+_SQL_KNN_Q = "[" + ", ".join(f"{v:.2f}e0" for v in _KNN_Q) + "]"
+_SQL_KNN_DIST = f"""
+  sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+      i -> (CAST(embedding[i] AS DOUBLE) - ({_SQL_KNN_Q})[i])
+         * (CAST(embedding[i] AS DOUBLE) - ({_SQL_KNN_Q})[i])),
+    (acc, x) -> acc + x))
+"""
+
+
+@query(
+    "surql_knn",
+    oracle=f"""
+    SELECT vec_id, {_SQL_KNN_DIST} AS dist
+    FROM embeddings ORDER BY dist LIMIT 3
+    """,
+    hidden=True,
+)
+def surql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `<|k|>` nearest-neighbor operator in query text (operator.rs
+    # NearestNeighbor → KnnScan): global top-k by distance after filters.
+    from surrealdb_spark.sql import surql
+
+    return surql(
+        spark,
+        "SELECT vec_id, vector::distance::euclidean(embedding, $q) AS dist "
+        "FROM embeddings WHERE embedding <|3|> $q",
+        sf_dir,
+        params={"q": _KNN_Q},
+    )

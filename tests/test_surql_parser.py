@@ -137,3 +137,41 @@ def test_math_fixed_rounds():
 
     with _pytest.raises(ValueError):
         math_fns.fixed(F.lit(1.5), 0)
+
+
+def test_recursion_matches_knn_shapes(spark, sf_dir):
+    # .{min..max}(->edge->tbl) — recursion part (syn/parser/idiom.rs)
+    ast = parse_expr("id.{1..5}(->knows->person)")
+    assert ast[0] == "path"
+    rec = ast[2][0]
+    assert rec[0] == "recurse" and rec[1] == (1, 5)
+    assert rec[3] == [("out", "knows", "person")]
+    fixed = parse_expr("id.{3}(->knows->person)")
+    assert fixed[2][0][1] == (3, 3)
+    shortest = parse_expr("id.{..4+shortest=person:0}(->knows->person)")
+    assert shortest[2][0][1] == (None, 4)
+    assert shortest[2][0][2]["shortest"] == ("lit", "person:0")
+
+    # ?. optional chaining and .{a,b} destructure
+    opt = parse_expr("link?.name")
+    assert opt[2][0] == ("optional",) and opt[2][1] == ("field", "name")
+    de = parse_expr("person.{name, age}")
+    assert de[2][0] == ("destructure", [("name", []), ("age", [])])
+
+    # @@ MATCHES and <|k|> KNN operators
+    m = parse_expr("text @@ 'hello world'")
+    assert m[0] == "bin" and m[1] == "@@"
+    m2 = parse_expr("text MATCHES 'hello'")
+    assert m2[1] == "@@"
+    k = parse_expr("embedding <|5,cosine|> $q")
+    assert k[0] == "knn" and k[1] == 5 and k[2] == "cosine"
+
+    # end-to-end: destructure + optional chain over a struct value
+    out = surql(
+        spark,
+        "SELECT o_orderkey, {name: o_orderpriority, key: o_orderkey}.{name} AS who, "
+        "{name: o_orderpriority}?.name AS nm FROM orders WHERE o_orderkey % 500 = 0",
+        sf_dir,
+    )
+    row = out.orderBy("o_orderkey").limit(1).collect()[0]
+    assert row["who"]["name"] == row["nm"]
