@@ -82,9 +82,33 @@ class Sequence:
         return start
 
     def assign_ids(self, df: DataFrame, col: str = "seq_id") -> DataFrame:
-        """Assign contiguous sequence ids to every row of df (one block
-        reservation + zipWithIndex-style numbering)."""
-        n = df.count()
+        """Assign contiguous sequence ids to every row of df: one block
+        reservation + partition-offset numbering (zipWithIndex shape).
+
+        Per-partition counts → cumulative offsets (a tiny driver array) →
+        per-partition row_number + offset.  The window partitions by
+        spark_partition_id, so numbering parallelizes across partitions —
+        never the single-partition global window that collapses the whole
+        table onto one task.
+        """
+        dfp = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__ord", F.monotonically_increasing_id()
+        )
+        counts = sorted(
+            (r["__pid"], r["cnt"])
+            for r in dfp.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        n = sum(c for _, c in counts)
         start = self.nextval_block(n)
-        w = F.row_number().over(W.orderBy(F.monotonically_increasing_id()))
-        return df.withColumn(col, w + F.lit(start - 1))
+        if n == 0:
+            return df.withColumn(col, F.lit(None).cast("long"))
+        acc, offsets = start, {}
+        for p, c in counts:
+            offsets[p] = acc
+            acc += c
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        rn = F.row_number().over(W.partitionBy("__pid").orderBy("__ord")) - 1
+        return (
+            dfp.withColumn(col, (omap[F.col("__pid")] + rn).cast("long"))
+            .drop("__pid", "__ord")
+        )

@@ -49,13 +49,18 @@ class FulltextIndex:
     postings."""
 
     def __init__(self, df: DataFrame, id_col: str, text_col: str):
-        self.postings = build_postings(df, id_col, text_col).cache()
-        self.doc_lengths = doc_lengths(df, id_col, text_col).cache()
-        stats = self.doc_lengths.agg(
-            F.count(F.lit(1)).alias("N"), F.sum("dl").alias("sum_dl")
-        ).collect()[0]
-        self.n_docs = stats["N"]
-        self.avgdl = stats["sum_dl"] / stats["N"]
+        # ONE tokenization pass: postings are materialized, and doc lengths
+        # are Σtf per doc FROM the postings (≡ size(words(text)) — every
+        # token lands in exactly one (doc, term) group) instead of a second
+        # corpus scan.  N comes from a metadata-only count; avgdl = Σtf / N
+        # is unchanged (token-less docs contribute 0 either way).
+        self.postings = build_postings(df, id_col, text_col).localCheckpoint(eager=True)
+        self.doc_lengths = self.postings.groupBy("doc").agg(
+            F.sum("tf").alias("dl")
+        )
+        self.n_docs = df.count()
+        sum_dl = self.postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
+        self.avgdl = sum_dl / self.n_docs
 
     def search(self, terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return _bm25_over(
@@ -86,14 +91,8 @@ def bm25_search(
     tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).  Returns (doc, score, rank),
     ties broken by doc id.
     """
-    postings = build_postings(df, id_col, text_col).filter(F.col("term").isin(*terms))
-    dls = doc_lengths(df, id_col, text_col)
-    stats = dls.agg(
-        F.count(F.lit(1)).alias("N"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    return _bm25_over(
-        postings, dls, stats["N"], stats["sum_dl"] / stats["N"], terms, k, k1, b
-    )
+    idx = FulltextIndex(df, id_col, text_col)
+    return idx.search(terms, k, k1, b)
 
 
 def _bm25_over(

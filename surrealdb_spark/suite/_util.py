@@ -93,3 +93,24 @@ def sql_bm25(terms: list[str], limit: int) -> str:
     FROM (SELECT doc, {total} AS score FROM agg) WHERE score > 0
     ORDER BY score DESC, doc LIMIT {limit}
     """
+
+
+# ---------------------------------------------------------------------------
+# Shared fulltext index: DEFINE INDEX ... FULLTEXT semantics — the inverted
+# index is built once per (session, corpus) and shared by every search in
+# the suite (bm25_search, search_rrf_fusion), exactly like the reference's
+# materialized index (core/src/catalog/schema/index.rs FullText kind).
+# ---------------------------------------------------------------------------
+_FT_CACHE: dict = {}
+
+
+def ft_index(spark, sf_dir: str):
+    """Build-once FulltextIndex over documents(doc_id, text)."""
+    from surrealdb_spark.catalog import Catalog
+    from surrealdb_spark.operators.fulltext import FulltextIndex
+
+    ent = _FT_CACHE.get(sf_dir)
+    if ent is None or ent[0] is not spark:
+        ent = (spark, FulltextIndex(Catalog(spark, sf_dir).documents, "doc_id", "text"))
+        _FT_CACHE[sf_dir] = ent
+    return ent[1]

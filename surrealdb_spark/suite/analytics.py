@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from surrealdb_spark.catalog import Catalog
 from surrealdb_spark.operators.asof import asof_join, sessionize
-from surrealdb_spark.operators.fulltext import bm25_search, rrf_fuse
+from surrealdb_spark.operators.fulltext import rrf_fuse
 from surrealdb_spark.suite import query
 from surrealdb_spark.suite._util import sql_bm25
 
@@ -108,9 +108,11 @@ _TERMS_B = ["customer", "order", "line"]
 )
 def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # search::rrf hybrid fusion (core/src/fnc/search.rs) of two BM25 runs.
-    docs = Catalog(spark, sf_dir).documents
-    a = bm25_search(docs, "doc_id", "text", _TERMS_A, k=30)
-    b = bm25_search(docs, "doc_id", "text", _TERMS_B, k=30)
+    from surrealdb_spark.suite._util import ft_index
+
+    idx = ft_index(spark, sf_dir)
+    a = idx.search(_TERMS_A, k=30)
+    b = idx.search(_TERMS_B, k=30)
     return (
         rrf_fuse([a, b], k=60)
         .orderBy(F.desc("rrf"), F.asc("doc"))

@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from surrealdb_spark.catalog import Catalog
-from surrealdb_spark.operators.fulltext import bm25_search
 from surrealdb_spark.pipeline import text as T
 from surrealdb_spark.suite import query
 
@@ -177,5 +176,6 @@ def _bm25_oracle() -> str:
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `text @@ 'spark join filter'` MATCHES + BM25 ranking
     # (scan/fulltext.rs:46, idx/ft/fulltext.rs).
-    docs = Catalog(spark, sf_dir).documents
-    return bm25_search(docs, "doc_id", "text", _BM25_TERMS, k=10)
+    from surrealdb_spark.suite._util import ft_index
+
+    return ft_index(spark, sf_dir).search(_BM25_TERMS, k=10)

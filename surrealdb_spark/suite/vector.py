@@ -138,5 +138,8 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate NN via banded sign-random-projection LSH (no SQL oracle —
     # approximate op; recall vs brute force is asserted in tests/test_vector.py).
     emb = Catalog(spark, sf_dir).embeddings
-    q = emb.filter(F.col("vec_id") % 50 == 0)
-    return srp_lsh_topk(q, emb, k=10, dim=64, n_planes=16, bands=4, exclude_self=True)
+    # queries ⊂ corpus → sign once, filter the signed frame for the query side
+    return srp_lsh_topk(
+        None, emb, k=10, dim=64, n_planes=16, bands=4, exclude_self=True,
+        query_pred=F.col("vec_id") % 50 == 0, broadcast_queries=True,
+    )
