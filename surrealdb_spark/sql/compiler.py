@@ -274,6 +274,17 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         if op == "/" and _infer(l, types, params) == "int" and _infer(r, types, params) == "int":
             # Int/Int truncates toward zero (operate.rs try_div; 5/4 == 1)
             return O.div(lc, rc, integer_operands=True)
+        if op in ("+", "-", "*", "/") and "decimal" in (
+            _infer(l, types, params), _infer(r, types, params)
+        ):
+            # Decimal ⊕ anything → Decimal (number.rs:818-846).  Spark's
+            # native rule demotes decimal+double to double, so cast the
+            # non-decimal side up explicitly (decimal(38,10) ≈ the
+            # reference's 96-bit rust_decimal working precision).
+            if _infer(l, types, params) != "decimal":
+                lc = lc.cast("decimal(38,10)")
+            if _infer(r, types, params) != "decimal":
+                rc = rc.cast("decimal(38,10)")
         if op == "?:":
             # `?:` tests is_truthy, not is-not-null (expr TenaryCondition)
             return O.tco(lc, rc, truthy=_truthy_col(lc, _infer(l, types, params)))

@@ -321,6 +321,10 @@ class StatementRunner:
             td = self.db.tables[stmt.table]
             dtype = {"int": "bigint", "float": "double", "number": "double",
                      "string": "string", "bool": "boolean",
+                     # 96-bit rust_decimal (types/src/value/number.rs:19-26)
+                     # → widest Spark decimal at the reference's ~28-digit
+                     # working precision
+                     "decimal": "decimal(38,10)",
                      "datetime": "timestamp"}.get(stmt.dtype, stmt.dtype)
             default = None
             if stmt.default is not None:

@@ -118,3 +118,56 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc"))
         .limit(15)
     )
+
+
+@query(
+    "decimal_arithmetic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4)
+           AS DOUBLE) AS sum_gross,
+      CAST(ROUND(SUM(CAST(l_linenumber AS DECIMAL(18,4)) + CAST(l_discount AS DECIMAL(18,4))), 4)
+           AS DOUBLE) AS sum_line_disc,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
+        / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS gross_ratio,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Declared-decimal Number parity (types/src/value/number.rs:19-26,
+    # promotion core/src/fnc/operate.rs): money columns as user-facing
+    # DECIMAL fields — exact decimal sum / product / int⊕decimal promotion,
+    # re-quantized to scale 4 and cast to DOUBLE only at the end (sums and
+    # products carry full decimal precision through the aggregation).
+    li = Catalog(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    line = F.col("l_linenumber").cast("decimal(18,4)")
+    gross = price * (F.lit(1).cast("decimal(18,4)") - disc)
+
+    def out4(c: F.Column) -> F.Column:
+        return F.round(c, 4).cast("double")
+
+    sum_price_d = out4(F.sum(price))
+    sum_gross_d = out4(F.sum(gross))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            out4(F.sum(qty)).alias("sum_qty"),
+            sum_price_d.alias("sum_price"),
+            sum_gross_d.alias("sum_gross"),
+            out4(F.sum(line + disc)).alias("sum_line_disc"),
+            (sum_price_d / F.count(F.lit(1))).alias("avg_price"),
+            (sum_gross_d / sum_price_d).alias("gross_ratio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -175,3 +175,49 @@ def test_recursion_matches_knn_shapes(spark, sf_dir):
     )
     row = out.orderBy("o_orderkey").limit(1).collect()[0]
     assert row["who"]["name"] == row["nm"]
+
+
+def test_decimal_promotion(spark):
+    """Decimal ⊕ anything → Decimal (number.rs:818-846): Spark natively
+    demotes decimal+double to double, the compiler must cast up instead."""
+    import decimal
+
+    from surrealdb_spark.sql.compiler import compile_select
+    from surrealdb_spark.sql.parser import parse_select
+
+    df = spark.createDataFrame(
+        [(3, 1.5, decimal.Decimal("2.5000000000"))],
+        "a int, f double, d decimal(38,10)",
+    )
+
+    class Cat:
+        def table(self, name):
+            return df
+
+    out = compile_select(
+        spark,
+        parse_select("SELECT a + d AS s, f * d AS p, d / d AS q FROM t"),
+        catalog=Cat(),
+    )
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds["s"].startswith("decimal")
+    assert kinds["p"].startswith("decimal")
+    assert kinds["q"].startswith("decimal")
+    row = out.collect()[0]
+    assert float(row["s"]) == 5.5 and float(row["p"]) == 3.75 and float(row["q"]) == 1.0
+
+
+def test_define_field_decimal_dtype(spark, tmp_path):
+    """DEFINE FIELD ... TYPE decimal lands as DecimalType(38,10)."""
+    from surrealdb_spark.dml import Database
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, str(tmp_path))
+    sr = StatementRunner(spark, db)
+    sr.run("DEFINE TABLE prices")
+    sr.run("DEFINE FIELD amount ON prices TYPE decimal")
+    sr.run("CREATE prices:1 SET amount = 19.99")
+    got = db.table("prices")
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)[
+        "amount"
+    ] == "decimal(38,10)"
