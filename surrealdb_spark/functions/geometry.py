@@ -1,0 +1,302 @@
+"""Geometry values and spatial predicates (INSIDE / OUTSIDE / INTERSECTS).
+
+Reference: geometry enum `types/src/value/geometry.rs:23-38` (Point, Line,
+Polygon, MultiPoint, MultiLine, MultiPolygon, Collection); predicate
+dispatch `core/src/val/geometry.rs:224-407` (`contains` / `intersects`,
+delegating to the geo crate); operator semantics `core/src/fnc/operate.rs`
+(`outside(a,b) = !a.intersects(b)`, `intersects(a,b) = a.intersects(b)`,
+`inside(a,b) = b.contains(a)`).
+
+Spark-first representation — ONE static struct covers every kind (Spark
+columns can't be sum types), tagged by ``kind``:
+
+    struct<kind: string,
+           polys: array<array<array<struct<lon:double, lat:double>>>>>
+
+    point        polys = [[[p]]]
+    multipoint   polys = [[[p1, p2, ...]]]
+    line         polys = [[[v1, v2, ...]]]
+    multiline    polys = [[[l1...], [l2...]]]       (each ring = one line)
+    polygon      polys = [[ext, hole1, ...]]        (rings closed: first==last)
+    multipolygon polys = [poly1, poly2, ...]
+
+All predicates are pure JVM-side higher-order-function Column expressions
+(transform/filter/exists/forall) — no UDFs, whole-stage-codegen friendly,
+and the expression tree is fixed-size regardless of vertex count (lambdas
+iterate, they don't unroll).  The composite identity used for compact sets:
+
+    A intersects B  ⇔  (∃ vertex of A in B) ∨ (∃ vertex of B in A)
+                        ∨ (∃ edge of A crossing an edge of B)
+
+    B contains A    ⇔  (∀ vertex of A in B) ∧ ¬(∃ edge of A PROPERLY
+                        crossing an edge of B)
+
+Point-in-polygon is the even-odd crossing rule over every ring (holes come
+out naturally); boundary points count as inside (geo crate `Relate`
+semantics for `intersects`).  ``Collection`` is not supported (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PT_T = "struct<lon:double,lat:double>"
+EDGE_T = f"struct<a:{PT_T},b:{PT_T}>"
+GEOM_T = f"struct<kind:string,polys:array<array<array<{PT_T}>>>>"
+
+KINDS = ("point", "line", "polygon", "multipoint", "multiline", "multipolygon")
+
+
+def _c(x) -> Column:
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, str):
+        return F.col(x)
+    return F.lit(x)
+
+
+def _pt(lon, lat) -> Column:
+    return F.struct(_c(lon).cast("double").alias("lon"),
+                    _c(lat).cast("double").alias("lat"))
+
+
+# -- constructors ------------------------------------------------------------
+
+
+def _geom(kind: str, polys: Column) -> Column:
+    return F.struct(F.lit(kind).alias("kind"), polys.alias("polys"))
+
+
+def point(lon, lat) -> Column:
+    return _geom("point", F.array(F.array(F.array(_pt(lon, lat)))))
+
+
+def multipoint(pts) -> Column:
+    """pts: Column of array<struct{lon,lat}>."""
+    return _geom("multipoint", F.array(F.array(_c(pts))))
+
+
+def line(vertices) -> Column:
+    """vertices: Column of array<struct{lon,lat}> (open — not auto-closed)."""
+    return _geom("line", F.array(F.array(_c(vertices))))
+
+
+def multiline(lines) -> Column:
+    """lines: Column of array<array<struct{lon,lat}>>."""
+    return _geom("multiline", F.array(_c(lines)))
+
+
+def _close_ring(ring: Column) -> Column:
+    """Polygon rings must be closed; append the first vertex if they aren't."""
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    return F.when(first == last, ring).otherwise(F.concat(ring, F.array(first)))
+
+
+def polygon(rings) -> Column:
+    """rings: Column of array<array<struct{lon,lat}>> — exterior first, then
+    holes.  Rings are auto-closed."""
+    return _geom("polygon", F.array(F.transform(_c(rings), _close_ring)))
+
+
+def multipolygon(polys) -> Column:
+    """polys: Column of array<array<array<struct{lon,lat}>>>."""
+    return _geom(
+        "multipolygon",
+        F.transform(_c(polys), lambda p: F.transform(p, _close_ring)),
+    )
+
+
+def from_coords(kind: str, coords) -> Column:
+    """Build geometry from a GeoJSON-ish python literal (lists of [lon,lat]).
+
+    kind: GeoJSON type name, case-insensitive ('Point', 'LineString',
+    'Polygon', 'MultiPoint', 'MultiLineString', 'MultiPolygon').
+    """
+    k = {"point": "point", "linestring": "line", "line": "line",
+         "polygon": "polygon", "multipoint": "multipoint",
+         "multilinestring": "multiline", "multiline": "multiline",
+         "multipolygon": "multipolygon"}.get(kind.lower())
+    if k is None:
+        raise ValueError(f"unsupported geometry kind {kind!r}")
+
+    def p(c):
+        return _pt(float(c[0]), float(c[1]))
+
+    if k == "point":
+        return point(float(coords[0]), float(coords[1]))
+    if k == "multipoint":
+        return multipoint(F.array(*[p(c) for c in coords]))
+    if k == "line":
+        return line(F.array(*[p(c) for c in coords]))
+    if k == "multiline":
+        return multiline(F.array(*[F.array(*[p(c) for c in ln]) for ln in coords]))
+    if k == "polygon":
+        return polygon(F.array(*[F.array(*[p(c) for c in r]) for r in coords]))
+    return multipolygon(F.array(*[
+        F.array(*[F.array(*[p(c) for c in r]) for r in poly]) for poly in coords
+    ]))
+
+
+# -- primitive geometry helpers ----------------------------------------------
+
+
+def _points(g: Column) -> Column:
+    """Every vertex of g, flattened to array<point>."""
+    return F.flatten(F.flatten(g.getField("polys")))
+
+
+def _ring_edges(ring: Column) -> Column:
+    """Consecutive-vertex edges of one ring/line.  NB: sequence(1,0) is
+    DESCENDING in Spark, so guard short rings explicitly."""
+    n = F.size(ring)
+    return F.when(n < 2, F.array().cast(f"array<{EDGE_T}>")).otherwise(
+        F.transform(
+            F.slice(ring, 1, n - 1),
+            lambda p, i: F.struct(
+                p.alias("a"), F.element_at(ring, i + 2).alias("b")
+            ),
+        )
+    )
+
+
+def _edges(g: Column) -> Column:
+    """Every edge of g (empty for point kinds)."""
+    k = g.getField("kind")
+    return F.when(
+        k.isin("point", "multipoint"), F.array().cast(f"array<{EDGE_T}>")
+    ).otherwise(F.flatten(F.transform(F.flatten(g.getField("polys")), _ring_edges)))
+
+
+def _orient(p: Column, q: Column, r: Column) -> Column:
+    """Cross product of (q-p)×(r-p): >0 left turn, <0 right, ==0 collinear."""
+    return (
+        (q.getField("lon") - p.getField("lon"))
+        * (r.getField("lat") - p.getField("lat"))
+        - (q.getField("lat") - p.getField("lat"))
+        * (r.getField("lon") - p.getField("lon"))
+    )
+
+
+def _in_bbox(p: Column, q: Column, r: Column) -> Column:
+    """r within the bounding box of segment pq (used with collinearity)."""
+    rl, rt = r.getField("lon"), r.getField("lat")
+    return (
+        (rl >= F.least(p.getField("lon"), q.getField("lon")))
+        & (rl <= F.greatest(p.getField("lon"), q.getField("lon")))
+        & (rt >= F.least(p.getField("lat"), q.getField("lat")))
+        & (rt <= F.greatest(p.getField("lat"), q.getField("lat")))
+    )
+
+
+def _on_segment(e: Column, r: Column) -> Column:
+    a, b = e.getField("a"), e.getField("b")
+    return (_orient(a, b, r) == 0) & _in_bbox(a, b, r)
+
+
+def _seg_intersects(e1: Column, e2: Column, proper_only: bool = False) -> Column:
+    """Segment-segment intersection (incl. collinear touch unless
+    proper_only)."""
+    a, b = e1.getField("a"), e1.getField("b")
+    c, d = e2.getField("a"), e2.getField("b")
+    d1, d2 = _orient(c, d, a), _orient(c, d, b)
+    d3, d4 = _orient(a, b, c), _orient(a, b, d)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    if proper_only:
+        return proper
+    touch = (
+        ((d1 == 0) & _in_bbox(c, d, a))
+        | ((d2 == 0) & _in_bbox(c, d, b))
+        | ((d3 == 0) & _in_bbox(a, b, c))
+        | ((d4 == 0) & _in_bbox(a, b, d))
+    )
+    return proper | touch
+
+
+def _point_in_poly(p: Column, poly: Column) -> Column:
+    """Even-odd crossing rule over every ring of one polygon (array<ring>);
+    boundary counts as inside."""
+    edges = F.flatten(F.transform(poly, _ring_edges))
+    px, py = p.getField("lon"), p.getField("lat")
+    crossing = F.size(
+        F.filter(
+            edges,
+            lambda e: (
+                ((e.getField("a").getField("lat") > py)
+                 != (e.getField("b").getField("lat") > py))
+                & (
+                    px
+                    < (e.getField("b").getField("lon") - e.getField("a").getField("lon"))
+                    * (py - e.getField("a").getField("lat"))
+                    / (e.getField("b").getField("lat") - e.getField("a").getField("lat"))
+                    + e.getField("a").getField("lon")
+                )
+            ),
+        )
+    )
+    on_boundary = F.exists(edges, lambda e: _on_segment(e, p))
+    return (crossing % 2 == 1) | on_boundary
+
+
+def _point_in_geom(p: Column, g: Column) -> Column:
+    """p ∈ g for every supported kind (boundary inclusive)."""
+    k = g.getField("kind")
+    return (
+        F.when(k.isin("point", "multipoint"), F.exists(_points(g), lambda x: x == p))
+        .when(k.isin("line", "multiline"),
+              F.exists(_edges(g), lambda e: _on_segment(e, p)))
+        .otherwise(
+            F.exists(g.getField("polys"), lambda poly: _point_in_poly(p, poly))
+        )
+    )
+
+
+# -- predicates (operator surface) -------------------------------------------
+
+
+def intersects(a, b) -> Column:
+    """`INTERSECTS` — geometry a ∩ b ≠ ∅ (val/geometry.rs:347)."""
+    a, b = _c(a), _c(b)
+    return (
+        F.exists(_points(a), lambda p: _point_in_geom(p, b))
+        | F.exists(_points(b), lambda p: _point_in_geom(p, a))
+        | F.exists(
+            _edges(a), lambda e1: F.exists(_edges(b), lambda e2: _seg_intersects(e1, e2))
+        )
+    )
+
+
+def outside(a, b) -> Column:
+    """`OUTSIDE` = !intersects (fnc/operate.rs:117)."""
+    return ~intersects(a, b)
+
+
+def contains(container, inner) -> Column:
+    """container ⊇ inner — every vertex of inner inside container and no
+    edge of inner properly crossing container's boundary (exact for simple
+    polygons; `INSIDE a, b` lowers to contains(b, a))."""
+    container, inner = _c(container), _c(inner)
+    return F.forall(_points(inner), lambda p: _point_in_geom(p, container)) & ~F.exists(
+        _edges(inner),
+        lambda e1: F.exists(
+            _edges(container), lambda e2: _seg_intersects(e1, e2, proper_only=True)
+        ),
+    )
+
+
+def g_inside(a, b) -> Column:
+    """`INSIDE` for geometry operands: b.contains(a) (operate.rs:98-100)."""
+    return contains(b, a)
+
+
+def g_not_inside(a, b) -> Column:
+    return ~g_inside(a, b)
+
+
+def as_point(g) -> Column:
+    """Extract a bare {lon,lat} struct from a point geometry (bridges the
+    geo:: scalar namespace, which takes bare points)."""
+    return F.element_at(F.element_at(F.element_at(_c(g).getField("polys"), 1), 1), 1)

@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from surrealdb_spark.functions import array as A
 from surrealdb_spark.functions import geo_fns as G
+from surrealdb_spark.functions import geometry as GM
 from surrealdb_spark.functions import math_fns as M
 from surrealdb_spark.functions import misc_fns as X
 from surrealdb_spark.functions import string_fns as S
@@ -227,6 +228,20 @@ _ns(
         "distance": G.distance, "bearing": G.bearing, "centroid": G.centroid,
         "area": G.area, "is::valid": G.is_valid,
         "hash::encode": G.hash_encode, "hash::decode": G.hash_decode,
+    },
+)
+
+# geometry constructors + predicates (types/src/value/geometry.rs;
+# val/geometry.rs contains/intersects) — functional form of the
+# INSIDE/OUTSIDE/INTERSECTS operator surface.
+_ns(
+    "geometry",
+    {
+        "point": GM.point, "line": GM.line, "polygon": GM.polygon,
+        "multipoint": GM.multipoint, "multiline": GM.multiline,
+        "multipolygon": GM.multipolygon, "intersects": GM.intersects,
+        "outside": GM.outside, "contains": GM.contains,
+        "as_point": GM.as_point,
     },
 )
 

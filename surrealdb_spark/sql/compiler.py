@@ -20,8 +20,51 @@ from pyspark.sql import functions as F
 from surrealdb_spark.catalog import Catalog
 from surrealdb_spark.expr import operators as O
 from surrealdb_spark.expr.idiom import compile_idiom
+from surrealdb_spark.functions import geometry as GEO
 from surrealdb_spark.functions.registry import REGISTRY
 from surrealdb_spark.sql.parser import Select, parse_select
+
+
+def _ast_const(ast):
+    """Python value of a constant AST (lit/array/neg), else None."""
+    if ast[0] == "lit":
+        return ast[1]
+    if ast[0] == "un" and ast[1] == "-":
+        v = _ast_const(ast[2])
+        return -v if isinstance(v, (int, float)) else None
+    if ast[0] == "array":
+        out = []
+        for e in ast[1]:
+            v = _ast_const(e)
+            if v is None:
+                return None
+            out.append(v)
+        return out
+    return None
+
+
+_GEOJSON_KINDS = {
+    "point", "linestring", "line", "polygon", "multipoint",
+    "multilinestring", "multiline", "multipolygon",
+}
+
+
+def _geom_literal_kind(ast):
+    """(kind, coords) when an object literal is GeoJSON-shaped
+    ({type: "...", coordinates: [...]}); the reference auto-converts such
+    objects to Geometry values (types/src/value/geometry.rs)."""
+    pairs = dict(ast[1])
+    if set(pairs) != {"type", "coordinates"}:
+        return None
+    tk = pairs["type"]
+    if tk[0] != "lit" or not isinstance(tk[1], str):
+        return None
+    if tk[1].lower() not in _GEOJSON_KINDS:
+        return None
+    coords = _ast_const(pairs["coordinates"])
+    if coords is None:
+        return None
+    return tk[1], coords
 
 # Aggregate functions recognized in SELECT context
 # (core/src/exec/function/builtin/aggregates.rs:26-48).
@@ -99,6 +142,8 @@ _BINOPS = {
     "..": lambda a, b: O.range_struct(a, b, True, False),
     "..=": lambda a, b: O.range_struct(a, b, True, True),
     "@@": O.matches,
+    "OUTSIDE": GEO.outside,
+    "INTERSECTS": GEO.intersects,
 }
 
 
@@ -120,6 +165,8 @@ def _type_cat(simple: str) -> str | None:
         return "datetime"
     if simple == "binary":
         return "bytes"
+    if simple.startswith("struct<kind:string,polys:array"):
+        return "geometry"  # tagged geometry struct (functions/geometry.py)
     if simple.startswith(("struct", "map")):
         return "object"
     return None
@@ -175,12 +222,16 @@ def _infer(ast, types: dict[str, str], params: dict) -> str | None:
         if ast[1] == "!":
             return "bool"
         return _infer(ast[2], types, params)
+    if kind == "geom_point":
+        return "geometry"
+    if kind == "object" and _geom_literal_kind(ast) is not None:
+        return "geometry"
     if kind == "bin":
         op = ast[1]
         if op in ("=", "==", "!=", "<", "<=", ">", ">=", "AND", "&&", "OR", "||",
                   "IN", "INSIDE", "NOTINSIDE", "CONTAINS", "CONTAINSNOT",
                   "CONTAINSALL", "CONTAINSANY", "CONTAINSNONE", "ALLINSIDE",
-                  "ANYINSIDE", "NONEINSIDE", "*=", "?="):
+                  "ANYINSIDE", "NONEINSIDE", "*=", "?=", "OUTSIDE", "INTERSECTS"):
             return "bool"
         lt = _infer(ast[2], types, params)
         rt = _infer(ast[3], types, params)
@@ -247,9 +298,20 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
     if kind == "array":
         return F.array(*[compile_expr(e, params, types) for e in ast[1]])
     if kind == "object":
+        gk = _geom_literal_kind(ast)
+        if gk is not None:
+            # GeoJSON-shaped object literal → geometry value (the reference
+            # auto-detects {type, coordinates} objects; expr/geometry.rs)
+            kind_name, coords = gk
+            return GEO.from_coords(kind_name, coords)
         # object literal → struct (expr/object.rs; typed-engine mapping)
         return F.struct(
             *[compile_expr(v, params, types).alias(k) for k, v in ast[1]]
+        )
+    if kind == "geom_point":
+        # `(lon, lat)` point literal (syn/parser: geometry point shorthand)
+        return GEO.point(
+            compile_expr(ast[1], params, types), compile_expr(ast[2], params, types)
         )
     if kind == "path":
         base = compile_expr(ast[1], params, types)
@@ -288,6 +350,19 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         if op == "?:":
             # `?:` tests is_truthy, not is-not-null (expr TenaryCondition)
             return O.tco(lc, rc, truthy=_truthy_col(lc, _infer(l, types, params)))
+        if op in ("IN", "INSIDE", "NOTINSIDE", "CONTAINS", "CONTAINSNOT") and "geometry" in (
+            _infer(l, types, params), _infer(r, types, params)
+        ):
+            # Geometry containment: INSIDE = b.contains(a), CONTAINS =
+            # a.contains(b) (fnc/operate.rs:90-105 dispatching to
+            # val/geometry.rs contains)
+            return {
+                "IN": GEO.g_inside,
+                "INSIDE": GEO.g_inside,
+                "NOTINSIDE": GEO.g_not_inside,
+                "CONTAINS": lambda a, b: GEO.contains(a, b),
+                "CONTAINSNOT": lambda a, b: ~GEO.contains(a, b),
+            }[op](lc, rc)
         return _BINOPS[op](lc, rc)
     if kind == "call":
         name, args = ast[1], ast[2]

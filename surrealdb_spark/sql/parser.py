@@ -42,7 +42,7 @@ KEYWORDS = {
     "CONTENT", "MERGE", "PATCH", "RETURN", "BEFORE", "AFTER", "DIFF",
     "DUPLICATE", "KEY", "VALUES", "DEFINE", "TABLE", "FIELD", "TYPE",
     "ASSERT", "DEFAULT", "FUNCTION", "SCHEMAFULL", "SCHEMALESS", "MATCHES",
-    "SET",
+    "SET", "OUTSIDE", "INTERSECTS",
 }
 
 
@@ -86,6 +86,7 @@ _BIN_BP = {
     "CONTAINSALL": (8, 9), "CONTAINSANY": (8, 9), "CONTAINSNONE": (8, 9),
     "INSIDE": (8, 9), "NOTINSIDE": (8, 9), "ALLINSIDE": (8, 9),
     "ANYINSIDE": (8, 9), "NONEINSIDE": (8, 9),
+    "OUTSIDE": (8, 9), "INTERSECTS": (8, 9),  # geometry (operator.rs:110-112)
     "..": (10, 11), "..=": (10, 11),
     "+": (12, 13), "-": (12, 13),
     "*": (14, 15), "/": (14, 15), "%": (14, 15),
@@ -200,6 +201,13 @@ class Parser:
                 self.expect("op", ")")
                 return ("subquery", sub)
             e = self.expr(0)
+            if self.peek().kind == "op" and self.peek().text == ",":
+                # `(lon, lat)` geometry point literal (sql/geometry parsing
+                # in the reference's syn parser)
+                self.next()
+                e2 = self.expr(0)
+                self.expect("op", ")")
+                return self.postfix(("geom_point", e, e2))
             self.expect("op", ")")
             return self.postfix(e)
         if t.kind == "op" and t.text == "[":

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from surrealdb_spark.catalog import Catalog
 from surrealdb_spark.dml import Database, FieldDef, TableDef
+from surrealdb_spark.functions.geometry import GEOM_T as _GEOM_T
 from surrealdb_spark.sql.parser import Parser, Select, _parse_select_body
 
 
@@ -325,6 +326,9 @@ class StatementRunner:
                      # → widest Spark decimal at the reference's ~28-digit
                      # working precision
                      "decimal": "decimal(38,10)",
+                     # tagged geometry struct (functions/geometry.py;
+                     # types/src/value/geometry.rs)
+                     "geometry": _GEOM_T, "point": _GEOM_T,
                      "datetime": "timestamp"}.get(stmt.dtype, stmt.dtype)
             default = None
             if stmt.default is not None:

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from surrealdb_spark.catalog import Catalog
 from surrealdb_spark.functions import geo_fns as G
+from surrealdb_spark.functions import geometry as GM
 from surrealdb_spark.functions import string_fns as S
 from surrealdb_spark.functions import time_fns as TM
 from surrealdb_spark.suite import query
@@ -93,23 +94,37 @@ _SQL_PT = """
                * (sin((radians(2.3522e0) - radians(p.lon)) / 2)
                   * sin((radians(2.3522e0) - radians(p.lon)) / 2))
            )) AS dist_to_paris,
-           p.lon >= -180 AND p.lon <= 180 AND p.lat >= -90 AND p.lat <= 90 AS valid
+           p.lon >= -180 AND p.lon <= 180 AND p.lat >= -90 AND p.lat <= 90 AS valid,
+           abs(p.lon) + abs(p.lat) <= 40 AS in_diamond,
+           NOT (p.lon >= -90 AND p.lon <= 0 AND p.lat >= 0 AND p.lat <= 85)
+             AS out_box
     FROM (SELECT c_custkey, {_SQL_PT} AS p FROM customer WHERE c_custkey % 150 = 0)
     """,
 )
 def geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # geo:: namespace sampler: haversine distance + validity over
-    # key-derived synthetic coordinates (core/src/fnc/geo.rs).
+    # key-derived synthetic coordinates (core/src/fnc/geo.rs), plus the
+    # geometry predicates (val/geometry.rs contains/intersects): the engine
+    # runs the general even-odd ray-cast / segment tests; the oracle states
+    # the closed form of the same shapes (diamond |x|+|y|<=40; box).
     cust = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") % 150 == 0)
-    pt = G.point(
-        (F.col("c_custkey") % 360 - 180).cast("double") * 0.9,
-        (F.col("c_custkey") % 170 - 85).cast("double") * 0.9,
-    )
+    lon = (F.col("c_custkey") % 360 - 180).cast("double") * 0.9
+    lat = (F.col("c_custkey") % 170 - 85).cast("double") * 0.9
+    pt = G.point(lon, lat)
     paris = G.point(F.lit(2.3522), F.lit(48.8566))
+    gpt = GM.point(lon, lat)
+    diamond = GM.from_coords(
+        "Polygon", [[[40.0, 0.0], [0.0, 40.0], [-40.0, 0.0], [0.0, -40.0], [40.0, 0.0]]]
+    )
+    box = GM.from_coords(
+        "Polygon", [[[-90.0, 0.0], [0.0, 0.0], [0.0, 85.0], [-90.0, 85.0], [-90.0, 0.0]]]
+    )
     return cust.select(
         "c_custkey",
         G.distance(pt, paris).alias("dist_to_paris"),
         G.is_valid(pt).alias("valid"),
+        GM.g_inside(gpt, diamond).alias("in_diamond"),
+        GM.outside(gpt, box).alias("out_box"),
     )
 
 
