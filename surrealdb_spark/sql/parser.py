@@ -42,7 +42,7 @@ KEYWORDS = {
     "CONTENT", "MERGE", "PATCH", "RETURN", "BEFORE", "AFTER", "DIFF",
     "DUPLICATE", "KEY", "VALUES", "DEFINE", "TABLE", "FIELD", "TYPE",
     "ASSERT", "DEFAULT", "FUNCTION", "SCHEMAFULL", "SCHEMALESS", "MATCHES",
-    "SET", "OUTSIDE", "INTERSECTS",
+    "SET", "OUTSIDE", "INTERSECTS", "LET",
 }
 
 

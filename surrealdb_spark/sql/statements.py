@@ -95,6 +95,31 @@ class DefineFunctionStmt:
     name: str                 # fn::<name>
     params: list = dc_field(default_factory=list)
     body: tuple = None        # expression AST over the params
+    ptypes: list = dc_field(default_factory=list)   # declared kinds (or None)
+    lets: list = dc_field(default_factory=list)     # [(name, expr_ast), ...]
+
+
+def _param_type(p: Parser) -> str | None:
+    """Optional `: kind` annotation after a parameter — kinds may carry
+    generics (`option<string>`, `array<int>`); consume balanced <...>."""
+    if not p.eat("op", ":"):
+        return None
+    t = p.next()
+    if t.kind not in ("name", "kw"):
+        raise SyntaxError(f"expected a type after ':', got {t.text!r}")
+    typ = t.orig or t.text
+    if p.peek().kind == "op" and p.peek().text == "<":
+        depth = 0
+        while True:
+            nt = p.next()
+            typ += nt.orig or nt.text
+            if nt.text == "<":
+                depth += 1
+            elif nt.text == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+    return typ
 
 
 # -- parsing -----------------------------------------------------------------
@@ -211,21 +236,31 @@ def _parse_statement_body(p: Parser):
                 st.assert_ = p.expr(0)
             return st
         if what.text == "FUNCTION":
-            # DEFINE FUNCTION fn::name($a, $b) { RETURN <expr> }
+            # DEFINE FUNCTION fn::name($a: type, $b: option<type>) {
+            #   LET $x = ...; RETURN <expr> }   (define/function.rs; language
+            # tests statements/define/function/*.surql)
             name = p.expect("name").text
             p.expect("op", "(")
-            params = []
+            params, ptypes = [], []
             while p.peek().kind == "param":
                 params.append(p.next().text[1:])
+                ptypes.append(_param_type(p))
                 if not p.eat("op", ","):
                     break
             p.expect("op", ")")
             p.expect("op", "{")
+            lets = []
+            while p.peek().kind == "kw" and p.peek().text == "LET":
+                p.next()
+                ln = p.expect("param").text[1:]
+                p.expect("op", "=")
+                lets.append((ln, p.expr(0)))
+                p.eat("op", ";")
             p.expect("kw", "RETURN")
             body = p.expr(0)
             p.eat("op", ";")
             p.expect("op", "}")
-            return DefineFunctionStmt(name, params, body)
+            return DefineFunctionStmt(name, params, body, ptypes, lets)
         raise SyntaxError(f"DEFINE {what.text} not supported")
     raise SyntaxError(f"unsupported statement {t.text!r}")
 
@@ -349,9 +384,21 @@ class StatementRunner:
             from surrealdb_spark.functions.registry import REGISTRY
 
             body, names = stmt.body, list(stmt.params)
+            casts = [self._kind_to_spark(k) for k in stmt.ptypes]
+            lets = list(stmt.lets)
 
             def call(*cols):
-                binds = dict(zip(names, cols))
+                if len(cols) != len(names):
+                    raise ValueError(
+                        f"fn::{stmt.name} expects {len(names)} args, got {len(cols)}"
+                    )
+                binds = {}
+                for nm, c, cast in zip(names, cols, casts):
+                    c = c if isinstance(c, Column) else F.lit(c)
+                    binds[nm] = c.cast(cast) if cast else c
+                # LET bindings evaluate top-to-bottom, each seeing the prior
+                for ln, last in lets:
+                    binds[ln] = self._expr(last, binds)
                 return self._expr(body, binds)
 
             REGISTRY[f"fn::{stmt.name}"] = call
@@ -406,6 +453,22 @@ class StatementRunner:
         raise ValueError(f"unhandled statement {stmt!r}")
 
     # helpers --------------------------------------------------------------
+
+    @staticmethod
+    def _kind_to_spark(kind: str | None) -> str | None:
+        """Declared param kind → Spark cast target (None = leave as-is).
+
+        `option<T>` unwraps to T (NULL passes any cast); compound kinds
+        (array<...>, record<...>) are left uncast — inlining preserves them.
+        """
+        if kind is None:
+            return None
+        k = kind.strip().lower()
+        if k.startswith("option<") and k.endswith(">"):
+            k = k[7:-1].strip()
+        return {"int": "bigint", "float": "double", "number": "double",
+                "string": "string", "bool": "boolean",
+                "decimal": "decimal(38,10)", "datetime": "timestamp"}.get(k)
 
     def _expr(self, ast, params: dict) -> Column:
         from surrealdb_spark.sql.compiler import compile_expr

@@ -102,6 +102,15 @@ def test_relate_and_define(spark, tmp_path):
     got = r.run("SELECT VALUE fn::greet(name) FROM person ORDER BY name")
     assert [x["value"] for x in got.collect()] == ["hi a", "hi b"]
 
+    # typed params + LET bindings (define/function.rs: params carry kinds;
+    # the body is a block whose LETs scope over RETURN)
+    r.run("DEFINE FUNCTION fee($amount: float, $rate: option<float>) { "
+          "LET $r = $rate ?? 0.1; RETURN math::round($amount * $r) }")
+    one = r.run("SELECT VALUE fn::fee(200, 0.25) FROM person LIMIT 1")
+    assert [x["value"] for x in one.collect()] == [50.0]
+    dflt = r.run("SELECT VALUE fn::fee(200, NONE) FROM person LIMIT 1")
+    assert [x["value"] for x in dflt.collect()] == [20.0]
+
 
 def test_insert_on_duplicate(spark, tmp_path):
     db = Database(spark, str(tmp_path))
