@@ -57,6 +57,27 @@ def import_table_surql(spark, path: str) -> DataFrame:
     ).filter(F.col("table") != "")
 
 
+_SEQUENCES: dict[str, "Sequence"] = {}
+
+
+def define_sequence(name: str, root: str | None = None, start: int = 1) -> "Sequence":
+    """DEFINE SEQUENCE analogue — register a named counter (temp-rooted if
+    no directory is given)."""
+    if root is None:
+        import tempfile
+
+        root = os.path.join(tempfile.gettempdir(), "surrealdb_spark_seq")
+    _SEQUENCES[name] = Sequence(root, name, start)
+    return _SEQUENCES[name]
+
+
+def next_sequence_value(name: str) -> int:
+    """sequence::nextval('name') — auto-defines on first use."""
+    if name not in _SEQUENCES:
+        define_sequence(name)
+    return _SEQUENCES[name].nextval()
+
+
 class Sequence:
     """DEFINE SEQUENCE + sequence::nextval — file-backed counter with
     block allocation."""

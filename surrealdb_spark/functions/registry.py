@@ -11,7 +11,11 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
 from surrealdb_spark.functions import array as A
+from surrealdb_spark.functions import extra_fns as E
 from surrealdb_spark.functions import geo_fns as G
 from surrealdb_spark.functions import geometry as GM
 from surrealdb_spark.functions import math_fns as M
@@ -50,13 +54,16 @@ _ns(
         "sequence": A.sequence, "shuffle": A.shuffle, "slice": A.slice_,
         "some": A.some, "sort": A.sort, "sort::asc": A.sort_asc,
         "sort::desc": A.sort_desc, "sort_lexical": A.sort_lexical,
-        "sort_natural": A.sort_natural, "swap": A.swap, "transpose": A.transpose,
+        "sort_natural": A.sort_natural,
+        "sort_natural_lexical": E.sort_natural_lexical,
+        "swap": A.swap, "transpose": A.transpose,
         "union": A.union, "windows": A.windows,
     },
 )
 
 # set:: — array ops with dedup guarantee (core/src/fnc/set.rs): same impls
-# over distinct arrays.
+# over distinct arrays (sets are stored as dedup'd arrays, so the positional
+# ops — at/first/last/slice — read the deduplicated order).
 _ns(
     "set",
     {
@@ -64,6 +71,11 @@ _ns(
         "contains": A.includes, "difference": A.difference, "distinct": A.distinct,
         "intersect": A.intersect, "is_empty": A.is_empty, "len": A.len_,
         "union": lambda a, b: A.distinct(A.union(a, b)),
+        "at": A.at, "filter": A.filter_, "find": A.find, "first": A.first,
+        "flatten": lambda a: A.distinct(A.flatten(a)), "fold": A.fold,
+        "join": A.join, "last": A.last, "map": A.map_, "max": A.max_,
+        "min": A.min_, "reduce": A.reduce, "remove": A.remove,
+        "slice": A.slice_,
     },
 )
 
@@ -85,8 +97,18 @@ _ns(
         "semver::minor": lambda s: S.semver_part(s, "minor"),
         "semver::patch": lambda s: S.semver_part(s, "patch"),
         "semver::compare": S.semver_compare,
+        **{f"semver::inc::{p}": (lambda p: (lambda s: E.semver_inc(s, p)))(p)
+           for p in ("major", "minor", "patch")},
+        **{f"semver::set::{p}": (lambda p: (lambda s, v: E.semver_set(s, p, v)))(p)
+           for p in ("major", "minor", "patch")},
         "html::encode": S.html_encode, "html::sanitize": S.html_sanitize,
+        "distance::normalized_levenshtein": E.normalized_levenshtein,
+        "distance::normalized_damerau_levenshtein": E.normalized_damerau,
+        "distance::osa": E.osa_distance,
+        "similarity::fuzzy": E.fuzzy_score,
         **{f"is::{k}": (lambda k: (lambda s: S.is_(k, s)))(k) for k in S._IS_PATTERNS},
+        # underscore aliases (fnc/mod.rs registers both spellings)
+        **{f"is_{k}": (lambda k: (lambda s: S.is_(k, s)))(k) for k in S._IS_PATTERNS},
     },
 )
 
@@ -106,6 +128,8 @@ _ns(
         "interquartile": M.interquartile, "midhinge": M.midhinge,
         "trimean": M.trimean, "nearestrank": M.nearestrank, "mode": M.mode,
         "top": M.top, "bottom": M.bottom,
+        "acot": lambda x: F.lit(1.5707963267948966) - F.atan(
+            x if isinstance(x, Column) else F.col(x)),
     },
 )
 
@@ -123,7 +147,17 @@ _ns(
         "from::nanos": TM.from_nanos, "from::ulid": TM.from_ulid,
         "from::uuid": TM.from_uuid, "is::leap_year": TM.is_leap_year,
         **{f"set::{f}": (lambda f: (lambda t, v: TM.set_field(t, f, v)))(f)
-           for f in ("year", "month", "day", "hour", "minute", "second")},
+           for f in ("year", "month", "day", "hour", "minute", "second",
+                     "nanosecond")},
+        # underscore aliases (both spellings dispatch in fnc/mod.rs)
+        "from_unix": TM.from_unix, "from_secs": TM.from_secs,
+        "from_millis": TM.from_millis, "from_micros": TM.from_micros,
+        "from_nanos": TM.from_nanos, "from_ulid": TM.from_ulid,
+        "from_uuid": TM.from_uuid, "is_leap_year": TM.is_leap_year,
+        "nano": TM.nanos,
+        **{f"set_{f}": (lambda f: (lambda t, v: TM.set_field(t, f, v)))(f)
+           for f in ("year", "month", "day", "hour", "minute", "second",
+                     "nanosecond")},
     },
 )
 
@@ -160,6 +194,10 @@ _ns(
         "similarity::cosine": V.cosine_similarity,
         "similarity::jaccard": V.jaccard_similarity,
         "similarity::pearson": V.pearson_similarity,
+        "angle": E.vector_angle,
+        "similarity::spearman": E.spearman_similarity,
+        "distance::mahalanobis": E.mahalanobis,
+        "distance::knn": E.knn_distance,
     },
 )
 
@@ -178,6 +216,9 @@ _ns(
         **{u: (lambda u: (lambda d: X.dur_unit(d, u)))(u) for u in X._NS},
         "years": X.dur_years, "months": X.dur_months,
         **{f"from::{u}": (lambda u: (lambda n: X.dur_from(u, n)))(u)
+           for u in list(X._NS) + ["years", "months"]},
+        # underscore aliases
+        **{f"from_{u}": (lambda u: (lambda n: X.dur_from(u, n)))(u)
            for u in list(X._NS) + ["years", "months"]},
     },
 )
@@ -198,6 +239,20 @@ _ns(
     {
         "md5": X.crypto_md5, "sha1": X.crypto_sha1, "sha256": X.crypto_sha256,
         "sha512": X.crypto_sha512, "joaat": X.crypto_joaat,
+        # hashlib-backed KDFs (crypto.rs pbkdf2/scrypt; deterministic salt —
+        # see extra_fns docstring)
+        "pbkdf2": E.pbkdf2_generate, "pbkdf2::generate": E.pbkdf2_generate,
+        "pbkdf2::compare": E.pbkdf2_compare,
+        "scrypt": E.scrypt_generate, "scrypt::generate": E.scrypt_generate,
+        "scrypt::compare": E.scrypt_compare,
+        # library-less in this image: honest unimplemented stubs
+        "argon2": E._absent_kdf("argon2"),
+        "argon2::generate": E._absent_kdf("argon2::generate"),
+        "argon2::compare": E._absent_kdf("argon2::compare"),
+        "bcrypt": E._absent_kdf("bcrypt"),
+        "bcrypt::generate": E._absent_kdf("bcrypt::generate"),
+        "bcrypt::compare": E._absent_kdf("bcrypt::compare"),
+        "blake3": E._absent_kdf("blake3"),
     },
 )
 
@@ -206,6 +261,9 @@ _ns(
     {
         "float": X.rand_float, "int": X.rand_int, "bool": X.rand_bool,
         "enum": X.rand_enum, "uuid": X.rand_uuid, "string": X.rand_string,
+        "ulid": E.rand_ulid, "uuid::v4": E.rand_uuid_v4,
+        "uuid::v7": E.rand_uuid_v7, "id": E.rand_id, "time": E.rand_time,
+        "duration": E.rand_duration, "guid": X.rand_string,
     },
 )
 
@@ -214,19 +272,39 @@ _ns(
     {
         "base64::encode": X.base64_encode, "base64::decode": X.base64_decode,
         "json::encode": X.json_encode, "json::decode": X.json_decode,
+        "cbor::encode": E.cbor_encode, "cbor::decode": E.cbor_decode,
     },
 )
 
 _ns(
     "record",
-    {"id": X.record_id_part, "tb": X.record_tb, "table": X.record_table},
+    {
+        "id": X.record_id_part, "tb": X.record_tb, "table": X.record_table,
+        "exists": X.record_exists, "is_edge": X.record_is_edge,
+    },
 )
+
+# meta:: — deprecated aliases of record:: (fnc/mod.rs meta::id/meta::tb)
+_ns("meta", {"id": X.record_id_part, "tb": X.record_tb})
+
+_ns("value", {"diff": E.value_diff, "patch": E.value_patch})
+
+_ns("bytes", {"len": lambda b: F.length(
+    b if isinstance(b, Column) else F.col(b)).cast("bigint")})
+
+_ns(
+    "session",
+    {k: E.session_fn(k)
+     for k in ("ns", "db", "id", "ip", "origin", "ac", "rd", "token")},
+)
+
+_ns("schema", {"table::exists": E.schema_table_exists})
 
 _ns(
     "geo",
     {
         "distance": G.distance, "bearing": G.bearing, "centroid": G.centroid,
-        "area": G.area, "is::valid": G.is_valid,
+        "area": G.area, "is::valid": G.is_valid, "is_valid": G.is_valid,
         "hash::encode": G.hash_encode, "hash::decode": G.hash_decode,
     },
 )
@@ -244,6 +322,82 @@ _ns(
         "as_point": GM.as_point,
     },
 )
+
+
+# file:: — bucket ops over file:/bucket/key pointers (fnc/file.rs).  bucket/
+# key are row-wise column fns; the I/O ops are driver-side (object-store
+# requests on a real cluster) and dispatch through pipeline.filebucket.
+def _file_ns() -> dict[str, Callable]:
+    from surrealdb_spark.pipeline import filebucket as FB
+
+    return {
+        "bucket": FB.file_bucket, "key": FB.file_key,
+        "put": FB.f_put, "put_if_not_exists": FB.f_put_if_not_exists,
+        "get": FB.f_get, "head": FB.f_head, "exists": FB.f_exists,
+        "delete": FB.f_delete, "copy": FB.f_copy,
+        "copy_if_not_exists": FB.f_copy_if_not_exists,
+        "rename": FB.f_rename,
+        "rename_if_not_exists": FB.f_rename_if_not_exists,
+        "list": FB.f_list,
+    }
+
+
+_ns("file", _file_ns())
+
+
+# search:: — query-context functions (fnc/search.rs).  analyze/highlight/
+# offsets/rrf/linear are real (operators/fulltext.py); score reads the
+# _score column the MATCHES operator emits.
+def _search_ns() -> dict[str, Callable]:
+    from surrealdb_spark.operators import fulltext as FT
+    from surrealdb_spark.pipeline.text import words
+
+    return {
+        "analyze": lambda s: words(s if isinstance(s, Column) else F.col(s)),
+        "score": lambda *_a: F.col("_score"),
+        "highlight": lambda pre, post, text, terms: FT.highlight(
+            text, terms, pre=pre, post=post),
+        "offsets": lambda text, terms: FT.match_offsets(text, terms)[0],
+        "rrf": FT.rrf_fuse, "linear": FT.linear_fuse,
+    }
+
+
+_ns("search", _search_ns())
+
+
+def _network_stub(name: str):
+    def fn(*_a, **_k):
+        raise NotImplementedError(
+            f"{name} performs network I/O — disabled in the analytics engine "
+            "(reference gates it behind the http feature flag)"
+        )
+
+    return fn
+
+
+# http:: / api:: — network-bound; registered for surface completeness with
+# honest unimplemented dispatch (the reference compiles them out without the
+# `http` cargo feature; core/src/fnc/mod.rs).
+_ns("http", {m: _network_stub(f"http::{m}")
+             for m in ("get", "put", "post", "patch", "delete", "head")})
+_ns("api", {
+    "invoke": _network_stub("api::invoke"),
+    "timeout": _network_stub("api::timeout"),
+    "req::body": _network_stub("api::req::body"),
+    "res::body": _network_stub("api::res::body"),
+    "res::header": _network_stub("api::res::header"),
+    "res::headers": _network_stub("api::res::headers"),
+    "res::status": _network_stub("api::res::status"),
+})
+
+
+def _sequence_nextval(name: str):
+    from surrealdb_spark.export import next_sequence_value
+
+    return F.lit(next_sequence_value(name)).cast("bigint")
+
+
+_ns("sequence", {"nextval": _sequence_nextval})
 
 
 def lookup(name: str) -> Callable:

@@ -136,7 +136,13 @@ def round_(t, unit: str) -> Column:
 
 
 def set_field(t, field: str, v) -> Column:
-    """time::set_{year,month,day,hour,minute,second}."""
+    """time::set_{year,month,day,hour,minute,second,nanosecond}."""
+    if field == "nanosecond":
+        # µs-precision engine: truncate the sub-second part, add ns/1000 µs
+        base = F.date_trunc("second", _c(t))
+        return F.timestamp_micros(
+            F.unix_micros(base) + (_c(v) / 1000).cast("long")
+        )
     parts = {
         "year": F.year(_c(t)),
         "month": F.month(_c(t)),

@@ -292,3 +292,124 @@ def test_registry_coverage():
     assert cov["math"] >= 38
     assert cov["time"] >= 35
     assert len(REGISTRY) >= 250
+
+
+# -- round-2 long tail: extra_fns + filebucket --------------------------------
+
+EXTRA_CASES = [
+    (lambda: REGISTRY["string::distance::normalized_levenshtein"](
+        F.lit("kitten"), F.lit("sitting")), 1.0 - 3 / 7),
+    (lambda: REGISTRY["string::distance::normalized_damerau_levenshtein"](
+        F.lit("ca"), F.lit("ac")), 0.5),
+    (lambda: REGISTRY["string::distance::osa"](F.lit("ca"), F.lit("ac")), 1),
+    (lambda: REGISTRY["string::similarity::fuzzy"](
+        F.lit("some text"), F.lit("zzz")), 0),
+    (lambda: REGISTRY["string::semver::inc::major"](F.lit("1.2.3")), "2.0.0"),
+    (lambda: REGISTRY["string::semver::inc::minor"](F.lit("1.2.3")), "1.3.0"),
+    (lambda: REGISTRY["string::semver::inc::patch"](F.lit("1.2.3")), "1.2.4"),
+    (lambda: REGISTRY["string::semver::set::minor"](F.lit("1.2.3"), 9), "1.9.3"),
+    (lambda: REGISTRY["string::is_ipv4"](F.lit("10.0.0.256")), False),
+    (lambda: REGISTRY["string::is_ipv4"](F.lit("10.0.0.25")), True),
+    (lambda: REGISTRY["string::is_ipv6"](F.lit("fe80::1")), True),
+    (lambda: REGISTRY["string::is_alpha"](F.lit("abc")), True),
+    (lambda: REGISTRY["math::acot"](F.lit(1.0)), 0.7853981633974483),
+    (lambda: REGISTRY["bytes::len"](F.lit(b"abcd")), 4),
+    (lambda: REGISTRY["vector::angle"](lits(1.0, 0.0), lits(0.0, 1.0)),
+     1.5707963267948966),
+    (lambda: REGISTRY["vector::similarity::spearman"](
+        lits(1.0, 2.0, 3.0), lits(10.0, 20.0, 30.0)), 1.0),
+    (lambda: REGISTRY["array::sort_natural_lexical"](
+        lits("a10", "a2", "B1")), ["a2", "a10", "B1"]),
+    (lambda: REGISTRY["set::first"](lits(3, 1, 3)), 3),
+    (lambda: REGISTRY["set::max"](lits(3, 1, 3)), 3),
+    (lambda: REGISTRY["set::flatten"](
+        F.array(lits(1, 2), lits(2, 3))), [1, 2, 3]),
+    (lambda: REGISTRY["duration::from_mins"](F.lit(2)),
+     Row(months=0, nanos=120_000_000_000)),
+    (lambda: REGISTRY["time::is_leap_year"](
+        F.lit("2024-06-01").cast("timestamp")), True),
+    (lambda: REGISTRY["time::from_millis"](F.lit(86_400_000)).cast("string"),
+     "1970-01-02 00:00:00"),
+    (lambda: REGISTRY["meta::tb"](F.lit("person:1")), "person"),
+    (lambda: REGISTRY["meta::id"](F.lit("person:1")), "1"),
+    (lambda: REGISTRY["session::ns"](), "analytics"),
+    (lambda: REGISTRY["value::diff"](
+        F.struct(F.lit(1).alias("a")), F.struct(F.lit(2).alias("a"))),
+     '[{"op":"replace","path":"/a","value":2}]'),
+    (lambda: REGISTRY["value::patch"](
+        F.struct(F.lit(1).alias("a")),
+        '[{"op":"replace","path":"/a","value":5}]'), '{"a":5}'),
+    (lambda: REGISTRY["encoding::cbor::decode"](
+        REGISTRY["encoding::cbor::encode"](
+            F.struct(F.lit(7).alias("n"), F.lit("x").alias("s")))),
+     '{"n":7,"s":"x"}'),
+    (lambda: REGISTRY["file::bucket"](F.lit("file:/media/img/1.png")), "media"),
+    (lambda: REGISTRY["file::key"](F.lit("file:/media/img/1.png")), "/img/1.png"),
+]
+
+
+def test_extra_fns_golden(spark):
+    _run_cases(spark, EXTRA_CASES)
+
+
+def test_kdf_roundtrip(spark):
+    h = one(spark, REGISTRY["crypto::pbkdf2"](F.lit("pw")))
+    assert h.startswith("$pbkdf2-sha256$")
+    assert one(spark, REGISTRY["crypto::pbkdf2::compare"](F.lit(h), F.lit("pw"))) is True
+    assert one(spark, REGISTRY["crypto::pbkdf2::compare"](F.lit(h), F.lit("xx"))) is False
+    s = one(spark, REGISTRY["crypto::scrypt"](F.lit("pw")))
+    assert one(spark, REGISTRY["crypto::scrypt::compare"](F.lit(s), F.lit("pw"))) is True
+    with pytest.raises(NotImplementedError):
+        REGISTRY["crypto::argon2"](F.lit("x"))
+    with pytest.raises(NotImplementedError):
+        REGISTRY["http::get"]("http://x")
+
+
+def test_rand_shapes(spark):
+    row = spark.range(1).select(
+        REGISTRY["rand::ulid"]().alias("ulid"),
+        REGISTRY["rand::uuid::v7"]().alias("u7"),
+        REGISTRY["rand::id"]("person").alias("rid"),
+        REGISTRY["rand::time"]().alias("rt"),
+        REGISTRY["rand::duration"]().alias("rd"),
+    ).first()
+    import re
+    assert re.fullmatch(r"[0-9A-HJKMNP-TV-Z]{26}", row["ulid"])
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}",
+        row["u7"])
+    assert row["rid"].startswith("person:")
+    assert row["rd"] >= 0
+
+
+def test_filebucket(tmp_path):
+    from surrealdb_spark.pipeline.filebucket import (
+        bucket, define_bucket, f_exists, f_get, f_put,
+    )
+
+    define_bucket("media", str(tmp_path / "media"))
+    ptr = f_put("file:/media/img/1.bin", b"\x01\x02")
+    assert ptr == "file:/media/img/1.bin"
+    assert f_get(ptr) == b"\x01\x02"
+    assert f_exists(ptr) is True
+    b = bucket("media")
+    assert b.put_if_not_exists("img/1.bin", b"zz") is False
+    assert [e["key"] for e in b.list()] == ["/img/1.bin"]
+    assert b.head("img/1.bin")["size"] == 2
+    b.copy("img/1.bin", "img/2.bin")
+    assert b.exists("img/2.bin")
+    b.rename("img/2.bin", "img/3.bin")
+    assert not b.exists("img/2.bin") and b.exists("img/3.bin")
+    b.delete("img/3.bin")
+    assert not b.exists("img/3.bin")
+    with pytest.raises(ValueError):
+        b.get("../escape")
+
+
+def test_sequence_nextval(spark):
+    import uuid as _uuid
+
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    v1 = one(spark, REGISTRY["sequence::nextval"](name))
+    v2 = one(spark, REGISTRY["sequence::nextval"](name))
+    assert (v1, v2) == (1, 2)
