@@ -348,12 +348,21 @@ _ns("file", _file_ns())
 # search:: — query-context functions (fnc/search.rs).  analyze/highlight/
 # offsets/rrf/linear are real (operators/fulltext.py); score reads the
 # _score column the MATCHES operator emits.
+def _search_analyze(a, s=None) -> Column:
+    """search::analyze(analyzer, text) — run a DEFINE'd analyzer; one-arg
+    form runs the default (blank/punct + lowercase)."""
+    from surrealdb_spark.pipeline.analyzer import get_analyzer
+
+    if s is None:
+        a, s = "default", a
+    return get_analyzer(a)(s if isinstance(s, Column) else F.lit(s))
+
+
 def _search_ns() -> dict[str, Callable]:
     from surrealdb_spark.operators import fulltext as FT
-    from surrealdb_spark.pipeline.text import words
 
     return {
-        "analyze": lambda s: words(s if isinstance(s, Column) else F.col(s)),
+        "analyze": _search_analyze,
         "score": lambda *_a: F.col("_score"),
         "highlight": lambda pre, post, text, terms: FT.highlight(
             text, terms, pre=pre, post=post),

@@ -25,10 +25,14 @@ from pyspark.sql import functions as F
 from surrealdb_spark.pipeline.text import words
 
 
-def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, term, tf) — term frequencies per document."""
+def build_postings(df: DataFrame, id_col: str, text_col: str,
+                   analyzer=None) -> DataFrame:
+    """(doc, term, tf) — term frequencies per document.  ``analyzer`` is any
+    Column→array<string> callable (pipeline.analyzer.Analyzer); defaults to
+    the blank/punct+lowercase `words`."""
+    tok = analyzer if analyzer is not None else words
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("term"))
+        df.select(F.col(id_col).alias("doc"), F.explode(tok(text_col)).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -48,13 +52,17 @@ class FulltextIndex:
     build is the one-scan job; searches touch only the queried terms'
     postings."""
 
-    def __init__(self, df: DataFrame, id_col: str, text_col: str):
+    def __init__(self, df: DataFrame, id_col: str, text_col: str,
+                 analyzer=None):
         # ONE tokenization pass: postings are materialized, and doc lengths
         # are Σtf per doc FROM the postings (≡ size(words(text)) — every
         # token lands in exactly one (doc, term) group) instead of a second
         # corpus scan.  N comes from a metadata-only count; avgdl = Σtf / N
         # is unchanged (token-less docs contribute 0 either way).
-        self.postings = build_postings(df, id_col, text_col).localCheckpoint(eager=True)
+        self.analyzer = analyzer
+        self.postings = build_postings(
+            df, id_col, text_col, analyzer
+        ).localCheckpoint(eager=True)
         self.doc_lengths = self.postings.groupBy("doc").agg(
             F.sum("tf").alias("dl")
         )

@@ -104,6 +104,8 @@ _RAW_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "encoding::json::decode": (1,),
     "vector::distance::minkowski": (2,),
     "geo::hash::encode": (1,),
+    "search::analyze": (0,), "sequence::nextval": (0,),
+    "rand::id": (0,), "schema::table::exists": (0,),
 }
 
 _BINOPS = {

@@ -42,7 +42,8 @@ KEYWORDS = {
     "CONTENT", "MERGE", "PATCH", "RETURN", "BEFORE", "AFTER", "DIFF",
     "DUPLICATE", "KEY", "VALUES", "DEFINE", "TABLE", "FIELD", "TYPE",
     "ASSERT", "DEFAULT", "FUNCTION", "SCHEMAFULL", "SCHEMALESS", "MATCHES",
-    "SET", "OUTSIDE", "INTERSECTS", "LET",
+    "SET", "OUTSIDE", "INTERSECTS", "LET", "ANALYZER", "TOKENIZERS",
+    "FILTERS",
 }
 
 

@@ -91,6 +91,13 @@ class DefineFieldStmt:
 
 
 @dataclass
+class DefineAnalyzerStmt:
+    name: str
+    tokenizers: list = dc_field(default_factory=lambda: ["blank", "punct"])
+    filters: list = dc_field(default_factory=lambda: ["lowercase"])
+
+
+@dataclass
 class DefineFunctionStmt:
     name: str                 # fn::<name>
     params: list = dc_field(default_factory=list)
@@ -235,6 +242,40 @@ def _parse_statement_body(p: Parser):
             if p.eat("kw", "ASSERT"):
                 st.assert_ = p.expr(0)
             return st
+        if what.text == "ANALYZER":
+            # DEFINE ANALYZER name TOKENIZERS blank,camel FILTERS
+            #   lowercase,snowball(english),ngram(1,3),mapper('path')
+            # (define/analyzer.rs; sql/tokenizer.rs, sql/filter.rs)
+            name = p.expect("name").text
+            st = DefineAnalyzerStmt(name)
+            if p.eat("kw", "TOKENIZERS"):
+                st.tokenizers = []
+                while True:
+                    st.tokenizers.append(p.next().text.lower())
+                    if not p.eat("op", ","):
+                        break
+            if p.eat("kw", "FILTERS"):
+                st.filters = []
+                while True:
+                    fname = p.next().text.lower()
+                    if p.eat("op", "("):
+                        args = []
+                        while not (p.peek().kind == "op" and p.peek().text == ")"):
+                            t_ = p.next()
+                            if t_.kind == "num":
+                                args.append(int(t_.text))
+                            elif t_.kind == "str":
+                                args.append(t_.text[1:-1])
+                            elif t_.kind in ("name", "kw"):
+                                args.append(t_.text.lower())
+                            p.eat("op", ",")
+                        p.expect("op", ")")
+                        st.filters.append((fname, *args))
+                    else:
+                        st.filters.append(fname)
+                    if not p.eat("op", ","):
+                        break
+            return st
         if what.text == "FUNCTION":
             # DEFINE FUNCTION fn::name($a: type, $b: option<type>) {
             #   LET $x = ...; RETURN <expr> }   (define/function.rs; language
@@ -376,6 +417,11 @@ class StatementRunner:
                     lambda col: self._expr(a, {"value": col, "this": col})
                 ))(aast)
             td.fields.append(FieldDef(stmt.name, dtype, default, assert_fn))
+            return None
+        if isinstance(stmt, DefineAnalyzerStmt):
+            from surrealdb_spark.pipeline.analyzer import define_analyzer
+
+            define_analyzer(stmt.name, stmt.tokenizers, stmt.filters)
             return None
         if isinstance(stmt, DefineFunctionStmt):
             # UDF-as-macro: the body is inlined at call sites
