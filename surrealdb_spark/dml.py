@@ -184,7 +184,13 @@ class Database:
                 )
             change.write.mode("append").parquet(self._changes(tbl))
         for hook in td.events:
-            hook(action, rows)
+            # 3-arg hooks (incremental views) also see the pre-image
+            import inspect
+
+            if len(inspect.signature(hook).parameters) >= 3:
+                hook(action, rows, before)
+            else:
+                hook(action, rows)
 
     # -- statements ----------------------------------------------------------
 

@@ -28,15 +28,45 @@ class ScriptResult:
     bindings: dict
 
 
+class ScriptError(Exception):
+    """THROW <expr> (exec ControlFlow::Err; statements/throw.rs)."""
+
+    def __init__(self, value):
+        self.value = value
+        super().__init__(f"script threw: {value!r}")
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
 class ScriptRunner:
     """Executes `LET $name = <SELECT...|literal>` / `RETURN <SELECT|$param>`
-    statement sequences.  With a ``db``, DML/DDL statements (CREATE/INSERT/
-    UPDATE/UPSERT/DELETE/RELATE/DEFINE) run through sql.statements."""
+    statement sequences with IF/ELSE, FOR, THROW, BREAK/CONTINUE blocks
+    (ControlFlow signals in the reference executor, exec/mod.rs:150-155).
+    With a ``db``, DML/DDL statements (CREATE/INSERT/UPDATE/UPSERT/DELETE/
+    RELATE/DEFINE) run through sql.statements.
+
+    The DRIVER is the control-flow engine; each statement's data work stays
+    a distributed Spark job.  FOR iterates driver-side over a bounded list —
+    it exists for scripting ergonomics, not data movement (use DataFrame
+    ops for per-row work; the cap fails loudly).
+    """
 
     # LET over an unbounded SELECT would collect the whole table to the
     # driver (the reference binds subquery results as values too, but a
     # 100 TB LET must fail loudly, not OOM) — VERDICT r1 "what's wrong" #5.
     MAX_LET_ROWS = 100_000
+    MAX_FOR_ITERS = 10_000
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None,
                  catalog: Catalog | None = None, db=None):
@@ -51,25 +81,101 @@ class ScriptRunner:
 
     def run(self, script: str, **params) -> ScriptResult:
         bindings: dict = dict(params)
+        try:
+            result = self._run_block(script, bindings)
+        except _Return as r:
+            result = r.value
+        except (_Break, _Continue):
+            raise ValueError("BREAK/CONTINUE outside a FOR loop") from None
+        return ScriptResult(result, bindings)
+
+    # block execution -------------------------------------------------------
+
+    def _run_block(self, text: str, bindings: dict):
         result: object = None
-        for stmt in self._statements(script):
+        for stmt in self._statements(text):
             up = stmt.upper()
+            if not stmt.strip():
+                continue
             if up.startswith("LET "):
                 rest = stmt[4:].strip()
                 name, _, rhs = rest.partition("=")
-                name = name.strip().lstrip("$")
-                bindings[name] = self._eval(rhs.strip(), bindings)
+                bindings[name.strip().lstrip("$")] = self._eval(rhs.strip(), bindings)
+            elif up.startswith("IF ") or up.startswith("IF{"):
+                result = self._run_if(stmt, bindings)
+            elif up.startswith("FOR "):
+                self._run_for(stmt, bindings)
+            elif up.startswith("THROW "):
+                raise ScriptError(self._eval(stmt[6:].strip(), bindings))
+            elif up == "BREAK":
+                raise _Break()
+            elif up == "CONTINUE":
+                raise _Continue()
             elif up.startswith("RETURN "):
-                result = self._eval(stmt[7:].strip(), bindings)
+                raise _Return(self._eval(stmt[7:].strip(), bindings))
             elif up.startswith("SELECT"):
                 result = self._eval(stmt, bindings)
-            elif not stmt.strip():
-                continue
             elif self._stmts is not None:
                 result = self._stmts.run(stmt, bindings)
             else:
                 raise ValueError(f"unsupported statement: {stmt[:40]!r}")
-        return ScriptResult(result, bindings)
+        return result
+
+    def _run_if(self, stmt: str, bindings: dict):
+        """IF cond { block } [ELSE IF cond { block }]* [ELSE { block }]."""
+        rest = stmt[2:]
+        while True:
+            cond_src, block, rest = _split_block(rest)
+            if _truthy(self._eval_expr(cond_src.strip(), bindings)):
+                return self._run_block(block, bindings)
+            rest = rest.strip()
+            if not rest:
+                return None
+            up = rest.upper()
+            if up.startswith("ELSE IF "):
+                rest = rest[7:]
+                continue
+            if up.startswith("ELSE"):
+                _, block, _ = _split_block(" " + rest[4:])
+                return self._run_block(block, bindings)
+            raise ValueError(f"unexpected after IF block: {rest[:30]!r}")
+
+    def _run_for(self, stmt: str, bindings: dict) -> None:
+        """FOR $x IN <iterable> { block } (statements/foreach.rs)."""
+        head, block, rest = _split_block(stmt[4:])
+        if rest.strip():
+            raise ValueError(f"unexpected after FOR block: {rest[:30]!r}")
+        var, _, src = head.partition(" IN ") if " IN " in head else head.partition(" in ")
+        var = var.strip().lstrip("$")
+        items = self._eval(src.strip(), bindings)
+        if isinstance(items, DataFrame):
+            head_rows = items.limit(self.MAX_FOR_ITERS + 1).collect()
+            items = [r.asDict(recursive=True) for r in head_rows]
+        if not isinstance(items, (list, tuple)):
+            raise ValueError("FOR needs an array/list to iterate")
+        if len(items) > self.MAX_FOR_ITERS:
+            raise ValueError(
+                f"FOR exceeds {self.MAX_FOR_ITERS} iterations — a driver "
+                "loop at that size is a scale bug; use DataFrame operations"
+            )
+        for it in items:
+            bindings[var] = it
+            try:
+                self._run_block(block, bindings)
+            except _Break:
+                break
+            except _Continue:
+                continue
+
+    def _eval_expr(self, src: str, bindings: dict):
+        """Driver-side SurrealQL expression evaluation (IF conditions)."""
+        from surrealdb_spark.sql.compiler import compile_expr
+        from surrealdb_spark.sql.parser import parse_expr
+
+        scalars = {k: v for k, v in bindings.items()
+                   if not isinstance(v, DataFrame)}
+        col = compile_expr(parse_expr(src), scalars)
+        return self.spark.range(1).select(col.alias("v")).first()["v"]
 
     def _eval(self, rhs: str, bindings: dict):
         rhs = rhs.strip().rstrip(";")
@@ -91,23 +197,30 @@ class ScriptRunner:
                 vals = [r.value for r in head]
                 return vals[0] if len(vals) == 1 else vals
             return df
-        if rhs.startswith("$"):
+        if rhs.startswith("$") and rhs[1:].isidentifier():
             return bindings[rhs[1:]]
         try:
             return int(rhs)
         except ValueError:
-            try:
-                return float(rhs)
-            except ValueError:
-                return rhs.strip("'\"")
+            pass
+        try:
+            return float(rhs)
+        except ValueError:
+            pass
+        if (rhs.startswith("'") or rhs.startswith('"')) and rhs[-1] == rhs[0]:
+            return rhs[1:-1]
+        # general SurrealQL expression ([1,2], $a + $b, fn calls, ...)
+        return self._eval_expr(rhs, bindings)
 
     @staticmethod
     def _statements(script: str) -> list[str]:
+        """Split on top-level `;` — parens AND braces nest (IF/FOR blocks
+        carry whole statement lists)."""
         out, depth, cur = [], 0, []
         for ch in script:
-            if ch == "(":
+            if ch in "({":
                 depth += 1
-            elif ch == ")":
+            elif ch in ")}":
                 depth -= 1
             if ch == ";" and depth == 0:
                 out.append("".join(cur).strip())
@@ -117,3 +230,35 @@ class ScriptRunner:
         if "".join(cur).strip():
             out.append("".join(cur).strip())
         return out
+
+
+def _split_block(s: str) -> tuple[str, str, str]:
+    """Split `head { block } rest` at the first top-level brace pair."""
+    i = s.find("{")
+    if i < 0:
+        raise ValueError(f"expected '{{' in {s[:40]!r}")
+    depth, j = 0, i
+    for j in range(i, len(s)):
+        if s[j] == "{":
+            depth += 1
+        elif s[j] == "}":
+            depth -= 1
+            if depth == 0:
+                break
+    if depth != 0:
+        raise ValueError("unbalanced braces in block")
+    return s[:i], s[i + 1:j], s[j + 1:]
+
+
+def _truthy(v) -> bool:
+    """SurrealQL truthiness: non-false, non-zero, non-empty, non-null
+    (val/value.rs is_truthy)."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, (str, list, tuple, dict)):
+        return len(v) > 0
+    return True

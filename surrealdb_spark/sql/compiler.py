@@ -650,6 +650,10 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                     F.regexp_extract(c.cast("string"), r"(\d+)", 1).cast("bigint"),
                     c.cast("string"),
                 )
+            elif k.collate:
+                # ORDER COLLATE: locale-aware unicode collation (order.rs
+                # Ordering::collate) — Spark 4 ICU collations, JVM-side
+                c = F.collate(c.cast("string"), "UNICODE")
             order_cols.append(c.desc() if k.desc else c.asc())
         df = df.orderBy(*order_cols)
 

@@ -81,3 +81,46 @@ def test_bucketed_write_roundtrip(spark, tmp_path):
     # bucketed scan: a groupBy on the bucket key avoids a shuffle exchange
     plan = back.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
     spark.sql("DROP TABLE bucketed_demo")
+
+
+def test_script_if_else(spark):
+    r = ScriptRunner(spark, SF).run(
+        """
+        LET $n = (SELECT VALUE count() FROM orders GROUP ALL);
+        IF $n > 100 { RETURN 'big'; } ELSE IF $n > 10 { RETURN 'mid'; }
+          ELSE { RETURN 'small'; };
+        """
+    )
+    assert r.value == "big"
+    r2 = ScriptRunner(spark, SF).run(
+        "IF false { RETURN 1; } ELSE { RETURN 2; };")
+    assert r2.value == 2
+    # SurrealQL truthiness: empty string is falsy
+    r3 = ScriptRunner(spark, SF).run(
+        "LET $s = ''; IF $s { RETURN 'yes'; } ELSE { RETURN 'no'; };")
+    assert r3.value == "no"
+
+
+def test_script_for_break_continue(spark):
+    r = ScriptRunner(spark, SF).run(
+        """
+        LET $acc = 0;
+        FOR $x IN [1, 2, 3, 4, 5, 6] {
+            IF $x = 4 { BREAK; };
+            IF $x % 2 = 0 { CONTINUE; };
+            LET $acc = $acc + $x;
+        };
+        RETURN $acc;
+        """
+    )
+    assert r.value == 4  # 1 + 3, stop at 4
+
+
+def test_script_throw(spark):
+    from surrealdb_spark.script import ScriptError
+
+    import pytest
+    with pytest.raises(ScriptError) as ei:
+        ScriptRunner(spark, SF).run(
+            "LET $n = 1; IF $n = 1 { THROW 'bad state'; };")
+    assert ei.value.value == "bad state"

@@ -221,3 +221,25 @@ def test_define_field_decimal_dtype(spark, tmp_path):
     assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)[
         "amount"
     ] == "decimal(38,10)"
+
+
+def test_order_collate(spark):
+    """ORDER COLLATE → Spark 4 UNICODE (ICU) collation: case-grouped,
+    locale-aware — binary order would give A,B,a,b (order.rs collate)."""
+    from surrealdb_spark.sql.compiler import compile_select
+    from surrealdb_spark.sql.parser import parse_select
+
+    df = spark.createDataFrame([("b",), ("A",), ("a",), ("B",)], "s string")
+
+    class Cat:
+        def table(self, name):
+            return df
+
+    sel = parse_select("SELECT s FROM t ORDER BY s COLLATE")
+    assert sel.order[0].collate
+    out = compile_select(spark, sel, catalog=Cat())
+    assert [r["s"] for r in out.collect()] == ["a", "A", "b", "B"]
+    # without COLLATE: binary order, uppercase block first
+    plain = compile_select(
+        spark, parse_select("SELECT s FROM t ORDER BY s"), catalog=Cat())
+    assert [r["s"] for r in plain.collect()] == ["A", "B", "a", "b"]
