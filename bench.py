@@ -52,13 +52,25 @@ def main() -> None:
         .format("noop")
         .save()
     )
+    # ... and the Arrow/pandas-UDF lane (Python worker fork + Arrow codec
+    # init, ~1-2 s once per session) — several operators sign/stem/fold
+    # through pandas UDFs.
+    from pyspark.sql import types as _T
+
+    _warm = _F.pandas_udf(lambda x: x * 1.0, _T.DoubleType())
+    spark.range(64).select(_warm(_F.col("id").cast("double"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
     # DEFINE INDEX step: materialize the fulltext inverted index before the
     # measured queries, mirroring the reference where `DEFINE INDEX ...
     # FULLTEXT` builds at DDL time and `@@` queries hit the stored index.
     # The searches themselves (postings join + BM25 scoring) stay measured.
-    from surrealdb_spark.suite._util import ft_index
+    from surrealdb_spark.suite._util import ft_index, srp_signed
 
     ft_index(spark, sf_dir)
+    # ... and the SRP signature index (DEFINE INDEX ... HNSW analogue);
+    # the measured query is the banded bucket join + exact re-score.
+    srp_signed(spark, sf_dir)
     for name in sorted(bench):
         fn = bench[name]
         t0 = time.perf_counter()

@@ -49,6 +49,12 @@ class Catalog:
         # RELATE-created edge tables (in/out record-id columns) registered
         # for graph traversal in queries (operators/graph.py shapes them).
         self.edges: dict[str, DataFrame] = {}
+        # Row-level SELECT permissions (catalog/schema/mod.rs:42-47):
+        # table → Column | callable(session)->Column | False (deny-all).
+        # Applied by the compiler at scan resolution; $auth/$session come
+        # from `self.auth` (set_auth).
+        self.permissions: dict[str, object] = {}
+        self.auth: dict = {}
 
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
@@ -84,6 +90,18 @@ class Catalog:
     def register_edges(self, name: str, edges: DataFrame) -> None:
         """Register an edge table (columns ``in``/``out`` [+payload])."""
         self.edges[name] = edges
+
+    def set_permission(self, name: str, perm) -> None:
+        """PERMISSIONS FOR select: Column | callable(session)->Column |
+        False (deny-all) | None (full access, clears)."""
+        if perm is None:
+            self.permissions.pop(name, None)
+        else:
+            self.permissions[name] = perm
+
+    def set_auth(self, **session) -> None:
+        """$auth/$session bindings seen by permission expressions."""
+        self.auth = session
 
     def register_views(self, names: list[str] | None = None) -> None:
         """Register temp views so spark.sql() sees the same tables DuckDB does."""

@@ -168,16 +168,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_planes: int = 32) -> Da
     the doc's word set.  Integer sums → order-independent and portable.
     """
     dw = doc_words(df, id_col, text_col)
+    # Bit j of the fingerprint is set iff Σ±1 ≥ 0 ⇔ 2·Σbit_j ≥ n, where
+    # bit_j is the top bit of md5 hex digit j.  Decode md5 into four 32-bit
+    # chunks ONCE per word (a shared projection), then each aggregate is a
+    # shift+mask — vs 32 per-plane substring+isin trees, which made Catalyst
+    # analysis dominate the first run (bench: 7.9 s → ~3 s at sf0.1).
     h = F.md5(F.col("w"))
-    aggs = [
-        F.sum(
-            F.when(F.substring(h, j + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(n_planes)
-    ]
-    sums = dw.groupBy("doc").agg(*aggs)
+    chunked = dw.select(
+        "doc",
+        *[F.conv(F.substring(h, 8 * c + 1, 8), 16, 10).cast("bigint").alias(f"h{c}")
+          for c in range((n_planes + 7) // 8)],
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(n_planes):
+        chunk, shift = j // 8, 4 * (7 - j % 8) + 3
+        aggs.append(
+            F.sum(F.shiftright(F.col(f"h{chunk}"), shift).bitwiseAND(F.lit(1)))
+            .alias(f"s{j}")
+        )
+    sums = chunked.groupBy("doc").agg(*aggs)
     bits = [
-        F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(2 * F.col(f"s{j}") >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
         for j in range(n_planes)
     ]
     return sums.select("doc", F.concat(*bits).alias("simhash"))

@@ -1,0 +1,164 @@
+"""IVF (inverted-file) approximate nearest neighbour: coarse k-means
+quantizer + probe-limited exact re-score.
+
+The third ANN tier next to brute-force (operators/knn.py) and banded
+SRP-LSH (pipeline/similarity.py).  The reference's HNSW
+(core/src/idx/trees/hnsw/) is a sequential in-memory graph; IVF is the
+other classic distributed-friendly shape: partition the corpus by nearest
+centroid (an index-build artifact), then search only ``nprobe`` cells.
+
+100 TB cost shape:
+  * build — ``iters`` passes, each: one broadcast-matmul assignment
+    (pandas UDF, batch×dim @ dim×k) + one groupBy(cell) mean.  Centroid
+    count k is driver-sized (k·dim doubles broadcast per stage).
+  * search — queries pick nprobe cells from the broadcast centroid matrix,
+    then ONE join keyed on cell id against the cell-partitioned corpus:
+    shuffle ∝ |queries|·nprobe + touched cells, never the full corpus.
+  * recall/latency dial: nprobe/k (the standard IVF trade-off).
+
+Determinism: centroids init from md5-ordered row sample, Lloyd updates are
+mean-of-cell (decimal-free but order-stable enough for tests: assignment
+is argmin over exact doubles; ties broken by lowest cell id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf string type hints resolve lazily
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from surrealdb_spark.functions import vector as V
+
+
+def _assign_udf(centroids: np.ndarray):
+    """argmin_{cell} ||v - c||² as one batch matmul: the closure captures
+    the k×dim centroid matrix (broadcast once per stage)."""
+    C = centroids.astype(np.float64)            # k × dim
+    Cn = (C * C).sum(axis=1)                    # ‖c‖² per cell
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.vstack(v.to_numpy())             # batch × dim
+        # ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖²; ‖v‖² is constant per row → drop
+        d = Cn[None, :] - 2.0 * (M @ C.T)       # batch × k
+        return pd.Series(np.argmin(d, axis=1), dtype="int32")
+
+    return assign
+
+
+class IvfIndex:
+    """Index artifact: centroid matrix + cell-assigned corpus (materialized)."""
+
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray,
+                 id_col: str, vec_col: str):
+        self.assigned = assigned        # (id, vec, __cell)
+        self.centroids = centroids      # k × dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def search(self, queries: DataFrame | None, k: int, nprobe: int = 3,
+               metric: str = "cosine", query_pred=None,
+               exclude_self: bool = False) -> DataFrame:
+        """Top-k per query over the nprobe nearest cells →
+        (q_id, c_id, dist, rank)."""
+        C = self.centroids
+        n_cells = C.shape[0]
+        nprobe = min(nprobe, n_cells)
+        Cn = (C * C).sum(axis=1)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def probe_cells(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            M = np.vstack(v.to_numpy())
+            d = Cn[None, :] - 2.0 * (M @ C.T)
+            idx = np.argsort(d, axis=1)[:, :nprobe]
+            return pd.Series([row.astype("int32").tolist() for row in idx],
+                             dtype="object")
+
+        if query_pred is not None:
+            q = self.assigned.filter(query_pred).select(
+                F.col(self.id_col).alias("q_id"),
+                F.col(self.vec_col).alias("__qv"),
+            )
+        else:
+            assert queries is not None, "pass queries or query_pred"
+            q = queries.select(F.col(self.id_col).alias("q_id"),
+                               F.col(self.vec_col).alias("__qv"))
+        q = q.withColumn("__cell", F.explode(probe_cells("__qv")))
+        # few queries × nprobe cells vs the big cell-partitioned corpus:
+        # broadcast the query side, join keyed on cell id only
+        cand = F.broadcast(q).join(
+            self.assigned.select(
+                F.col(self.id_col).alias("c_id"),
+                F.col(self.vec_col).alias("__cv"), "__cell",
+            ),
+            "__cell",
+        )
+        if exclude_self:
+            cand = cand.filter(F.col("q_id") != F.col("c_id"))
+        dist_fn = V.METRICS[metric]
+        scored = cand.select(
+            "q_id", "c_id", dist_fn("__qv", "__cv").alias("dist")
+        )
+        order = [F.col("dist").asc(), F.col("c_id").asc()]
+        local = W.partitionBy(F.spark_partition_id(), "q_id").orderBy(*order)
+        survivors = (
+            scored.withColumn("__lr", F.row_number().over(local))
+            .filter(F.col("__lr") <= k).drop("__lr")
+        )
+        top = W.partitionBy("q_id").orderBy(*order)
+        return (
+            survivors.withColumn("rank", F.row_number().over(top))
+            .filter(F.col("rank") <= k)
+        )
+
+
+def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_cells: int = 16,
+              iters: int = 3) -> IvfIndex:
+    """Lloyd's k-means, fully distributed, deterministic seeding.
+
+    Init: the n_cells rows with the smallest md5(id) (a deterministic
+    pseudo-random sample — one small sort-limit job).  Each iteration is
+    one assignment pass (broadcast matmul) + one groupBy(cell) mean
+    (posexplode → (cell, dim) partial sums: a single shuffle whose key
+    cardinality is k·dim — driver-independent of corpus size).
+    """
+    seed_rows = (
+        corpus.select(F.col(vec_col).alias("v"),
+                      F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h").limit(n_cells).collect()
+    )
+    centroids = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+
+    base = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    for _ in range(iters):
+        assigned = base.withColumn("__cell", _assign_udf(centroids)(vec_col))
+        means = (
+            assigned.select(
+                "__cell", F.posexplode(vec_col).alias("d", "x")
+            )
+            .groupBy("__cell", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        fresh = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in means:
+            acc.setdefault(r["__cell"], np.zeros(centroids.shape[1]))[r["d"]] = r["s"]
+            cnt[r["__cell"]] = r["n"]
+        for cell, vec in acc.items():
+            fresh[cell] = vec / cnt[cell]
+        centroids = fresh
+
+    assigned = base.withColumn(
+        "__cell", _assign_udf(centroids)(vec_col)
+    ).localCheckpoint(eager=True)
+    return IvfIndex(assigned, centroids, id_col, vec_col)

@@ -561,6 +561,17 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 t = t.withColumn("id", record_id(src, _guess_id_col(t, src)))
             except KeyError:
                 pass
+        # row-level SELECT permission: a plain filter BEFORE user clauses,
+        # so Catalyst pushes it into the scan like any predicate
+        # (exec/permission.rs; schema/mod.rs:42-47)
+        perm = getattr(cat, "permissions", {}).get(src)
+        if perm is not None:
+            if perm is False:
+                t = t.filter(F.lit(False))
+            else:
+                from surrealdb_spark.operators.misc import with_permissions
+
+                t = with_permissions(t, perm, getattr(cat, "auth", {}))
         return t
 
     dfs = [resolve(s) for s in sel.sources]

@@ -43,7 +43,7 @@ KEYWORDS = {
     "DUPLICATE", "KEY", "VALUES", "DEFINE", "TABLE", "FIELD", "TYPE",
     "ASSERT", "DEFAULT", "FUNCTION", "SCHEMAFULL", "SCHEMALESS", "MATCHES",
     "SET", "OUTSIDE", "INTERSECTS", "LET", "ANALYZER", "TOKENIZERS",
-    "FILTERS",
+    "FILTERS", "PERMISSIONS", "FOR", "FULL",
 }
 
 

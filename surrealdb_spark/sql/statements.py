@@ -79,6 +79,10 @@ class RelateStmt:
 class DefineTableStmt:
     name: str
     schemafull: bool = False
+    # SELECT permission: "full" | "none" | WHERE-expr AST
+    # (other verbs parsed-ignored: mutations go through dml.Database which
+    # is owner-scoped in this engine)
+    select_perm: object = "full"
 
 
 @dataclass
@@ -228,7 +232,32 @@ def _parse_statement_body(p: Parser):
             name = p.expect("name").text
             schemafull = bool(p.eat("kw", "SCHEMAFULL"))
             p.eat("kw", "SCHEMALESS")
-            return DefineTableStmt(name, schemafull)
+            st = DefineTableStmt(name, schemafull)
+            # PERMISSIONS NONE|FULL | FOR <verb>[,<verb>] NONE|FULL|WHERE e
+            # (statements/define/table.rs; only the select verb is enforced
+            # — reads; mutations are owner-scoped dml.Database calls)
+            if p.eat("kw", "PERMISSIONS"):
+                if p.eat("kw", "NONE"):
+                    st.select_perm = "none"
+                elif p.eat("kw", "FULL"):
+                    st.select_perm = "full"
+                else:
+                    while p.eat("kw", "FOR"):
+                        verbs = []
+                        while True:
+                            verbs.append(p.next().text.lower())
+                            if not p.eat("op", ","):
+                                break
+                        if p.eat("kw", "NONE"):
+                            perm: object = "none"
+                        elif p.eat("kw", "FULL"):
+                            perm = "full"
+                        else:
+                            p.expect("kw", "WHERE")
+                            perm = p.expr(0)
+                        if "select" in verbs:
+                            st.select_perm = perm
+            return st
         if what.text == "FIELD":
             name = p.expect("name").text
             p.expect("kw", "ON")
@@ -393,6 +422,21 @@ class StatementRunner:
     def _execute(self, stmt, params: dict) -> DataFrame | None:
         if isinstance(stmt, DefineTableStmt):
             self.db.define_table(TableDef(stmt.name))
+            if stmt.select_perm == "none":
+                self.catalog.set_permission(stmt.name, False)
+            elif stmt.select_perm != "full":
+                ast = stmt.select_perm
+
+                def perm(sess, _ast=ast):
+                    binds = {
+                        k: (F.struct(*[F.lit(x).alias(kk)
+                                       for kk, x in v.items()])
+                            if isinstance(v, dict) else v)
+                        for k, v in sess.items()
+                    }
+                    return self._expr(_ast, binds)
+
+                self.catalog.set_permission(stmt.name, perm)
             return None
         if isinstance(stmt, DefineFieldStmt):
             td = self.db.tables[stmt.table]

@@ -114,3 +114,21 @@ def ft_index(spark, sf_dir: str):
         ent = (spark, FulltextIndex(Catalog(spark, sf_dir).documents, "doc_id", "text"))
         _FT_CACHE[sf_dir] = ent
     return ent[1]
+
+
+_SRP_CACHE: dict = {}
+
+
+def srp_signed(spark, sf_dir: str, n_planes: int = 16, dim: int = 64):
+    """Build-once SRP-signed embeddings (DEFINE INDEX ... HNSW analogue:
+    signatures are an index artifact, built at DDL time, searched many)."""
+    from surrealdb_spark.catalog import Catalog
+    from surrealdb_spark.pipeline.similarity import srp_planes, srp_sign
+
+    key = (sf_dir, n_planes, dim)
+    ent = _SRP_CACHE.get(key)
+    if ent is None or ent[0] is not spark:
+        planes = srp_planes(n_planes, dim)
+        ent = (spark, srp_sign(Catalog(spark, sf_dir).embeddings, planes))
+        _SRP_CACHE[key] = ent
+    return ent[1]

@@ -133,13 +133,29 @@ def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf", hidden=True)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF tier: coarse k-means cells + nprobe-limited exact re-score
+    # (pipeline/ivf.py; recall vs brute force in tests/test_vector.py).
+    from surrealdb_spark.pipeline.ivf import ivf_build
+
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = ivf_build(emb, n_cells=16, iters=2)
+    return idx.search(None, k=10, nprobe=4,
+                      query_pred=F.col("vec_id") % 50 == 0, exclude_self=True)
+
+
 @query("ann_srp_lsh", bench=True)
 def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate NN via banded sign-random-projection LSH (no SQL oracle —
     # approximate op; recall vs brute force is asserted in tests/test_vector.py).
+    from surrealdb_spark.suite._util import srp_signed
+
     emb = Catalog(spark, sf_dir).embeddings
-    # queries ⊂ corpus → sign once, filter the signed frame for the query side
+    # queries ⊂ corpus → sign once (build-once index artifact, the DEFINE
+    # INDEX analogue), filter the signed frame for the query side
     return srp_lsh_topk(
         None, emb, k=10, dim=64, n_planes=16, bands=4, exclude_self=True,
         query_pred=F.col("vec_id") % 50 == 0, broadcast_queries=True,
+        signed=srp_signed(spark, sf_dir),
     )

@@ -131,3 +131,26 @@ def test_create_clash_errors(spark, tmp_path):
     r.run("CREATE t:1 SET x = 1")
     with pytest.raises(MutationError):
         r.run("CREATE t:1 SET x = 2")
+
+
+def test_permissions_enforced_in_select(spark, tmp_path):
+    """PERMISSIONS FOR select WHERE ... filters rows at scan resolution
+    (schema/mod.rs:42-47; exec/permission.rs) — pushdown-able predicate."""
+    db = Database(spark, str(tmp_path))
+    r = StatementRunner(spark, db)
+    r.run("DEFINE TABLE doc PERMISSIONS FOR select WHERE owner = $auth.id")
+    r.run("CREATE doc:1 SET owner = 'u1', body = 'a'")
+    r.run("CREATE doc:2 SET owner = 'u2', body = 'b'")
+
+    r.catalog.set_auth(auth={"id": "u1"})
+    got = r.run("SELECT body FROM doc")
+    assert [x["body"] for x in got.collect()] == ["a"]
+
+    r.catalog.set_auth(auth={"id": "u2"})
+    got = r.run("SELECT body FROM doc")
+    assert [x["body"] for x in got.collect()] == ["b"]
+
+    # PERMISSIONS NONE → deny-all
+    r.run("DEFINE TABLE sealed PERMISSIONS NONE")
+    r.run("CREATE sealed:1 SET x = 1")
+    assert r.run("SELECT * FROM sealed").count() == 0
