@@ -62,6 +62,9 @@ class TableDef:
     versioned: bool = False
     # DEFINE EVENT hooks: fn(action, df_of_affected_rows) — core/src/doc/event.rs
     events: list[Callable[[str, DataFrame], None]] = field(default_factory=list)
+    # DEFINE INDEX ... UNIQUE: each entry is the column list of one unique
+    # index, enforced on CREATE/INSERT/UPSERT (catalog/schema/index.rs Uniq)
+    unique_indexes: list[list[str]] = field(default_factory=list)
 
 
 class MutationError(Exception):
@@ -194,6 +197,29 @@ class Database:
 
     # -- statements ----------------------------------------------------------
 
+    def _check_unique(self, tbl: str, records: DataFrame) -> None:
+        """Uniq index enforcement (catalog/schema/index.rs Uniq): one
+        semi-join per index against stored rows + an intra-batch groupBy."""
+        td = self.tables[tbl]
+        for cols in td.unique_indexes:
+            if any(c not in records.columns for c in cols):
+                continue
+            dup_batch = (
+                records.groupBy(*cols).count().filter(F.col("count") > 1).count()
+            )
+            if dup_batch:
+                raise MutationError(
+                    f"unique index on {cols} violated within the batch"
+                )
+            if self._exists(tbl):
+                n = records.join(
+                    self.table(tbl).select(*cols), cols, "left_semi"
+                ).count()
+                if n:
+                    raise MutationError(
+                        f"unique index on {cols}: {n} clashing value(s) in {tbl}"
+                    )
+
     def create(self, tbl: str, records: DataFrame) -> DataFrame:
         """CREATE — insert new records, ERROR if an id already exists
         (expr/statements/create.rs; Iterable::GenerateRecordId)."""
@@ -206,6 +232,7 @@ class Database:
             n = clash.count()
             if n:
                 raise MutationError(f"CREATE: {n} record id(s) already exist in {tbl}")
+        self._check_unique(tbl, records)
         self._snapshot(tbl)
         records.write.mode("append").parquet(self._data(tbl))
         self._post_write(tbl, "CREATE", records)
@@ -219,11 +246,13 @@ class Database:
         td = self.tables[tbl]
         records = self._apply_fields(tbl, records, existing=False)
         if not self._exists(tbl):
+            self._check_unique(tbl, records)
             records.write.mode("append").parquet(self._data(tbl))
             self._post_write(tbl, "CREATE", records)
             return records
         current = self.table(tbl)
         fresh = records.join(current.select(td.id_col), td.id_col, "left_anti")
+        self._check_unique(tbl, fresh)
         if on_duplicate is None:
             merged = current.unionByName(fresh)
             touched = fresh.localCheckpoint(eager=True)

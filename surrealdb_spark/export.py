@@ -57,6 +57,68 @@ def import_table_surql(spark, path: str) -> DataFrame:
     ).filter(F.col("table") != "")
 
 
+def export_database_surql(db, path: str) -> dict[str, int]:
+    """Full-DB export: DEFINE TABLE headers + every table's INSERTs into
+    one directory (one text part-set per table; export.rs full export)."""
+    import os as _os
+
+    counts: dict[str, int] = {}
+    ddl = [f"DEFINE TABLE {t};" for t in sorted(db.tables) if db._exists(t)]
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_schema.surql", "w") as fh:
+        fh.write("\n".join(ddl) + "\n")
+    for t in sorted(db.tables):
+        if db._exists(t):
+            counts[t] = export_table_surql(
+                db.table(t), t, db.tables[t].id_col, f"{path}/{t}"
+            )
+    return counts
+
+
+def import_database_surql(db, path: str) -> dict[str, int]:
+    """Full-DB import: run the schema DDL through the statement parser,
+    then bulk-INSERT each table's rows DISTRIBUTED (rows never collect to
+    the driver — the per-line JSON is parsed as a DataFrame and appended
+    per table; only statement COUNTS come back)."""
+    import os as _os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    runner = StatementRunner(db.spark, db)
+    schema_file = f"{path}/_schema.surql"
+    if _os.path.exists(schema_file):
+        for line in open(schema_file):
+            line = line.strip().rstrip(";")
+            if line:
+                runner.run(line)
+    counts: dict[str, int] = {}
+    for entry in sorted(_os.listdir(path)):
+        tdir = f"{path}/{entry}"
+        if entry.startswith("_") or not _os.path.isdir(tdir):
+            continue
+        parsed = import_table_surql(db.spark, tdir).filter(
+            F.col("table") == entry
+        )
+        sample = parsed.limit(1).collect()
+        if not sample:
+            continue
+        schema = db.spark.range(1).select(
+            F.schema_of_json(F.lit(sample[0]["record_json"])).alias("s")
+        ).first()["s"]
+        rows = parsed.select(
+            F.from_json("record_json", schema).alias("r")
+        ).select("r.*")
+        if entry not in db.tables:
+            from surrealdb_spark.dml import TableDef
+
+            db.define_table(TableDef(entry))
+        db.insert(entry, rows)
+        counts[entry] = rows.count()
+    return counts
+
+
 _SEQUENCES: dict[str, "Sequence"] = {}
 
 

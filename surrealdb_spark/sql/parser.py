@@ -43,7 +43,8 @@ KEYWORDS = {
     "DUPLICATE", "KEY", "VALUES", "DEFINE", "TABLE", "FIELD", "TYPE",
     "ASSERT", "DEFAULT", "FUNCTION", "SCHEMAFULL", "SCHEMALESS", "MATCHES",
     "SET", "OUTSIDE", "INTERSECTS", "LET", "ANALYZER", "TOKENIZERS",
-    "FILTERS", "PERMISSIONS", "FOR", "FULL",
+    "FILTERS", "PERMISSIONS", "FOR", "FULL", "INDEX", "FIELDS", "COLUMNS",
+    "UNIQUE", "FULLTEXT", "SEARCH", "HNSW", "DIMENSION",
 }
 
 

@@ -95,6 +95,16 @@ class DefineFieldStmt:
 
 
 @dataclass
+class DefineIndexStmt:
+    name: str
+    table: str
+    fields: list = dc_field(default_factory=list)
+    kind: str = "idx"           # idx | uniq | fulltext | hnsw | count
+    analyzer: str | None = None
+    dimension: int | None = None
+
+
+@dataclass
 class DefineAnalyzerStmt:
     name: str
     tokenizers: list = dc_field(default_factory=lambda: ["blank", "punct"])
@@ -271,6 +281,34 @@ def _parse_statement_body(p: Parser):
             if p.eat("kw", "ASSERT"):
                 st.assert_ = p.expr(0)
             return st
+        if what.text == "INDEX":
+            # DEFINE INDEX name ON [TABLE] tbl FIELDS|COLUMNS f,...
+            #   [UNIQUE | FULLTEXT [ANALYZER a] | SEARCH ANALYZER a
+            #    | HNSW [DIMENSION n] | COUNT]   (catalog/schema/index.rs)
+            name = p.expect("name").text
+            p.expect("kw", "ON")
+            p.eat("kw", "TABLE")
+            tbl = p.expect("name").text
+            st = DefineIndexStmt(name, tbl)
+            if p.eat("kw", "FIELDS") or p.eat("kw", "COLUMNS"):
+                while True:
+                    st.fields.append(p.expect("name").text)
+                    if not p.eat("op", ","):
+                        break
+            if p.eat("kw", "UNIQUE"):
+                st.kind = "uniq"
+            elif p.eat("kw", "FULLTEXT") or p.eat("kw", "SEARCH"):
+                st.kind = "fulltext"
+                if p.eat("kw", "ANALYZER"):
+                    st.analyzer = p.expect("name").text
+            elif p.eat("kw", "HNSW"):
+                st.kind = "hnsw"
+                if p.eat("kw", "DIMENSION"):
+                    st.dimension = int(p.expect("num").text)
+            elif p.peek().kind == "name" and p.peek().text.upper() == "COUNT":
+                p.next()
+                st.kind = "count"
+            return st
         if what.text == "ANALYZER":
             # DEFINE ANALYZER name TOKENIZERS blank,camel FILTERS
             #   lowercase,snowball(english),ngram(1,3),mapper('path')
@@ -398,6 +436,9 @@ class StatementRunner:
             Catalog(spark, sf_dir) if sf_dir else Catalog(spark)
         )
         self.functions: dict[str, DefineFunctionStmt] = {}
+        # DEFINE INDEX artifacts: name → FulltextIndex | signed-SRP frame
+        self.indexes: dict[str, object] = {}
+        self.index_defs: dict[str, DefineIndexStmt] = {}
 
     # public --------------------------------------------------------------
 
@@ -466,6 +507,42 @@ class StatementRunner:
             from surrealdb_spark.pipeline.analyzer import define_analyzer
 
             define_analyzer(stmt.name, stmt.tokenizers, stmt.filters)
+            return None
+        if isinstance(stmt, DefineIndexStmt):
+            self.index_defs[stmt.name] = stmt
+            td = self.db.tables[stmt.table]
+            if stmt.kind == "uniq":
+                td.unique_indexes.append(list(stmt.fields))
+                return None
+            if stmt.kind in ("idx", "count"):
+                # Catalyst's pushdown/pruning subsumes value/count indexes —
+                # recorded for INFO parity, no artifact to build
+                return None
+            if not self.db._exists(stmt.table):
+                return None  # built lazily on first use over an empty table
+            df = self.db.table(stmt.table)
+            if stmt.kind == "fulltext":
+                from surrealdb_spark.operators.fulltext import FulltextIndex
+                from surrealdb_spark.pipeline.analyzer import get_analyzer
+
+                an = get_analyzer(stmt.analyzer) if stmt.analyzer else None
+                self.indexes[stmt.name] = FulltextIndex(
+                    df, td.id_col, stmt.fields[0], analyzer=an
+                )
+            elif stmt.kind == "hnsw":
+                from surrealdb_spark.pipeline.similarity import (
+                    srp_planes,
+                    srp_sign,
+                )
+
+                dim = stmt.dimension
+                if dim is None:
+                    first = df.select(F.size(stmt.fields[0]).alias("d")).first()
+                    dim = int(first["d"]) if first else 0
+                self.indexes[stmt.name] = srp_sign(
+                    df, srp_planes(16, dim), id_col=td.id_col,
+                    vec_col=stmt.fields[0],
+                )
             return None
         if isinstance(stmt, DefineFunctionStmt):
             # UDF-as-macro: the body is inlined at call sites

@@ -32,3 +32,28 @@ def test_sequence_blocks(spark, tmp_path):
     df = spark.range(5)
     got = sorted(r.seq_id for r in Sequence(str(tmp_path), "ticket").assign_ids(df).collect())
     assert got == [13, 14, 15, 16, 17]
+
+
+def test_full_db_export_import_roundtrip(spark, tmp_path):
+    from surrealdb_spark.dml import Database, TableDef
+    from surrealdb_spark.export import export_database_surql, import_database_surql
+
+    src = Database(spark, str(tmp_path / "src"))
+    src.define_table(TableDef("person"))
+    src.define_table(TableDef("city"))
+    src.create("person", spark.createDataFrame(
+        [("person:1", "Ann", 31), ("person:2", "Bob", 28)],
+        "id string, name string, age long"))
+    src.create("city", spark.createDataFrame(
+        [("city:1", "Oslo")], "id string, name string"))
+
+    out = str(tmp_path / "dump")
+    counts = export_database_surql(src, out)
+    assert counts == {"person": 2, "city": 1}
+
+    dst = Database(spark, str(tmp_path / "dst"))
+    got = import_database_surql(dst, out)
+    assert got == {"person": 2, "city": 1}
+    rows = {r["id"]: r["name"] for r in dst.table("person").collect()}
+    assert rows == {"person:1": "Ann", "person:2": "Bob"}
+    assert dst.table("city").count() == 1

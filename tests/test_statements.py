@@ -154,3 +154,38 @@ def test_permissions_enforced_in_select(spark, tmp_path):
     r.run("DEFINE TABLE sealed PERMISSIONS NONE")
     r.run("CREATE sealed:1 SET x = 1")
     assert r.run("SELECT * FROM sealed").count() == 0
+
+
+def test_define_index_kinds(spark, tmp_path):
+    """DEFINE INDEX: UNIQUE enforced on writes, FULLTEXT/HNSW build real
+    artifacts (catalog/schema/index.rs kinds)."""
+    from surrealdb_spark.dml import MutationError
+
+    db = Database(spark, str(tmp_path))
+    r = StatementRunner(spark, db)
+    r.run("DEFINE TABLE user")
+    r.run("DEFINE INDEX user_email ON user FIELDS email UNIQUE")
+    r.run("CREATE user:1 SET email = 'a@x.io'")
+    with pytest.raises(MutationError):
+        r.run("CREATE user:2 SET email = 'a@x.io'")
+    r.run("CREATE user:3 SET email = 'b@x.io'")
+    assert db.table("user").count() == 2
+
+    # FULLTEXT with a custom analyzer builds a searchable index
+    r.run("DEFINE TABLE post")
+    r.run("CREATE post:1 SET body = 'running dogs run fast'")
+    r.run("CREATE post:2 SET body = 'sleeping cats sleep'")
+    r.run("DEFINE ANALYZER eng TOKENIZERS blank,punct "
+          "FILTERS lowercase,snowball(english)")
+    r.run("DEFINE INDEX post_body ON post FIELDS body FULLTEXT ANALYZER eng")
+    idx = r.indexes["post_body"]
+    hits = idx.search(["run"]).collect()  # stemmed: matches running+run
+    assert [h["doc"] for h in hits] == ["post:1"]
+
+    # HNSW (SRP-signed ANN artifact)
+    r.run("DEFINE TABLE vec")
+    r.run("INSERT INTO vec [{id: 1, v: [1.0, 0.0]}, {id: 2, v: [0.0, 1.0]}]")
+    r.run("DEFINE INDEX vec_v ON vec FIELDS v HNSW DIMENSION 2")
+    signed = r.indexes["vec_v"]
+    assert set(signed.columns) == {"vec_id", "embedding", "__sig"}
+    assert signed.count() == 2
