@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<num>\d+(\.\d+)?([eE][+-]?\d+)?)
+  | (?P<num>\d[\d_]*(\.\d[\d_]*)?([eE][+-]?\d+)?(dec|f)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
@@ -163,6 +163,13 @@ class Parser:
         if t.kind == "num":
             self.next()
             txt = t.text
+            # literal suffixes (sql/literal.rs): 1f → float, 1dec → decimal
+            if txt.endswith("dec"):
+                import decimal as _dec
+
+                return self.postfix(("lit", _dec.Decimal(txt[:-3])))
+            if txt.endswith("f"):
+                return self.postfix(("lit", float(txt[:-1])))
             val = float(txt) if ("." in txt or "e" in txt or "E" in txt) else int(txt)
             return self.postfix(("lit", val))
         if t.kind == "str":
