@@ -44,6 +44,10 @@ class Catalog:
         # (the driver runs queries() under its own SparkSession).
         try:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # pyspark >= 4.1 defaults inferTimestampNTZ=true, turning tz-naive
+            # parquet timestamps into TIMESTAMP_NTZ (unix_millis & watermarks
+            # reject it). The engine's timestamps are UTC instants.
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         except Exception:
             pass
         # RELATE-created edge tables (in/out record-id columns) registered
@@ -74,6 +78,14 @@ class Catalog:
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Normalize any TIMESTAMP_NTZ column (pyspark>=4.1 inference on
+            # tz-naive parquet) to TIMESTAMP — session tz is pinned UTC above,
+            # so the cast is a pure type change, not a wall-clock shift.
+            ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+            if ntz:
+                from pyspark.sql import functions as F
+
+                df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
             self._cache[name] = df
         return self._cache[name]
 

@@ -220,6 +220,21 @@ class Database:
                         f"unique index on {cols}: {n} clashing value(s) in {tbl}"
                     )
 
+    def _check_unique_final(self, tbl: str, merged: DataFrame) -> None:
+        """Uniq enforcement for update/upsert paths (index.rs Uniq on
+        update): one groupBy per index over the post-mutation table catches
+        both intra-batch and updated-vs-existing collisions before the
+        overwrite lands."""
+        td = self.tables[tbl]
+        for cols in td.unique_indexes:
+            if any(c not in merged.columns for c in cols):
+                continue
+            n = merged.groupBy(*cols).count().filter(F.col("count") > 1).count()
+            if n:
+                raise MutationError(
+                    f"unique index on {cols}: mutation violates uniqueness in {tbl}"
+                )
+
     def create(self, tbl: str, records: DataFrame) -> DataFrame:
         """CREATE — insert new records, ERROR if an id already exists
         (expr/statements/create.rs; Iterable::GenerateRecordId)."""
@@ -264,6 +279,7 @@ class Database:
             untouched = current.join(dup_ids, td.id_col, "left_anti")
             merged = untouched.unionByName(updated).unionByName(fresh)
             touched = updated.unionByName(fresh).localCheckpoint(eager=True)
+            self._check_unique_final(tbl, merged)
         self._overwrite(tbl, merged)
         self._post_write(tbl, "UPDATE", touched)
         return touched
@@ -288,7 +304,9 @@ class Database:
         untouched = current.filter(~F.coalesce(cond, F.lit(False)))
         # allowMissingColumns: SET may introduce a new field (schemaless
         # semantics — untouched records get NULL for it)
-        self._overwrite(tbl, untouched.unionByName(after, allowMissingColumns=True))
+        merged = untouched.unionByName(after, allowMissingColumns=True)
+        self._check_unique_final(tbl, merged)
+        self._overwrite(tbl, merged)
         self._post_write(tbl, "UPDATE", after, before=before)
         return self._returning(td, before, after, return_)
 
@@ -312,6 +330,7 @@ class Database:
         merged = untouched.unionByName(replaced.select(current.columns)).unionByName(
             fresh.select(current.columns)
         )
+        self._check_unique_final(tbl, merged)
         self._overwrite(tbl, merged)
         self._post_write(tbl, "UPDATE", replaced)
         self._post_write(tbl, "CREATE", fresh)

@@ -104,12 +104,12 @@ def import_database_surql(db, path: str) -> dict[str, int]:
         sample = parsed.limit(1).collect()
         if not sample:
             continue
-        schema = db.spark.range(1).select(
-            F.schema_of_json(F.lit(sample[0]["record_json"])).alias("s")
-        ).first()["s"]
-        rows = parsed.select(
-            F.from_json("record_json", schema).alias("r")
-        ).select("r.*")
+        # Infer the schema over ALL records (spark.read.json merges per-line
+        # schemas), not just the first — heterogeneous tables would otherwise
+        # drop fields absent from record #1.
+        rows = db.spark.read.json(
+            parsed.select("record_json").rdd.map(lambda r: r[0])
+        )
         if entry not in db.tables:
             from surrealdb_spark.dml import TableDef
 

@@ -153,8 +153,10 @@ def matches(text, query) -> Column:
     operators/fulltext.py — the predicate form is index-free and JVM-side).
     Tokenization mirrors pipeline/text.py: lowercase, split on non-alnum.
     """
-    toks = F.split(F.lower(_c(text)), r"[^a-z0-9]+")
-    qtoks = F.split(F.lower(_c(query)), r"[^a-z0-9]+")
+    # array_remove(x, '') on both sides: splitting "hello." / "foo." yields a
+    # trailing '' token, and ''-overlap would make any punctuated pair match.
+    toks = F.array_remove(F.split(F.lower(_c(text)), r"[^a-z0-9]+"), "")
+    qtoks = F.array_remove(F.split(F.lower(_c(query)), r"[^a-z0-9]+"), "")
     return F.arrays_overlap(toks, qtoks)
 
 

@@ -1,0 +1,320 @@
+"""Reference golden-corpus runner for SurrealQL language tests.
+
+The reference ships 1,100+ `.surql` test files, each carrying a TOML config
+inside a `/** ... */` (or `//!`) test comment with `[[test.results]]`
+entries, followed by the tested statements (reference:
+language-tests/README.md:1-26, language-tests/src/).  This module parses
+that format and executes each statement through THIS engine's
+parser/compiler, comparing against the expected values — which are
+themselves SurrealQL literals, evaluated through the same compiler, so the
+comparison is value-level, not string-level.
+
+Execution model: every statement in a file compiles to one Column and all
+statements evaluate in a single `spark.range(1).select(...)` job (one
+Spark job per file, not per statement); files where any column fails
+analysis fall back to per-statement evaluation so the remaining
+statements still get results.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import tomllib
+from dataclasses import dataclass, field
+from decimal import Decimal
+
+from pyspark.sql import SparkSession
+
+
+# -- test-file parsing --------------------------------------------------------
+
+
+def parse_test_file(text: str) -> tuple[dict, list[str]]:
+    """Split a language-test file into (toml config, statements)."""
+    toml_parts: list[str] = []
+    m = re.search(r"/\*\*(.*?)\*/", text, re.S)
+    if m:
+        toml_parts.append(m.group(1))
+        text = text[: m.start()] + text[m.end() :]
+    lines = []
+    for line in text.splitlines():
+        if line.lstrip().startswith("//!"):
+            toml_parts.append(line.lstrip()[3:])
+        else:
+            lines.append(line)
+    config = tomllib.loads("\n".join(toml_parts)) if toml_parts else {}
+    return config, split_statements("\n".join(lines))
+
+
+def _strip_comments(src: str) -> str:
+    """Remove `--`/`//`/`#` line comments and `/* */` blocks, respecting
+    strings (surql comment syntax: syn lexer in the reference parser)."""
+    out: list[str] = []
+    i, n = 0, len(src)
+    while i < n:
+        ch = src[i]
+        if ch in "'\"":
+            q = ch
+            out.append(ch)
+            i += 1
+            while i < n:
+                out.append(src[i])
+                if src[i] == "\\" and i + 1 < n:
+                    out.append(src[i + 1])
+                    i += 2
+                    continue
+                if src[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if src.startswith("--", i) or src.startswith("//", i) or ch == "#":
+            j = src.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def split_statements(src: str) -> list[str]:
+    """Top-level `;` split, respecting strings and bracket nesting."""
+    src = _strip_comments(src)
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i, n = 0, len(src)
+    while i < n:
+        ch = src[i]
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+            i += 1
+            while i < n:
+                cur.append(src[i])
+                if src[i] == "\\" and i + 1 < n:
+                    cur.append(src[i + 1])
+                    i += 2
+                    continue
+                if src[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == ";" and depth == 0:
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+# -- value comparison ---------------------------------------------------------
+
+
+def _norm(v):
+    """Normalize a collected Spark value for comparison."""
+    try:  # Row → dict
+        from pyspark.sql import Row
+
+        if isinstance(v, Row):
+            return {k: _norm(x) for k, x in v.asDict().items()}
+    except Exception:
+        pass
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    return v
+
+
+def values_equal(expected, actual) -> bool:
+    expected, actual = _norm(expected), _norm(actual)
+    if isinstance(expected, bool) or isinstance(actual, bool):
+        return expected is actual or expected == actual
+    if isinstance(expected, (int, float, Decimal)) and isinstance(
+        actual, (int, float, Decimal)
+    ):
+        if isinstance(expected, float) or isinstance(actual, float):
+            return math.isclose(float(expected), float(actual), rel_tol=1e-9, abs_tol=1e-12)
+        return Decimal(expected) == Decimal(actual)
+    if isinstance(expected, list) and isinstance(actual, list):
+        return len(expected) == len(actual) and all(
+            values_equal(e, a) for e, a in zip(expected, actual)
+        )
+    if isinstance(expected, dict) and isinstance(actual, dict):
+        return set(expected) == set(actual) and all(
+            values_equal(expected[k], actual[k]) for k in expected
+        )
+    return expected == actual
+
+
+# -- runner -------------------------------------------------------------------
+
+
+@dataclass
+class CaseResult:
+    statement: str
+    expected: object  # ("value", v) | ("error",) | ("any",)
+    actual: object
+    ok: bool
+    detail: str = ""
+
+
+@dataclass
+class FileResult:
+    path: str
+    skipped: str | None = None  # reason, if whole file skipped
+    cases: list[CaseResult] = field(default_factory=list)
+
+    @property
+    def passed(self) -> int:
+        return sum(1 for c in self.cases if c.ok)
+
+    @property
+    def total(self) -> int:
+        return len(self.cases)
+
+    @property
+    def all_ok(self) -> bool:
+        return self.skipped is None and self.cases != [] and self.passed == self.total
+
+
+_ERR = object()  # sentinel: statement evaluation raised
+
+
+def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> list:
+    """Evaluate expression statements; one Spark job for the whole batch
+    when everything parses/analyzes, per-statement fallback otherwise.
+    Returns one entry per statement: a Python value or _ERR."""
+    from surrealdb_spark.sql.compiler import compile_expr
+    from surrealdb_spark.sql.parser import parse_expr
+
+    cols = []
+    for s in stmts:
+        body = re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
+        try:
+            cols.append(compile_expr(parse_expr(body), bindings))
+        except Exception:
+            cols.append(None)
+    results: list = [None] * len(stmts)
+    live = [i for i, c in enumerate(cols) if c is not None]
+    for i, c in enumerate(cols):
+        if c is None:
+            results[i] = _ERR
+    if live:
+        try:
+            row = (
+                spark.range(1)
+                .select(*[cols[i].alias(f"c{i}") for i in live])
+                .first()
+            )
+            for i in live:
+                results[i] = row[f"c{i}"]
+            return results
+        except Exception:
+            pass  # fall back per-statement
+        for i in live:
+            try:
+                results[i] = spark.range(1).select(cols[i].alias("v")).first()["v"]
+            except Exception:
+                results[i] = _ERR
+    return results
+
+
+def run_file(spark: SparkSession, path: str) -> FileResult:
+    """Run one reference language-test file against this engine."""
+    text = open(path).read()
+    config, stmts = parse_test_file(text)
+    test = config.get("test", {})
+    env = config.get("env", {})
+    fr = FileResult(path=path)
+    if test.get("run") is False:
+        fr.skipped = "run=false"
+        return fr
+    if test.get("wip"):
+        fr.skipped = "wip"
+        return fr
+    if env.get("imports"):
+        fr.skipped = "imports"
+        return fr
+    raw = test.get("results", [])
+    expected = []
+    for r in raw:
+        if isinstance(r, dict) and "value" in r:
+            expected.append(("value", r["value"]))
+        elif isinstance(r, dict) and ("error" in r and r["error"]):
+            expected.append(("error",))
+        else:
+            expected.append(("any",))
+    if not expected or len(expected) != len(stmts):
+        fr.skipped = f"results/statements mismatch ({len(expected)}/{len(stmts)})"
+        return fr
+    # LET statements bind into scope for later statements; their result is
+    # NONE in the reference.
+    bindings: dict = {}
+    eval_idx, eval_stmts = [], []
+    pre_resolved: dict[int, object] = {}
+    for i, s in enumerate(stmts):
+        m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
+        if m:
+            vals = _eval_statements(spark, [m.group(2)], bindings)
+            if vals[0] is not _ERR:
+                bindings[m.group(1)] = vals[0]
+                pre_resolved[i] = None
+            else:
+                pre_resolved[i] = _ERR
+        else:
+            eval_idx.append(i)
+            eval_stmts.append(s)
+    got = _eval_statements(spark, eval_stmts, bindings)
+    actuals: dict[int, object] = dict(pre_resolved)
+    for i, v in zip(eval_idx, got):
+        actuals[i] = v
+    # expected values evaluate through the same compiler (batched too)
+    exp_literals = [e[1] for e in expected if e[0] == "value"]
+    exp_vals = _eval_statements(spark, exp_literals, {})
+    it = iter(exp_vals)
+    for i, (s, e) in enumerate(zip(stmts, expected)):
+        a = actuals[i]
+        if e[0] == "error":
+            ok = a is _ERR
+            fr.cases.append(
+                CaseResult(s, e, "ERROR" if a is _ERR else a, ok,
+                           "" if ok else "expected error, got value")
+            )
+        elif e[0] == "any":
+            fr.cases.append(CaseResult(s, e, a, True))
+        else:
+            want = next(it)
+            if want is _ERR:
+                fr.cases.append(
+                    CaseResult(s, e, a, False, f"expected literal unsupported: {e[1]!r}")
+                )
+            elif a is _ERR:
+                fr.cases.append(CaseResult(s, e, "ERROR", False, "engine errored"))
+            else:
+                ok = values_equal(want, a)
+                fr.cases.append(
+                    CaseResult(s, e, a, ok, "" if ok else f"want {want!r} got {a!r}")
+                )
+    return fr
+
+
+def run_corpus(spark: SparkSession, paths: list[str]) -> list[FileResult]:
+    return [run_file(spark, p) for p in paths]

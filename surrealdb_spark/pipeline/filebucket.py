@@ -58,7 +58,9 @@ class LocalBucket:
     def _p(self, key: str) -> Path:
         key = key.lstrip("/")
         p = (self.root / key).resolve()
-        if not str(p).startswith(str(self.root.resolve())):
+        # Path.is_relative_to, not a string-prefix check: "/bkt-evil" would
+        # pass a startswith("/bkt") test despite being a sibling directory.
+        if not p.is_relative_to(self.root.resolve()):
             raise ValueError(f"key escapes bucket: {key!r}")
         return p
 

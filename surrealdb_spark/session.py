@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # pyspark >= 4.1 infers tz-naive parquet timestamps as TIMESTAMP_NTZ,
+        # which breaks unix_millis()/watermarks; the engine's timestamp type
+        # is UTC-instant (values.py), so keep parquet reads on TIMESTAMP.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))

@@ -521,7 +521,7 @@ def _decompose(ast, aggs: list, params: dict, types: dict | None = None):
     if ast[0] == "path":
         return ("path", _decompose(ast[1], aggs, params, types), ast[2])
     if ast[0] == "array":
-        return ("array", [_decompose(a, aggs, params, types) for a in ast[2]])
+        return ("array", [_decompose(a, aggs, params, types) for a in ast[1]])
     return ast
 
 

@@ -76,6 +76,24 @@ def tokenize(src: str) -> list[Tok]:
     return out
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "0": "\0",
+            "\\": "\\", "'": "'", '"': '"', "/": "/"}
+
+
+def _unescape(body: str) -> str:
+    """String-literal escapes (reference syn lexer): \\n \\t \\r \\b \\f \\0
+    \\\\ \\' \\" plus \\uXXXX / \\u{...} unicode."""
+
+    def sub(m: "re.Match[str]") -> str:
+        e = m.group(1)
+        if e[0] == "u":
+            hexpart = e[2:-1] if e[1:2] == "{" else e[1:]
+            return chr(int(hexpart, 16))
+        return _ESCAPES.get(e, e)
+
+    return re.sub(r"\\(u\{[0-9a-fA-F]+\}|u[0-9a-fA-F]{4}|.)", sub, body)
+
+
 # Binding powers adapted from core/src/expr/operator.rs:204 (BindingPower):
 # Nullish < Or < And < Equality/Relation/Containment < Add < Mul < Power.
 _BIN_BP = {
@@ -174,8 +192,7 @@ class Parser:
             return self.postfix(("lit", val))
         if t.kind == "str":
             self.next()
-            body = t.text[1:-1]
-            body = re.sub(r"\\(.)", r"\1", body)
+            body = _unescape(t.text[1:-1])
             return self.postfix(("lit", body))
         if t.kind == "param":
             self.next()
