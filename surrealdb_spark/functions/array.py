@@ -57,10 +57,14 @@ def insert(arr, v, idx: int) -> Column:
 
 
 def remove(arr, idx: int) -> Column:
-    """array::remove — drop the element at 0-based index."""
+    """array::remove — drop the element at 0-based index (negative counts
+    from the end, fnc/array.rs)."""
     a = _c(arr)
     if idx < 0:
-        return F.array_remove(a, F.element_at(a, idx))  # fallback by value
+        pos = F.size(a) + F.lit(idx)  # 0-based position from the end
+        return F.when(
+            pos >= 0, F.concat(F.slice(a, 1, pos), F.slice(a, pos + 2, F.size(a)))
+        ).otherwise(a)
     return F.concat(F.slice(a, 1, idx), F.slice(a, idx + 2, F.size(a)))
 
 
@@ -111,7 +115,12 @@ def repeat(v, n: int) -> Column:
 
 
 def range_(start: int, count: int) -> Column:
-    """array::range(start, count) — [start, start+count)."""
+    """array::range(start, count) — [start, start+count); count must be
+    non-negative (fnc/array.rs errors on negative counts)."""
+    if count < 0:
+        raise ValueError("array::range count must be >= 0")
+    if count == 0:
+        return F.array().cast("array<bigint>")
     return F.sequence(F.lit(start), F.lit(start + count - 1))
 
 

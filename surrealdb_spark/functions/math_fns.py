@@ -18,6 +18,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 CONSTANTS = {
+    # full constant set (reference: core/src/expr/constant.rs:7-34);
+    # looked up case-insensitively (the language writes math::inf).
     "PI": _m.pi,
     "E": _m.e,
     "TAU": _m.tau,
@@ -26,8 +28,17 @@ CONSTANTS = {
     "LN_10": _m.log(10),
     "LOG2_E": 1 / _m.log(2),
     "LOG10_E": 1 / _m.log(10),
+    "LOG2_10": _m.log2(10),
+    "LOG10_2": _m.log10(2),
+    "FRAC_1_PI": 1 / _m.pi,
+    "FRAC_1_SQRT_2": 1 / _m.sqrt(2),
+    "FRAC_2_PI": 2 / _m.pi,
+    "FRAC_2_SQRT_PI": 2 / _m.sqrt(_m.pi),
     "FRAC_PI_2": _m.pi / 2,
+    "FRAC_PI_3": _m.pi / 3,
     "FRAC_PI_4": _m.pi / 4,
+    "FRAC_PI_6": _m.pi / 6,
+    "FRAC_PI_8": _m.pi / 8,
     "INF": _m.inf,
     "NEG_INF": -_m.inf,
 }
@@ -39,6 +50,13 @@ def _c(x) -> Column:
     if isinstance(x, str):
         return F.col(x)
     return F.lit(x)
+
+
+def _nanfix(res: Column, x) -> Column:
+    """Rust float math yields NaN where Spark yields NULL (ln(-1), sqrt(-1),
+    asin(2), ...): non-null input with null result → NaN."""
+    return F.when(_c(x).isNotNull(), F.coalesce(res, F.lit(float("nan"))))
+
 
 
 # -- scalar ------------------------------------------------------------------
@@ -75,7 +93,7 @@ def sign(x) -> Column:
 
 
 def sqrt(x) -> Column:
-    return F.sqrt(_c(x))
+    return _nanfix(F.sqrt(_c(x)), x)
 
 
 def pow_(x, p) -> Column:
@@ -83,19 +101,21 @@ def pow_(x, p) -> Column:
 
 
 def ln(x) -> Column:
-    return F.log(_c(x))
+    return _nanfix(F.log(_c(x)), x)
 
 
 def log(x, base) -> Column:
-    return F.log(base, _c(x)) if isinstance(base, (int, float)) else F.log(_c(x)) / F.log(_c(base))
+    if isinstance(base, (int, float)):
+        return _nanfix(F.log(float(base), _c(x).cast("double")), x)
+    return _nanfix(F.log(_c(x)) / F.log(_c(base)), x)
 
 
 def log2(x) -> Column:
-    return F.log2(_c(x))
+    return _nanfix(F.log2(_c(x)), x)
 
 
 def log10(x) -> Column:
-    return F.log10(_c(x))
+    return _nanfix(F.log10(_c(x)), x)
 
 
 def exp(x) -> Column:
@@ -140,11 +160,11 @@ def tan(x) -> Column:
 
 
 def asin(x) -> Column:
-    return F.asin(_c(x))
+    return _nanfix(F.asin(_c(x)), x)
 
 
 def acos(x) -> Column:
-    return F.acos(_c(x))
+    return _nanfix(F.acos(_c(x)), x)
 
 
 def atan(x) -> Column:
@@ -182,8 +202,13 @@ def product(arr) -> Column:
     return F.aggregate(_c(arr), F.lit(1.0), lambda a, x: a * x.cast("double"))
 
 
+_NAN = float("nan")
+
+
 def mean(arr) -> Column:
-    return _dsum(arr) / F.size(_c(arr))
+    # mean([]) is NaN, not a division error (fnc/util/math/mean.rs)
+    a = _c(arr)
+    return F.when(F.size(a) > 0, _dsum(a) / F.size(a)).otherwise(F.lit(_NAN))
 
 
 def max_(arr) -> Column:
@@ -195,8 +220,11 @@ def min_(arr) -> Column:
 
 
 def spread(arr) -> Column:
-    """max − min."""
-    return F.array_max(_c(arr)).cast("double") - F.array_min(_c(arr)).cast("double")
+    """max − min (empty → NaN, fnc/util/math/spread.rs)."""
+    return F.coalesce(
+        F.array_max(_c(arr)).cast("double") - F.array_min(_c(arr)).cast("double"),
+        F.lit(_NAN),
+    )
 
 
 def variance(arr) -> Column:
@@ -205,7 +233,8 @@ def variance(arr) -> Column:
     n = F.size(a).cast("double")
     s1 = _dsum(a)
     s2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    return (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    # n < 2 → NaN (reference variance.rs; also avoids ANSI div-by-zero)
+    return F.when(n > 1, (s2 - s1 * s1 / n) / (n - F.lit(1.0))).otherwise(F.lit(_NAN))
 
 
 def stddev(arr) -> Column:
@@ -213,19 +242,24 @@ def stddev(arr) -> Column:
 
 
 def percentile(arr, p: float) -> Column:
-    """Exact linear-interpolated percentile over an array (p in [0,100])."""
+    """Exact linear-interpolated percentile over an array (p in [0,100];
+    outside that range → NaN, fnc/util/math/percentile.rs)."""
+    if isinstance(p, (int, float)) and not 0 <= p <= 100:
+        return F.lit(_NAN)
     a = F.array_sort(F.transform(_c(arr), lambda x: x.cast("double")))
     n = F.size(a)
     pos = (n.cast("double") - 1) * F.lit(p / 100.0)
     lo = F.floor(pos).cast("int")
     frac = pos - lo.cast("double")
-    lo_v = F.element_at(a, lo + 1)
-    hi_v = F.element_at(a, F.least(lo + 2, n))
-    return lo_v + (hi_v - lo_v) * frac
+    lo_v = F.try_element_at(a, lo + 1)
+    hi_v = F.try_element_at(a, F.least(lo + 2, n))
+    # empty → NaN (percentile.rs); try_element_at keeps ANSI mode happy
+    return F.when(n > 0, lo_v + (hi_v - lo_v) * frac).otherwise(F.lit(_NAN))
 
 
 def median(arr) -> Column:
-    return percentile(arr, 50.0)
+    # median([]) is NONE, unlike percentile([]) which is NaN (median.rs)
+    return F.when(F.size(_c(arr)) > 0, percentile(arr, 50.0))
 
 
 def interquartile(arr) -> Column:
@@ -245,7 +279,7 @@ def nearestrank(arr, p: float) -> Column:
     a = F.array_sort(F.transform(_c(arr), lambda x: x.cast("double")))
     n = F.size(a)
     rank = F.greatest(F.ceil(n.cast("double") * F.lit(p / 100.0)).cast("int"), F.lit(1))
-    return F.element_at(a, rank)
+    return F.when(n > 0, F.try_element_at(a, rank)).otherwise(F.lit(_NAN))
 
 
 def mode(arr) -> Column:
@@ -257,14 +291,19 @@ def mode(arr) -> Column:
             F.size(F.filter(a, lambda x: x == v)).alias("n"), v.alias("v")
         ),
     )
-    return F.element_at(F.array_sort(counts), -1).getField("v")
+    return F.try_element_at(F.array_sort(counts), F.lit(-1)).getField("v")
 
 
 def top(arr, k: int) -> Column:
-    """k largest values, descending."""
-    return F.reverse(F.slice(F.array_sort(_c(arr)), -k, k))
+    """k largest values, ascending (reference top.rs returns arbitrary heap
+    order; we canonicalize ascending). k > n → the whole array."""
+    a = F.array_sort(_c(arr))
+    n = F.size(a)
+    kk = F.least(F.lit(k).cast("int"), n)
+    return F.slice(a, F.greatest(n - kk + 1, F.lit(1)), kk)
 
 
 def bottom(arr, k: int) -> Column:
-    """k smallest values, ascending."""
-    return F.slice(F.array_sort(_c(arr)), 1, k)
+    """k smallest values, ascending (bottom.rs, canonicalized)."""
+    a = F.array_sort(_c(arr))
+    return F.slice(a, 1, F.least(F.lit(k).cast("int"), F.size(a)))

@@ -17,11 +17,13 @@ def _c(x) -> Column:
     return F.lit(x)
 
 
-# -- object:: (8) over MapType ----------------------------------------------
+# -- object:: (8) over MapType or StructType ---------------------------------
+# Object literals compile to STRUCTs (typed engine); user maps stay MapType.
+# keys/len/is_empty go through to_json so one implementation covers both.
 
 
 def obj_keys(m) -> Column:
-    return F.map_keys(_c(m))
+    return F.json_object_keys(F.to_json(_c(m)))
 
 
 def obj_values(m) -> Column:
@@ -29,11 +31,11 @@ def obj_values(m) -> Column:
 
 
 def obj_len(m) -> Column:
-    return F.size(_c(m))
+    return F.size(obj_keys(m))
 
 
 def obj_is_empty(m) -> Column:
-    return F.size(_c(m)) == 0
+    return F.size(obj_keys(m)) == 0
 
 
 def obj_entries(m) -> Column:
@@ -69,20 +71,27 @@ def dur_unit(d, unit: str) -> Column:
     return (_c(d).getField("nanos") / _NS[unit]).cast("long")
 
 
+_NS_YEAR = 365 * 86_400_000_000_000  # val/duration.rs SECONDS_PER_YEAR
+
+
 def dur_years(d) -> Column:
-    return (_c(d).getField("months") / 12).cast("long")
+    # y = 365 d of seconds (std Duration has no calendar component)
+    return (_c(d).getField("nanos") / _NS_YEAR).cast("long")
 
 
 def dur_months(d) -> Column:
+    """Extension: calendar months ride the struct's months field (the
+    reference's std-Duration has no months unit)."""
     return _c(d).getField("months")
 
 
 def dur_from(unit: str, n) -> Column:
     from surrealdb_spark.values import duration as mk
 
-    if unit in ("years", "months"):
-        months = _c(n) * (12 if unit == "years" else 1)
-        return mk(months, 0)
+    if unit == "months":
+        return mk(_c(n), 0)
+    if unit == "years":
+        return mk(0, _c(n) * _NS_YEAR)
     return mk(0, _c(n) * _NS[unit])
 
 

@@ -60,7 +60,18 @@ def uppercase(s) -> Column:
 
 
 def capitalize(s) -> Column:
-    return F.initcap(_c(s))
+    """string::capitalize — uppercase each letter following whitespace (or
+    start); all other characters untouched, so "ALREADY UPPERCASE" survives
+    (fnc/string.rs:45-64; initcap would lowercase the rest)."""
+    segs = F.split(_c(s), r"(?<=\s)")  # zero-width split after any whitespace
+    cap = F.transform(
+        segs,
+        lambda w: F.concat(
+            F.upper(w.substr(F.lit(1), F.lit(1))),
+            w.substr(F.lit(2), F.greatest(F.length(w) - 1, F.lit(0))),
+        ),
+    )
+    return F.array_join(cap, "")
 
 
 def repeat(s, n: int) -> Column:
@@ -75,9 +86,21 @@ def reverse(s) -> Column:
     return F.reverse(_c(s))
 
 
-def slice_(s, start: int, length: int) -> Column:
-    """string::slice — 0-based substring."""
-    return F.substring(_c(s), start + 1, length)
+def slice_(s, start=None, end=None) -> Column:
+    """string::slice — Python-style [start:end) character slice, negative
+    indices count from the end; 1-arg form returns the whole string
+    (fnc/string.rs:171-199, TypedRange Included..Excluded)."""
+    c = _c(s)
+    if start is None:
+        return c
+    n = F.length(c)
+    st = (_c(start) if isinstance(start, Column) else F.lit(int(start))).cast("int")
+    en = n if end is None else (
+        _c(end) if isinstance(end, Column) else F.lit(int(end))
+    ).cast("int")
+    st = F.when(st < 0, F.greatest(n + st, F.lit(0))).otherwise(F.least(st, n))
+    en = F.when(en < 0, F.greatest(n + en, F.lit(0))).otherwise(F.least(en, n))
+    return c.substr(st + 1, F.greatest(en - st, F.lit(0)))
 
 
 def split(s, sep) -> Column:
@@ -248,7 +271,7 @@ def smithwaterman(a: pd.Series, b: pd.Series) -> pd.Series:
 _IS_PATTERNS = {
     "alpha": r"^[A-Za-z]+$",
     "alphanum": r"^[A-Za-z0-9]+$",
-    "ascii": r"^[\x00-\x7F]*$",
+    "ascii": r"^[\x00-\x7F]+$",  # empty string is NOT ascii (is.rs)
     "numeric": r"^[+-]?\d+(\.\d+)?$",
     "hexadecimal": r"^(0x)?[0-9a-fA-F]+$",
     "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",

@@ -68,12 +68,20 @@ def duration(x) -> Column:
     days = unit(r"(\d+)d")
     hours = unit(r"(\d+)h")
     mins = unit(r"(\d+)m(?!s)")
-    secs = unit(r"(\d+)s")
+    secs = unit(r"(\d+)s(?![a-zµ])")
     ms = unit(r"(\d+)ms")
+    us = unit(r"(\d+)(?:us|µs)")
+    ns = unit(r"(\d+)ns")
+    # y = 365 d of seconds — std Duration has no calendar months
+    # (val/duration.rs SECONDS_PER_YEAR)
     nanos = (
-        ((weeks * 7 + days) * 24 + hours) * 3600 + mins * 60 + secs
-    ) * 1_000_000_000 + ms * 1_000_000
-    return _duration_struct(years * 12, nanos)
+        (((years * 365 + weeks * 7 + days) * 24 + hours) * 3600 + mins * 60 + secs)
+        * 1_000_000_000
+        + ms * 1_000_000
+        + us * 1_000
+        + ns
+    )
+    return _duration_struct(F.lit(0), nanos)
 
 
 def array(x) -> Column:

@@ -151,7 +151,12 @@ def values_equal(expected, actual) -> bool:
         actual, (int, float, Decimal)
     ):
         if isinstance(expected, float) or isinstance(actual, float):
-            return math.isclose(float(expected), float(actual), rel_tol=1e-9, abs_tol=1e-12)
+            fe, fa = float(expected), float(actual)
+            if math.isnan(fe) or math.isnan(fa):
+                return math.isnan(fe) and math.isnan(fa)
+            if math.isinf(fe) or math.isinf(fa):
+                return fe == fa
+            return math.isclose(fe, fa, rel_tol=1e-9, abs_tol=1e-12)
         return Decimal(expected) == Decimal(actual)
     if isinstance(expected, list) and isinstance(actual, list):
         return len(expected) == len(actual) and all(

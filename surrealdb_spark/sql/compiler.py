@@ -115,9 +115,11 @@ _BINOPS = {
     "/": lambda a, b: a / b,
     "%": lambda a, b: a % b,
     "**": lambda a, b: F.pow(a, b),
-    "=": lambda a, b: a == b,
+    # `=` and `!=` are null-safe in SurrealQL: NONE = NONE is true
+    # (language-tests equal/nullish.surql; expr/operate.rs equality).
+    "=": lambda a, b: a.eqNullSafe(b),
     "==": lambda a, b: a.eqNullSafe(b),
-    "!=": lambda a, b: a != b,
+    "!=": lambda a, b: ~a.eqNullSafe(b),
     "<": lambda a, b: a < b,
     "<=": lambda a, b: a <= b,
     ">": lambda a, b: a > b,
@@ -142,6 +144,9 @@ _BINOPS = {
     "*=": O.all_eq,
     "?=": O.any_eq,
     "..": lambda a, b: O.range_struct(a, b, True, False),
+    "..=": lambda a, b: O.range_struct(a, b, True, True),
+    ">..": lambda a, b: O.range_struct(a, b, False, False),
+    ">..=": lambda a, b: O.range_struct(a, b, False, True),
     "..=": lambda a, b: O.range_struct(a, b, True, True),
     "@@": O.matches,
     "OUTSIDE": GEO.outside,
@@ -184,6 +189,100 @@ def types_of(df: DataFrame) -> dict[str, str]:
     return out
 
 
+_RANGE_OPS = ("..", "..=", ">..", ">..=")
+
+
+def _compile_cast(kind_spec, operand, params, types) -> Column:
+    """`<kind> expr` cast (expr/cast.rs; types/src/kind.rs coercions)."""
+    name, args = kind_spec
+    if name == "union":
+        return _compile_union_cast(args, operand, params, types)
+    if name == "lit":
+        # literal kind `<123>` / `<"a">` / `<true>`: value must match
+        if operand[0] == "lit" and operand[1] == args:
+            return compile_expr(operand, params, types)
+        raise ValueError(f"cannot coerce to literal kind {args!r}")
+    # `<array> a..b` / `<array<T>> a..b` — range expansion (range_to_array
+    # casts; value/range.rs). `>..` variants exclude the start.
+    if name in ("array", "set") and operand[0] == "bin" and operand[1] in _RANGE_OPS:
+        lo = compile_expr(operand[2], params, types).cast("bigint")
+        hi = compile_expr(operand[3], params, types).cast("bigint")
+        if operand[1].startswith(">"):
+            lo = lo + 1
+        seq = F.sequence(lo, hi if operand[1].endswith("=") else hi - 1)
+        if args:
+            seq = F.transform(seq, lambda x: _cast_scalar(x, args[0][0]))
+        return F.array_distinct(seq) if name == "set" else seq
+    # static strictness (cast.rs errors): scalars don't cast to containers /
+    # temporal / identity kinds
+    src = _infer(operand, types, params)
+    _SCALARS = ("int", "float", "decimal", "bool")
+    if name in ("object", "duration", "point", "uuid", "record", "geometry",
+                "function", "range", "bytes", "regex") and src in _SCALARS + ("string",) \
+            and not (name in ("record", "uuid", "duration") and src == "string"):
+        raise ValueError(f"cannot cast {src} to {name}")
+    if name in ("array", "set") and src in _SCALARS + ("string",):
+        raise ValueError(f"cannot cast {src} to {name}")
+    if name == "datetime" and src in _SCALARS:
+        raise ValueError(f"cannot cast {src} to datetime")
+    c = compile_expr(operand, params, types)
+    if name == "string":
+        if _infer(operand, types, params) == "decimal":
+            # decimal→string prints the mathematical value, not the padded
+            # scale ('1', not '1.0000000000')
+            s = c.cast("string")
+            s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+            return F.regexp_replace(s, r"\.$", "")
+        return c.cast("string")
+    if name == "option":
+        return _compile_cast(args[0], operand, params, types) if args else c
+    if name in ("array", "set"):
+        out = c
+        if args:
+            out = F.transform(out, lambda x: _cast_scalar(x, args[0][0]))
+        return F.array_distinct(out) if name == "set" else out
+    return _cast_scalar(c, name)
+
+
+def _compile_union_cast(members, operand, params, types) -> Column:
+    """`<A | B> v` — first member the operand statically satisfies wins."""
+    src = _infer(operand, types, params)
+    for m in members:
+        if m[0] == "lit":
+            if operand[0] == "lit" and operand[1] == m[1]:
+                return compile_expr(operand, params, types)
+        elif m[0] in ("int", "float", "decimal", "number") and src in (
+            "int", "float", "decimal"
+        ):
+            return _compile_cast(m, operand, params, types)
+        elif m[0] == "string" and src == "string":
+            return compile_expr(operand, params, types)
+        elif m[0] == "bool" and src == "bool":
+            return compile_expr(operand, params, types)
+    # no static match: fall back to the first non-literal member's cast
+    for m in members:
+        if m[0] != "lit":
+            return _compile_cast(m, operand, params, types)
+    raise ValueError("no union member matches operand")
+
+
+def _cast_scalar(c: Column, name: str) -> Column:
+    _SIMPLE = {
+        "int": "bigint",
+        "float": "double",
+        "decimal": "decimal(38,10)",
+        "bool": "boolean",
+        "datetime": "timestamp",
+    }
+    if name in _SIMPLE:
+        return c.cast(_SIMPLE[name])
+    if name == "string":
+        return c.cast("string")
+    # number / any / record / uuid / object / geometry / duration: identity
+    # (number keeps the runtime variant; record ids are strings here)
+    return c
+
+
 def _infer(ast, types: dict[str, str], params: dict) -> str | None:
     """Best-effort static type of an expression AST (None = unknown).
 
@@ -204,7 +303,24 @@ def _infer(ast, types: dict[str, str], params: dict) -> str | None:
             return "string"
         if isinstance(v, list):
             return "array"
+        import decimal as _d
+
+        if isinstance(v, _d.Decimal):
+            return "decimal"
         return None
+    if kind == "dur":
+        return "duration"
+    if kind == "call" and (
+        ast[1].startswith("duration::from") or ast[1] == "type::duration"
+    ):
+        return "duration"
+    if kind == "setlit":
+        return "array"
+    if kind == "cast":
+        n = ast[1][0]
+        return {"int": "int", "float": "float", "decimal": "decimal",
+                "string": "string", "bool": "bool", "array": "array",
+                "set": "array"}.get(n)
     if kind == "ident":
         return types.get(ast[1])
     if kind == "param":
@@ -292,13 +408,36 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
     if kind == "ident":
         from surrealdb_spark.functions.math_fns import CONSTANTS
 
-        if ast[1].startswith("math::") and ast[1][6:] in CONSTANTS:
-            return F.lit(CONSTANTS[ast[1][6:]])
+        if ast[1].lower().startswith("math::") and ast[1][6:].upper() in CONSTANTS:
+            return F.lit(CONSTANTS[ast[1][6:].upper()])
+        if ast[1].lower() in ("time::epoch", "time::min", "time::max"):
+            # TimeEpoch/TimeMin/TimeMax (constant.rs:29-31)
+            import datetime as _dt
+
+            v = {
+                "time::epoch": _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc),
+                "time::min": _dt.datetime(1, 1, 1, tzinfo=_dt.timezone.utc),
+                "time::max": _dt.datetime(9999, 12, 31, 23, 59, 59, tzinfo=_dt.timezone.utc),
+            }[ast[1].lower()]
+            return F.lit(v)
         return F.col(ast[1])
     if kind == "all":
         raise ValueError("* only valid as a projection")
     if kind == "array":
         return F.array(*[compile_expr(e, params, types) for e in ast[1]])
+    if kind == "dur":
+        # duration literal → struct{months, nanos} (values.py; y = 365 d so
+        # months stays 0, matching val/duration.rs)
+        from surrealdb_spark.values import duration as _mk_dur
+
+        return _mk_dur(0, ast[1])
+    if kind == "setlit":
+        # {1,2} set literal → deduplicated array (types/kind.rs Literal)
+        return F.array_distinct(
+            F.array(*[compile_expr(e, params, types) for e in ast[1]])
+        )
+    if kind == "cast":
+        return _compile_cast(ast[1], ast[2], params, types)
     if kind == "object":
         gk = _geom_literal_kind(ast)
         if gk is not None:
@@ -335,6 +474,21 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
     if kind == "bin":
         _, op, l, r = ast
         lc, rc = compile_expr(l, params, types), compile_expr(r, params, types)
+        if _infer(l, types, params) == "duration" and _infer(r, types, params) == "duration":
+            # duration ⊕ duration: field-wise arithmetic / nanos ordering
+            # (val/duration.rs Add/Sub/Ord; months carries the calendar ext)
+            lm, ln = lc.getField("months"), lc.getField("nanos")
+            rm, rn = rc.getField("months"), rc.getField("nanos")
+            if op in ("+", "-"):
+                sign = 1 if op == "+" else -1
+                return F.struct(
+                    (lm + sign * rm).cast("long").alias("months"),
+                    (ln + sign * rn).cast("long").alias("nanos"),
+                )
+            if op in ("<", "<=", ">", ">=", "=", "==", "!="):
+                key_l = lm * F.lit(2_630_016_000_000_000) + ln  # ~month in ns
+                key_r = rm * F.lit(2_630_016_000_000_000) + rn
+                return _BINOPS[op](key_l, key_r)
         if op == "/" and _infer(l, types, params) == "int" and _infer(r, types, params) == "int":
             # Int/Int truncates toward zero (operate.rs try_div; 5/4 == 1)
             return O.div(lc, rc, integer_operands=True)
@@ -352,6 +506,42 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         if op == "?:":
             # `?:` tests is_truthy, not is-not-null (expr TenaryCondition)
             return O.tco(lc, rc, truthy=_truthy_col(lc, _infer(l, types, params)))
+        if op in ("IN", "INSIDE", "NOTINSIDE") and r[0] == "object":
+            # membership in an object tests its KEYS (operate.rs inside on
+            # Value::Object)
+            keys = F.array(*[F.lit(k) for k, _ in r[1]])
+            # non-string subjects never match keys (1 IN {1:1} is false)
+            if _infer(l, types, params) == "string":
+                hit = F.array_contains(keys, lc)
+            else:
+                hit = F.lit(False)
+            return ~hit if op == "NOTINSIDE" else hit
+        if op in ("IN", "INSIDE", "NOTINSIDE") and r[0] == "bin" and r[1] in _RANGE_OPS:
+            # membership in a range (value/range.rs contains)
+            rng = O.range_struct(
+                compile_expr(r[2], params, types),
+                compile_expr(r[3], params, types),
+                not r[1].startswith(">"),
+                r[1].endswith("="),
+            )
+            hit = O.range_contains(rng, lc)
+            return ~hit if op == "NOTINSIDE" else hit
+        if op in ("IN", "INSIDE", "NOTINSIDE", "ALLINSIDE", "ANYINSIDE",
+                  "NONEINSIDE") and _infer(r, types, params) == "string":
+            # String-subject containment: `"in" INSIDE "inout"` is substring;
+            # `["in","out"] ALLINSIDE "inout"` tests every element
+            # (fnc/operate.rs inside dispatch on Value::Strand).
+            lk = _infer(l, types, params)
+            if op in ("IN", "INSIDE"):
+                return F.contains(rc, lc)
+            if op == "NOTINSIDE":
+                return ~F.contains(rc, lc)
+            arr = lc if lk == "array" else F.array(lc)
+            if op == "ALLINSIDE":
+                return F.forall(arr, lambda x: F.contains(rc, x))
+            if op == "ANYINSIDE":
+                return F.exists(arr, lambda x: F.contains(rc, x))
+            return ~F.exists(arr, lambda x: F.contains(rc, x))
         if op in ("IN", "INSIDE", "NOTINSIDE", "CONTAINS", "CONTAINSNOT") and "geometry" in (
             _infer(l, types, params), _infer(r, types, params)
         ):
@@ -368,6 +558,18 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         return _BINOPS[op](lc, rc)
     if kind == "call":
         name, args = ast[1], ast[2]
+        if (
+            name in ("array::range", "array::sequence")
+            and len(args) == 1
+            and args[0][0] == "bin"
+            and args[0][1] in _RANGE_OPS
+        ):
+            # array::range(1..11) — range-argument form (fnc/array.rs range)
+            lo = compile_expr(args[0][2], params, types).cast("bigint")
+            hi = compile_expr(args[0][3], params, types).cast("bigint")
+            if args[0][1].startswith(">"):
+                lo = lo + 1
+            return F.sequence(lo, hi if args[0][1].endswith("=") else hi - 1)
         special = _compile_type_call(name, args, params, types)
         if special is not None:
             return special
@@ -378,6 +580,14 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 cols.append(_compile_closure(a, params, types))
             elif i in raw_idx and a[0] == "lit":
                 cols.append(a[1])  # builder wants the Python literal
+            elif (
+                i in raw_idx
+                and a[0] == "un"
+                and a[1] == "-"
+                and a[2][0] == "lit"
+                and isinstance(a[2][1], (int, float))
+            ):
+                cols.append(-a[2][1])  # folded negative literal
             else:
                 cols.append(compile_expr(a, params, types))
         if name in REGISTRY:

@@ -24,7 +24,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d[\d_]*(\.\d[\d_]*)?([eE][+-]?\d+)?(dec|f)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<name>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
+  | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
   | (?P<op><\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|<->|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
     """,
     re.X,
@@ -44,7 +44,7 @@ KEYWORDS = {
     "ASSERT", "DEFAULT", "FUNCTION", "SCHEMAFULL", "SCHEMALESS", "MATCHES",
     "SET", "OUTSIDE", "INTERSECTS", "LET", "ANALYZER", "TOKENIZERS",
     "FILTERS", "PERMISSIONS", "FOR", "FULL", "INDEX", "FIELDS", "COLUMNS",
-    "UNIQUE", "FULLTEXT", "SEARCH", "HNSW", "DIMENSION",
+    "UNIQUE", "FULLTEXT", "SEARCH", "HNSW", "DIMENSION", "IS",
 }
 
 
@@ -78,6 +78,23 @@ def tokenize(src: str) -> list[Tok]:
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "0": "\0",
             "\\": "\\", "'": "'", '"': '"', "/": "/"}
+
+
+_DUR_UNIT_NS = {
+    "ns": 1, "us": 1_000, "µs": 1_000, "ms": 1_000_000, "s": 1_000_000_000,
+    "m": 60_000_000_000, "h": 3_600_000_000_000, "d": 86_400_000_000_000,
+    "w": 604_800_000_000_000, "y": 365 * 86_400_000_000_000,
+}
+_DUR_CHAIN_RE = re.compile(r"(?:\d+(?:ns|us|µs|ms|s|m|h|d|w|y))+")
+
+
+def _parse_duration_nanos(chain: str) -> int:
+    """`1y7w6d`-style duration literal → total nanoseconds
+    (val/duration.rs: y = 365 d, no calendar months)."""
+    total = 0
+    for n, unit in re.findall(r"(\d+)(ns|us|µs|ms|s|m|h|d|w|y)", chain):
+        total += int(n) * _DUR_UNIT_NS[unit]
+    return total
 
 
 def _unescape(body: str) -> str:
@@ -162,6 +179,28 @@ class Parser:
                 rhs = self.expr(9)
                 lhs = ("knn", k, metric, lhs, rhs)
                 continue
+            if (
+                op == ">"
+                and self.toks[self.i + 1].kind == "op"
+                and self.toks[self.i + 1].text in ("..", "..=")
+            ):
+                # `a>..b` / `a>..=b` — start-exclusive ranges (value/range.rs)
+                if _BIN_BP[".."][0] < min_bp:
+                    break
+                self.next()
+                rop = ">" + self.next().text
+                rhs = self.expr(_BIN_BP[".."][1])
+                lhs = ("bin", rop, lhs, rhs)
+                continue
+            if op == "IS":
+                # IS / IS NOT — equality aliases (syn parser; operator.rs)
+                if _BIN_BP["="][0] < min_bp:
+                    break
+                self.next()
+                neg = self.eat("kw", "NOT") is not None
+                rhs = self.expr(_BIN_BP["="][1])
+                lhs = ("bin", "!=" if neg else "=", lhs, rhs)
+                continue
             if op not in _BIN_BP:
                 break
             lbp, rbp = _BIN_BP[op]
@@ -174,13 +213,71 @@ class Parser:
             lhs = ("bin", op, lhs, rhs)
         return lhs
 
+    def _parse_kind(self):
+        """Type in a `<kind>` cast: name with optional `<...>` args, literal
+        kinds (`<123>`, `<"a">`, `<true>`), and `|` unions
+        (types/src/kind.rs; syn kind parser)."""
+        t = self.next()
+        if t.kind == "num":
+            txt = t.text
+            v = (float(txt[:-1]) if txt.endswith("f")
+                 else float(txt) if "." in txt else int(txt))
+            k = ("lit", v)
+        elif t.kind == "str":
+            k = ("lit", _unescape(t.text[1:-1]))
+        elif t.kind == "kw" and t.text in ("TRUE", "FALSE"):
+            k = ("lit", t.text == "TRUE")
+        elif t.kind in ("name", "kw"):
+            name = (t.orig or t.text).lower()
+            args = []
+            if self.eat("op", "<"):
+                args.append(self._parse_kind())
+                while self.eat("op", ","):
+                    args.append(self._parse_kind())
+                self.expect("op", ">")
+            k = (name, args)
+        else:
+            raise SyntaxError(f"expected type name, got {t.text!r} at {t.pos}")
+        if self.peek().kind == "op" and self.peek().text == "|":
+            members = [k]
+            while self.eat("op", "|"):
+                members.append(self._parse_kind())
+            # flatten nested unions produced by right recursion
+            flat = []
+            for m in members:
+                flat.extend(m[1] if m[0] == "union" else [m])
+            return ("union", flat)
+        return k
+
     def prefix(self):
         t = self.peek()
         if t.kind == "op" and t.text in ("->", "<-"):
             return ("graphpath", self._graph_steps())
+        if t.kind == "op" and t.text == "<":
+            # `<kind> expr` cast (expr/cast.rs; binds like unary prefix)
+            self.next()
+            kind = self._parse_kind()
+            self.expect("op", ">")
+            # binds looser than ranges/arithmetic (`<array> 1..5` casts the
+            # whole range) but tighter than comparisons
+            return ("cast", kind, self.expr(9))
         if t.kind == "num":
             self.next()
             txt = t.text
+            # duration literal: num + adjacent unit-chain name ("1d",
+            # "5ms5µs", "1y7w6d") — val/duration.rs display units
+            nxt = self.peek()
+            if (
+                "." not in txt
+                and not txt.endswith(("f",))
+                and nxt.kind in ("name", "kw")
+                and nxt.pos == t.pos + len(txt)
+                and _DUR_CHAIN_RE.fullmatch(txt + (nxt.orig or nxt.text))
+            ):
+                self.next()
+                return self.postfix(
+                    ("dur", _parse_duration_nanos(txt + (nxt.orig or nxt.text)))
+                )
             # literal suffixes (sql/literal.rs): 1f → float, 1dec → decimal
             if txt.endswith("dec"):
                 import decimal as _dec
@@ -246,12 +343,26 @@ class Parser:
                     break
             return self.postfix(("array", elems))
         if t.kind == "op" and t.text == "{":
-            # object literal {key: expr, ...} (expr/object.rs)
             self.next()
+            # `{1, 2}` SET literal (types/kind.rs Literal sets) vs object:
+            # an object key is name/str/kw followed by `:`.
+            nxt = self.peek()
+            is_obj = nxt.kind == "op" and nxt.text == "}" or (
+                nxt.kind in ("name", "str", "kw", "num")
+                and self.toks[self.i + 1].kind == "op"
+                and self.toks[self.i + 1].text == ":"
+            )
+            if not is_obj:
+                elems = [self.expr(0)]
+                while self.eat("op", ","):
+                    elems.append(self.expr(0))
+                self.expect("op", "}")
+                return self.postfix(("setlit", elems))
+            # object literal {key: expr, ...} (expr/object.rs)
             pairs = []
             while not self.eat("op", "}"):
                 kt = self.next()
-                if kt.kind not in ("name", "str", "kw"):
+                if kt.kind not in ("name", "str", "kw", "num"):
                     raise SyntaxError(f"bad object key {kt.text!r} at {kt.pos}")
                 key = kt.text[1:-1] if kt.kind == "str" else (kt.orig or kt.text)
                 self.expect("op", ":")
@@ -265,6 +376,20 @@ class Parser:
             return ("all",)
         if t.kind == "name":
             self.next()
+            if t.text == "NaN":
+                return self.postfix(("lit", float("nan")))
+            # typed string literals (syn lexer): d'…' datetime, u'…' uuid
+            if t.text in ("d", "u") and self.peek().kind == "str":
+                body = _unescape(self.next().text[1:-1])
+                if t.text == "u":
+                    return self.postfix(("lit", body))
+                import datetime as _dt
+
+                iso = body.replace("Z", "+00:00")
+                dt = _dt.datetime.fromisoformat(iso)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=_dt.timezone.utc)
+                return self.postfix(("lit", dt))
             if self.peek().kind == "op" and self.peek().text == "(":
                 self.next()
                 args = []

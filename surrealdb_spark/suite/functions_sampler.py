@@ -41,7 +41,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.slug("c_name").alias("slugged"),
         S.levenshtein("c_name", F.lit("Customer#000000042")).alias("lev"),
         S.starts_with("c_name", F.lit("Customer")).alias("is_cust"),
-        S.slice_("c_name", 9, 9).alias("key_digits"),
+        S.slice_("c_name", 9, 18).alias("key_digits"),
     )
 
 

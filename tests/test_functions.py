@@ -116,7 +116,9 @@ STRING_CASES = [
     (lambda: S.reverse(F.lit("abc")), "cba"),
     (lambda: S.repeat(F.lit("ab"), 3), "ababab"),
     (lambda: S.replace(F.lit("aaa"), F.lit("a"), F.lit("b")), "bbb"),
-    (lambda: S.slice_(F.lit("abcdef"), 1, 3), "bcd"),
+    (lambda: S.slice_(F.lit("abcdef"), 1, 4), "bcd"),
+    (lambda: S.slice_(F.lit("abcdef"), 0, -1), "abcde"),
+    (lambda: S.slice_(F.lit("abcdef"), -2), "ef"),
     (lambda: S.contains(F.lit("abc"), F.lit("bc")), True),
     (lambda: S.starts_with(F.lit("abc"), F.lit("ab")), True),
     (lambda: S.ends_with(F.lit("abc"), F.lit("bc")), True),
@@ -175,7 +177,7 @@ MATH_CASES = [
     (lambda: M.lerp(F.lit(0.0), F.lit(10.0), F.lit(0.25)), 2.5),
     (lambda: M.fixed(F.lit(3.14159), 2), 3.14),
     (lambda: M.sign(F.lit(-3.0)), -1.0),
-    (lambda: M.top(DARR(), 2), [7.0, 4.0]),
+    (lambda: M.top(DARR(), 2), [4.0, 7.0]),
     (lambda: M.bottom(DARR(), 2), [1.0, 2.0]),
     (lambda: M.interquartile(DARR()), 3.0),
     (lambda: M.midhinge(DARR()), 3.25),
@@ -229,8 +231,10 @@ def test_type_casts(spark):
     assert one(spark, TY.bool_(F.lit("true"))) is True
     assert one(spark, TY.thing(F.lit("person"), F.lit(8))) == "person:8"
     d = one(spark, TY.duration(F.lit("1y2w3d4h5m6s")))
-    assert d.months == 12
-    assert d.nanos == ((((2 * 7 + 3) * 24 + 4) * 3600) + 5 * 60 + 6) * 1_000_000_000
+    assert d.months == 0  # y = 365 d of seconds (val/duration.rs), no months
+    assert d.nanos == (
+        (((365 + 2 * 7 + 3) * 24 + 4) * 3600) + 5 * 60 + 6
+    ) * 1_000_000_000
     assert one(spark, TY.is_record(F.lit("person:1"))) is True
 
 
@@ -247,7 +251,8 @@ def test_duration_fns(spark):
     assert one(spark, X.dur_unit(d, "days")) == 1
     y = X.dur_from("years", F.lit(2))
     assert one(spark, X.dur_years(y)) == 2
-    assert one(spark, X.dur_months(y)) == 24
+    mo = X.dur_from("months", F.lit(24))
+    assert one(spark, X.dur_months(mo)) == 24
 
 
 def test_crypto_and_encoding(spark):
