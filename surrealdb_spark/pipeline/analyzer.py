@@ -330,5 +330,10 @@ def get_analyzer(name: str) -> Analyzer:
     return ANALYZERS[name]
 
 
+def remove_analyzer(name: str) -> None:
+    """REMOVE ANALYZER (statements/remove/analyzer.rs)."""
+    del ANALYZERS[name]
+
+
 # the reference's default-ish analyzer (round-1 `words()` behavior)
 define_analyzer("default", ("blank", "punct"), ("lowercase",))

@@ -55,6 +55,24 @@ def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def srp_geometry(corpus_size: int, bands: int = 4,
+                 target_bucket: int = 16) -> tuple[int, int]:
+    """Band geometry from corpus size → (n_planes, bands).
+
+    bits-per-band = max(4, ceil(log2(N / target_bucket))) keeps the expected
+    bucket population ≈ ``target_bucket`` as N grows — a fixed 4-bit band
+    (16 buckets) degenerates to N/16 collisions at scale (round-2/3 audit).
+    At N = 1e10 (100 TB-class) this yields ~30-bit bands.  ``bands`` trades
+    recall for candidate volume (recall ≈ 1-(1-p₁^bits)^bands, p₁ = bit
+    agreement of a true neighbor); near-dup workloads (p₁ ≥ 0.9) hold
+    recall with few bands even at 30 bits.
+    """
+    import math
+
+    rows = max(4, math.ceil(math.log2(max(corpus_size / target_bucket, 2.0))))
+    return bands * rows, bands
+
+
 def srp_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
     """Bit-string signature: one sign bit per hyperplane.
 

@@ -506,9 +506,11 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         if op == "?:":
             # `?:` tests is_truthy, not is-not-null (expr TenaryCondition)
             return O.tco(lc, rc, truthy=_truthy_col(lc, _infer(l, types, params)))
-        if op in ("IN", "INSIDE", "NOTINSIDE") and r[0] == "object":
+        if (op in ("IN", "INSIDE", "NOTINSIDE") and r[0] == "object"
+                and _geom_literal_kind(r) is None):
             # membership in an object tests its KEYS (operate.rs inside on
-            # Value::Object)
+            # Value::Object); GeoJSON-shaped literals fall through to the
+            # geometry containment branch below
             keys = F.array(*[F.lit(k) for k, _ in r[1]])
             # non-string subjects never match keys (1 IN {1:1} is false)
             if _infer(l, types, params) == "string":
@@ -761,6 +763,24 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     def resolve(src) -> DataFrame:
         if isinstance(src, Select):
             return compile_select(spark, src, sf_dir, cat, params)
+        if isinstance(src, tuple) and src[0] in ("idpoint", "idrange"):
+            # RecordIdScan / record-id RANGE scan (record_id/key.rs:31-32;
+            # planner fast path select.rs:1346-1382).  Lowers to a key-column
+            # predicate so parquet min/max pruning + PushedFilters apply —
+            # Catalyst's answer to the reference's ordered-KV range seek.
+            t = resolve(src[1])
+            bounds = [b for b in (src[2], src[3] if src[0] == "idrange" else None)
+                      if b is not None]
+            numeric = all(isinstance(b, int) for b in bounds) and bool(bounds)
+            kc = _id_key_col(t, src[1], numeric)
+            if src[0] == "idpoint":
+                return t.filter(kc == F.lit(src[2]))
+            _, _tb, lo, hi, incl = src
+            if lo is not None:
+                t = t.filter(kc >= F.lit(lo))
+            if hi is not None:
+                t = t.filter(kc <= F.lit(hi) if incl else kc < F.lit(hi))
+            return t
         t = cat.table(src)
         if "id" not in t.columns:
             # every record exposes its RecordId as `id` (types/src/value/
@@ -1087,6 +1107,30 @@ def _default_name(ast) -> str:
     if ast[0] == "path" and ast[1][0] == "ident":
         return ast[1][1]
     return "value"
+
+
+def _id_key_col(df: DataFrame, tbl: str, numeric: bool) -> Column:
+    """The comparable KEY of a record id for point/range scans.
+
+    Numeric-keyed catalog tables (o_orderkey, ...) compare natively —
+    the predicate pushes to the parquet scan.  DML tables carry `id`
+    strings 'tb:key'; the key part casts to bigint for numeric bounds,
+    else compares as text (record_id/key.rs orders Number keys numerically,
+    String keys lexically)."""
+    from pyspark.sql.types import StringType
+
+    # prefer the table's NATIVE key column (o_orderkey, ...) over the
+    # synthesized `id` string — the native column is a plain parquet column,
+    # so the range predicate reaches the scan (PushedFilters)
+    native = [c for c in df.columns
+              if c != "id" and (c.endswith("key") or c == f"{tbl}_id")]
+    if native:
+        return F.col(native[0])  # the table's own key column comes first
+    name = _guess_id_col(df, tbl)
+    if name != "id" or not isinstance(df.schema["id"].dataType, StringType):
+        return F.col(name)
+    part = F.substring_index(F.col("id"), ":", -1)
+    return part.try_cast("bigint") if numeric else part
 
 
 def _guess_id_col(df: DataFrame, tbl: str) -> str:

@@ -47,6 +47,10 @@ KEYWORDS = {
     "UNIQUE", "FULLTEXT", "SEARCH", "HNSW", "DIMENSION", "IS",
 }
 
+# Soft keywords: statement-position words (REMOVE, ALTER, INFO, WHEN, ...)
+# are matched case-insensitively via Parser.eat_word/expect_word instead of
+# reserving them — they stay usable as field/table identifiers.
+
 
 @dataclass
 class Tok:
@@ -156,6 +160,22 @@ class Parser:
         if t is None:
             got = self.peek()
             raise SyntaxError(f"expected {text or kind}, got {got.text!r} at {got.pos}")
+        return t
+
+    # soft keywords: match name/kw tokens case-insensitively without
+    # reserving the word (it stays a valid identifier elsewhere)
+    def peek_word(self, word: str) -> bool:
+        t = self.peek()
+        return t.kind in ("name", "kw") and t.text.upper() == word
+
+    def eat_word(self, word: str) -> Tok | None:
+        return self.next() if self.peek_word(word) else None
+
+    def expect_word(self, word: str) -> Tok:
+        t = self.eat_word(word)
+        if t is None:
+            got = self.peek()
+            raise SyntaxError(f"expected {word}, got {got.text!r} at {got.pos}")
         return t
 
     # -- expressions --------------------------------------------------------
@@ -550,6 +570,9 @@ class Select:
     fetch: list[str] = field(default_factory=list)
     omit: list[str] = field(default_factory=list)
     only: bool = False
+    # `VERSION <datetime>` clause — read the sources as of that instant
+    # (exec/operators/version_scope.rs:25); expression AST or None
+    version: tuple | None = None
 
 
 def parse_expr(src: str):
@@ -600,7 +623,32 @@ def _parse_select_body(p: Parser) -> Select:
             sel.sources.append(_parse_select_body(p))
             p.expect("op", ")")
         else:
-            sel.sources.append(p.expect("name").text)
+            tb = p.expect("name").text
+            if p.peek().kind == "op" and p.peek().text == ":":
+                # record-id source: tb:key, tb:lo..hi, tb:lo..=hi, tb:..hi
+                # (types/src/value/record_id/key.rs:31-32; the planner's
+                # range fast path exec/planner/select.rs:1346-1382)
+                p.next()
+
+                def _key():
+                    if p.peek().kind == "num":
+                        return int(p.next().text)
+                    if p.peek().kind in ("name", "str"):
+                        t_ = p.next()
+                        return t_.text[1:-1] if t_.kind == "str" else t_.text
+                    return None
+
+                lo = None
+                if not (p.peek().kind == "op" and p.peek().text in ("..", "..=")):
+                    lo = _key()
+                if p.peek().kind == "op" and p.peek().text in ("..", "..="):
+                    incl = p.next().text == "..="
+                    hi = _key()
+                    sel.sources.append(("idrange", tb, lo, hi, incl))
+                else:
+                    sel.sources.append(("idpoint", tb, lo))
+            else:
+                sel.sources.append(tb)
         if not p.eat("op", ","):
             break
     if p.eat("kw", "WITH"):  # WITH NOINDEX hint: accepted and ignored
@@ -649,4 +697,7 @@ def _parse_select_body(p: Parser) -> Select:
             sel.fetch.append(p.expect("name").text)
             if not p.eat("op", ","):
                 break
+    if p.eat_word("VERSION"):
+        # SELECT ... VERSION d'...' (version_scope.rs; soft keyword)
+        sel.version = p.expr(0)
     return sel

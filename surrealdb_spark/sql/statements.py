@@ -120,6 +120,99 @@ class DefineFunctionStmt:
     lets: list = dc_field(default_factory=list)     # [(name, expr_ast), ...]
 
 
+@dataclass
+class RemoveStmt:
+    """REMOVE TABLE|FIELD|INDEX|ANALYZER|FUNCTION|PARAM|SEQUENCE|EVENT
+    (core/src/expr/statements/remove/*.rs)."""
+
+    kind: str
+    name: str
+    table: str | None = None
+    if_exists: bool = False
+
+
+@dataclass
+class AlterTableStmt:
+    """ALTER TABLE name [SCHEMAFULL|SCHEMALESS] [PERMISSIONS ...]
+    (core/src/expr/statements/alter/table.rs)."""
+
+    name: str
+    schemafull: bool | None = None
+    select_perm: object = None
+
+
+@dataclass
+class RebuildIndexStmt:
+    """REBUILD INDEX [IF EXISTS] name ON [TABLE] tbl (rebuild.rs)."""
+
+    name: str
+    table: str
+    if_exists: bool = False
+
+
+@dataclass
+class InfoStmt:
+    """INFO FOR DB | TABLE <tbl> | INDEX <ix> ON <tbl> (info.rs)."""
+
+    level: str                 # db | table | index
+    name: str | None = None
+    table: str | None = None
+
+
+@dataclass
+class DefineEventStmt:
+    """DEFINE EVENT name ON [TABLE] tbl [WHEN cond] THEN expr|{stmts}
+    (define/event.rs; doc/event.rs fires with $event/$before/$after)."""
+
+    name: str
+    table: str
+    when: tuple | None = None  # expr AST over $event/$before/$after/$value
+    then: list = dc_field(default_factory=list)  # raw statement strings
+
+
+@dataclass
+class DefineParamStmt:
+    """DEFINE PARAM $name VALUE expr (define/param.rs)."""
+
+    name: str
+    value: tuple = None
+
+
+@dataclass
+class DefineSequenceStmt:
+    """DEFINE SEQUENCE name [START n] (define/sequence.rs)."""
+
+    name: str
+    start: int = 1
+
+
+@dataclass
+class LiveStmt:
+    """LIVE SELECT [DIFF | fields] FROM tbl [WHERE cond]
+    (statements/live.rs:17-30)."""
+
+    table: str
+    diff: bool = False
+    fields: list | None = None      # None = * ; list of field names
+    where: tuple | None = None
+
+
+@dataclass
+class ShowChangesStmt:
+    """SHOW CHANGES FOR TABLE tbl [SINCE vs] [LIMIT n] (show.rs:10-23)."""
+
+    table: str
+    since: int = 0
+    limit: int | None = None
+
+
+@dataclass
+class KillStmt:
+    """KILL <live-query-id> (kill.rs)."""
+
+    id: tuple = None  # expression AST (uuid literal or $param)
+
+
 def _param_type(p: Parser) -> str | None:
     """Optional `: kind` annotation after a parameter — kinds may carry
     generics (`option<string>`, `array<int>`); consume balanced <...>."""
@@ -158,7 +251,9 @@ def parse_statement(src: str):
 
 def _parse_statement_body(p: Parser):
     t = p.peek()
-    if t.kind != "kw":
+    # soft statement keywords (REMOVE/ALTER/... are not reserved words)
+    word = t.text.upper() if t.kind in ("kw", "name") else ""
+    if not word:
         raise SyntaxError(f"expected a statement keyword, got {t.text!r}")
     if t.text == "SELECT":
         return _parse_select_body(p)
@@ -369,8 +464,181 @@ def _parse_statement_body(p: Parser):
             p.eat("op", ";")
             p.expect("op", "}")
             return DefineFunctionStmt(name, params, body, ptypes, lets)
+        if what.text.upper() == "EVENT":
+            # DEFINE EVENT name ON [TABLE] tbl [WHEN cond] THEN expr|{stmts}
+            name = p.expect("name").text
+            p.expect("kw", "ON")
+            p.eat("kw", "TABLE")
+            tbl = p.expect("name").text
+            st = DefineEventStmt(name, tbl)
+            if p.eat_word("WHEN"):
+                st.when = p.expr(0)
+            p.expect_word("THEN")
+            if p.peek().kind == "op" and p.peek().text == "{":
+                st.then = _raw_block_statements(p)
+            else:
+                st.then = [_raw_expr_text(p)]
+            return st
+        if what.text.upper() == "PARAM":
+            name = p.expect("param").text[1:]
+            p.expect("kw", "VALUE")
+            return DefineParamStmt(name, p.expr(0))
+        if what.text.upper() == "SEQUENCE":
+            name = p.expect("name").text
+            start = 1
+            if p.eat("kw", "START"):
+                start = int(p.expect("num").text)
+            return DefineSequenceStmt(name, start)
         raise SyntaxError(f"DEFINE {what.text} not supported")
+    if word == "REMOVE":
+        p.next()
+        what = p.next()
+        kind = what.text.lower()
+        if kind not in ("table", "field", "index", "analyzer", "function",
+                        "param", "sequence", "event"):
+            raise SyntaxError(f"REMOVE {what.text} not supported")
+        if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
+        name = (p.expect("param").text[1:] if kind == "param"
+                else p.expect("name").text)
+        tbl = None
+        if p.eat("kw", "ON"):
+            p.eat("kw", "TABLE")
+            tbl = p.expect("name").text
+        return RemoveStmt(kind, name, tbl, if_exists)
+    if word == "ALTER":
+        p.next()
+        p.expect("kw", "TABLE")
+        p.eat_word("IF") and p.expect_word("EXISTS")
+        st = AlterTableStmt(p.expect("name").text)
+        if p.eat("kw", "SCHEMAFULL"):
+            st.schemafull = True
+        elif p.eat("kw", "SCHEMALESS"):
+            st.schemafull = False
+        if p.eat("kw", "PERMISSIONS"):
+            if p.eat("kw", "NONE"):
+                st.select_perm = "none"
+            elif p.eat("kw", "FULL"):
+                st.select_perm = "full"
+            else:
+                while p.eat("kw", "FOR"):
+                    verbs = []
+                    while True:
+                        verbs.append(p.next().text.lower())
+                        if not p.eat("op", ","):
+                            break
+                    if p.eat("kw", "NONE"):
+                        perm: object = "none"
+                    elif p.eat("kw", "FULL"):
+                        perm = "full"
+                    else:
+                        p.expect("kw", "WHERE")
+                        perm = p.expr(0)
+                    if "select" in verbs:
+                        st.select_perm = perm
+        return st
+    if word == "REBUILD":
+        p.next()
+        p.expect("kw", "INDEX")
+        if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
+        name = p.expect("name").text
+        p.expect("kw", "ON")
+        p.eat("kw", "TABLE")
+        tbl = p.expect("name").text
+        return RebuildIndexStmt(name, tbl, if_exists)
+    if word == "INFO":
+        p.next()
+        p.expect("kw", "FOR")
+        lvl = p.next()
+        if lvl.text.upper() in ("DB", "DATABASE"):
+            return InfoStmt("db")
+        if lvl.text.upper() == "TABLE":
+            return InfoStmt("table", table=p.expect("name").text)
+        if lvl.text.upper() == "INDEX":
+            name = p.expect("name").text
+            p.expect("kw", "ON")
+            p.eat("kw", "TABLE")
+            return InfoStmt("index", name=name, table=p.expect("name").text)
+        raise SyntaxError(f"INFO FOR {lvl.text} not supported")
+    if word == "LIVE":
+        # LIVE SELECT [DIFF | f1, f2 | *] FROM tbl [WHERE cond] (live.rs)
+        p.next()
+        p.expect("kw", "SELECT")
+        diff = bool(p.eat_word("DIFF"))
+        fields = None
+        if not diff and not p.eat("op", "*"):
+            if not p.peek_word("FROM"):
+                fields = []
+                while True:
+                    fields.append(p.expect("name").text)
+                    if not p.eat("op", ","):
+                        break
+        p.expect("kw", "FROM")
+        tbl = p.expect("name").text
+        where = p.expr(0) if p.eat("kw", "WHERE") else None
+        return LiveStmt(tbl, diff, fields, where)
+    if word == "SHOW":
+        p.next()
+        p.expect_word("CHANGES")
+        p.expect("kw", "FOR")
+        p.expect("kw", "TABLE")
+        st = ShowChangesStmt(p.expect("name").text)
+        if p.eat_word("SINCE"):
+            st.since = int(p.expect("num").text)
+        if p.eat("kw", "LIMIT"):
+            st.limit = int(p.expect("num").text)
+        return st
+    if word == "KILL":
+        p.next()
+        return KillStmt(p.expr(0))
     raise SyntaxError(f"unsupported statement {t.text!r}")
+
+
+def _raw_expr_text(p: Parser) -> str:
+    """Reconstruct the source text of one expression (used where a clause
+    body re-enters the statement runner later, e.g. event THEN bodies).
+    A parenthesized body may be a full statement — capture it raw."""
+    start = p.i
+    if p.peek().kind == "op" and p.peek().text == "(":
+        depth = 0
+        while True:
+            t = p.next()
+            if t.kind == "eof":
+                raise SyntaxError("unterminated parenthesized body")
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+    else:
+        p.expr(0)
+    return " ".join((t.orig or t.text) for t in p.toks[start:p.i])
+
+
+def _raw_block_statements(p: Parser) -> list[str]:
+    """`{ stmt; stmt; ... }` — split into raw statement strings."""
+    p.expect("op", "{")
+    depth = 0
+    stmts, cur = [], []
+    while True:
+        t = p.next()
+        if t.kind == "eof":
+            raise SyntaxError("unterminated block")
+        if t.kind == "op" and t.text in "([{":
+            depth += 1
+        elif t.kind == "op" and t.text in ")]}":
+            if t.text == "}" and depth == 0:
+                break
+            depth -= 1
+        if t.kind == "op" and t.text == ";" and depth == 0:
+            if cur:
+                stmts.append(" ".join(cur))
+            cur = []
+        else:
+            cur.append(t.orig or t.text)
+    if cur:
+        stmts.append(" ".join(cur))
+    return stmts
 
 
 def _target(p: Parser) -> Target:
@@ -439,6 +707,12 @@ class StatementRunner:
         # DEFINE INDEX artifacts: name → FulltextIndex | signed-SRP frame
         self.indexes: dict[str, object] = {}
         self.index_defs: dict[str, DefineIndexStmt] = {}
+        # DEFINE PARAM / SEQUENCE / EVENT registries (define/{param,
+        # sequence,event}.rs)
+        self.params_defined: dict[str, object] = {}
+        self.sequences: dict[str, object] = {}
+        self.events: dict[str, tuple] = {}  # name → (table, hook)
+        self.live_queries: dict[str, object] = {}  # uuid → StreamingQuery
 
     # public --------------------------------------------------------------
 
@@ -446,14 +720,112 @@ class StatementRunner:
         from surrealdb_spark.sql.compiler import compile_select
 
         stmt = parse_statement(text)
-        params = dict(params or {})
+        params = {**self.params_defined, **(params or {})}
         if isinstance(stmt, Select):
             self._refresh_catalog()
+            if stmt.version is not None:
+                # VERSION clause: re-register db-backed sources as their
+                # snapshot state at that instant (version_scope.rs:25)
+                v = self.spark.range(1).select(
+                    self._expr(stmt.version, params).alias("v")
+                ).first()["v"]
+                import datetime as _dt
+
+                if isinstance(v, _dt.datetime):
+                    if v.tzinfo is None:
+                        v = v.replace(tzinfo=_dt.timezone.utc)
+                    ms = int(v.timestamp() * 1000)
+                else:
+                    ms = int(v)
+                for tbl in stmt.sources:
+                    if tbl in self.db.tables and self.db._exists(tbl):
+                        self.catalog.register(tbl, self.db.table_at(tbl, ms))
             return compile_select(self.spark, stmt, catalog=self.catalog,
                                   params=params)
         return self._execute(stmt, params)
 
     # internals -----------------------------------------------------------
+
+    def _remove(self, stmt: RemoveStmt) -> None:
+        """REMOVE <kind> — drop a catalog object (statements/remove/*.rs)."""
+        k, name = stmt.kind, stmt.name
+        if k == "table":
+            del self.db.tables[name]
+            self.catalog._cache.pop(name, None)
+            return
+        if k == "field":
+            td = self.db.tables[stmt.table]
+            before = len(td.fields)
+            td.fields = [f for f in td.fields if f.name != name]
+            if len(td.fields) == before:
+                raise KeyError(f"no such field {name}")
+            return
+        if k == "index":
+            d = self.index_defs.pop(name)  # KeyError if absent
+            self.indexes.pop(name, None)
+            if d.kind == "uniq":
+                td = self.db.tables.get(d.table)
+                if td and list(d.fields) in td.unique_indexes:
+                    td.unique_indexes.remove(list(d.fields))
+            return
+        if k == "analyzer":
+            from surrealdb_spark.pipeline.analyzer import remove_analyzer
+
+            remove_analyzer(name)
+            return
+        if k == "function":
+            from surrealdb_spark.functions.registry import REGISTRY
+
+            del self.functions[name]
+            REGISTRY.pop(f"fn::{name}", None)
+            return
+        if k == "param":
+            del self.params_defined[name]
+            return
+        if k == "sequence":
+            from surrealdb_spark import export as _exp
+
+            del self.sequences[name]
+            _exp._SEQUENCES.pop(name, None)
+            return
+        if k == "event":
+            tbl, hook = self.events.pop(name)
+            td = self.db.tables.get(tbl)
+            if td and hook in td.events:
+                td.events.remove(hook)
+            return
+        raise ValueError(f"REMOVE {k} not supported")
+
+    def _info(self, stmt: InfoStmt) -> DataFrame:
+        """INFO FOR DB/TABLE/INDEX → (kind, name, detail) rows (info.rs)."""
+        rows: list[tuple[str, str, str]] = []
+        if stmt.level == "db":
+            rows += [("table", n, "") for n in sorted(self.db.tables)]
+            rows += [("function", n, "") for n in sorted(self.functions)]
+            rows += [("param", n, repr(self.params_defined[n]))
+                     for n in sorted(self.params_defined)]
+            rows += [("sequence", n, "") for n in sorted(self.sequences)]
+            rows += [("analyzer", n, "") for n in self._analyzer_names()]
+        elif stmt.level == "table":
+            td = self.db.tables[stmt.table]
+            rows += [("field", f.name, f.dtype or "") for f in td.fields]
+            rows += [("index", n, d.kind) for n, d in self.index_defs.items()
+                     if d.table == stmt.table]
+            rows += [("event", n, "") for n, (t, _) in self.events.items()
+                     if t == stmt.table]
+        else:
+            d = self.index_defs[stmt.name]
+            rows.append(("index", stmt.name,
+                         f"{d.kind} ON {d.table} ({', '.join(d.fields)})"))
+        return self.spark.createDataFrame(
+            rows or [("none", "", "")], "kind string, name string, detail string"
+        )
+
+    @staticmethod
+    def _analyzer_names() -> list[str]:
+        from surrealdb_spark.pipeline.analyzer import ANALYZERS
+
+        return sorted(ANALYZERS)
 
     def _refresh_catalog(self) -> None:
         for name in self.db.tables:
@@ -569,6 +941,120 @@ class StatementRunner:
                 return self._expr(body, binds)
 
             REGISTRY[f"fn::{stmt.name}"] = call
+            return None
+        if isinstance(stmt, DefineEventStmt):
+            # doc/event.rs: fires per affected record with $event/$after;
+            # the THEN statements re-enter this runner per matched row.
+            # Driver-side per-row execution — events are an OLTP feature for
+            # modest mutation batches, not the 100 TB analytics hot path.
+            td = self.db.tables[stmt.table]
+            when_ast, then_stmts = stmt.when, list(stmt.then)
+
+            def hook(action, df, _w=when_ast, _t=then_stmts):
+                cols = [F.col(c).alias(c) for c in df.columns]
+                s = F.struct(*cols)
+                binds = {"event": F.lit(action), "after": s, "value": s,
+                         "before": s, "this": s}
+                matched = df if _w is None else df.filter(self._expr(_w, binds))
+                for row in matched.limit(10_000).collect():
+                    d = row.asDict(recursive=True)
+                    flat = [F.lit(v).alias(k) for k, v in d.items()
+                            if not isinstance(v, (dict, list))]
+                    rb: dict = {"event": action}
+                    if flat:
+                        rs = F.struct(*flat)
+                        rb.update(after=rs, value=rs, before=rs, this=rs)
+                    for text in _t:
+                        txt = text.strip()
+                        if txt.startswith("(") and txt.endswith(")"):
+                            txt = txt[1:-1]
+                        self.run(txt, params=rb)
+
+            td.events.append(hook)
+            self.events[stmt.name] = (stmt.table, hook)
+            return None
+        if isinstance(stmt, DefineParamStmt):
+            self.params_defined[stmt.name] = self.spark.range(1).select(
+                self._expr(stmt.value, {}).alias("v")
+            ).first()["v"]
+            return None
+        if isinstance(stmt, DefineSequenceStmt):
+            from surrealdb_spark.export import define_sequence
+
+            self.sequences[stmt.name] = define_sequence(stmt.name, start=stmt.start)
+            return None
+        if isinstance(stmt, RemoveStmt):
+            try:
+                self._remove(stmt)
+            except (KeyError, ValueError):
+                if not stmt.if_exists:
+                    raise
+            return None
+        if isinstance(stmt, AlterTableStmt):
+            td = self.db.tables[stmt.name]
+            if stmt.schemafull is not None:
+                td.schemafull = stmt.schemafull  # recorded for INFO parity
+            if stmt.select_perm == "none":
+                self.catalog.set_permission(stmt.name, False)
+            elif stmt.select_perm == "full":
+                self.catalog.set_permission(stmt.name, None)
+            elif stmt.select_perm is not None:
+                ast = stmt.select_perm
+                self.catalog.set_permission(
+                    stmt.name, lambda sess, _a=ast: self._expr(_a, dict(sess))
+                )
+            return None
+        if isinstance(stmt, RebuildIndexStmt):
+            d = self.index_defs.get(stmt.name)
+            if d is None:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(f"no such index {stmt.name}")
+            if d.kind not in ("uniq", "idx", "count"):
+                self._execute(d, {})  # rebuild the stored artifact
+            return None
+        if isinstance(stmt, InfoStmt):
+            return self._info(stmt)
+        if isinstance(stmt, LiveStmt):
+            # LIVE SELECT → start a Structured Streaming query over the
+            # table's changefeed; returns the live-query id (live.rs returns
+            # a uuid the client later KILLs).
+            import uuid as _uuid
+
+            from surrealdb_spark.streaming.changefeed import (
+                live_select,
+                live_select_diff,
+                start_live,
+            )
+
+            root = f"{self.db.root}/{stmt.table}"
+            uid = str(_uuid.uuid4())
+            qname = "live_" + uid.replace("-", "")
+            if stmt.diff:
+                stream = live_select_diff(self.spark, root)
+            else:
+                ddl = None
+                if self.db._exists(stmt.table):
+                    sch = self.db.table(stmt.table).schema
+                    ddl = ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}" for f in sch
+                    )
+                where = None if stmt.where is None else self._expr(stmt.where, {})
+                stream = live_select(self.spark, root, where, stmt.fields, ddl)
+            self.live_queries[uid] = start_live(stream, qname)
+            return self.spark.createDataFrame([(uid,)], "id string")
+        if isinstance(stmt, ShowChangesStmt):
+            from surrealdb_spark.streaming.changefeed import show_changes
+
+            return show_changes(
+                self.spark, f"{self.db.root}/{stmt.table}", stmt.since, stmt.limit
+            )
+        if isinstance(stmt, KillStmt):
+            uid = self.spark.range(1).select(
+                self._expr(stmt.id, params).alias("v")
+            ).first()["v"]
+            q = self.live_queries.pop(uid)  # KeyError on unknown id (kill.rs)
+            q.stop()
             return None
         if isinstance(stmt, CreateStmt):
             rows = self._literal_rows(

@@ -119,16 +119,25 @@ def ft_index(spark, sf_dir: str):
 _SRP_CACHE: dict = {}
 
 
-def srp_signed(spark, sf_dir: str, n_planes: int = 16, dim: int = 64):
+def srp_signed(spark, sf_dir: str, n_planes: int | None = None, dim: int = 64):
     """Build-once SRP-signed embeddings (DEFINE INDEX ... HNSW analogue:
-    signatures are an index artifact, built at DDL time, searched many)."""
+    signatures are an index artifact, built at DDL time, searched many).
+    ``n_planes=None`` derives the band geometry from the corpus size
+    (similarity.srp_geometry scaling rule)."""
     from surrealdb_spark.catalog import Catalog
-    from surrealdb_spark.pipeline.similarity import srp_planes, srp_sign
+    from surrealdb_spark.pipeline.similarity import (
+        srp_geometry,
+        srp_planes,
+        srp_sign,
+    )
 
+    emb = Catalog(spark, sf_dir).embeddings
+    if n_planes is None:
+        n_planes, _ = srp_geometry(emb.count())
     key = (sf_dir, n_planes, dim)
     ent = _SRP_CACHE.get(key)
     if ent is None or ent[0] is not spark:
         planes = srp_planes(n_planes, dim)
-        ent = (spark, srp_sign(Catalog(spark, sf_dir).embeddings, planes))
+        ent = (spark, srp_sign(emb, planes))
         _SRP_CACHE[key] = ent
     return ent[1]

@@ -395,6 +395,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SELECT_CHILDREN = {
     "surql_basic_select": dict(k="o_orderkey", d1="o_totalprice"),
+    "surql_record_range": dict(k="o_orderkey", d1="o_totalprice"),
     "surql_select_star": dict(k="r_regionkey", s1="r_name", s2="id"),
     "surql_value_param": dict(k="value"),
     "surql_split_on": dict(k="o_orderkey", s1="token"),

@@ -216,6 +216,26 @@ def surql_basic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "surql_record_range",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 100 AND o_orderkey < 500
+    """,
+hidden=True)
+def surql_record_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-id RANGE source `orders:100..500` — lowers to a key-column
+    predicate (parquet min/max pruning + PushedFilters), Catalyst's answer
+    to the reference's ordered-KV range seek (record_id/key.rs:31-32;
+    exec/planner/select.rs:1346-1382)."""
+    return surql(
+        spark,
+        "SELECT o_orderkey, o_totalprice FROM orders:100..500",
+        sf_dir,
+    )
+
+
+@query(
     "surql_group_by",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,

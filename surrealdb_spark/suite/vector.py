@@ -145,17 +145,78 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       query_pred=F.col("vec_id") % 50 == 0, exclude_self=True)
 
 
-@query("ann_srp_lsh", bench=True)
+_SRP_MAX_PLANES = 48  # oracle covers corpora up to 16·2^12 ≈ 65k rows
+
+
+def _srp_oracle() -> str:
+    """DuckDB replica of the FULL banded-SRP-LSH pipeline.
+
+    The hyperplanes are deterministic (md5-seeded ±1, similarity.srp_planes)
+    and the band geometry is size-derived (srp_geometry) — so the oracle
+    inlines the planes as literals and computes the SAME geometry rule in
+    SQL (GREATEST(4, CEIL(LOG2(N/16)))), making the approximate operator
+    exactly reproducible: signatures, banding, bucket join, exact
+    left-to-right double re-score, and (dist, c_id) top-k all match
+    bit-for-bit."""
+    from surrealdb_spark.pipeline.similarity import srp_planes
+
+    planes = srp_planes(_SRP_MAX_PLANES, 64)
+    bits = []
+    for pv in planes:
+        lit = "[" + ",".join(f"{v:.1f}" for v in pv) + "]"
+        bits.append(
+            f"CASE WHEN {_sql_dot('embedding', lit)} >= 0 THEN '1' ELSE '0' END"
+        )
+    sig = " || ".join(bits)
+    return f"""
+    WITH geo AS (
+      SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 16.0)) AS INT)) AS rows
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+    ),
+    banded AS (
+      SELECT s.vec_id, b.band,
+             substring(s.sig, b.band * g.rows + 1, g.rows) AS bits
+      FROM sigs s, (VALUES (0), (1), (2), (3)) AS b(band), geo g
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM banded q JOIN banded c ON q.band = c.band AND q.bits = c.bits
+      WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             {_sql_cos_dist('qe.embedding', 'ce.embedding')} AS dist
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.q_id
+      JOIN embeddings ce ON ce.vec_id = cand.c_id
+    )
+    SELECT q_id, c_id, dist, CAST(rank AS INT) AS rank FROM (
+      SELECT q_id, c_id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@query("ann_srp_lsh", oracle=_srp_oracle(), bench=True)
 def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate NN via banded sign-random-projection LSH (no SQL oracle —
-    # approximate op; recall vs brute force is asserted in tests/test_vector.py).
+    # Approximate NN via banded sign-random-projection LSH.  Deterministic
+    # end-to-end (md5 planes + size-derived geometry), so the DuckDB oracle
+    # replays the whole pipeline — the driver row is value-checked like any
+    # exact operator.  Recall vs brute force: tests/test_vector.py.
+    from surrealdb_spark.pipeline.similarity import srp_geometry
     from surrealdb_spark.suite._util import srp_signed
 
     emb = Catalog(spark, sf_dir).embeddings
+    n_planes, bands = srp_geometry(emb.count())
     # queries ⊂ corpus → sign once (build-once index artifact, the DEFINE
     # INDEX analogue), filter the signed frame for the query side
     return srp_lsh_topk(
-        None, emb, k=10, dim=64, n_planes=16, bands=4, exclude_self=True,
+        None, emb, k=10, dim=64, n_planes=n_planes, bands=bands,
+        exclude_self=True,
         query_pred=F.col("vec_id") % 50 == 0, broadcast_queries=True,
-        signed=srp_signed(spark, sf_dir),
+        signed=srp_signed(spark, sf_dir, n_planes=n_planes),
     )

@@ -153,3 +153,31 @@ def test_version_time_travel(spark, tmp_path):
     db.delete("v")
     assert db.table_at("v", t1).collect()[0].x == 1   # before the update
     assert db.table_at("v", t2).collect()[0].x == 2   # after update, before delete
+
+
+def test_live_show_kill_statements(spark, db, tmp_path):
+    """LIVE SELECT / SHOW CHANGES / KILL as parsed SurrealQL statements
+    (live.rs:17-30, show.rs:10-23, kill.rs)."""
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    r = StatementRunner(spark, db)
+    db.create("person", _people(spark, [{"id": "person:1", "age": 5, "active": None}]))
+
+    live = r.run("LIVE SELECT age FROM person WHERE age >= 6")
+    uid = live.first()["id"]
+    assert uid in r.live_queries
+    q = r.live_queries[uid]
+
+    db.update("person", {"age": F.lit(6)}, F.col("id") == "person:1")
+    q.processAllAvailable()
+    qname = "live_" + uid.replace("-", "")
+    notes = spark.sql(f"SELECT action, age FROM {qname}").collect()
+    assert [n.action for n in notes] == ["UPDATE"]  # CREATE(age=5) filtered
+
+    changes = r.run("SHOW CHANGES FOR TABLE person SINCE 0 LIMIT 10").collect()
+    assert [c.action for c in changes] == ["CREATE", "UPDATE"]
+
+    r.run("KILL $id", params={"id": uid})
+    assert uid not in r.live_queries and not q.isActive
+    with pytest.raises(KeyError):
+        r.run("KILL $id", params={"id": uid})

@@ -100,3 +100,23 @@ def test_fulltext_index_reuse(spark):
     assert a == b and len(a) == 5
     c = idx.search(["filter"], k=3).collect()  # second query reuses the index
     assert len(c) == 3
+
+
+def test_record_id_range_scan_pushes_down(spark):
+    """`FROM orders:100..500` lowers to a pushed key predicate
+    (record_id/key.rs:31-32; planner fast path select.rs:1346-1382)."""
+    from surrealdb_spark.sql import surql
+
+    df = surql(spark, "SELECT o_orderkey FROM orders:100..500",
+               "/root/testdata/sf0.001")
+    plan = explain(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderkey,100" in plan
+    assert "LessThan(o_orderkey,500" in plan
+    keys = [r["o_orderkey"] for r in df.collect()]
+    assert keys and all(100 <= k < 500 for k in keys)
+
+    # point scan + string-keyed inclusive range through a DML table
+    one = surql(spark, "SELECT o_orderkey FROM orders:100",
+                "/root/testdata/sf0.001").collect()
+    assert [r["o_orderkey"] for r in one] == [100]

@@ -189,3 +189,91 @@ def test_define_index_kinds(spark, tmp_path):
     signed = r.indexes["vec_v"]
     assert set(signed.columns) == {"vec_id", "embedding", "__sig"}
     assert signed.count() == 2
+
+
+def test_statement_long_tail(spark, tmp_path):
+    """REMOVE / ALTER / REBUILD INDEX / INFO FOR / DEFINE EVENT / DEFINE
+    PARAM / DEFINE SEQUENCE (statements/{remove,alter}/, rebuild.rs,
+    info.rs, define/{event,param,sequence}.rs)."""
+    db = Database(spark, str(tmp_path))
+    db.define_table(TableDef("person"))
+    r = StatementRunner(spark, db)
+    r.run("CREATE person:1 SET name = 'Ann', age = 30")
+
+    # DEFINE PARAM binds into later statements
+    r.run("DEFINE PARAM $adult VALUE 18")
+    got = r.run("SELECT name FROM person WHERE age > $adult")
+    assert got.count() == 1
+
+    # DEFINE SEQUENCE registers a named counter
+    r.run("DEFINE SEQUENCE ticket START 5")
+    assert "ticket" in r.sequences
+
+    # DEFINE EVENT fires on matching mutations
+    db.define_table(TableDef("activity"))
+    r.run(
+        "DEFINE EVENT log_new ON TABLE person WHEN $event = 'CREATE' "
+        "THEN (CREATE activity SET who = $after.name)"
+    )
+    r.run("CREATE person:2 SET name = 'Bob', age = 41")
+    acts = db.table("activity").collect()
+    assert [a["who"] for a in acts] == ["Bob"]
+
+    # INFO FOR DB lists the objects
+    info = {(x["kind"], x["name"]) for x in r.run("INFO FOR DB").collect()}
+    assert ("table", "person") in info
+    assert ("param", "adult") in info
+    assert ("sequence", "ticket") in info
+
+    # DEFINE + REBUILD + REMOVE INDEX
+    r.run("DEFINE INDEX uniq_name ON TABLE person FIELDS name UNIQUE")
+    assert ["name"] in db.tables["person"].unique_indexes
+    r.run("REBUILD INDEX uniq_name ON person")
+    r.run("REMOVE INDEX uniq_name ON person")
+    assert ["name"] not in db.tables["person"].unique_indexes
+    r.run("REMOVE INDEX IF EXISTS uniq_name ON person")  # no-op, no raise
+    with pytest.raises(KeyError):
+        r.run("REMOVE INDEX uniq_name ON person")
+
+    # INFO FOR TABLE shows the event; REMOVE EVENT detaches the hook
+    tinfo = {(x["kind"], x["name"]) for x in r.run("INFO FOR TABLE person").collect()}
+    assert ("event", "log_new") in tinfo
+    r.run("REMOVE EVENT log_new ON person")
+    r.run("CREATE person:3 SET name = 'Cy', age = 9")
+    assert db.table("activity").count() == 1  # unchanged
+
+    # ALTER TABLE permissions deny-all blocks SELECT resolution
+    r.run("ALTER TABLE person PERMISSIONS NONE")
+    denied = r.run("SELECT name FROM person")
+    assert denied.count() == 0
+
+    # REMOVE PARAM / TABLE
+    r.run("REMOVE PARAM $adult")
+    with pytest.raises(KeyError):
+        r.run("REMOVE PARAM $adult")
+    r.run("REMOVE TABLE activity")
+    assert "activity" not in db.tables
+
+
+def test_select_version_clause(spark, tmp_path):
+    """SELECT ... VERSION d'<ts>' — snapshot reads as parsed query text
+    (exec/operators/version_scope.rs:25)."""
+    import datetime as dt
+    import time
+
+    db = Database(spark, str(tmp_path))
+    db.define_table(TableDef("person", versioned=True))
+    r = StatementRunner(spark, db)
+    r.run("CREATE person:1 SET name = 'Ann', age = 30")
+    time.sleep(0.05)
+    mark = dt.datetime.now(dt.timezone.utc)
+    time.sleep(0.05)
+    r.run("UPDATE person SET age = 99")
+
+    live = r.run("SELECT age FROM person").collect()
+    assert [x["age"] for x in live] == [99]
+    iso = mark.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    old = r.run(f"SELECT age FROM person VERSION d'{iso}'").collect()
+    assert [x["age"] for x in old] == [30]
+    # live reads are unaffected afterwards
+    assert [x["age"] for x in r.run("SELECT age FROM person").collect()] == [99]

@@ -68,3 +68,39 @@ def test_ivf_nprobe_full_equals_exact(spark, sf_dir):
                       query_pred=F.col("vec_id") == 0, exclude_self=True)
     assert [(r.q_id, r.c_id) for r in exact.collect()] == \
         [(r.q_id, r.c_id) for r in full.collect()]
+
+
+def test_srp_geometry_rule():
+    """Band bits scale with corpus size (the round-2/3 gap: fixed 4-bit
+    bands collapse to N/16 buckets at 100 TB)."""
+    from surrealdb_spark.pipeline.similarity import srp_geometry
+
+    n16, b = srp_geometry(500)        # test-scale corpus
+    assert (n16, b) == (4 * 5, 4)     # ceil(log2(500/16)) = 5 bits
+    n_big, _ = srp_geometry(10_000_000_000)   # 100 TB-class corpus
+    assert n_big // 4 >= 29           # ~30-bit bands → bounded buckets
+    assert srp_geometry(10)[0] == 16  # floor: never below 4 bits
+
+
+def test_srp_bucket_sizes_bounded(spark, sf_dir):
+    """With size-derived geometry the (band, bits) buckets stay near the
+    target population — no degenerate N/16 collision groups."""
+    from surrealdb_spark.pipeline.similarity import (
+        srp_geometry,
+        srp_planes,
+        srp_sign,
+        _banded,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    n = emb.count()
+    n_planes, bands = srp_geometry(n)
+    rows = n_planes // bands
+    signed = srp_sign(emb, srp_planes(n_planes, 64))
+    buckets = (
+        _banded(signed, "id", "v", "s", bands, rows)
+        .groupBy("band", "bits").count().collect()
+    )
+    biggest = max(r["count"] for r in buckets)
+    # expected ≈ 16 per bucket; allow generous skew for random signatures
+    assert biggest <= max(8 * 16, n // 4), f"degenerate bucket: {biggest}"
