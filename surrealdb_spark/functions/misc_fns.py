@@ -214,8 +214,33 @@ def json_encode(x) -> Column:
     return F.to_json(_c(x))
 
 
-def json_decode(s, schema: str) -> Column:
-    return F.from_json(_c(s), schema)
+def json_decode(s, schema: str | None = None) -> Column:
+    """encoding::json::decode — with a DDL ``schema`` it is a plain
+    from_json over any column; a LITERAL json string without a schema
+    decodes at compile time (the typed engine needs a static type, which a
+    literal carries in itself)."""
+    if schema is not None:
+        return F.from_json(F.lit(s) if isinstance(s, str) else _c(s), schema)
+    if not isinstance(s, str):
+        raise ValueError("encoding::json::decode needs a schema for non-literal input")
+    import json as _json
+
+    return _lit_value(_json.loads(s))
+
+
+def _lit_value(v) -> Column:
+    """A parsed-JSON Python value → Column (dicts→structs, lists→arrays)."""
+    if isinstance(v, dict):
+        if not v:
+            return F.struct()
+        return F.struct(*[_lit_value(x).alias(k) for k, x in v.items()])
+    if isinstance(v, list):
+        return F.array(*[_lit_value(x) for x in v])
+    if isinstance(v, bool) or v is None or isinstance(v, float):
+        return F.lit(v)
+    if isinstance(v, int):
+        return F.lit(v).cast("bigint")
+    return F.lit(v)
 
 
 # -- record:: (5) ------------------------------------------------------------

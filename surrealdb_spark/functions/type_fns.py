@@ -235,7 +235,7 @@ def is_kind(kind: str):
 OF_NAMES = {
     "int": "int", "float": "float", "decimal": "decimal", "bool": "bool",
     "string": "string", "array": "array", "object": "object",
-    "datetime": "datetime", "bytes": "bytes",
+    "datetime": "datetime", "bytes": "bytes", "duration": "duration",
 }
 
 

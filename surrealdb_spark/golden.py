@@ -242,6 +242,137 @@ def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> l
     return results
 
 
+_STMT_WORDS = {
+    "CREATE", "INSERT", "UPDATE", "UPSERT", "DELETE", "RELATE", "DEFINE",
+    "REMOVE", "ALTER", "REBUILD", "INFO", "SELECT", "LIVE", "SHOW", "KILL",
+}
+
+
+def _stmt_word(s: str) -> str:
+    m = re.match(r"\s*([A-Za-z]+)", s)
+    return m.group(1).upper() if m else ""
+
+
+def _df_value(df) -> object:
+    """DataFrame result → reference-shaped value (array of objects)."""
+    if df is None:
+        return None
+    return [_norm(r) for r in df.limit(10_000).collect()]
+
+
+def _auto_define(db, s: str) -> None:
+    """Auto-register mutation targets (the reference is schemaless by
+    default; our Database wants the TableDef up front)."""
+    from surrealdb_spark.dml import TableDef
+
+    m = re.match(
+        r"(?:CREATE|UPDATE|UPSERT|DELETE)\s+(?:ONLY\s+)?([A-Za-z_]\w*)"
+        r"|INSERT\s+(?:INTO\s+)?([A-Za-z_]\w*)",
+        s.strip(), flags=re.I,
+    )
+    if m:
+        tbl = m.group(1) or m.group(2)
+        if tbl and tbl not in db.tables:
+            db.define_table(TableDef(tbl))
+
+
+def _run_statement_file(spark: SparkSession, stmts: list[str],
+                        fr: "FileResult", expected: list) -> "FileResult":
+    """Sequential mode for files containing DML/DDL statements: each
+    statement runs in order against a throwaway Database through
+    StatementRunner; SELECT-style outputs become arrays of objects."""
+    import tempfile
+
+    from surrealdb_spark.dml import Database, TableDef
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, tempfile.mkdtemp(prefix="golden_"))
+    runner = StatementRunner(spark, db)
+    bindings: dict = {}
+    for s, e in zip(stmts, expected):
+        word = _stmt_word(s)
+        a: object
+        try:
+            if s.strip().startswith("{"):
+                # top-level block: run the inner statements, value is NONE
+                body = s.strip()[1:-1]
+                for inner in split_statements(body):
+                    iw = _stmt_word(inner)
+                    if iw in _STMT_WORDS:
+                        _auto_define(db, inner)
+                        runner.run(inner, params=bindings)
+                    else:
+                        _eval_statements(spark, [inner], bindings)
+                a = None
+            elif word == "LET":
+                m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
+                rhs = m.group(2).strip()
+                ms = re.match(r"^\((.*)\)\s*(\[\s*0\s*\])?$", rhs, flags=re.S)
+                if not ms and _stmt_word(rhs) in _STMT_WORDS:
+                    # unparenthesized DML binding: LET $x = CREATE ONLY t:1
+                    ms = re.match(r"^(.*)$", rhs, flags=re.S)
+                if ms and _stmt_word(ms.group(1)) in _STMT_WORDS:
+                    _auto_define(db, ms.group(1))
+                    out = _df_value(runner.run(ms.group(1).strip(), params=bindings))
+                    only = re.search(r"\bONLY\s", ms.group(1), flags=re.I)
+                    take_first = (ms.lastindex or 0) >= 2 and ms.group(2) or only
+                    bindings[m.group(1)] = (
+                        (out[0] if out else None) if take_first else out
+                    )
+                else:
+                    v = _eval_statements(spark, [rhs], bindings)[0]
+                    if v is _ERR:
+                        raise ValueError("LET binding failed")
+                    bindings[m.group(1)] = v
+                a = None
+            elif word in _STMT_WORDS:
+                _auto_define(db, s)
+                a = _df_value(runner.run(s, params=bindings))
+                if re.search(r"\bONLY\s", s, flags=re.I) and isinstance(a, list):
+                    # CREATE/UPDATE ONLY / FROM ONLY return the bare object
+                    a = a[0] if a else None
+            else:
+                body = re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
+                v = _eval_statements(spark, [body], bindings)[0]
+                a = _ERR if v is _ERR else v
+        except Exception:
+            a = _ERR
+        _record_case(fr, s, e, a, spark)
+    return fr
+
+
+def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
+    if e[0] == "error":
+        ok = a is _ERR
+        fr.cases.append(CaseResult(s, e, "ERROR" if ok else a, ok,
+                                   "" if ok else "expected error, got value"))
+        return
+    if e[0] == "any":
+        fr.cases.append(CaseResult(s, e, a, True))
+        return
+    want = _eval_statements(spark, [e[1]], {})[0]
+    if want is _ERR:
+        fr.cases.append(CaseResult(s, e, a, False,
+                                   f"expected literal unsupported: {e[1]!r}"))
+    elif a is _ERR:
+        fr.cases.append(CaseResult(s, e, "ERROR", False, "engine errored"))
+    else:
+        ok = values_equal(want, a) or _multiset_equal(want, a)
+        fr.cases.append(CaseResult(s, e, a, ok,
+                                   "" if ok else f"want {want!r} got {a!r}"))
+
+
+def _multiset_equal(want, got) -> bool:
+    """Order-insensitive list compare: reference SELECTs return record-id
+    order, Spark frames are unordered — canonicalize by repr."""
+    want, got = _norm(want), _norm(got)
+    if not (isinstance(want, list) and isinstance(got, list)):
+        return False
+    if len(want) != len(got):
+        return False
+    return sorted(map(repr, want)) == sorted(map(repr, got))
+
+
 def run_file(spark: SparkSession, path: str) -> FileResult:
     """Run one reference language-test file against this engine."""
     text = open(path).read()
@@ -270,6 +401,8 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     if not expected or len(expected) != len(stmts):
         fr.skipped = f"results/statements mismatch ({len(expected)}/{len(stmts)})"
         return fr
+    if any(_stmt_word(s) in _STMT_WORDS for s in stmts):
+        return _run_statement_file(spark, stmts, fr, expected)
     # LET statements bind into scope for later statements; their result is
     # NONE in the reference.
     bindings: dict = {}

@@ -101,7 +101,7 @@ _RAW_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "math::log": (1,),
     "time::format": (1,), "time::floor": (1,), "time::ceil": (1,),
     "time::round": (1,), "time::group": (1,),
-    "encoding::json::decode": (1,),
+    "encoding::json::decode": (0, 1),
     "vector::distance::minkowski": (2,),
     "geo::hash::encode": (1,),
     "search::analyze": (0,), "sequence::nextval": (0,),
@@ -190,6 +190,58 @@ def types_of(df: DataFrame) -> dict[str, str]:
 
 
 _RANGE_OPS = ("..", "..=", ">..", ">..=")
+
+
+_TO_KINDS = {
+    "to_array": "array", "to_bool": "bool", "to_bytes": "bytes",
+    "to_datetime": "datetime", "to_decimal": "decimal",
+    "to_duration": "duration", "to_float": "float", "to_geometry": "geometry",
+    "to_int": "int", "to_number": "number", "to_point": "point",
+    "to_range": "range", "to_record": "record", "to_set": "set",
+    "to_string": "string", "to_string_lossy": "string", "to_uuid": "uuid",
+}
+
+_METHOD_NS = {"string": "string", "array": "array", "object": "object",
+              "duration": "duration", "datetime": "time", "int": "math",
+              "float": "math", "decimal": "math"}
+
+
+def _resolve_method(ast, types, params):
+    """`value.fn(args)` method syntax → a namespaced call AST.
+
+    The reference dispatches on the receiver's runtime type (fnc/mod.rs
+    idiom(), per-type dispatch! tables plus generic type_of / is_* / to_*);
+    here the receiver's static type picks the namespace, falling back to
+    the first namespace that registers the name."""
+    _, mname, recv, margs = ast
+    if mname == "type_of":
+        return ("call", "type::of", [recv])
+    if mname.startswith("is_"):
+        return ("call", f"type::{mname}", [recv])
+    if mname in _TO_KINDS:
+        k = _TO_KINDS[mname]
+        if k == "set":
+            return ("cast", ("set", []), recv)
+        if k in ("array", "bytes", "range", "geometry", "point",
+                 "number", "record", "uuid", "duration", "datetime"):
+            return ("call", f"type::{k}", [recv])
+        return ("cast", (k, []), recv)
+    from surrealdb_spark.functions.registry import REGISTRY
+
+    cat = _infer(recv, types, params)
+    order = [
+        _METHOD_NS[cat]
+    ] if cat in _METHOD_NS else ["string", "array", "math", "time", "object",
+                                 "duration", "parse", "vector", "geo",
+                                 "encoding", "type"]
+    for ns in order:
+        if f"{ns}::{mname}" in REGISTRY:
+            return ("call", f"{ns}::{mname}", [recv] + list(margs))
+    # last resort: any registered namespace carrying this function name
+    for full in REGISTRY:
+        if full.endswith(f"::{mname}"):
+            return ("call", full, [recv] + list(margs))
+    raise ValueError(f"no such method {mname!r}")
 
 
 def _compile_cast(kind_spec, operand, params, types) -> Column:
@@ -314,6 +366,10 @@ def _infer(ast, types: dict[str, str], params: dict) -> str | None:
         ast[1].startswith("duration::from") or ast[1] == "type::duration"
     ):
         return "duration"
+    if kind == "array":
+        return "array"
+    if kind == "object":
+        return "object"
     if kind == "setlit":
         return "array"
     if kind == "cast":
@@ -404,7 +460,12 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         if name not in params:
             raise KeyError(f"unbound parameter ${name}")
         v = params[name]
-        return v if isinstance(v, Column) else F.lit(v)
+        if isinstance(v, Column):
+            return v
+        if isinstance(v, dict):
+            # record/object bindings (LET $r = (CREATE ...)[0]) → struct
+            return F.struct(*[F.lit(x).alias(k) for k, x in v.items()])
+        return F.lit(v)
     if kind == "ident":
         from surrealdb_spark.functions.math_fns import CONSTANTS
 
@@ -558,6 +619,8 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 "CONTAINSNOT": lambda a, b: ~GEO.contains(a, b),
             }[op](lc, rc)
         return _BINOPS[op](lc, rc)
+    if kind == "method":
+        return compile_expr(_resolve_method(ast, types, params), params, types)
     if kind == "call":
         name, args = ast[1], ast[2]
         if (
@@ -626,6 +689,10 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
             return refine[short](col)
         return col.isNotNull()
     if short == "of":
+        if args[0] == ("lit", None):
+            # NONE/NULL literals conflate to Spark null; 'none' is the
+            # closer answer for the bare literal (kind_of on Value::None)
+            return F.lit("none")
         cat = _infer(args[0], types, params)
         if cat in TY.OF_NAMES:
             col = compile_expr(args[0], params, types)
@@ -763,6 +830,25 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     def resolve(src) -> DataFrame:
         if isinstance(src, Select):
             return compile_select(spark, src, sf_dir, cat, params)
+        if isinstance(src, tuple) and src[0] == "paramsrc":
+            # DynamicScan (scan/dynamic.rs:53): dispatch on the bound value —
+            # a table name, a record id 'tb:key', or a list of either
+            v = params.get(src[1])
+            if v is None:
+                raise KeyError(f"unbound source parameter ${src[1]}")
+            vals = v if isinstance(v, list) else [v]
+            outs = []
+            for item in vals:
+                s = str(item)
+                if ":" in s:
+                    tb, _, key = s.partition(":")
+                    outs.append(resolve(("idpoint", tb, int(key) if key.isdigit() else key)))
+                else:
+                    outs.append(resolve(s))
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o, allowMissingColumns=True)
+            return out
         if isinstance(src, tuple) and src[0] in ("idpoint", "idrange"):
             # RecordIdScan / record-id RANGE scan (record_id/key.rs:31-32;
             # planner fast path select.rs:1346-1382).  Lowers to a key-column
@@ -919,10 +1005,17 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         rec_fields = [f for f in sel.fields if _is_recurse_path(f.expr)]
         if rec_fields:
             df = _attach_recurse_fields(df, cat, rec_fields)
+        corr_fields = [f for f in sel.fields if _is_corr_subquery(f.expr)]
+        for f in corr_fields:
+            df = _attach_corr_subquery(
+                spark, df, cat, f, f.alias or _default_name(f.expr),
+                params, sf_dir
+            )
         cols = [F.col("*")] if sel.star else []
         for fld in sel.fields:
             name = fld.alias or _default_name(fld.expr)
-            if fld.expr[0] == "graphpath" or _is_recurse_path(fld.expr):
+            if (fld.expr[0] == "graphpath" or _is_recurse_path(fld.expr)
+                    or _is_corr_subquery(fld.expr)):
                 cols.append(F.col(name))
             else:
                 cols.append(compile_expr(fld.expr, params, types).alias(name))
@@ -950,6 +1043,101 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             raise ValueError(f"ONLY expects exactly one record, got {len(head)}")
 
     return df
+
+
+def _refs_parent(ast) -> bool:
+    """Does the expression reference the outer row ($parent / $this)?"""
+    if not isinstance(ast, tuple):
+        return False
+    if ast[0] == "param" and ast[1] in ("parent", "this"):
+        return True
+    return any(
+        _refs_parent(x) or (isinstance(x, list) and any(_refs_parent(e) for e in x))
+        for x in ast[1:]
+    )
+
+
+def _is_corr_subquery(expr) -> bool:
+    return (
+        isinstance(expr, tuple)
+        and expr[0] == "subquery"
+        and expr[1].where is not None
+        and _refs_parent(expr[1].where)
+    )
+
+
+def _split_conjuncts(ast):
+    if isinstance(ast, tuple) and ast[0] == "bin" and ast[1] in ("AND", "&&"):
+        return _split_conjuncts(ast[2]) + _split_conjuncts(ast[3])
+    return [ast]
+
+
+def _attach_corr_subquery(spark, df, cat: Catalog, fld, name: str,
+                          params: dict, sf_dir):
+    """Correlated subquery in a projection → decorrelated grouped left join
+    (exec/operators/current_value_source.rs:31 evaluates the inner plan per
+    outer row; Spark-first this is ONE aggregation + ONE join, no per-row
+    re-execution).
+
+    Supported correlation: equality conjuncts `inner_expr = $parent.col`
+    (either side).  The inner result is an array per outer row — VALUE
+    subqueries collect bare values, field subqueries collect structs —
+    canonically sorted ascending (deterministic across engines) and
+    truncated to the subquery LIMIT."""
+    sub = fld.expr[1]
+    conjs = _split_conjuncts(sub.where)
+    corr: list[tuple] = []     # (inner_key_ast, parent_col)
+    rest: list[tuple] = []
+    for c in conjs:
+        if not _refs_parent(c):
+            rest.append(c)
+            continue
+        if not (c[0] == "bin" and c[1] in ("=", "==")):
+            raise ValueError("correlated subqueries support equality predicates only")
+        l, r = c[2], c[3]
+        inner, outer = (l, r) if _refs_parent(r) else (r, l)
+        if outer[0] == "path" and outer[1][0] == "param" and \
+                outer[2] and outer[2][0][0] == "field":
+            corr.append((inner, outer[2][0][1]))
+        else:
+            raise ValueError("correlated side must be $parent.<field>")
+    src = sub.sources[0]
+    inner_df = cat.table(src) if isinstance(src, str) else compile_select(
+        spark, src, sf_dir, cat, params
+    )
+    itypes = types_of(inner_df)
+    where = None
+    for c in rest:
+        col = compile_expr(c, params, itypes)
+        where = col if where is None else (where & col)
+    if where is not None:
+        inner_df = inner_df.filter(where)
+    keys = [compile_expr(k, params, itypes).alias(f"__ck{i}")
+            for i, (k, _) in enumerate(corr)]
+    if sub.value_expr is not None:
+        payload = compile_expr(sub.value_expr, params, itypes)
+    else:
+        payload = F.struct(*[
+            compile_expr(f.expr, params, itypes).alias(
+                f.alias or _default_name(f.expr))
+            for f in (sub.fields or [])
+        ])
+    grouped = (
+        inner_df.select(*keys, payload.alias("__v"))
+        .groupBy(*[f"__ck{i}" for i in range(len(corr))])
+        .agg(F.sort_array(F.collect_list("__v")).alias("__arr"))
+    )
+    if sub.limit is not None:
+        grouped = grouped.withColumn("__arr", F.slice("__arr", 1, sub.limit))
+    cond = None
+    for i, (_, pcol) in enumerate(corr):
+        c = df[pcol] == grouped[f"__ck{i}"]
+        cond = c if cond is None else (cond & c)
+    joined = df.join(grouped, cond, "left")
+    empty = F.array().cast(joined.schema["__arr"].dataType)
+    return joined.withColumn(name, F.coalesce(F.col("__arr"), empty)).drop(
+        "__arr", *[f"__ck{i}" for i in range(len(corr))]
+    )
 
 
 def _attach_graph_fields(df, cat: Catalog, sel: Select, graph_fields, params):

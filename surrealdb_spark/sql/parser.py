@@ -51,6 +51,13 @@ KEYWORDS = {
 # are matched case-insensitively via Parser.eat_word/expect_word instead of
 # reserving them — they stay usable as field/table identifiers.
 
+# keywords that can never be a FROM source (clause/structure words)
+_NON_SOURCE_KWS = {
+    "WHERE", "GROUP", "ORDER", "SPLIT", "LIMIT", "START", "FETCH", "OMIT",
+    "WITH", "TIMEOUT", "PARALLEL", "EXPLAIN", "SELECT", "FROM", "VALUE",
+    "AND", "OR", "NOT", "AS", "BY", "ASC", "DESC",
+}
+
 
 @dataclass
 class Tok:
@@ -316,10 +323,10 @@ class Parser:
             return self.postfix(("param", t.text[1:]))
         if t.kind == "kw" and t.text in ("TRUE", "FALSE"):
             self.next()
-            return ("lit", t.text == "TRUE")
+            return self.postfix(("lit", t.text == "TRUE"))
         if t.kind == "kw" and t.text in ("NULL", "NONE"):
             self.next()
-            return ("lit", None)
+            return self.postfix(("lit", None))
         if t.kind == "kw" and t.text == "NOT":
             self.next()
             return ("un", "!", self.expr(15))
@@ -394,6 +401,27 @@ class Parser:
         if t.kind == "op" and t.text == "*":
             self.next()
             return ("all",)
+        if (
+            t.kind == "kw"
+            and self.toks[self.i + 1].kind == "op"
+            and self.toks[self.i + 1].text == ":"
+            and self.toks[self.i + 2].kind in ("name", "num")
+        ):
+            # record-id literal with a keyword table name (group:0foo)
+            tb = t.orig or t.text
+            self.next()
+            colon = self.next()
+            parts = [self.next()]
+            while True:
+                nx = self.peek()
+                last = parts[-1]
+                if nx.kind in ("name", "num", "kw") and \
+                        nx.pos == last.pos + len(last.text):
+                    parts.append(self.next())
+                else:
+                    break
+            key = "".join(pp.orig or pp.text for pp in parts)
+            return self.postfix(("lit", f"{tb}:{key}"))
         if t.kind == "name":
             self.next()
             if t.text == "NaN":
@@ -419,13 +447,31 @@ class Parser:
                         self.expect("op", ")")
                         break
                 return self.postfix(("call", t.text, args))
-            # record-id literal tb:key
+            # record-id literal tb:key — keys may be alphanumeric runs
+            # ("0foo" tokenizes num+name; glue contiguous tokens back,
+            # record_id/key.rs), uuid-typed (tb:u'...'), or ⟨escaped⟩
             if self.peek().kind == "op" and self.peek().text == ":":
+                colon = self.peek()
                 nxt = self.toks[self.i + 1]
-                if nxt.kind in ("name", "num"):
+                if nxt.kind == "name" and nxt.text == "u" and \
+                        self.toks[self.i + 2].kind == "str":
                     self.next()
                     self.next()
-                    return self.postfix(("lit", f"{t.text}:{nxt.text}"))
+                    key = _unescape(self.next().text[1:-1])
+                    return self.postfix(("lit", f"{t.text}:{key}"))
+                if nxt.kind in ("name", "num") and nxt.pos == colon.pos + 1:
+                    self.next()
+                    parts = [self.next()]
+                    while True:
+                        nx = self.peek()
+                        last = parts[-1]
+                        if nx.kind in ("name", "num", "kw") and \
+                                nx.pos == last.pos + len(last.text):
+                            parts.append(self.next())
+                        else:
+                            break
+                    key = "".join(p.orig or p.text for p in parts)
+                    return self.postfix(("lit", f"{t.text}:{key}"))
             return self.postfix(("ident", t.text))
         raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
@@ -511,6 +557,19 @@ class Parser:
                 elif nt.kind == "op" and nt.text == "{":
                     parts.append(self._curly_part())
                 elif nt.kind == "name":
+                    if self.peek().kind == "op" and self.peek().text == "(":
+                        # method syntax: value.fn(args) dispatches on the
+                        # receiver's type (fnc/mod.rs idiom(), dispatch!)
+                        self.next()
+                        margs = []
+                        while not self.eat("op", ")"):
+                            margs.append(self.expr(0))
+                            if not self.eat("op", ","):
+                                self.expect("op", ")")
+                                break
+                        recv = ("path", base, parts) if parts else base
+                        base, parts = ("method", nt.text, recv, margs), []
+                        continue
                     parts.append(("field", nt.text))
                 else:
                     raise SyntaxError(f"bad path segment {nt.text!r} at {nt.pos}")
@@ -622,8 +681,19 @@ def _parse_select_body(p: Parser) -> Select:
             p.next()
             sel.sources.append(_parse_select_body(p))
             p.expect("op", ")")
+        elif p.peek().kind == "param":
+            # FROM $source — DynamicScan: the target resolves at execution
+            # from the bound parameter (exec/operators/scan/dynamic.rs:53)
+            sel.sources.append(("paramsrc", p.next().text[1:]))
         else:
-            tb = p.expect("name").text
+            # source names may collide with NON-STRUCTURAL keywords
+            # (`group`, `order` are fine table names; clause words are not)
+            st_ = p.next()
+            if st_.kind not in ("name", "kw") or (
+                st_.kind == "kw" and st_.text in _NON_SOURCE_KWS
+            ):
+                raise SyntaxError(f"expected a source, got {st_.text!r} at {st_.pos}")
+            tb = st_.orig or st_.text
             if p.peek().kind == "op" and p.peek().text == ":":
                 # record-id source: tb:key, tb:lo..hi, tb:lo..=hi, tb:..hi
                 # (types/src/value/record_id/key.rs:31-32; the planner's

@@ -213,6 +213,17 @@ class KillStmt:
     id: tuple = None  # expression AST (uuid literal or $param)
 
 
+
+def _name(p: Parser) -> str:
+    """An identifier that may collide with a keyword (`group`, `value`,
+    `order` are legal table/field names — the reference's parser treats
+    most keywords as soft)."""
+    t = p.next()
+    if t.kind not in ("name", "kw"):
+        raise SyntaxError(f"expected a name, got {t.text!r} at {t.pos}")
+    return t.orig or t.text
+
+
 def _param_type(p: Parser) -> str | None:
     """Optional `: kind` annotation after a parameter — kinds may carry
     generics (`option<string>`, `array<int>`); consume balanced <...>."""
@@ -266,7 +277,7 @@ def _parse_statement_body(p: Parser):
     if t.text == "INSERT":
         p.next()
         p.eat("kw", "INTO")
-        tbl = p.expect("name").text
+        tbl = _name(p)
         st = InsertStmt(tbl)
         if p.peek().kind == "op" and p.peek().text == "(":
             p.next()
@@ -277,7 +288,7 @@ def _parse_statement_body(p: Parser):
                 # (col, ...) VALUES (expr, ...), (...) — insert.rs VALUES form
                 cols = []
                 while True:
-                    cols.append(p.expect("name").text)
+                    cols.append(_name(p))
                     if not p.eat("op", ","):
                         break
                 p.expect("op", ")")
@@ -325,7 +336,7 @@ def _parse_statement_body(p: Parser):
         p.next()
         frm = p.expr(9)  # bind tighter than -> steps
         p.expect("op", "->")
-        edge = p.expect("name").text
+        edge = _name(p)
         p.expect("op", "->")
         to = p.expr(9)
         data = _data_clause(p)
@@ -334,7 +345,7 @@ def _parse_statement_body(p: Parser):
         p.next()
         what = p.next()
         if what.text == "TABLE":
-            name = p.expect("name").text
+            name = _name(p)
             schemafull = bool(p.eat("kw", "SCHEMAFULL"))
             p.eat("kw", "SCHEMALESS")
             st = DefineTableStmt(name, schemafull)
@@ -364,13 +375,25 @@ def _parse_statement_body(p: Parser):
                             st.select_perm = perm
             return st
         if what.text == "FIELD":
-            name = p.expect("name").text
+            name = _name(p)
             p.expect("kw", "ON")
             p.eat("kw", "TABLE")
-            tbl = p.expect("name").text
+            tbl = _name(p)
             st = DefineFieldStmt(tbl, name)
             if p.eat("kw", "TYPE"):
-                st.dtype = p.expect("name").text
+                st.dtype = _name(p)
+                # consume generic args (record<person>, array<int>, ...);
+                # the base kind decides the Spark type
+                if p.peek().kind == "op" and p.peek().text == "<":
+                    depth = 0
+                    while True:
+                        nt = p.next()
+                        if nt.text == "<":
+                            depth += 1
+                        elif nt.text == ">":
+                            depth -= 1
+                            if depth == 0:
+                                break
             if p.eat("kw", "DEFAULT"):
                 st.default = p.expr(0)
             if p.eat("kw", "ASSERT"):
@@ -380,14 +403,14 @@ def _parse_statement_body(p: Parser):
             # DEFINE INDEX name ON [TABLE] tbl FIELDS|COLUMNS f,...
             #   [UNIQUE | FULLTEXT [ANALYZER a] | SEARCH ANALYZER a
             #    | HNSW [DIMENSION n] | COUNT]   (catalog/schema/index.rs)
-            name = p.expect("name").text
+            name = _name(p)
             p.expect("kw", "ON")
             p.eat("kw", "TABLE")
-            tbl = p.expect("name").text
+            tbl = _name(p)
             st = DefineIndexStmt(name, tbl)
             if p.eat("kw", "FIELDS") or p.eat("kw", "COLUMNS"):
                 while True:
-                    st.fields.append(p.expect("name").text)
+                    st.fields.append(_name(p))
                     if not p.eat("op", ","):
                         break
             if p.eat("kw", "UNIQUE"):
@@ -395,7 +418,7 @@ def _parse_statement_body(p: Parser):
             elif p.eat("kw", "FULLTEXT") or p.eat("kw", "SEARCH"):
                 st.kind = "fulltext"
                 if p.eat("kw", "ANALYZER"):
-                    st.analyzer = p.expect("name").text
+                    st.analyzer = _name(p)
             elif p.eat("kw", "HNSW"):
                 st.kind = "hnsw"
                 if p.eat("kw", "DIMENSION"):
@@ -408,7 +431,7 @@ def _parse_statement_body(p: Parser):
             # DEFINE ANALYZER name TOKENIZERS blank,camel FILTERS
             #   lowercase,snowball(english),ngram(1,3),mapper('path')
             # (define/analyzer.rs; sql/tokenizer.rs, sql/filter.rs)
-            name = p.expect("name").text
+            name = _name(p)
             st = DefineAnalyzerStmt(name)
             if p.eat("kw", "TOKENIZERS"):
                 st.tokenizers = []
@@ -442,7 +465,7 @@ def _parse_statement_body(p: Parser):
             # DEFINE FUNCTION fn::name($a: type, $b: option<type>) {
             #   LET $x = ...; RETURN <expr> }   (define/function.rs; language
             # tests statements/define/function/*.surql)
-            name = p.expect("name").text
+            name = _name(p)
             p.expect("op", "(")
             params, ptypes = [], []
             while p.peek().kind == "param":
@@ -466,10 +489,10 @@ def _parse_statement_body(p: Parser):
             return DefineFunctionStmt(name, params, body, ptypes, lets)
         if what.text.upper() == "EVENT":
             # DEFINE EVENT name ON [TABLE] tbl [WHEN cond] THEN expr|{stmts}
-            name = p.expect("name").text
+            name = _name(p)
             p.expect("kw", "ON")
             p.eat("kw", "TABLE")
-            tbl = p.expect("name").text
+            tbl = _name(p)
             st = DefineEventStmt(name, tbl)
             if p.eat_word("WHEN"):
                 st.when = p.expr(0)
@@ -484,7 +507,7 @@ def _parse_statement_body(p: Parser):
             p.expect("kw", "VALUE")
             return DefineParamStmt(name, p.expr(0))
         if what.text.upper() == "SEQUENCE":
-            name = p.expect("name").text
+            name = _name(p)
             start = 1
             if p.eat("kw", "START"):
                 start = int(p.expect("num").text)
@@ -499,17 +522,17 @@ def _parse_statement_body(p: Parser):
             raise SyntaxError(f"REMOVE {what.text} not supported")
         if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
         name = (p.expect("param").text[1:] if kind == "param"
-                else p.expect("name").text)
+                else _name(p))
         tbl = None
         if p.eat("kw", "ON"):
             p.eat("kw", "TABLE")
-            tbl = p.expect("name").text
+            tbl = _name(p)
         return RemoveStmt(kind, name, tbl, if_exists)
     if word == "ALTER":
         p.next()
         p.expect("kw", "TABLE")
         p.eat_word("IF") and p.expect_word("EXISTS")
-        st = AlterTableStmt(p.expect("name").text)
+        st = AlterTableStmt(_name(p))
         if p.eat("kw", "SCHEMAFULL"):
             st.schemafull = True
         elif p.eat("kw", "SCHEMALESS"):
@@ -540,10 +563,10 @@ def _parse_statement_body(p: Parser):
         p.next()
         p.expect("kw", "INDEX")
         if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
-        name = p.expect("name").text
+        name = _name(p)
         p.expect("kw", "ON")
         p.eat("kw", "TABLE")
-        tbl = p.expect("name").text
+        tbl = _name(p)
         return RebuildIndexStmt(name, tbl, if_exists)
     if word == "INFO":
         p.next()
@@ -552,12 +575,12 @@ def _parse_statement_body(p: Parser):
         if lvl.text.upper() in ("DB", "DATABASE"):
             return InfoStmt("db")
         if lvl.text.upper() == "TABLE":
-            return InfoStmt("table", table=p.expect("name").text)
+            return InfoStmt("table", table=_name(p))
         if lvl.text.upper() == "INDEX":
-            name = p.expect("name").text
+            name = _name(p)
             p.expect("kw", "ON")
             p.eat("kw", "TABLE")
-            return InfoStmt("index", name=name, table=p.expect("name").text)
+            return InfoStmt("index", name=name, table=_name(p))
         raise SyntaxError(f"INFO FOR {lvl.text} not supported")
     if word == "LIVE":
         # LIVE SELECT [DIFF | f1, f2 | *] FROM tbl [WHERE cond] (live.rs)
@@ -569,11 +592,11 @@ def _parse_statement_body(p: Parser):
             if not p.peek_word("FROM"):
                 fields = []
                 while True:
-                    fields.append(p.expect("name").text)
+                    fields.append(_name(p))
                     if not p.eat("op", ","):
                         break
         p.expect("kw", "FROM")
-        tbl = p.expect("name").text
+        tbl = _name(p)
         where = p.expr(0) if p.eat("kw", "WHERE") else None
         return LiveStmt(tbl, diff, fields, where)
     if word == "SHOW":
@@ -581,7 +604,7 @@ def _parse_statement_body(p: Parser):
         p.expect_word("CHANGES")
         p.expect("kw", "FOR")
         p.expect("kw", "TABLE")
-        st = ShowChangesStmt(p.expect("name").text)
+        st = ShowChangesStmt(_name(p))
         if p.eat_word("SINCE"):
             st.since = int(p.expect("num").text)
         if p.eat("kw", "LIMIT"):
@@ -642,7 +665,11 @@ def _raw_block_statements(p: Parser) -> list[str]:
 
 
 def _target(p: Parser) -> Target:
-    tb = p.expect("name").text
+    if p.peek().kind == "param":
+        # UPDATE $record / DELETE $record — resolved at execution from the
+        # bound record (or record-id string)
+        return Target(None, ("param", p.next().text[1:]))
+    tb = _name(p)
     if p.peek().kind == "op" and p.peek().text == ":":
         p.next()
         kt = p.next()
@@ -654,7 +681,7 @@ def _target(p: Parser) -> Target:
 def _assignments(p: Parser) -> list:
     out = []
     while True:
-        f_ = p.expect("name").text
+        f_ = _name(p)
         opt = p.next()
         if opt.text not in ("=", "+=", "-="):
             raise SyntaxError(f"expected assignment op, got {opt.text!r}")
@@ -833,6 +860,17 @@ class StatementRunner:
                 self.catalog.register(name, self.db.table(name))
 
     def _execute(self, stmt, params: dict) -> DataFrame | None:
+        tgt = getattr(stmt, "target", None)
+        if (tgt is not None and tgt.table is None
+                and isinstance(tgt.key, tuple) and tgt.key[0] == "param"):
+            # $record target → table/key from the bound record id
+            v = params.get(tgt.key[1])
+            rid = v.get("id") if isinstance(v, dict) else v
+            if rid is None:
+                raise KeyError(f"unbound record parameter ${tgt.key[1]}")
+            tb, _, key = str(rid).partition(":")
+            tgt.table = tb
+            tgt.key = int(key) if key.isdigit() else key
         if isinstance(stmt, DefineTableStmt):
             self.db.define_table(TableDef(stmt.name))
             if stmt.select_perm == "none":
@@ -862,6 +900,10 @@ class StatementRunner:
                      # tagged geometry struct (functions/geometry.py;
                      # types/src/value/geometry.rs)
                      "geometry": _GEOM_T, "point": _GEOM_T,
+                     # record ids / uuids are strings in this engine
+                     "record": "string", "uuid": "string",
+                     # dynamic kinds: no cast (schemaless column)
+                     "any": None, "option": None, "object": None,
                      "datetime": "timestamp"}.get(stmt.dtype, stmt.dtype)
             default = None
             if stmt.default is not None:

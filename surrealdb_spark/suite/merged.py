@@ -419,6 +419,7 @@ _QUERY_CHILDREN = {
     "surql_recurse": dict(s1="id", s2="__join:anc"),
     "surql_matches": dict(k="doc_id"),
     "surql_knn": dict(k="vec_id", d1="dist"),
+    "surql_correlated_projection": dict(k="c_custkey", s1="__join:okeys"),
 }
 
 

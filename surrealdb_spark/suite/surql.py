@@ -216,6 +216,31 @@ def surql_basic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "surql_correlated_projection",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE((SELECT list(o_orderkey ORDER BY o_orderkey)
+                     FROM orders
+                     WHERE o_custkey = c.c_custkey AND o_totalprice > 150000),
+                    []) AS okeys
+    FROM customer c
+    WHERE c_custkey <= 40
+    """,
+hidden=True)
+def surql_correlated_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery in the projection — decorrelated to a grouped
+    left join (current_value_source.rs:31; one agg + one join, not per-row
+    inner-plan execution)."""
+    return surql(
+        spark,
+        "SELECT c_custkey, (SELECT VALUE o_orderkey FROM orders "
+        "WHERE o_custkey = $parent.c_custkey AND o_totalprice > 150000) "
+        "AS okeys FROM customer WHERE c_custkey <= 40",
+        sf_dir,
+    )
+
+
+@query(
     "surql_record_range",
     oracle="""
     SELECT o_orderkey, o_totalprice

@@ -243,3 +243,16 @@ def test_order_collate(spark):
     plain = compile_select(
         spark, parse_select("SELECT s FROM t ORDER BY s"), catalog=Cat())
     assert [r["s"] for r in plain.collect()] == ["A", "B", "a", "b"]
+
+
+def test_dynamic_scan_param_source(spark):
+    """FROM $source — DynamicScan runtime dispatch
+    (exec/operators/scan/dynamic.rs:53)."""
+    sf = "/root/testdata/sf0.001"
+    a = surql(spark, "SELECT r_name FROM $src", sf, params={"src": "region"})
+    assert a.count() == 5
+    b = surql(spark, "SELECT o_orderkey FROM $rec", sf, params={"rec": "orders:100"})
+    assert [r["o_orderkey"] for r in b.collect()] == [100]
+    c = surql(spark, "SELECT VALUE o_orderkey FROM $recs", sf,
+              params={"recs": ["orders:100", "orders:101"]})
+    assert sorted(r["value"] for r in c.collect()) == [100, 101]
