@@ -254,10 +254,14 @@ def _stmt_word(s: str) -> str:
 
 
 def _df_value(df) -> object:
-    """DataFrame result → reference-shaped value (array of objects)."""
+    """DataFrame result → reference-shaped value: array of objects, or bare
+    values for SELECT VALUE results (single `value` column)."""
     if df is None:
         return None
-    return [_norm(r) for r in df.limit(10_000).collect()]
+    rows = [_norm(r) for r in df.limit(10_000).collect()]
+    if df.columns == ["value"]:
+        return [r["value"] for r in rows]
+    return rows
 
 
 def _auto_define(db, s: str) -> None:
@@ -294,16 +298,21 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
         a: object
         try:
             if s.strip().startswith("{"):
-                # top-level block: run the inner statements, value is NONE
+                # top-level block: run the inner statements; the block's
+                # value is the RETURN statement's value (else NONE)
                 body = s.strip()[1:-1]
+                a = None
                 for inner in split_statements(body):
                     iw = _stmt_word(inner)
                     if iw in _STMT_WORDS:
                         _auto_define(db, inner)
                         runner.run(inner, params=bindings)
+                    elif iw == "RETURN":
+                        expr = re.sub(r"^RETURN\s+", "", inner, flags=re.I)
+                        v = _eval_statements(spark, [expr], bindings)[0]
+                        a = None if v is _ERR else v
                     else:
                         _eval_statements(spark, [inner], bindings)
-                a = None
             elif word == "LET":
                 m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
                 rhs = m.group(2).strip()
@@ -362,15 +371,28 @@ def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
                                    "" if ok else f"want {want!r} got {a!r}"))
 
 
+def _canon(v) -> str:
+    """Canonical serialization: dict keys sorted, so field order and row
+    order never matter."""
+    v = _norm(v)
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, list):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return repr(int(v))  # 2.5f vs Decimal/int printing
+    return repr(v)
+
+
 def _multiset_equal(want, got) -> bool:
     """Order-insensitive list compare: reference SELECTs return record-id
-    order, Spark frames are unordered — canonicalize by repr."""
+    order, Spark frames are unordered — canonical dict/row serialization."""
     want, got = _norm(want), _norm(got)
     if not (isinstance(want, list) and isinstance(got, list)):
         return False
     if len(want) != len(got):
         return False
-    return sorted(map(repr, want)) == sorted(map(repr, got))
+    return sorted(map(_canon, want)) == sorted(map(_canon, got))
 
 
 def run_file(spark: SparkSession, path: str) -> FileResult:

@@ -830,6 +830,26 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     def resolve(src) -> DataFrame:
         if isinstance(src, Select):
             return compile_select(spark, src, sf_dir, cat, params)
+        if isinstance(src, tuple) and src[0] == "emptysrc":
+            # FROM NONE/NULL — zero iterations
+            return spark.range(0)
+        if isinstance(src, tuple) and src[0] == "exprsrc":
+            # FROM [values]: NONE entries vanish; record ids resolve
+            items = src[1][1] if src[1][0] == "array" else []
+            outs = []
+            for it in items:
+                if it == ("lit", None):
+                    continue
+                if it[0] == "lit" and isinstance(it[1], str) and ":" in it[1]:
+                    tb, _, key = it[1].partition(":")
+                    outs.append(resolve(("idpoint", tb,
+                                         int(key) if key.isdigit() else key)))
+            if not outs:
+                return spark.range(0)
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o, allowMissingColumns=True)
+            return out
         if isinstance(src, tuple) and src[0] == "paramsrc":
             # DynamicScan (scan/dynamic.rs:53): dispatch on the bound value —
             # a table name, a record id 'tb:key', or a list of either
@@ -958,9 +978,16 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             if _has_aggregate(fld.expr):
                 post_fields.append((_decompose(fld.expr, aggs, params, types), name))
             else:
-                # non-aggregate field under GROUP BY → first() per reference
+                # non-aggregate field under GROUP BY accumulates the group's
+                # values into an array (language-tests group/accumulate:
+                # SELECT v, g ... GROUP BY g → v: [1,2,3]); sorted ascending
+                # for a deterministic cross-engine order
                 alias = f"__agg{len(aggs)}"
-                aggs.append(F.first(compile_expr(fld.expr, params, types)).alias(alias))
+                aggs.append(
+                    F.sort_array(
+                        F.collect_list(compile_expr(fld.expr, params, types))
+                    ).alias(alias)
+                )
                 post_fields.append((("ident", alias), name))
             out_names.add(name)
         gb = df.groupBy(*[c.alias(n) for c, n in zip(keys, key_names)])
@@ -1287,13 +1314,49 @@ def _split_subquery_filters(ast):
     return rest, subs
 
 
+def _ast_text(ast) -> str | None:
+    """Canonical source text of simple expressions — the reference names
+    unaliased output columns by their printed form ("math::mean(v) + 1",
+    statements/select/group/basic.surql)."""
+    k = ast[0]
+    if k == "ident":
+        return ast[1]
+    if k == "lit":
+        v = ast[1]
+        if isinstance(v, str):
+            return f"'{v}'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if v is None:
+            return "NONE"
+        return str(v)
+    if k == "call":
+        args = [_ast_text(a) for a in ast[2]]
+        if any(a is None for a in args):
+            return None
+        return f"{ast[1]}({', '.join(args)})"
+    if k == "bin":
+        l, r = _ast_text(ast[2]), _ast_text(ast[3])
+        return None if l is None or r is None else f"{l} {ast[1]} {r}"
+    if k == "un":
+        e = _ast_text(ast[2])
+        return None if e is None else f"{ast[1]}{e}"
+    return None
+
+
 def _default_name(ast) -> str:
     if ast[0] == "ident":
         return ast[1]
     if ast[0] == "call":
-        return ast[1].replace("::", "_")
+        # the verbatim function name is the output column (group/basic.surql
+        # expects "math::mean"); Spark column names may contain '::'
+        return ast[1]
     if ast[0] == "path" and ast[1][0] == "ident":
         return ast[1][1]
+    if ast[0] in ("bin", "un"):
+        t = _ast_text(ast)
+        if t is not None:
+            return t
     return "value"
 
 

@@ -446,7 +446,9 @@ class Parser:
                     if not self.eat("op", ","):
                         self.expect("op", ")")
                         break
-                return self.postfix(("call", t.text, args))
+                # builtins are case-insensitive in the reference (COUNT())
+                fname = t.text.lower() if t.text.isupper() else t.text
+                return self.postfix(("call", fname, args))
             # record-id literal tb:key — keys may be alphanumeric runs
             # ("0foo" tokenizes num+name; glue contiguous tokens back,
             # record_id/key.rs), uuid-typed (tb:u'...'), or ⟨escaped⟩
@@ -685,6 +687,14 @@ def _parse_select_body(p: Parser) -> Select:
             # FROM $source — DynamicScan: the target resolves at execution
             # from the bound parameter (exec/operators/scan/dynamic.rs:53)
             sel.sources.append(("paramsrc", p.next().text[1:]))
+        elif p.peek().kind == "kw" and p.peek().text in ("NONE", "NULL"):
+            # FROM NONE/NULL — empty source (planner yields no iterations)
+            p.next()
+            sel.sources.append(("emptysrc",))
+        elif p.peek().kind == "op" and p.peek().text == "[":
+            # FROM [v, ...] — value-list source; NONE/NULL entries vanish
+            arr = p.prefix()
+            sel.sources.append(("exprsrc", arr))
         else:
             # source names may collide with NON-STRUCTURAL keywords
             # (`group`, `order` are fine table names; clause words are not)

@@ -32,6 +32,7 @@ from surrealdb_spark.sql.parser import Parser, Select, _parse_select_body
 class Target:
     table: str
     key: object | None = None  # record-id target tb:key
+    mock: int | None = None    # CREATE |tb:n| bulk-mock target (mock.rs)
 
 
 @dataclass
@@ -665,6 +666,14 @@ def _raw_block_statements(p: Parser) -> list[str]:
 
 
 def _target(p: Parser) -> Target:
+    if p.peek().kind == "op" and p.peek().text == "|":
+        # |tb:n| mock target — n generated records (expr/mock.rs)
+        p.next()
+        tb = _name(p)
+        p.expect("op", ":")
+        n = int(p.expect("num").text)
+        p.expect("op", "|")
+        return Target(tb, mock=n)
     if p.peek().kind == "param":
         # UPDATE $record / DELETE $record — resolved at execution from the
         # bound record (or record-id string)
@@ -890,6 +899,8 @@ class StatementRunner:
                 self.catalog.set_permission(stmt.name, perm)
             return None
         if isinstance(stmt, DefineFieldStmt):
+            if stmt.table not in self.db.tables:
+                self.db.define_table(TableDef(stmt.table))
             td = self.db.tables[stmt.table]
             dtype = {"int": "bigint", "float": "double", "number": "double",
                      "string": "string", "bool": "boolean",
@@ -924,6 +935,8 @@ class StatementRunner:
             return None
         if isinstance(stmt, DefineIndexStmt):
             self.index_defs[stmt.name] = stmt
+            if stmt.table not in self.db.tables:
+                self.db.define_table(TableDef(stmt.table))
             td = self.db.tables[stmt.table]
             if stmt.kind == "uniq":
                 td.unique_indexes.append(list(stmt.fields))
@@ -985,6 +998,8 @@ class StatementRunner:
             REGISTRY[f"fn::{stmt.name}"] = call
             return None
         if isinstance(stmt, DefineEventStmt):
+            if stmt.table not in self.db.tables:
+                self.db.define_table(TableDef(stmt.table))
             # doc/event.rs: fires per affected record with $event/$after;
             # the THEN statements re-enter this runner per matched row.
             # Driver-side per-row execution — events are an OLTP feature for
@@ -1099,8 +1114,10 @@ class StatementRunner:
             q.stop()
             return None
         if isinstance(stmt, CreateStmt):
+            n = stmt.target.mock or 1
             rows = self._literal_rows(
-                [self._data_obj(stmt.data, params)], stmt.target, params
+                [dict(self._data_obj(stmt.data, params)) for _ in range(n)],
+                stmt.target, params,
             )
             out = self.db.create(stmt.target.table, rows)
             return self._ret(out, out, stmt.return_)
