@@ -51,9 +51,29 @@ def pop(arr) -> Column:
     return F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0)))
 
 
-def insert(arr, v, idx: int) -> Column:
-    """array::insert — 0-based position insert."""
-    return F.array_insert(_c(arr), idx + 1 if idx >= 0 else idx, _c(v))
+def _int_idx(idx, name: str = "index") -> int:
+    """Coerce a numeric index to int (the reference coerce_to::<i64> accepts
+    integral floats; fnc/args.rs)."""
+    if isinstance(idx, float):
+        if not idx.is_integer():
+            raise ValueError(f"non-integral {name}: {idx}")
+        return int(idx)
+    return int(idx)
+
+
+def insert(arr, v, idx: int | None = None) -> Column:
+    """array::insert — 0-based position insert; no index = append; negative
+    counts from the back; out-of-range returns the array unaltered
+    (fnc/array.rs:437-458)."""
+    a, vv = _c(arr), _c(v)
+    if idx is None:
+        return F.array_append(a, vv)
+    idx = _int_idx(idx)
+    n = F.size(a)
+    pos = (F.lit(idx) + (F.lit(0) if idx >= 0 else n)).cast("int")
+    return F.when((pos < 0) | (pos > n), a).otherwise(
+        F.concat(F.slice(a, 1, pos), F.array(vv), F.slice(a, pos + 1, n - pos))
+    )
 
 
 def remove(arr, idx: int) -> Column:
@@ -68,17 +88,26 @@ def remove(arr, idx: int) -> Column:
     return F.concat(F.slice(a, 1, idx), F.slice(a, idx + 2, F.size(a)))
 
 
+def remove_value(arr, v) -> Column:
+    """set::remove — drop all elements equal to v (fnc/set.rs:37; contrast
+    array::remove, which drops by index)."""
+    vv = _c(v)
+    return F.filter(_c(arr), lambda x: ~x.eqNullSafe(vv))
+
+
 def at(arr, idx: int) -> Column:
-    """array::at — 0-based pick, negatives from the end."""
-    return F.element_at(_c(arr), idx + 1 if idx >= 0 else idx)
+    """array::at — 0-based pick, negatives from the end; out-of-bounds is
+    NONE (fnc/array.rs at → Value::None)."""
+    idx = _int_idx(idx)
+    return F.try_element_at(_c(arr), F.lit(idx + 1 if idx >= 0 else idx))
 
 
 def first(arr) -> Column:
-    return F.element_at(_c(arr), 1)
+    return F.try_element_at(_c(arr), F.lit(1))
 
 
 def last(arr) -> Column:
-    return F.element_at(_c(arr), -1)
+    return F.try_element_at(_c(arr), F.lit(-1))
 
 
 def len_(arr) -> Column:
@@ -89,43 +118,94 @@ def is_empty(arr) -> Column:
     return F.size(_c(arr)) == 0
 
 
-def slice_(arr, start: int, length: int | None = None) -> Column:
+def slice_(arr, start: int | None = None, end: int | None = None) -> Column:
+    """array::slice — [start, end) by position; negative offsets count from
+    the end; no args returns the array (fnc/array.rs:742-800 TypedRange)."""
     a = _c(arr)
-    return F.slice(a, start + 1, F.size(a) if length is None else F.lit(length))
+    if start is None:
+        return a
+    n = F.size(a)
+    start = _int_idx(start, "start")
+    s = F.lit(start) if start >= 0 else F.greatest(n + F.lit(start), F.lit(0))
+    if end is None:
+        e = n
+    else:
+        end = _int_idx(end, "end")
+        e = F.lit(end) if end >= 0 else F.greatest(n + F.lit(end), F.lit(0))
+    return F.slice(a, (s + 1).cast("int"), F.greatest(e - s, F.lit(0)).cast("int"))
 
 
 def reverse(arr) -> Column:
     return F.reverse(_c(arr))
 
 
-def concat(a, b) -> Column:
-    return F.concat(_c(a), _c(b))
+def concat(*arrays) -> Column:
+    """array::concat — variadic (fnc/array.rs Rest<Array>)."""
+    if not arrays:
+        raise ValueError("array::concat expects at least one array")
+    if len(arrays) == 1:
+        return _c(arrays[0])
+    return F.concat(*[_c(a) for a in arrays])
 
 
 def join(arr, sep) -> Column:
-    return F.array_join(_c(arr), sep)
+    """array::join — stringify each element first (set/array join use
+    Value::into_raw_string; fnc/set.rs:227)."""
+    return F.array_join(F.transform(_c(arr), lambda x: x.cast("string")), sep)
 
 
-def fill(arr, v) -> Column:
-    return F.transform(_c(arr), lambda _: _c(v))
+def fill(arr, v, start: int | None = None, end: int | None = None) -> Column:
+    """array::fill(arr, v, [start], [end)) — whole array or the [start, end)
+    position range; negative offsets from the end (fnc/array.rs:204)."""
+    a, vv = _c(arr), _c(v)
+    if start is None:
+        return F.transform(a, lambda _: vv)
+    n = F.size(a)
+    start = _int_idx(start, "start")
+    s = F.lit(start) if start >= 0 else F.greatest(n + F.lit(start), F.lit(0))
+    if end is None:
+        e = n
+    else:
+        end = _int_idx(end, "end")
+        e = F.lit(end) if end >= 0 else F.greatest(n + F.lit(end), F.lit(0))
+    return F.transform(a, lambda x, i: F.when((i >= s) & (i < e), vv).otherwise(x))
 
 
 def repeat(v, n: int) -> Column:
-    return F.array_repeat(_c(v), n)
+    return F.array_repeat(_c(v), _int_idx(n, "count"))
 
 
-def range_(start: int, count: int) -> Column:
-    """array::range(start, count) — [start, start+count); count must be
-    non-negative (fnc/array.rs errors on negative counts)."""
-    if count < 0:
-        raise ValueError("array::range count must be >= 0")
-    if count == 0:
+# Reference output cap: 1 MiB of Value slots (fnc/array.rs `limit`); beyond
+# it array::range/sequence error rather than materialize.
+_RANGE_LIMIT = 1_048_576
+
+
+def range_(start: int, end: int | None = None) -> Column:
+    """array::range(start, end) — [start, end); also accepts a range literal
+    via the compiler.  Unbounded or oversized output errors
+    (fnc/array.rs:617-651)."""
+    if end is None:
+        raise ValueError("array::range output must not exceed 1048576 bytes")
+    start, end = _int_idx(start, "start"), _int_idx(end, "end")
+    if end - start > _RANGE_LIMIT:
+        raise ValueError("array::range output must not exceed 1048576 bytes")
+    if end <= start:
         return F.array().cast("array<bigint>")
-    return F.sequence(F.lit(start), F.lit(start + count - 1))
+    return F.sequence(F.lit(start), F.lit(end - 1))
 
 
-def sequence(start: int, end: int) -> Column:
-    return F.sequence(F.lit(start), F.lit(end))
+def sequence(offset_len: int, length: int | None = None) -> Column:
+    """array::sequence(len) / (offset, len) — len ints from offset (or 0);
+    len <= 0 is empty; oversized errors (fnc/array.rs:653-666)."""
+    if length is None:
+        offset, length = 0, _int_idx(offset_len, "len")
+    else:
+        offset, length = _int_idx(offset_len, "offset"), _int_idx(length, "len")
+    if length <= 0:
+        return F.array().cast("array<bigint>")
+    if length > _RANGE_LIMIT:
+        raise ValueError("array::sequence output must not exceed 1048576 bytes")
+    return F.sequence(F.lit(offset), F.lit(offset + length - 1))
 
 
 def swap(arr, i: int, j: int) -> Column:
@@ -174,11 +254,13 @@ def combine(a, b) -> Column:
 
 
 def all_(arr) -> Column:
-    return F.forall(_c(arr), lambda x: x.cast("boolean"))
+    """array::all — null/NONE elements are falsy, so a null `forall` verdict
+    means some element wasn't truthy (fnc/array.rs all → Value::is_truthy)."""
+    return F.coalesce(F.forall(_c(arr), lambda x: x.cast("boolean")), F.lit(False))
 
 
 def any_(arr) -> Column:
-    return F.exists(_c(arr), lambda x: x.cast("boolean"))
+    return F.coalesce(F.exists(_c(arr), lambda x: x.cast("boolean")), F.lit(False))
 
 
 def boolean_and(a, b) -> Column:
@@ -225,6 +307,11 @@ def map_(arr, fn) -> Column:
 
 
 def filter_(arr, fn) -> Column:
+    """array/set filter — closure predicate, or plain value (keep equal
+    elements; fnc/set.rs filter value arm)."""
+    if not callable(fn):
+        v = _c(fn)
+        return F.filter(_c(arr), lambda x: x.eqNullSafe(v))
     return F.filter(_c(arr), fn)
 
 
@@ -238,11 +325,11 @@ def filter_index(arr, fn) -> Column:
 
 
 def find(arr, fn) -> Column:
-    return F.element_at(F.filter(_c(arr), fn), 1)
+    return F.try_element_at(filter_(arr, fn), F.lit(1))
 
 
 def find_index(arr, fn) -> Column:
-    return F.element_at(filter_index(arr, fn), 1)
+    return F.try_element_at(filter_index(arr, fn), F.lit(1))
 
 
 def includes(arr, v) -> Column:
@@ -268,9 +355,13 @@ def fold(arr, init, fn) -> Column:
 
 
 def reduce(arr, fn) -> Column:
-    """Fold with the first element as the accumulator."""
+    """Fold with the first element as the accumulator; empty input is NONE."""
     a = _c(arr)
-    return F.aggregate(F.slice(a, 2, F.size(a)), F.element_at(a, 1), fn)
+    return F.aggregate(
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+        F.try_element_at(a, F.lit(1)),
+        fn,
+    )
 
 
 def matches(arr, v) -> Column:
@@ -301,9 +392,17 @@ def group(arr) -> Column:
 # -- sorting -----------------------------------------------------------------
 
 
-def sort(arr, asc: bool = True) -> Column:
+def _asc(direction) -> bool:
+    """Sort direction argument: true/'asc' ascending, false/'desc'
+    descending (fnc/array.rs sort Optional<Value>)."""
+    if isinstance(direction, str):
+        return direction.lower() != "desc"
+    return bool(direction)
+
+
+def sort(arr, asc: bool | str = True) -> Column:
     a = F.array_sort(_c(arr))
-    return a if asc else F.reverse(a)
+    return a if _asc(asc) else F.reverse(a)
 
 
 def sort_asc(arr) -> Column:
@@ -314,18 +413,20 @@ def sort_desc(arr) -> Column:
     return sort(arr, False)
 
 
-def sort_lexical(arr) -> Column:
-    return F.array_sort(F.transform(_c(arr), lambda x: x.cast("string")))
+def sort_lexical(arr, direction: bool | str = True) -> Column:
+    a = F.array_sort(F.transform(_c(arr), lambda x: x.cast("string")))
+    return a if _asc(direction) else F.reverse(a)
 
 
-def sort_natural(arr) -> Column:
+def sort_natural(arr, direction: bool | str = True) -> Column:
     """Natural sort: order by (embedded-number-aware key)."""
     key = lambda x: F.struct(  # noqa: E731
         F.lpad(F.regexp_extract(x.cast("string"), r"(\d+)", 1), 20, "0").alias("num"),
         x.cast("string").alias("s"),
     )
     pairs = F.transform(_c(arr), lambda x: F.struct(key(x).alias("k"), x.alias("v")))
-    return F.transform(F.array_sort(pairs), lambda s: s.getField("v"))
+    out = F.transform(F.array_sort(pairs), lambda s: s.getField("v"))
+    return out if _asc(direction) else F.reverse(out)
 
 
 def shuffle(arr, seed: int = 42) -> Column:

@@ -203,15 +203,26 @@ def rand_string(length: int = 10) -> Column:
 
 
 def base64_encode(s) -> Column:
-    return F.base64(_c(s).cast("binary"))
+    """encoding::base64::encode — padless alphabet (fnc/encoding.rs uses
+    STANDARD_NO_PAD)."""
+    return F.regexp_replace(F.base64(_c(s).cast("binary")), "=+$", "")
 
 
 def base64_decode(s) -> Column:
-    return F.unbase64(_c(s)).cast("string")
+    """encoding::base64::decode → bytes; accepts padless input (re-padded to
+    a multiple of 4 for unbase64)."""
+    c = _c(s).cast("string")
+    pad = ((4 - F.length(c) % 4) % 4).cast("int")
+    return F.unbase64(F.concat(c, F.substring(F.lit("==="), 1, pad)))
 
 
 def json_encode(x) -> Column:
-    return F.to_json(_c(x))
+    """encoding::json::encode — JSON text for any value.  Scalars are
+    serialized through a one-element array (to_json needs a container) and
+    the wrapping brackets stripped."""
+    j = F.to_json(F.array(_c(x)))
+    return j.substr(F.lit(2), F.length(j) - 2)
+
 
 
 def json_decode(s, schema: str | None = None) -> Column:

@@ -61,21 +61,41 @@ _ns(
     },
 )
 
-# set:: — array ops with dedup guarantee (core/src/fnc/set.rs): same impls
-# over distinct arrays (sets are stored as dedup'd arrays, so the positional
-# ops — at/first/last/slice — read the deduplicated order).
+# set:: — sets are BTreeSet-ordered in the reference (val/set.rs), carried
+# here as SORTED deduplicated arrays; every entry re-canonicalizes its set
+# argument so array inputs coerce and results stay sorted
+# (core/src/fnc/set.rs).
+def _sset(x):
+    from pyspark.sql import functions as _F
+
+    return _F.array_sort(_F.array_distinct(A._c(x)))
+
+
 _ns(
     "set",
     {
-        "add": A.add, "all": A.all_, "any": A.any_, "complement": A.complement,
-        "contains": A.includes, "difference": A.difference, "distinct": A.distinct,
-        "intersect": A.intersect, "is_empty": A.is_empty, "len": A.len_,
-        "union": lambda a, b: A.distinct(A.union(a, b)),
-        "at": A.at, "filter": A.filter_, "find": A.find, "first": A.first,
-        "flatten": lambda a: A.distinct(A.flatten(a)), "fold": A.fold,
-        "join": A.join, "last": A.last, "map": A.map_, "max": A.max_,
-        "min": A.min_, "reduce": A.reduce, "remove": A.remove,
-        "slice": A.slice_,
+        "add": lambda s, v: _sset(A.append(s, v)),
+        "all": lambda s: A.all_(_sset(s)), "any": lambda s: A.any_(_sset(s)),
+        "complement": lambda a, b: _sset(A.complement(a, b)),
+        "contains": lambda s, v: A.includes(_sset(s), v),
+        "difference": lambda a, b: _sset(A.difference(a, b)),
+        "distinct": _sset,
+        "intersect": lambda a, b: _sset(A.intersect(a, b)),
+        "is_empty": A.is_empty, "len": lambda s: A.len_(_sset(s)),
+        "union": lambda a, b: _sset(A.union(a, b)),
+        "at": lambda s, i: A.at(_sset(s), i),
+        "filter": lambda s, fn: A.filter_(_sset(s), fn),
+        "find": lambda s, fn: A.find(_sset(s), fn),
+        "first": lambda s: A.first(_sset(s)),
+        "flatten": lambda a: _sset(A.flatten(a)),
+        "fold": lambda s, init, fn: A.fold(_sset(s), init, fn),
+        "join": lambda s, sep: A.join(_sset(s), sep),
+        "last": lambda s: A.last(_sset(s)),
+        "map": lambda s, fn: _sset(A.map_(_sset(s), fn)),
+        "max": lambda s: A.max_(s), "min": lambda s: A.min_(s),
+        "reduce": lambda s, fn: A.reduce(_sset(s), fn),
+        "remove": lambda s, v: A.remove_value(_sset(s), v),
+        "slice": lambda s, *a: A.slice_(_sset(s), *a),
     },
 )
 

@@ -116,9 +116,9 @@ def uuid(x) -> Column:
 
 
 def set_(x) -> Column:
-    """type::set — coerce to a distinct array (fnc/type.rs set; the
-    compiler dispatches array inputs to array_distinct, others to wrap)."""
-    return F.array_distinct(_c(x))
+    """type::set — coerce to a sorted distinct array (fnc/type.rs set; sets
+    are BTreeSet-ordered, val/set.rs)."""
+    return F.array_sort(F.array_distinct(_c(x)))
 
 
 def string_lossy(x) -> Column:

@@ -94,6 +94,9 @@ _RAW_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "array::repeat": (1,), "array::clump": (1,), "array::windows": (1,),
     "array::insert": (2,), "array::remove": (1,), "array::range": (0, 1),
     "array::sequence": (0, 1), "array::swap": (1, 2), "array::sort": (1,),
+    "array::fill": (2, 3), "array::sort_lexical": (1,),
+    "array::sort_natural": (1,), "array::sort_natural_lexical": (1,),
+    "set::at": (1,), "set::slice": (1, 2), "set::join": (1,),
     "string::split": (1,), "string::repeat": (1,), "string::slice": (1, 2),
     "string::matches": (1,), "string::join": (0,),
     "math::round": (1,), "math::fixed": (1,), "math::percentile": (1,),
@@ -271,7 +274,7 @@ def _compile_cast(kind_spec, operand, params, types) -> Column:
     _SCALARS = ("int", "float", "decimal", "bool")
     if name in ("object", "duration", "point", "uuid", "record", "geometry",
                 "function", "range", "bytes", "regex") and src in _SCALARS + ("string",) \
-            and not (name in ("record", "uuid", "duration") and src == "string"):
+            and not (name in ("record", "uuid", "duration", "bytes") and src == "string"):
         raise ValueError(f"cannot cast {src} to {name}")
     if name in ("array", "set") and src in _SCALARS + ("string",):
         raise ValueError(f"cannot cast {src} to {name}")
@@ -292,7 +295,8 @@ def _compile_cast(kind_spec, operand, params, types) -> Column:
         out = c
         if args:
             out = F.transform(out, lambda x: _cast_scalar(x, args[0][0]))
-        return F.array_distinct(out) if name == "set" else out
+        # sets are BTree-ordered in the reference (val/set.rs) — sorted here
+        return F.array_sort(F.array_distinct(out)) if name == "set" else out
     return _cast_scalar(c, name)
 
 
@@ -330,6 +334,9 @@ def _cast_scalar(c: Column, name: str) -> Column:
         return c.cast(_SIMPLE[name])
     if name == "string":
         return c.cast("string")
+    if name == "bytes":
+        # string → UTF-8 bytes (cast.rs String→Bytes = into_bytes)
+        return c.cast("binary")
     # number / any / record / uuid / object / geometry / duration: identity
     # (number keeps the runtime variant; record ids are strings here)
     return c
@@ -493,9 +500,12 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
 
         return _mk_dur(0, ast[1])
     if kind == "setlit":
-        # {1,2} set literal → deduplicated array (types/kind.rs Literal)
-        return F.array_distinct(
-            F.array(*[compile_expr(e, params, types) for e in ast[1]])
+        # {1,2} set literal → sorted deduplicated array (types/kind.rs
+        # Literal; sets are BTreeSet-ordered, val/set.rs)
+        if not ast[1]:
+            return F.array()
+        return F.array_sort(
+            F.array_distinct(F.array(*[compile_expr(e, params, types) for e in ast[1]]))
         )
     if kind == "cast":
         return _compile_cast(ast[1], ast[2], params, types)
@@ -635,6 +645,20 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if args[0][1].startswith(">"):
                 lo = lo + 1
             return F.sequence(lo, hi if args[0][1].endswith("=") else hi - 1)
+        if (
+            name in ("set::add", "set::remove")
+            and len(args) == 2
+            and _infer(args[1], types, params) == "array"
+        ):
+            # array/set second argument inserts/removes each element
+            # (fnc/set.rs add/remove match Value::Array | Value::Set arms)
+            s = F.array_sort(
+                F.array_distinct(compile_expr(args[0], params, types))
+            )
+            v = compile_expr(args[1], params, types)
+            if name == "set::add":
+                return F.array_sort(F.array_distinct(F.concat(s, v)))
+            return F.array_except(s, v)
         special = _compile_type_call(name, args, params, types)
         if special is not None:
             return special
@@ -715,7 +739,7 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
     if short == "set":
         col = compile_expr(args[0], params, types)
         if _infer(args[0], types, params) == "array":
-            return F.array_distinct(col)
+            return F.array_sort(F.array_distinct(col))
         return F.array(col)
     return None
 

