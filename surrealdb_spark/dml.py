@@ -340,6 +340,9 @@ class Database:
         """DELETE ... WHERE — anti-join rewrite (+ edge purge analogue:
         callers drop edges referencing deleted ids, doc/purge.rs)."""
         td = self.tables[tbl]
+        if not self._exists(tbl):
+            # deleting from an empty table is a no-op (doc/delete.rs)
+            return self.spark.createDataFrame([], "id string")
         current = self.table(tbl)
         cond = where if where is not None else F.lit(True)
         doomed = current.filter(cond).localCheckpoint(eager=True)

@@ -399,9 +399,10 @@ def value_patch(a, patch) -> Column:
 _ULID_ALPHA = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
 
 
-def rand_ulid() -> Column:
-    """Crockford-base32 ULID: 10 time chars + 16 random chars."""
-    ms = F.unix_millis(F.current_timestamp())
+def rand_ulid(ts=None) -> Column:
+    """Crockford-base32 ULID: 10 time chars + 16 random chars; optional
+    datetime pins the time prefix (fnc/rand.rs ulid Optional<Datetime>)."""
+    ms = F.unix_millis(F.current_timestamp() if ts is None else ts)
     chars = []
     for i in range(9, -1, -1):
         idx = F.shiftright(ms, 5 * i).bitwiseAND(F.lit(31))
@@ -416,9 +417,10 @@ def rand_uuid_v4() -> Column:
     return F.uuid()
 
 
-def rand_uuid_v7() -> Column:
-    """UUIDv7: 48-bit unix-ms prefix + random tail (RFC 9562 layout)."""
-    ms = F.unix_millis(F.current_timestamp())
+def rand_uuid_v7(ts=None) -> Column:
+    """UUIDv7: 48-bit unix-ms prefix + random tail (RFC 9562 layout);
+    optional datetime pins the time prefix."""
+    ms = F.unix_millis(F.current_timestamp() if ts is None else ts)
     hex12 = F.lpad(F.lower(F.conv(ms.cast("string"), 10, 16)), 12, "0")
     r = F.md5(F.rand().cast("string"))
     return F.concat_ws(
@@ -439,12 +441,35 @@ def rand_id(table=None) -> Column:
     return F.concat(t, F.lit(":"), rid)
 
 
-def rand_time(lo: int = 0, hi: int = 2_000_000_000) -> Column:
-    return F.timestamp_seconds((F.rand() * (hi - lo)).cast("bigint") + lo)
+def rand_time(lo=None, hi=None) -> Column:
+    """rand::time([min, max]) — uniform instant in [min, max] (inclusive);
+    bounds are epoch-second ints or datetimes (fnc/rand.rs:204-214)."""
+    import datetime as _dt
+
+    def secs(v, default):
+        if v is None:
+            return default
+        if isinstance(v, _dt.datetime):
+            return int(v.timestamp())
+        return int(v)
+
+    lo_s, hi_s = secs(lo, 0), secs(hi, 2_000_000_000)
+    if hi_s < lo_s:
+        lo_s, hi_s = hi_s, lo_s
+    return F.timestamp_seconds(
+        (F.rand() * (hi_s - lo_s + 1)).cast("bigint") + lo_s
+    )
 
 
 def rand_duration(lo_ns: int = 0, hi_ns: int = 10**12) -> Column:
-    return (F.rand() * (hi_ns - lo_ns)).cast("bigint") + lo_ns
+    """rand::duration(d1, d2) — uniform duration between the two bounds
+    (inclusive; fnc/rand.rs:184-200).  Returns the engine duration struct."""
+    from surrealdb_spark.values import duration as _mk_dur
+
+    if hi_ns < lo_ns:
+        lo_ns, hi_ns = hi_ns, lo_ns
+    ns = (F.rand() * (hi_ns - lo_ns + 1)).cast("bigint") + F.lit(lo_ns)
+    return _mk_dur(0, ns)
 
 
 # -- vector extras ------------------------------------------------------------

@@ -96,38 +96,156 @@ def dur_from(unit: str, n) -> Column:
 
 
 # -- parse:: (9) -------------------------------------------------------------
+#
+# The reference validates via the `addr` (RFC 5321/5322 subset) and `url`
+# (WHATWG) crates (core/src/fnc/parse.rs); Spark's parse_url is far more
+# lenient, so these run as Arrow-batched pandas UDFs over stdlib parsing
+# plus the strictness rules the test corpus pins down.
+
+_EMAIL_LOCAL = (
+    r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
+    r"|\"(?:[^\"\\]|\\.)*\""
+)
+_EMAIL_DOMAIN = r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*"
+
+
+def _email_parts(s):
+    """(local, host) for a valid address, else None.  Dot-atom or quoted
+    local part; hostname or [IPv4-literal] domain (IPv6 rejected, matching
+    the addr crate's behavior in fnc/parse.rs)."""
+    import re as _re
+
+    if not isinstance(s, str):
+        return None
+    m = _re.fullmatch(rf"({_EMAIL_LOCAL})@(.+)", s, _re.S)
+    if not m:
+        return None
+    local, dom = m.group(1), m.group(2)
+    if _re.fullmatch(_EMAIL_DOMAIN, dom):
+        return local, dom
+    m4 = _re.fullmatch(r"\[(\d{1,3}(?:\.\d{1,3}){3})\]", dom)
+    if m4 and all(int(o) <= 255 for o in m4.group(1).split(".")):
+        return local, m4.group(1)
+    return None
+
+
+def _whatwg_split(s):
+    """urlsplit + WHATWG-ish validity: a scheme is required, ports must fit
+    u16.  None when the input isn't an absolute URL."""
+    import re as _re
+    from urllib.parse import urlsplit
+
+    if not isinstance(s, str) or not s:
+        return None
+    try:
+        u = urlsplit(s)
+    except ValueError:
+        return None
+    if not u.scheme or not _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*$", u.scheme):
+        return None
+    try:
+        u.port
+    except ValueError:
+        return None
+    return u
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 / WHATWG path normalization ('/a/../b/./' → '/b/')."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+        else:
+            out.append(seg)
+    if path.endswith(("/.", "/..", "/")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def _py_str_udf(fn):
+    """Wrap a str→(str|None) python function as an Arrow-batched UDF
+    returning string."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _batch(col):
+        return col.map(lambda v: fn(v) if v is not None else None)
+
+    return pandas_udf(_batch, StringType())
+
+
+def _email_field(which: int):
+    def fn(s):
+        p = _email_parts(s)
+        return p[which] if p else None
+
+    return fn
 
 
 def parse_email_user(s) -> Column:
-    return F.substring_index(_c(s), "@", 1)
+    return _py_str_udf(_email_field(0))(_c(s))
 
 
 def parse_email_host(s) -> Column:
-    return F.substring_index(_c(s), "@", -1)
+    return _py_str_udf(_email_field(1))(_c(s))
+
+
+def _url_field(which: str):
+    def fn(s):
+        u = _whatwg_split(s)
+        if u is None:
+            return None
+        if which == "scheme":
+            return u.scheme.lower()
+        if which == "host":
+            return u.hostname if u.netloc else None
+        if which == "port":
+            return str(u.port) if u.port is not None else None
+        if which == "fragment":
+            return u.fragment if "#" in s else None
+        if which == "query":
+            from urllib.parse import quote
+
+            return quote(u.query, safe="!$&()*+,-./:;=?@_~%") if "?" in s else None
+        # path: special (host-bearing) URLs normalize dot segments and
+        # default to '/'; opaque scheme:path URLs keep the path verbatim
+        rest = s[len(u.scheme) + 1 :]
+        if u.netloc or rest.startswith("//"):
+            return _remove_dot_segments(u.path) or "/"
+        return u.path or None
+
+    return fn
 
 
 def parse_url_domain(s) -> Column:
-    return F.parse_url(_c(s), F.lit("HOST"))
+    return _py_str_udf(_url_field("host"))(_c(s))
+
+
+parse_url_host = parse_url_domain
 
 
 def parse_url_path(s) -> Column:
-    return F.parse_url(_c(s), F.lit("PATH"))
+    return _py_str_udf(_url_field("path"))(_c(s))
 
 
 def parse_url_query(s) -> Column:
-    return F.parse_url(_c(s), F.lit("QUERY"))
+    return _py_str_udf(_url_field("query"))(_c(s))
 
 
 def parse_url_fragment(s) -> Column:
-    return F.parse_url(_c(s), F.lit("REF"))
+    return _py_str_udf(_url_field("fragment"))(_c(s))
 
 
 def parse_url_scheme(s) -> Column:
-    return F.parse_url(_c(s), F.lit("PROTOCOL"))
+    return _py_str_udf(_url_field("scheme"))(_c(s))
 
 
 def parse_url_port(s) -> Column:
-    return F.regexp_extract(_c(s), r"^[a-z]+://[^/:]+:(\d+)", 1).try_cast("int")
+    return _py_str_udf(_url_field("port"))(_c(s)).cast("int")
 
 
 # -- crypto:: (7) ------------------------------------------------------------

@@ -109,6 +109,7 @@ _RAW_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "geo::hash::encode": (1,),
     "search::analyze": (0,), "sequence::nextval": (0,),
     "rand::id": (0,), "schema::table::exists": (0,),
+    "rand::time": (0, 1), "rand::duration": (0, 1),
 }
 
 _BINOPS = {
@@ -366,7 +367,13 @@ def _infer(ast, types: dict[str, str], params: dict) -> str | None:
 
         if isinstance(v, _d.Decimal):
             return "decimal"
+        import datetime as _dtm
+
+        if isinstance(v, _dtm.datetime):
+            return "datetime"
         return None
+    if kind == "ulit":
+        return "string"
     if kind == "dur":
         return "duration"
     if kind == "call" and (
@@ -448,7 +455,10 @@ def _truthy_col(col: Column, cat: str | None) -> Column:
         return O.truthy_string(col)
     if cat == "array":
         return O.truthy_array(col)
-    return col.isNotNull()
+    # unknown static type: generic runtime truthiness over the string form
+    # (false/zero/empty containers are falsy — Value::is_truthy)
+    s = col.cast("string")
+    return col.isNotNull() & ~s.isin("false", "0", "0.0", "", "[]", "{}")
 
 
 def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> Column:
@@ -461,6 +471,10 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         # HOF accumulators and arithmetic don't downcast to INT.
         if isinstance(ast[1], int) and not isinstance(ast[1], bool):
             return F.lit(ast[1]).cast("bigint")
+        return F.lit(ast[1])
+    if kind == "nulllit":
+        return F.lit(None)
+    if kind == "ulit":
         return F.lit(ast[1])
     if kind == "param":
         name = ast[1]
@@ -560,6 +574,26 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 key_l = lm * F.lit(2_630_016_000_000_000) + ln  # ~month in ns
                 key_r = rm * F.lit(2_630_016_000_000_000) + rn
                 return _BINOPS[op](key_l, key_r)
+        if op in ("OR", "||", "AND", "&&"):
+            lt, rt = _infer(l, types, params), _infer(r, types, params)
+            if not (lt == "bool" and rt == "bool"):
+                # SurrealQL logic returns the deciding VALUE (operate.rs
+                # or/and: `a || b` is a when truthy else b).  Statically
+                # boolean operands keep plain &&/|| so WHERE predicates stay
+                # parquet-pushdown-able.
+                t = _truthy_col(lc, lt)
+                if op in ("OR", "||"):
+                    return F.when(t, lc).otherwise(rc)
+                return F.when(t, rc).otherwise(lc)
+        if op == "+":
+            lt, rt = _infer(l, types, params), _infer(r, types, params)
+            # Strand + Strand → concatenation; one statically-known string
+            # side concatenates too (operate.rs try_add Strand arm)
+            if "string" in (lt, rt) and lt not in ("int", "float", "decimal") \
+                    and rt not in ("int", "float", "decimal"):
+                return F.concat(lc.cast("string"), rc.cast("string"))
+            if lt == "array" and rt == "array":
+                return F.concat(lc, rc)
         if op == "/" and _infer(l, types, params) == "int" and _infer(r, types, params) == "int":
             # Int/Int truncates toward zero (operate.rs try_div; 5/4 == 1)
             return O.div(lc, rc, integer_operands=True)
@@ -645,6 +679,11 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if args[0][1].startswith(">"):
                 lo = lo + 1
             return F.sequence(lo, hi if args[0][1].endswith("=") else hi - 1)
+        if name.startswith("parse::") and args and _infer(
+            args[0], types, params
+        ) in ("int", "float", "bool", "decimal"):
+            # fnc/parse.rs coerces to String strictly — numbers error
+            raise ValueError(f"{name} argument 1 must be a string")
         if (
             name in ("set::add", "set::remove")
             and len(args) == 2
@@ -669,6 +708,8 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 cols.append(_compile_closure(a, params, types))
             elif i in raw_idx and a[0] == "lit":
                 cols.append(a[1])  # builder wants the Python literal
+            elif i in raw_idx and a[0] == "dur":
+                cols.append(a[1])  # duration literal → total nanoseconds
             elif (
                 i in raw_idx
                 and a[0] == "un"
@@ -685,6 +726,79 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
     if kind == "closure":
         return _compile_closure(ast, params, types)
     raise ValueError(f"bad AST node {ast!r}")
+
+
+_RID_RE = __import__("re").compile(r"^[A-Za-z_]\w*:(?!//)[^\s]+$")
+
+
+def _static_of_kind(ast, params: dict, types: dict) -> str | None:
+    """AST-level kind name for type::of / .type_of() (fnc/type.rs kind_of;
+    kind names types/src/kind.rs).  None = not statically decidable."""
+    k = ast[0]
+    if k == "nulllit":
+        return "null"
+    if k == "lit":
+        v = ast[1]
+        if v is None:
+            return "none"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, str):
+            # record-id literals share the string AST node; the tb:key shape
+            # is unambiguous here because plain strings arrive quoted and
+            # never re-enter type::of in record shape
+            return "record" if _RID_RE.match(v) else "string"
+        import datetime as _dtm
+        import decimal as _d
+
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, _d.Decimal):
+            return "decimal"
+        if isinstance(v, _dtm.datetime):
+            return "datetime"
+        return None
+    if k == "ulit":
+        return "uuid"
+    if k == "dur":
+        return "duration"
+    if k == "setlit":
+        return "set"
+    if k == "array":
+        return "array"
+    if k == "geom_point":
+        return "geometry<point>"
+    if k == "object":
+        gk = _geom_literal_kind(ast)
+        if gk is not None:
+            names = {"point": "point", "linestring": "line",
+                     "polygon": "polygon", "multipoint": "multipoint",
+                     "multilinestring": "multiline",
+                     "multipolygon": "multipolygon",
+                     "geometrycollection": "collection"}
+            n = names.get(str(gk[0]).lower()) if isinstance(gk, tuple) else gk
+            return f"geometry<{n}>" if n else None
+        return "object"
+    if k == "bin" and ast[1] in _RANGE_OPS:
+        return "range"
+    if k == "cast":
+        n = ast[1][0]
+        if n == "bytes":
+            return "bytes"
+        if n == "set":
+            return "set"
+        return None
+    if k == "closure":
+        return "function"
+    if k == "call":
+        if ast[1] == "type::file":
+            return "file"
+        if ast[1] == "type::table":
+            return "table"
+        return None
+    return None
 
 
 def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | None:
@@ -713,10 +827,9 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
             return refine[short](col)
         return col.isNotNull()
     if short == "of":
-        if args[0] == ("lit", None):
-            # NONE/NULL literals conflate to Spark null; 'none' is the
-            # closer answer for the bare literal (kind_of on Value::None)
-            return F.lit("none")
+        k = _static_of_kind(args[0], params, types)
+        if k is not None:
+            return F.lit(k)
         cat = _infer(args[0], types, params)
         if cat in TY.OF_NAMES:
             col = compile_expr(args[0], params, types)

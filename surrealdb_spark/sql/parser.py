@@ -326,6 +326,10 @@ class Parser:
             return self.postfix(("lit", t.text == "TRUE"))
         if t.kind == "kw" and t.text in ("NULL", "NONE"):
             self.next()
+            # both compile to SQL NULL, but the AST keeps the distinction so
+            # type::of can answer 'null' vs 'none' (val/mod.rs None vs Null)
+            if t.text == "NULL":
+                return self.postfix(("nulllit",))
             return self.postfix(("lit", None))
         if t.kind == "kw" and t.text == "NOT":
             self.next()
@@ -438,7 +442,9 @@ class Parser:
             if t.text in ("d", "u") and self.peek().kind == "str":
                 body = _unescape(self.next().text[1:-1])
                 if t.text == "u":
-                    return self.postfix(("lit", body))
+                    # uuid-typed string: same compiled value, tagged AST so
+                    # type::of answers 'uuid'
+                    return self.postfix(("ulit", body))
                 import datetime as _dt
 
                 iso = body.replace("Z", "+00:00")

@@ -74,6 +74,7 @@ class RelateStmt:
     to_expr: tuple
     data: tuple | None = None
     return_: str = "AFTER"
+    edge_key: object | None = None  # RELATE a->edge:key->b explicit edge id
 
 
 @dataclass
@@ -215,6 +216,19 @@ class KillStmt:
 
 
 
+def _eat_define_mods(p: Parser) -> None:
+    """`OVERWRITE` / `IF NOT EXISTS` after DEFINE <kind> (define/mod.rs);
+    both lower to plain redefinition here — catalog writes are idempotent
+    upserts."""
+    for kind in ("kw", "name"):
+        if p.eat(kind, "OVERWRITE"):
+            return
+    if p.peek().text == "IF" and p.toks[p.i + 1].text.upper() == "NOT":
+        p.next()
+        p.next()
+        p.next()  # EXISTS
+
+
 def _name(p: Parser) -> str:
     """An identifier that may collide with a keyword (`group`, `value`,
     `order` are legal table/field names — the reference's parser treats
@@ -338,13 +352,21 @@ def _parse_statement_body(p: Parser):
         frm = p.expr(9)  # bind tighter than -> steps
         p.expect("op", "->")
         edge = _name(p)
+        edge_key: object | None = None
+        if p.peek().kind == "op" and p.peek().text == ":":
+            # RELATE a->edge:key->b — explicit edge record id (relate.rs)
+            p.next()
+            kt = p.next()
+            edge_key = int(kt.text) if kt.kind == "num" else kt.text
         p.expect("op", "->")
         to = p.expr(9)
         data = _data_clause(p)
-        return RelateStmt(frm, edge, to, data, _return_clause(p))
+        return RelateStmt(frm, edge, to, data, _return_clause(p),
+                          edge_key=edge_key)
     if t.text == "DEFINE":
         p.next()
         what = p.next()
+        _eat_define_mods(p)
         if what.text == "TABLE":
             name = _name(p)
             schemafull = bool(p.eat("kw", "SCHEMAFULL"))
@@ -755,6 +777,20 @@ class StatementRunner:
     def run(self, text: str, params: dict | None = None) -> DataFrame | None:
         from surrealdb_spark.sql.compiler import compile_select
 
+        txt = text.strip().rstrip(";").strip()
+        if txt.startswith("{") and txt.endswith("}"):
+            # block statement: run inner statements sequentially with a
+            # shared LET scope; value = last RETURN (expr/block.rs)
+            return self.run_block(txt[1:-1], params)
+        if txt.upper().startswith("LET "):
+            import re as _re
+
+            m = _re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", txt, _re.I | _re.S)
+            binds = {**self.params_defined, **(params or {})}
+            self.params_defined[m.group(1)] = self._scalar_text(
+                m.group(2), binds
+            )
+            return None
         stmt = parse_statement(text)
         params = {**self.params_defined, **(params or {})}
         if isinstance(stmt, Select):
@@ -779,6 +815,45 @@ class StatementRunner:
             return compile_select(self.spark, stmt, catalog=self.catalog,
                                   params=params)
         return self._execute(stmt, params)
+
+    def run_block(self, body: str, params: dict | None = None):
+        """Inner statements of a `{ ... }` block, sequentially, with a
+        local LET scope layered over the caller's bindings
+        (expr/block.rs)."""
+        import re as _re
+
+        from surrealdb_spark.golden import split_statements
+
+        binds = {**self.params_defined, **(params or {})}
+        out = None
+        for inner in split_statements(body):
+            head = inner.split(None, 1)
+            w = head[0].upper() if head else ""
+            if w == "LET":
+                m = _re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", inner,
+                              _re.I | _re.S)
+                binds[m.group(1)] = self._scalar_text(m.group(2), binds)
+            elif w == "RETURN":
+                self._scalar_text(head[1], binds)
+            else:
+                out = self.run(inner, params=binds)
+        return out
+
+    def _scalar_text(self, src: str, binds: dict):
+        """Evaluate an expression (or parenthesized DML) to a Python value."""
+        src = src.strip().rstrip(";").strip()
+        inner = src[1:-1].strip() if src.startswith("(") and src.endswith(")") else src
+        head = inner.split(None, 1)[0].upper() if inner else ""
+        if head in ("CREATE", "INSERT", "UPDATE", "UPSERT", "DELETE",
+                    "RELATE", "SELECT"):
+            df = self.run(inner, params=binds)
+            rows = [] if df is None else [r.asDict(recursive=True)
+                                          for r in df.limit(100).collect()]
+            return rows
+        from surrealdb_spark.sql.parser import parse_expr
+
+        col = self._expr(parse_expr(src), binds)
+        return self.spark.range(1).select(col.alias("v")).first()["v"]
 
     # internals -----------------------------------------------------------
 
@@ -867,6 +942,12 @@ class StatementRunner:
         for name in self.db.tables:
             if self.db._exists(name):
                 self.catalog.register(name, self.db.table(name))
+            else:
+                # defined-but-empty table: SELECTs see zero rows, not a
+                # missing-parquet error
+                self.catalog.register(
+                    name, self.spark.createDataFrame([], "id string")
+                )
 
     def _execute(self, stmt, params: dict) -> DataFrame | None:
         tgt = getattr(stmt, "target", None)
@@ -1007,11 +1088,20 @@ class StatementRunner:
             td = self.db.tables[stmt.table]
             when_ast, then_stmts = stmt.when, list(stmt.then)
 
-            def hook(action, df, _w=when_ast, _t=then_stmts):
+            def hook(action, df, before=None):
+                _w, _t = when_ast, then_stmts
                 cols = [F.col(c).alias(c) for c in df.columns]
                 s = F.struct(*cols)
-                binds = {"event": F.lit(action), "after": s, "value": s,
-                         "before": s, "this": s}
+                # $before is NONE on CREATE, $after NONE on DELETE
+                # (doc/event.rs); the single post-image stands in for the
+                # UPDATE pre-image (documented approximation)
+                # a struct of typed NULLs keeps `$before.id` resolvable
+                null_s = F.struct(*[F.lit(None).alias(c) for c in df.columns])
+                aft = null_s if action == "DELETE" else s
+                bef = s if action == "DELETE" else null_s
+                cur = s
+                binds = {"event": F.lit(action), "after": aft, "value": cur,
+                         "before": bef, "this": cur}
                 matched = df if _w is None else df.filter(self._expr(_w, binds))
                 for row in matched.limit(10_000).collect():
                     d = row.asDict(recursive=True)
@@ -1020,7 +1110,11 @@ class StatementRunner:
                     rb: dict = {"event": action}
                     if flat:
                         rs = F.struct(*flat)
-                        rb.update(after=rs, value=rs, before=rs, this=rs)
+                        rn = F.struct(*[F.lit(None).alias(k) for k in d
+                                        if not isinstance(d[k], (dict, list))])
+                        rb.update(value=rs, this=rs,
+                                  after=rn if action == "DELETE" else rs,
+                                  before=rs if action == "DELETE" else rn)
                     for text in _t:
                         txt = text.strip()
                         if txt.startswith("(") and txt.endswith(")"):
@@ -1159,6 +1253,8 @@ class StatementRunner:
             to = self._scalar(stmt.to_expr, params)
             extra = self._data_obj(stmt.data, params) if stmt.data else {}
             row = {"in": frm, "out": to, **extra}
+            if stmt.edge_key is not None:
+                row["id"] = f"{stmt.edge}:{stmt.edge_key}"
             edges = self.spark.createDataFrame([row])
             out = self.db.relate(stmt.edge, edges)
             return self._ret(out, out, stmt.return_)

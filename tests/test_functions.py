@@ -384,7 +384,7 @@ def test_rand_shapes(spark):
         r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}",
         row["u7"])
     assert row["rid"].startswith("person:")
-    assert row["rd"] >= 0
+    assert row["rd"]["nanos"] >= 0  # duration struct (values.py)
 
 
 def test_filebucket(tmp_path):
