@@ -53,14 +53,15 @@ def _walk(col: Column, parts: list[Part], mapped: bool) -> Column:
     if kind == "index":
         (i,) = args
         # SurrealQL is 0-based; element_at is 1-based (negative = from end).
+        # Out-of-bounds picks are NONE (value/idiom.rs), hence try_.
         pos = i + 1 if i >= 0 else i
-        return _walk(F.element_at(col, pos), rest, mapped=False)
+        return _walk(F.try_element_at(col, F.lit(pos)), rest, mapped=False)
 
     if kind == "first":
-        return _walk(F.element_at(col, 1), rest, mapped=False)
+        return _walk(F.try_element_at(col, F.lit(1)), rest, mapped=False)
 
     if kind == "last":
-        return _walk(F.element_at(col, -1), rest, mapped=False)
+        return _walk(F.try_element_at(col, F.lit(-1)), rest, mapped=False)
 
     if kind == "all":
         return _walk(col, rest, mapped=True)

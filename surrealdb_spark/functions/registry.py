@@ -347,18 +347,37 @@ _ns(
 # file:: — bucket ops over file:/bucket/key pointers (fnc/file.rs).  bucket/
 # key are row-wise column fns; the I/O ops are driver-side (object-store
 # requests on a real cluster) and dispatch through pipeline.filebucket.
+def _lit_result(fn: Callable) -> Callable:
+    """Driver-side function → Column builder: python args in, the result
+    re-wrapped as a literal Column (file:: I/O runs on the driver; the
+    query only sees the resulting value)."""
+    from pyspark.sql import functions as _F
+
+    def call(*args):
+        v = fn(*args)
+        if isinstance(v, dict):
+            return _F.struct(*[_F.lit(x).alias(k) for k, x in v.items()])
+        if isinstance(v, list):
+            return _F.array(*[_F.lit(x) for x in v]) if v else _F.array()
+        return _F.lit(v)
+
+    return call
+
+
 def _file_ns() -> dict[str, Callable]:
     from surrealdb_spark.pipeline import filebucket as FB
 
     return {
         "bucket": FB.file_bucket, "key": FB.file_key,
-        "put": FB.f_put, "put_if_not_exists": FB.f_put_if_not_exists,
-        "get": FB.f_get, "head": FB.f_head, "exists": FB.f_exists,
-        "delete": FB.f_delete, "copy": FB.f_copy,
-        "copy_if_not_exists": FB.f_copy_if_not_exists,
-        "rename": FB.f_rename,
-        "rename_if_not_exists": FB.f_rename_if_not_exists,
-        "list": FB.f_list,
+        **{n: _lit_result(f) for n, f in {
+            "put": FB.f_put, "put_if_not_exists": FB.f_put_if_not_exists,
+            "get": FB.f_get, "head": FB.f_head, "exists": FB.f_exists,
+            "delete": FB.f_delete, "copy": FB.f_copy,
+            "copy_if_not_exists": FB.f_copy_if_not_exists,
+            "rename": FB.f_rename,
+            "rename_if_not_exists": FB.f_rename_if_not_exists,
+            "list": FB.f_list,
+        }.items()},
     }
 
 

@@ -69,6 +69,8 @@ class LocalBucket:
 
     # file::put / file::get -------------------------------------------------
     def put(self, key: str, data: bytes) -> str:
+        if isinstance(data, str):
+            data = data.encode()  # string payloads store as UTF-8
         p = self._p(key)
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_bytes(data)
@@ -80,8 +82,10 @@ class LocalBucket:
         self.put(key, data)
         return True
 
-    def get(self, key: str) -> bytes:
-        return self._p(key).read_bytes()
+    def get(self, key: str) -> bytes | None:
+        # missing files are NONE, not an error (fnc/file.rs get -> Option)
+        p = self._p(key)
+        return p.read_bytes() if p.is_file() else None
 
     def head(self, key: str) -> dict | None:
         p = self._p(key)

@@ -110,6 +110,11 @@ _RAW_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "search::analyze": (0,), "sequence::nextval": (0,),
     "rand::id": (0,), "schema::table::exists": (0,),
     "rand::time": (0, 1), "rand::duration": (0, 1),
+    # file:: I/O runs driver-side on pointer strings (pipeline/filebucket)
+    **{f"file::{f}": (0, 1) for f in (
+        "put", "put_if_not_exists", "get", "head", "exists", "delete",
+        "copy", "copy_if_not_exists", "rename", "rename_if_not_exists",
+        "list")},
 }
 
 _BINOPS = {
@@ -541,19 +546,40 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         )
     if kind == "path":
         base = compile_expr(ast[1], params, types)
-        parts = [
-            ("where", (lambda cond: lambda el: _compile_lambda(cond, el, params))(p[1]))
-            if p[0] == "where"
-            else p
-            for p in ast[2]
-        ]
+        parts = []
+        for p in ast[2]:
+            if p[0] == "where":
+                parts.append(("where", (lambda cond: lambda el:
+                              _compile_lambda(cond, el, params))(p[1])))
+            elif p[0] == "slice":
+                # arr[lo..hi] — range index lowers to array slicing, then
+                # the remaining path continues over the sliced array
+                rng = p[1]
+                lo = rng[2][1] if rng[2] is not None else 0
+                hi = rng[3][1] if rng[3] is not None else None
+                if rng[1].startswith(">"):
+                    lo += 1
+                incl = rng[1].endswith("=")
+                from surrealdb_spark.functions import array as _A
+
+                base = _A.slice_(
+                    compile_idiom(base, parts), lo,
+                    None if hi is None else (hi + 1 if incl else hi))
+                parts = []
+            else:
+                parts.append(p)
         return compile_idiom(base, parts)
     if kind == "un":
         op, e = ast[1], ast[2]
         c = compile_expr(e, params, types)
         if op == "!":
+            if _infer(e, types, params) == "duration":
+                # truthy(duration) = non-zero (Value::is_truthy)
+                return ~((c.getField("months") != 0) | (c.getField("nanos") != 0))
             return ~c
         if op == "-":
+            if _infer(e, types, params) == "duration":
+                raise ValueError("cannot negate a duration")
             return -c
         return c
     if kind == "bin":
@@ -574,6 +600,34 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 key_l = lm * F.lit(2_630_016_000_000_000) + ln  # ~month in ns
                 key_r = rm * F.lit(2_630_016_000_000_000) + rn
                 return _BINOPS[op](key_l, key_r)
+            if op == "/":
+                # Duration / Duration is NaN (val/duration.rs try_div)
+                return F.lit(float("nan"))
+            if op == "%":
+                key_l = lm * F.lit(2_630_016_000_000_000) + ln
+                key_r = rm * F.lit(2_630_016_000_000_000) + rn
+                return F.struct(F.lit(0).cast("long").alias("months"),
+                                (key_l % key_r).cast("long").alias("nanos"))
+            if op in ("*", "**"):
+                raise ValueError(f"cannot {op} two durations")
+        lt0, rt0 = _infer(l, types, params), _infer(r, types, params)
+        if lt0 == "duration" and rt0 in ("int", "float", "decimal") \
+                and op in ("*", "/"):
+            # duration scaled by a number stays a duration
+            # (val/duration.rs mul/div by Number)
+            d = compile_expr(l, params, types)
+            n = compile_expr(r, params, types).cast("double")
+            fn = (lambda a: a * n) if op == "*" else (lambda a: a / n)
+            return F.struct(fn(d.getField("months").cast("double")).cast("long").alias("months"),
+                            fn(d.getField("nanos").cast("double")).cast("long").alias("nanos"))
+        if rt0 == "duration" and lt0 in ("int", "float", "decimal"):
+            if op == "*":
+                d = compile_expr(r, params, types)
+                n = compile_expr(l, params, types).cast("double")
+                return F.struct((d.getField("months").cast("double") * n).cast("long").alias("months"),
+                                (d.getField("nanos").cast("double") * n).cast("long").alias("nanos"))
+            if op == "/":
+                return F.lit(float("nan"))
         if op in ("OR", "||", "AND", "&&"):
             lt, rt = _infer(l, types, params), _infer(r, types, params)
             if not (lt == "bool" and rt == "bool"):
@@ -966,27 +1020,56 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # FROM-subquery = nested plan, SourceExpr/DynamicScan analogue)
     def resolve(src) -> DataFrame:
         if isinstance(src, Select):
-            return compile_select(spark, src, sf_dir, cat, params)
+            sub = compile_select(spark, src, sf_dir, cat, params)
+            if sub.columns == ["value"]:
+                # FROM (SELECT VALUE id FROM t) — record ids re-resolve to
+                # their records (select.rs source iteration on Thing values)
+                rec = _records_from_ids(sub, resolve)
+                if rec is not None:
+                    return rec
+            return sub
         if isinstance(src, tuple) and src[0] == "emptysrc":
-            # FROM NONE/NULL — zero iterations
-            return spark.range(0)
+            # FROM NONE/NULL — zero iterations (value-shaped so $this binds)
+            return spark.range(0).select(F.lit(None).alias("value"))
         if isinstance(src, tuple) and src[0] == "exprsrc":
-            # FROM [values]: NONE entries vanish; record ids resolve
-            items = src[1][1] if src[1][0] == "array" else []
-            outs = []
+            # FROM [values] / FROM <scalar expr>: NONE entries vanish,
+            # record ids resolve to their records, plain values become
+            # one-row-per-value frames (select.rs source exprs)
+            ast = src[1]
+            items = ast[1] if ast[0] == "array" else [ast]
+            rec_outs, val_cols = [], []
             for it in items:
-                if it == ("lit", None):
+                if it in (("lit", None), ("nulllit",)):
                     continue
-                if it[0] == "lit" and isinstance(it[1], str) and ":" in it[1]:
+                if it[0] == "lit" and isinstance(it[1], str) \
+                        and _RID_RE.match(it[1]):
                     tb, _, key = it[1].partition(":")
-                    outs.append(resolve(("idpoint", tb,
-                                         int(key) if key.isdigit() else key)))
+                    rec_outs.append(resolve(("idpoint", tb,
+                                             int(key) if key.isdigit() else key)))
+                elif _infer(it, {}, params) == "array":
+                    # FROM <array>0..10 — array value iterates row-per-element
+                    rec_outs.append(spark.range(1).select(
+                        F.explode(compile_expr(it, params)).alias("value")))
+                else:
+                    val_cols.append(compile_expr(it, params))
+            outs = list(rec_outs)
+            if val_cols:
+                outs.append(spark.range(1).select(
+                    F.explode(F.array(*val_cols)).alias("value")))
             if not outs:
                 return spark.range(0)
             out = outs[0]
             for o in outs[1:]:
                 out = out.unionByName(o, allowMissingColumns=True)
             return out
+        if isinstance(src, tuple) and src[0] == "mocksrc":
+            # |tb:n| / |tb:lo..hi| as a SELECT source reads the records with
+            # those ids (expr/mock.rs) — an id-range scan, so absent records
+            # simply don't match
+            _, mtb, lo, hi = src
+            if hi is None:
+                lo, hi = 1, lo
+            return resolve(("idrange", mtb, lo, hi, True))
         if isinstance(src, tuple) and src[0] == "paramsrc":
             # DynamicScan (scan/dynamic.rs:53): dispatch on the bound value —
             # a table name, a record id 'tb:key', or a list of either
@@ -995,13 +1078,20 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 raise KeyError(f"unbound source parameter ${src[1]}")
             vals = v if isinstance(v, list) else [v]
             outs = []
+            plain: list = []
             for item in vals:
                 s = str(item)
-                if ":" in s:
+                if isinstance(item, str) and _RID_RE.match(s):
                     tb, _, key = s.partition(":")
                     outs.append(resolve(("idpoint", tb, int(key) if key.isdigit() else key)))
+                elif isinstance(item, str) and item.replace("_", "").isalnum() \
+                        and not isinstance(v, list):
+                    outs.append(resolve(s))  # bare table name
                 else:
-                    outs.append(resolve(s))
+                    plain.append(item)  # plain bound values become rows
+            if plain:
+                outs.append(spark.createDataFrame(
+                    [(x,) for x in plain]).toDF("value"))
             out = outs[0]
             for o in outs[1:]:
                 out = out.unionByName(o, allowMissingColumns=True)
@@ -1047,10 +1137,40 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 t = with_permissions(t, perm, getattr(cat, "auth", {}))
         return t
 
+    def _records_from_ids(vdf: DataFrame, resolve) -> DataFrame | None:
+        """Value frame of record-id strings → the records themselves.
+        Driver-bounded (10k ids) — this is the FROM-(SELECT VALUE) OLTP
+        path, not an analytics scan."""
+        vals = [r[0] for r in vdf.limit(10_001).collect()]
+        if not vals or len(vals) > 10_000:
+            return None
+        if not all(isinstance(v, str) and _RID_RE.match(v) for v in vals):
+            return None
+        by_tab: dict[str, list] = {}
+        for v in vals:
+            tb, _, k = v.partition(":")
+            by_tab.setdefault(tb, []).append(int(k) if k.isdigit() else k)
+        outs = []
+        for tb, keys in by_tab.items():
+            try:
+                t = resolve(tb)
+            except Exception:
+                return None
+            numeric = all(isinstance(k, int) for k in keys)
+            kc = _id_key_col(t, tb, numeric)
+            outs.append(t.filter(kc.isin(keys)))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return out
+
     dfs = [resolve(s) for s in sel.sources]
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
+    if df.columns == ["value"]:
+        # bare-value source rows: $this denotes the row value
+        params = {**params, "this": F.col("value")}
     types = types_of(df)  # static dispatch for /, ?:, count(expr)
 
     # filter — IN/NOTINSIDE (subquery) conjuncts become semi/anti joins
@@ -1484,6 +1604,8 @@ def _ast_text(ast) -> str | None:
 def _default_name(ast) -> str:
     if ast[0] == "ident":
         return ast[1]
+    if ast[0] == "param":
+        return ast[1]  # SELECT $this → column `this` (select.rs aliasing)
     if ast[0] == "call":
         # the verbatim function name is the output column (group/basic.surql
         # expects "math::mean"); Spark column names may contain '::'

@@ -234,6 +234,14 @@ class Parser:
             if lbp < min_bp:
                 break
             self.next()
+            if op in ("..", "..=") and (
+                self.peek().kind == "eof"
+                or (self.peek().kind == "op" and self.peek().text in
+                    ("]", ")", ",", "}"))
+            ):
+                # open-ended range `lo..` (value/range.rs Unbounded end)
+                lhs = ("bin", op, lhs, None)
+                continue
             rhs = self.expr(rbp)
             if op == "MATCHES":
                 op = "@@"
@@ -438,9 +446,15 @@ class Parser:
             self.next()
             if t.text == "NaN":
                 return self.postfix(("lit", float("nan")))
-            # typed string literals (syn lexer): d'…' datetime, u'…' uuid
-            if t.text in ("d", "u") and self.peek().kind == "str":
+            # typed string literals (syn lexer): d'…' datetime, u'…' uuid,
+            # f'bucket:/key' file pointer, b'hex' bytes
+            if t.text in ("d", "u", "f", "b") and self.peek().kind == "str":
                 body = _unescape(self.next().text[1:-1])
+                if t.text == "f":
+                    bkt, _, key = body.partition(":/")
+                    return self.postfix(("lit", f"file:/{bkt}/{key.lstrip('/')}"))
+                if t.text == "b":
+                    return self.postfix(("lit", bytes.fromhex(body)))
                 if t.text == "u":
                     # uuid-typed string: same compiled value, tagged AST so
                     # type::of answers 'uuid'
@@ -568,6 +582,30 @@ class Parser:
                 continue
             if self.eat("op", "."):
                 nt = self.next()
+                if nt.kind == "op" and nt.text in ("?", "?."):
+                    # `.?` / `.?.segment` optional markers (part.rs Optional)
+                    parts.append(("optional",))
+                    if nt.text == "?.":
+                        nx = self.next()
+                        if nx.kind == "op" and nx.text == "*":
+                            parts.append(("all",))
+                        elif nx.kind == "name":
+                            if self.peek().kind == "op" and self.peek().text == "(":
+                                self.next()
+                                margs = []
+                                while not self.eat("op", ")"):
+                                    margs.append(self.expr(0))
+                                    if not self.eat("op", ","):
+                                        self.expect("op", ")")
+                                        break
+                                recv = ("path", base, parts) if parts else base
+                                base, parts = ("method", nx.text, recv, margs), []
+                            else:
+                                parts.append(("field", nx.text))
+                        else:
+                            raise SyntaxError(
+                                f"bad path segment {nx.text!r} at {nx.pos}")
+                    continue
                 if nt.kind == "op" and nt.text == "*":
                     parts.append(("all",))
                 elif nt.kind == "op" and nt.text == "{":
@@ -605,6 +643,11 @@ class Parser:
                 else:
                     idx = self.expr(0)
                     self.expect("op", "]")
+                    if idx[0] == "bin" and idx[1] in (">..", ">..=", "..",
+                                                      "..="):
+                        # arr[lo..hi] range index → slice (value/idiom.rs)
+                        parts.append(("slice", idx))
+                        continue
                     if idx[0] != "lit" or not isinstance(idx[1], int):
                         raise SyntaxError("only literal integer indexes supported")
                     parts.append(("index", idx[1]))
@@ -709,6 +752,23 @@ def _parse_select_body(p: Parser) -> Select:
             # FROM [v, ...] — value-list source; NONE/NULL entries vanish
             arr = p.prefix()
             sel.sources.append(("exprsrc", arr))
+        elif p.peek().kind in ("num", "str") or (
+            p.peek().kind == "op" and p.peek().text in ("<", "{")
+        ):
+            # FROM <scalar literal> / <array>lo..hi / { object } — value
+            # source
+            sel.sources.append(("exprsrc", p.prefix()))
+        elif p.peek().kind == "op" and p.peek().text == "|":
+            # FROM |tb:n| / |tb:lo..hi| — mock source (expr/mock.rs)
+            p.next()
+            mtb = p.next().text
+            p.expect("op", ":")
+            lo = int(p.expect("num").text)
+            hi = None
+            if p.eat("op", ".."):
+                hi = int(p.expect("num").text)
+            p.expect("op", "|")
+            sel.sources.append(("mocksrc", mtb, lo, hi))
         else:
             # source names may collide with NON-STRUCTURAL keywords
             # (`group`, `order` are fine table names; clause words are not)
@@ -780,12 +840,14 @@ def _parse_select_body(p: Parser) -> Select:
             sel.order.append(k)
             if not p.eat("op", ","):
                 break
-    if p.eat("kw", "LIMIT"):
-        p.eat("kw", "BY")
-        sel.limit = int(p.expect("num").text)
-    if p.eat("kw", "START"):
-        p.eat("kw", "AT")
-        sel.start = int(p.expect("num").text)
+    # LIMIT and START accept either order (parser/stmt/select.rs)
+    for _ in range(2):
+        if p.eat("kw", "LIMIT"):
+            p.eat("kw", "BY")
+            sel.limit = int(p.expect("num").text)
+        if p.eat("kw", "START"):
+            p.eat("kw", "AT")
+            sel.start = int(p.expect("num").text)
     if p.eat("kw", "FETCH"):
         while True:
             sel.fetch.append(p.expect("name").text)

@@ -94,6 +94,9 @@ class DefineFieldStmt:
     dtype: str | None = None
     default: tuple | None = None
     assert_: tuple | None = None
+    value: tuple | None = None     # VALUE <expr> — recompute on write
+    computed: tuple | None = None  # COMPUTED <expr> — evaluated on read
+    flexible: bool = False
 
 
 @dataclass
@@ -104,6 +107,11 @@ class DefineIndexStmt:
     kind: str = "idx"           # idx | uniq | fulltext | hnsw | count
     analyzer: str | None = None
     dimension: int | None = None
+
+
+@dataclass
+class DefineBucketStmt:
+    name: str
 
 
 @dataclass
@@ -229,6 +237,112 @@ def _eat_define_mods(p: Parser) -> None:
         p.next()  # EXISTS
 
 
+def _field_path(p: Parser) -> str:
+    """Field name, possibly a dotted path with `[*]`/`*` segments
+    (`users.*.first_name`, `document.visible`; paths.rs Idiom)."""
+    parts = [_name(p)]
+    while True:
+        if p.eat("op", "."):
+            nt = p.peek()
+            if nt.kind == "op" and nt.text == "*":
+                p.next()
+                parts.append("*")
+            else:
+                parts.append(_name(p))
+        elif p.peek().kind == "op" and p.peek().text == "[":
+            p.next()
+            t = p.next()  # `*` or a numeric index
+            p.expect("op", "]")
+            parts.append("*" if t.text == "*" else f"[{t.text}]")
+        else:
+            break
+    return ".".join(parts)
+
+
+def _parse_kind(p: Parser, bases: list | None = None) -> str:
+    """Consume a full kind expression; return the FIRST base kind name.
+    Covers generics (`record<person>`, `option<array<int>>`), unions
+    (`bool | int`), literal-object kinds (`{ a: int }`) and literal values
+    (types/src/kind.rs)."""
+
+    def one() -> str:
+        t = p.peek()
+        if t.kind == "op" and t.text == "{":
+            depth = 0
+            while True:
+                nt = p.next()
+                if nt.text == "{":
+                    depth += 1
+                elif nt.text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            return "object"
+        if t.kind == "op" and t.text == "[":
+            depth = 0
+            while True:
+                nt = p.next()
+                if nt.text == "[":
+                    depth += 1
+                elif nt.text == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            return "array"
+        base = p.next().text
+        if p.peek().kind == "op" and p.peek().text == "<":
+            depth = 0
+            while True:
+                nt = p.next()
+                if nt.text == "<":
+                    depth += 1
+                elif nt.text == ">":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        return base
+    base = one()
+    if bases is not None:
+        bases.append(base)
+    while p.peek().kind == "op" and p.peek().text == "|":
+        p.next()
+        b = one()
+        if bases is not None:
+            bases.append(b)
+    return base
+
+
+def _ast_mentions_field(ast, name: str) -> bool:
+    """True when an expression AST reads `name` (bare ident or $this.name) —
+    computed-field cycle detection (define/field.rs)."""
+    if isinstance(ast, list):
+        return any(_ast_mentions_field(x, name) for x in ast)
+    if not isinstance(ast, tuple):
+        return False
+    if ast[0] == "ident" and ast[1] == name:
+        return True
+    if (ast[0] == "path" and isinstance(ast[1], tuple)
+            and ast[1] in (("param", "this"), ("ident", name))):
+        if ast[1] == ("ident", name):
+            return True
+        return any(p[0] == "field" and p[1] == name for p in ast[2])
+    return any(_ast_mentions_field(x, name) for x in ast
+               if isinstance(x, (tuple, list)))
+    """Consume a PERMISSIONS clause without interpreting it
+    (define/field.rs; enforcement is table-level at scan resolution)."""
+    if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
+        return
+    while p.eat("kw", "FOR"):
+        while True:
+            p.next()  # verb
+            if not p.eat("op", ","):
+                break
+        if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
+            continue
+        p.expect("kw", "WHERE")
+        p.expr(0)
+
+
 def _name(p: Parser) -> str:
     """An identifier that may collide with a keyword (`group`, `value`,
     `order` are legal table/field names — the reference's parser treats
@@ -286,9 +400,15 @@ def _parse_statement_body(p: Parser):
     if t.text == "CREATE":
         p.next()
         p.eat("kw", "ONLY")
-        tgt = _target(p)
+        tgts = [_target(p)]
+        while p.eat("op", ","):
+            # CREATE a:1, a:2, b:3 — multi-target create (create.rs Whats)
+            tgts.append(_target(p))
         data = _data_clause(p)
-        return CreateStmt(tgt, data, _return_clause(p))
+        ret = _return_clause(p)
+        if len(tgts) == 1:
+            return CreateStmt(tgts[0], data, ret)
+        return [CreateStmt(tg, data, ret) for tg in tgts]
     if t.text == "INSERT":
         p.next()
         p.eat("kw", "INTO")
@@ -398,29 +518,56 @@ def _parse_statement_body(p: Parser):
                             st.select_perm = perm
             return st
         if what.text == "FIELD":
-            name = _name(p)
+            name = _field_path(p)
             p.expect("kw", "ON")
             p.eat("kw", "TABLE")
             tbl = _name(p)
             st = DefineFieldStmt(tbl, name)
-            if p.eat("kw", "TYPE"):
-                st.dtype = _name(p)
-                # consume generic args (record<person>, array<int>, ...);
-                # the base kind decides the Spark type
-                if p.peek().kind == "op" and p.peek().text == "<":
-                    depth = 0
-                    while True:
-                        nt = p.next()
-                        if nt.text == "<":
-                            depth += 1
-                        elif nt.text == ">":
-                            depth -= 1
-                            if depth == 0:
-                                break
-            if p.eat("kw", "DEFAULT"):
-                st.default = p.expr(0)
-            if p.eat("kw", "ASSERT"):
-                st.assert_ = p.expr(0)
+            kind_bases: list = []
+            # clauses in any order (statements/define/field.rs)
+            while True:
+                if p.eat("kw", "TYPE"):
+                    if p.eat_word("FLEXIBLE"):
+                        st.flexible = True
+                    st.dtype = _parse_kind(p, kind_bases)
+                elif p.eat("kw", "DEFAULT"):
+                    p.eat_word("ALWAYS")
+                    st.default = p.expr(0)
+                elif p.eat("kw", "VALUE"):
+                    st.value = p.expr(0)
+                elif p.eat("kw", "ASSERT"):
+                    st.assert_ = p.expr(0)
+                elif p.eat_word("COMPUTED"):
+                    st.computed = p.expr(0)
+                    if _ast_mentions_field(st.computed, name):
+                        raise SyntaxError(
+                            f"computed field {name!r} references itself")
+                elif p.eat_word("READONLY"):
+                    pass
+                elif p.eat_word("FLEXIBLE"):
+                    st.flexible = True
+                elif p.eat_word("REFERENCE"):
+                    # REFERENCE [ON DELETE CASCADE|IGNORE|UNSET|REJECT|
+                    # THEN <expr>] (define/field.rs reference tracking)
+                    if "." in name or "*" in name:
+                        raise SyntaxError(
+                            f"cannot use REFERENCE on nested field {name!r}")
+                    bad = [b for b in kind_bases if b not in
+                           ("record", "array", "option", "set")]
+                    if bad:
+                        raise SyntaxError(
+                            f"REFERENCE requires a record type, got {bad[0]!r}")
+                    if p.eat("kw", "ON"):
+                        p.next()  # DELETE
+                        act = p.next()
+                        if act.text.upper() == "THEN":
+                            p.expr(0)
+                elif p.eat("kw", "PERMISSIONS"):
+                    _skip_permissions(p)
+                elif p.eat("kw", "COMMENT"):
+                    p.next()
+                else:
+                    break
             return st
         if what.text == "INDEX":
             # DEFINE INDEX name ON [TABLE] tbl FIELDS|COLUMNS f,...
@@ -450,6 +597,18 @@ def _parse_statement_body(p: Parser):
                 p.next()
                 st.kind = "count"
             return st
+        if what.text == "BUCKET":
+            # DEFINE BUCKET name BACKEND "memory"|... [READONLY] [COMMENT s]
+            # (define/bucket.rs) — every backend maps to a local root here
+            # (an object-store client on a real cluster)
+            bname = _name(p)
+            if p.eat_word("BACKEND"):
+                p.next()
+            while p.eat_word("READONLY") or (
+                p.eat("kw", "COMMENT") and p.next()
+            ):
+                pass
+            return DefineBucketStmt(bname)
         if what.text == "ANALYZER":
             # DEFINE ANALYZER name TOKENIZERS blank,camel FILTERS
             #   lowercase,snowball(english),ngram(1,3),mapper('path')
@@ -791,8 +950,40 @@ class StatementRunner:
                 m.group(2), binds
             )
             return None
+        merged = {**self.params_defined, **(params or {})}
+        if txt.upper().startswith(("DEFINE", "REMOVE", "ALTER", "REBUILD",
+                                   "INFO")) and "$" in txt:
+            # parameterized schema names (DEFINE TABLE $table, DEFINE INDEX
+            # $name ON $table ... — parameterized/schema tests): bound
+            # name-safe string params substitute textually; `DEFINE PARAM
+            # $x` keeps its own declared name
+            import re as _re
+
+            def sub(m):
+                kw, pname = m.group(1), m.group(2)
+                v = merged.get(pname)
+                if isinstance(v, str) and _re.fullmatch(r"[A-Za-z_]\w*", v):
+                    return f"{kw} {v}"
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    return f"{kw} {v!r}"
+                return m.group(0)
+
+            text = _re.sub(
+                r"\b(TABLE|FIELD|INDEX|EVENT|ANALYZER|FUNCTION|SEQUENCE|"
+                r"BUCKET|API|USER|ACCESS|ON|FIELDS|COLUMNS|BATCH|START)"
+                r"\s+\$(\w+)",
+                sub, text, flags=_re.I,
+            )
         stmt = parse_statement(text)
         params = {**self.params_defined, **(params or {})}
+        if isinstance(stmt, list):
+            # multi-target CREATE — run each, concatenate the outputs
+            outs = [self._execute(s, params) for s in stmt]
+            outs = [o for o in outs if o is not None]
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o, allowMissingColumns=True)
+            return out
         if isinstance(stmt, Select):
             self._refresh_catalog()
             if stmt.version is not None:
@@ -963,6 +1154,7 @@ class StatementRunner:
             tgt.key = int(key) if key.isdigit() else key
         if isinstance(stmt, DefineTableStmt):
             self.db.define_table(TableDef(stmt.name))
+            self.db.tables[stmt.name].schemafull = stmt.schemafull
             if stmt.select_perm == "none":
                 self.catalog.set_permission(stmt.name, False)
             elif stmt.select_perm != "full":
@@ -983,6 +1175,10 @@ class StatementRunner:
             if stmt.table not in self.db.tables:
                 self.db.define_table(TableDef(stmt.table))
             td = self.db.tables[stmt.table]
+            if stmt.flexible and not getattr(td, "schemafull", False):
+                raise ValueError(
+                    "FLEXIBLE only applies to SCHEMAFULL tables "
+                    "(define/field.rs)")
             dtype = {"int": "bigint", "float": "double", "number": "double",
                      "string": "string", "bool": "boolean",
                      # 96-bit rust_decimal (types/src/value/number.rs:19-26)
@@ -1077,6 +1273,14 @@ class StatementRunner:
                 return self._expr(body, binds)
 
             REGISTRY[f"fn::{stmt.name}"] = call
+            return None
+        if isinstance(stmt, DefineBucketStmt):
+            import tempfile
+
+            from surrealdb_spark.pipeline.filebucket import define_bucket
+
+            define_bucket(stmt.name,
+                          tempfile.mkdtemp(prefix=f"bucket_{stmt.name}_"))
             return None
         if isinstance(stmt, DefineEventStmt):
             if stmt.table not in self.db.tables:
@@ -1208,6 +1412,9 @@ class StatementRunner:
             q.stop()
             return None
         if isinstance(stmt, CreateStmt):
+            if stmt.target.table not in self.db.tables:
+                # schemaless-by-default: first write defines the table
+                self.db.define_table(TableDef(stmt.target.table))
             n = stmt.target.mock or 1
             rows = self._literal_rows(
                 [dict(self._data_obj(stmt.data, params)) for _ in range(n)],
