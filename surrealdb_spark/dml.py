@@ -290,10 +290,15 @@ class Database:
         set_exprs: dict[str, Column],
         where: Column | None = None,
         return_: str = "AFTER",
+        capture: dict | None = None,
     ) -> DataFrame:
         """UPDATE ... SET ... WHERE — RETURN NONE/BEFORE/AFTER/DIFF
         (expr/output.rs:7-15; diff via value::diff)."""
         td = self.tables[tbl]
+        if not self._exists(tbl):
+            # UPDATE only touches existing records (update.rs; UPSERT is
+            # the create-if-absent verb) — empty table is a no-op
+            return self.spark.createDataFrame([], "id string")
         current = self.table(tbl)
         cond = where if where is not None else F.lit(True)
         before = current.filter(cond).localCheckpoint(eager=True)
@@ -308,6 +313,8 @@ class Database:
         self._check_unique_final(tbl, merged)
         self._overwrite(tbl, merged)
         self._post_write(tbl, "UPDATE", after, before=before)
+        if capture is not None:
+            capture["before"], capture["after"] = before, after
         return self._returning(td, before, after, return_)
 
     def upsert(
@@ -336,7 +343,8 @@ class Database:
         self._post_write(tbl, "CREATE", fresh)
         return replaced.unionByName(fresh)
 
-    def delete(self, tbl: str, where: Column | None = None, return_: str = "NONE") -> DataFrame:
+    def delete(self, tbl: str, where: Column | None = None,
+               return_: str = "NONE", capture: dict | None = None) -> DataFrame:
         """DELETE ... WHERE — anti-join rewrite (+ edge purge analogue:
         callers drop edges referencing deleted ids, doc/purge.rs)."""
         td = self.tables[tbl]
@@ -349,6 +357,8 @@ class Database:
         kept = current.filter(~F.coalesce(cond, F.lit(False)))
         self._overwrite(tbl, kept)
         self._post_write(tbl, "DELETE", doomed, before=doomed)
+        if capture is not None:
+            capture["before"] = doomed
         return doomed if return_ == "BEFORE" else doomed.limit(0)
 
     def relate(self, edge_tbl: str, edges: DataFrame) -> DataFrame:

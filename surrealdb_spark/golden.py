@@ -258,6 +258,8 @@ def _df_value(df) -> object:
     values for SELECT VALUE results (single `value` column)."""
     if df is None:
         return None
+    if isinstance(df, dict):
+        return df  # INFO statements return the catalog object directly
     rows = [_norm(r) for r in df.limit(10_000).collect()]
     if df.columns == ["value"]:
         return [r["value"] for r in rows]

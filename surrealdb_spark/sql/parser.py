@@ -145,8 +145,14 @@ _BIN_BP = {
 
 class Parser:
     def __init__(self, src: str):
+        self.src = src
         self.toks = tokenize(src)
         self.i = 0
+
+    def span_text(self, start_tok, end_tok=None) -> str:
+        """Source text from start_tok to end_tok (or to the end)."""
+        end = len(self.src) if end_tok is None else end_tok.pos
+        return self.src[start_tok.pos:end].strip()
 
     def peek(self) -> Tok:
         return self.toks[self.i]

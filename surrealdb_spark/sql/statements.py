@@ -81,6 +81,8 @@ class RelateStmt:
 class DefineTableStmt:
     name: str
     schemafull: bool = False
+    ttype: str = "ANY"           # TYPE ANY | NORMAL | RELATION (table.rs)
+    perms_text: str = "NONE"     # canonical PERMISSIONS text for INFO
     # SELECT permission: "full" | "none" | WHERE-expr AST
     # (other verbs parsed-ignored: mutations go through dml.Database which
     # is owner-scoped in this engine)
@@ -97,6 +99,7 @@ class DefineFieldStmt:
     value: tuple | None = None     # VALUE <expr> — recompute on write
     computed: tuple | None = None  # COMPUTED <expr> — evaluated on read
     flexible: bool = False
+    kind_text: str | None = None   # raw TYPE text for INFO rendering
 
 
 @dataclass
@@ -112,6 +115,10 @@ class DefineIndexStmt:
 @dataclass
 class DefineBucketStmt:
     name: str
+    backend: str = "memory"
+    readonly: bool = False
+    comment: str | None = None
+    perms: str = "FULL"
 
 
 @dataclass
@@ -119,6 +126,10 @@ class DefineAnalyzerStmt:
     name: str
     tokenizers: list = dc_field(default_factory=lambda: ["blank", "punct"])
     filters: list = dc_field(default_factory=lambda: ["lowercase"])
+    # raw clause state for INFO canonical rendering (None = clause absent)
+    raw_tokenizers: list | None = None
+    raw_filters: list | None = None
+    comment: str | None = None
 
 
 @dataclass
@@ -149,6 +160,18 @@ class AlterTableStmt:
     name: str
     schemafull: bool | None = None
     select_perm: object = None
+
+
+@dataclass
+class AlterObjStmt:
+    """ALTER ANALYZER/PARAM/BUCKET/SEQUENCE — clause updates/drops over the
+    stored definition (statements/alter/*.rs)."""
+
+    kind: str
+    name: str
+    sets: dict = dc_field(default_factory=dict)
+    drops: list = dc_field(default_factory=list)
+    if_exists: bool = False
 
 
 @dataclass
@@ -186,14 +209,18 @@ class DefineParamStmt:
 
     name: str
     value: tuple = None
+    comment: str | None = None
+    perms: str = "FULL"
 
 
 @dataclass
 class DefineSequenceStmt:
-    """DEFINE SEQUENCE name [START n] (define/sequence.rs)."""
+    """DEFINE SEQUENCE name [BATCH n] [START n] (define/sequence.rs)."""
 
     name: str
-    start: int = 1
+    start: int = 0
+    batch: int = 1000
+    timeout: str | None = None
 
 
 @dataclass
@@ -214,6 +241,19 @@ class ShowChangesStmt:
     table: str
     since: int = 0
     limit: int | None = None
+
+
+@dataclass
+class UseStmt:
+    """USE NS/DB (statements/use.rs)."""
+
+    ns: str | None = None
+    db: str | None = None
+
+
+@dataclass
+class NoopStmt:
+    """Accepted-but-structural statements (BEGIN/COMMIT, DEFINE NS/DB)."""
 
 
 @dataclass
@@ -328,6 +368,76 @@ def _ast_mentions_field(ast, name: str) -> bool:
         return any(p[0] == "field" and p[1] == name for p in ast[2])
     return any(_ast_mentions_field(x, name) for x in ast
                if isinstance(x, (tuple, list)))
+    """Consume a PERMISSIONS clause without interpreting it
+    (define/field.rs; enforcement is table-level at scan resolution)."""
+    if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
+        return
+    while p.eat("kw", "FOR"):
+        while True:
+            p.next()  # verb
+            if not p.eat("op", ","):
+                break
+        if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
+            continue
+        p.expect("kw", "WHERE")
+        p.expr(0)
+
+
+def _surql_literal(v) -> str:
+    """Canonical SurrealQL literal text for INFO rendering (fmt in the
+    reference's expr Display impls)."""
+    if v is None:
+        return "NONE"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "\\'") + "'"
+    if isinstance(v, float) and v == int(v):
+        return f"{v:.1f}f"
+    if isinstance(v, list):
+        return "[" + ", ".join(_surql_literal(x) for x in v) + "]"
+    if isinstance(v, dict):
+        if not v:
+            return "{  }"
+        return "{ " + ", ".join(f"{k}: {_surql_literal(x)}"
+                                for k, x in v.items()) + " }"
+    return str(v)
+
+
+_INFO_DB_CATS = ("accesses", "analyzers", "apis", "buckets", "configs",
+                 "functions", "models", "modules", "params", "sequences",
+                 "tables", "users")
+
+
+def _render_analyzer(name: str, toks, filts, comment) -> str:
+    out = f"DEFINE ANALYZER {name}"
+    if toks:
+        out += " TOKENIZERS " + ",".join(t.upper() for t in toks)
+    if filts:
+        out += " FILTERS " + ",".join(f.upper() for f in filts)
+    if comment:
+        out += f" COMMENT {_surql_literal(comment)}"
+    return out
+
+
+def _render_param(name: str, v, comment, perms) -> str:
+    out = f"DEFINE PARAM ${name} VALUE {_surql_literal(v)}"
+    if comment:
+        out += f" COMMENT {_surql_literal(comment)}"
+    return out + f" PERMISSIONS {perms}"
+
+
+def _render_bucket(name: str, backend, readonly, comment, perms) -> str:
+    out = f"DEFINE BUCKET {name}"
+    if readonly:
+        out += " READONLY"
+    out += f" BACKEND {_surql_literal(backend)} PERMISSIONS {perms}"
+    if comment:
+        out += f" COMMENT {_surql_literal(comment)}"
+    return out
+
+
+def _skip_permissions(p: Parser) -> None:
     """Consume a PERMISSIONS clause without interpreting it
     (define/field.rs; enforcement is table-level at scan resolution)."""
     if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
@@ -483,23 +593,73 @@ def _parse_statement_body(p: Parser):
         data = _data_clause(p)
         return RelateStmt(frm, edge, to, data, _return_clause(p),
                           edge_key=edge_key)
+    if word == "USE":
+        # USE [NS x] [DB y] — switch the session's namespace/database
+        # (statements/use.rs); tracked in SessionContext
+        p.next()
+        ns = db_ = None
+        while p.peek().kind != "eof":
+            w = p.next().text.upper()
+            if w in ("NS", "NAMESPACE"):
+                ns = p.next().text
+            elif w in ("DB", "DATABASE"):
+                db_ = p.next().text
+            else:
+                raise SyntaxError(f"USE {w} not supported")
+        return UseStmt(ns, db_)
+    if word in ("BEGIN", "COMMIT"):
+        # transactions are accepted as batch markers — each statement is
+        # already one atomic Spark job (documented scope; COVERAGE.md §2.8)
+        p.next()
+        p.eat_word("TRANSACTION")
+        return NoopStmt()
     if t.text == "DEFINE":
         p.next()
         what = p.next()
         _eat_define_mods(p)
+        if what.text in ("NAMESPACE", "NS", "DATABASE", "DB"):
+            # catalog levels above the engine's single-database scope —
+            # recorded for INFO, otherwise structural no-ops
+            _name(p)
+            while p.eat_word("COMMENT") and p.next():
+                pass
+            return NoopStmt()
         if what.text == "TABLE":
             name = _name(p)
-            schemafull = bool(p.eat("kw", "SCHEMAFULL"))
-            p.eat("kw", "SCHEMALESS")
-            st = DefineTableStmt(name, schemafull)
+            st = DefineTableStmt(name)
+            while True:
+                if p.eat("kw", "SCHEMAFULL") or p.eat_word("SCHEMAFUL"):
+                    st.schemafull = True
+                elif p.eat("kw", "SCHEMALESS"):
+                    st.schemafull = False
+                elif p.eat("kw", "TYPE"):
+                    st.ttype = p.next().text.upper()
+                    if st.ttype == "RELATION":
+                        # TYPE RELATION [IN a OUT b | FROM a TO b]
+                        while p.peek().text.upper() in ("IN", "OUT", "FROM",
+                                                        "TO", "ENFORCED"):
+                            w = p.next().text.upper()
+                            if w != "ENFORCED":
+                                _name(p)
+                                while p.eat("op", "|"):
+                                    _name(p)
+                elif p.eat_word("DROP") or p.eat_word("CHANGEFEED") and p.next():
+                    pass
+                elif p.eat_word("COMMENT"):
+                    p.next()
+                else:
+                    break
+            schemafull = st.schemafull
             # PERMISSIONS NONE|FULL | FOR <verb>[,<verb>] NONE|FULL|WHERE e
             # (statements/define/table.rs; only the select verb is enforced
             # — reads; mutations are owner-scoped dml.Database calls)
             if p.eat("kw", "PERMISSIONS"):
                 if p.eat("kw", "NONE"):
                     st.select_perm = "none"
+                    st.perms_text = "NONE"
                 elif p.eat("kw", "FULL"):
                     st.select_perm = "full"
+                    st.perms_text = "FULL"
                 else:
                     while p.eat("kw", "FOR"):
                         verbs = []
@@ -564,7 +724,7 @@ def _parse_statement_body(p: Parser):
                             p.expr(0)
                 elif p.eat("kw", "PERMISSIONS"):
                     _skip_permissions(p)
-                elif p.eat("kw", "COMMENT"):
+                elif p.eat_word("COMMENT"):
                     p.next()
                 else:
                     break
@@ -598,17 +758,25 @@ def _parse_statement_body(p: Parser):
                 st.kind = "count"
             return st
         if what.text == "BUCKET":
-            # DEFINE BUCKET name BACKEND "memory"|... [READONLY] [COMMENT s]
-            # (define/bucket.rs) — every backend maps to a local root here
-            # (an object-store client on a real cluster)
-            bname = _name(p)
-            if p.eat_word("BACKEND"):
-                p.next()
-            while p.eat_word("READONLY") or (
-                p.eat("kw", "COMMENT") and p.next()
-            ):
-                pass
-            return DefineBucketStmt(bname)
+            # DEFINE BUCKET name [READONLY] BACKEND "memory"|... [COMMENT s]
+            # [PERMISSIONS ...] (define/bucket.rs) — every backend maps to a
+            # local root here (an object-store client on a real cluster)
+            st = DefineBucketStmt(_name(p))
+            while True:
+                if p.eat_word("BACKEND"):
+                    bt = p.next()
+                    st.backend = bt.text[1:-1] if bt.kind == "str" else bt.text
+                elif p.eat_word("READONLY"):
+                    st.readonly = True
+                elif p.eat_word("COMMENT"):
+                    ct = p.next()
+                    st.comment = ct.text[1:-1] if ct.kind == "str" else ct.text
+                elif p.eat("kw", "PERMISSIONS"):
+                    st.perms = "NONE" if p.eat("kw", "NONE") else (
+                        p.eat("kw", "FULL") and "FULL") or "FULL"
+                else:
+                    break
+            return st
         if what.text == "ANALYZER":
             # DEFINE ANALYZER name TOKENIZERS blank,camel FILTERS
             #   lowercase,snowball(english),ngram(1,3),mapper('path')
@@ -621,6 +789,7 @@ def _parse_statement_body(p: Parser):
                     st.tokenizers.append(p.next().text.lower())
                     if not p.eat("op", ","):
                         break
+                st.raw_tokenizers = list(st.tokenizers)
             if p.eat("kw", "FILTERS"):
                 st.filters = []
                 while True:
@@ -640,8 +809,13 @@ def _parse_statement_body(p: Parser):
                         st.filters.append((fname, *args))
                     else:
                         st.filters.append(fname)
+                    st.raw_filters = [f if isinstance(f, str) else f[0]
+                                      for f in st.filters]
                     if not p.eat("op", ","):
                         break
+            if p.eat_word("COMMENT"):
+                ct = p.next()
+                st.comment = ct.text[1:-1] if ct.kind == "str" else ct.text
             return st
         if what.text == "FUNCTION":
             # DEFINE FUNCTION fn::name($a: type, $b: option<type>) {
@@ -687,13 +861,31 @@ def _parse_statement_body(p: Parser):
         if what.text.upper() == "PARAM":
             name = p.expect("param").text[1:]
             p.expect("kw", "VALUE")
-            return DefineParamStmt(name, p.expr(0))
+            st = DefineParamStmt(name, p.expr(0))
+            while True:
+                if p.eat_word("COMMENT"):
+                    ct = p.next()
+                    st.comment = ct.text[1:-1] if ct.kind == "str" else ct.text
+                elif p.eat("kw", "PERMISSIONS"):
+                    st.perms = "NONE" if p.eat("kw", "NONE") else (
+                        p.eat("kw", "FULL") and "FULL") or "FULL"
+                else:
+                    break
+            return st
         if what.text.upper() == "SEQUENCE":
             name = _name(p)
-            start = 1
-            if p.eat("kw", "START"):
-                start = int(p.expect("num").text)
-            return DefineSequenceStmt(name, start)
+            st = DefineSequenceStmt(name)
+            while True:
+                if p.eat_word("BATCH"):
+                    st.batch = int(p.expect("num").text)
+                elif p.eat("kw", "START"):
+                    neg = bool(p.eat("op", "-"))
+                    st.start = int(p.expect("num").text) * (-1 if neg else 1)
+                elif p.eat("kw", "TIMEOUT"):
+                    st.timeout = p.next().text
+                else:
+                    break
+            return st
         raise SyntaxError(f"DEFINE {what.text} not supported")
     if word == "REMOVE":
         p.next()
@@ -712,6 +904,54 @@ def _parse_statement_body(p: Parser):
         return RemoveStmt(kind, name, tbl, if_exists)
     if word == "ALTER":
         p.next()
+        if not (p.peek().kind == "kw" and p.peek().text == "TABLE"):
+            # ALTER ANALYZER/PARAM/BUCKET/SEQUENCE name <SET|DROP clauses>
+            # (statements/alter/*.rs) — clause-wise updates over the stored
+            # canonical definition
+            what2 = p.next().text.upper()
+            if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
+            aname = (p.expect("param").text[1:] if what2 == "PARAM"
+                     else _name(p))
+            ast_ = AlterObjStmt(what2.lower(), aname, if_exists=if_exists)
+            while p.peek().kind != "eof":
+                if p.eat_word("DROP"):
+                    ast_.drops.append(p.next().text.upper())
+                elif p.eat_word("COMMENT"):
+                    ct = p.next()
+                    ast_.sets["COMMENT"] = (ct.text[1:-1] if ct.kind == "str"
+                                            else ct.text)
+                elif p.eat("kw", "VALUE"):
+                    ast_.sets["VALUE"] = p.expr(0)
+                elif p.eat("kw", "PERMISSIONS"):
+                    ast_.sets["PERMISSIONS"] = (
+                        "NONE" if p.eat("kw", "NONE")
+                        else ("FULL" if p.eat("kw", "FULL") else "FULL"))
+                elif p.eat("kw", "TOKENIZERS"):
+                    toks = [p.next().text.lower()]
+                    while p.eat("op", ","):
+                        toks.append(p.next().text.lower())
+                    ast_.sets["TOKENIZERS"] = toks
+                elif p.eat("kw", "FILTERS"):
+                    fls = [p.next().text.lower()]
+                    while p.eat("op", ","):
+                        fls.append(p.next().text.lower())
+                    ast_.sets["FILTERS"] = fls
+                elif p.eat_word("BACKEND"):
+                    bt = p.next()
+                    ast_.sets["BACKEND"] = (bt.text[1:-1] if bt.kind == "str"
+                                            else bt.text)
+                elif p.eat_word("READONLY"):
+                    ast_.sets["READONLY"] = True
+                elif p.eat_word("BATCH"):
+                    ast_.sets["BATCH"] = int(p.expect("num").text)
+                elif p.eat("kw", "START"):
+                    neg = bool(p.eat("op", "-"))
+                    ast_.sets["START"] = int(p.expect("num").text) * (
+                        -1 if neg else 1)
+                else:
+                    raise SyntaxError(
+                        f"ALTER {what2}: unexpected {p.peek().text!r}")
+            return ast_
         p.expect("kw", "TABLE")
         p.eat_word("IF") and p.expect_word("EXISTS")
         st = AlterTableStmt(_name(p))
@@ -894,13 +1134,28 @@ def _data_clause(p: Parser):
     return None
 
 
-def _return_clause(p: Parser, default: str = "AFTER") -> str:
+def _return_clause(p: Parser, default: str = "AFTER"):
+    """RETURN NONE/BEFORE/AFTER/DIFF, RETURN VALUE <expr>, or RETURN
+    <field-list> (expr/output.rs Output variants)."""
     if not p.eat("kw", "RETURN"):
         return default
-    t = p.next()
+    t = p.peek()
     if t.text in _RETURNS:
+        p.next()
         return t.text
-    raise SyntaxError(f"RETURN {t.text!r} not supported (NONE/BEFORE/AFTER/DIFF)")
+    if t.text == "VALUE" or (t.kind == "kw" and t.text == "VALUE"):
+        p.next()
+        return ("value", p.expr(0))
+    fields = []
+    while True:
+        e = p.expr(0)
+        alias = None
+        if p.eat("kw", "AS"):
+            alias = p.expect("name").text
+        fields.append((e, alias))
+        if not p.eat("op", ","):
+            break
+    return ("fields", fields)
 
 
 # -- execution ---------------------------------------------------------------
@@ -929,6 +1184,13 @@ class StatementRunner:
         self.params_defined: dict[str, object] = {}
         self.sequences: dict[str, object] = {}
         self.events: dict[str, tuple] = {}  # name → (table, hook)
+        # canonical DEFINE texts for INFO (info.rs renders the catalog as
+        # one object of category → name → definition text)
+        self.meta: dict[str, dict[str, str]] = {c: {} for c in _INFO_DB_CATS}
+        self.table_meta: dict[str, dict[str, dict[str, str]]] = {}
+        # structured clause state behind the canonical texts (ALTER edits)
+        self.obj_info: dict[str, dict[str, dict]] = {
+            "analyzers": {}, "params": {}, "buckets": {}, "sequences": {}}
         self.live_queries: dict[str, object] = {}  # uuid → StreamingQuery
 
     # public --------------------------------------------------------------
@@ -1051,6 +1313,11 @@ class StatementRunner:
     def _remove(self, stmt: RemoveStmt) -> None:
         """REMOVE <kind> — drop a catalog object (statements/remove/*.rs)."""
         k, name = stmt.kind, stmt.name
+        cat = {"table": "tables", "analyzer": "analyzers", "param": "params",
+               "sequence": "sequences", "function": "functions"}.get(k)
+        if cat:
+            self.meta[cat].pop(name, None)
+            self.obj_info.get(cat, {}).pop(name, None)
         if k == "table":
             del self.db.tables[name]
             self.catalog._cache.pop(name, None)
@@ -1098,30 +1365,49 @@ class StatementRunner:
             return
         raise ValueError(f"REMOVE {k} not supported")
 
-    def _info(self, stmt: InfoStmt) -> DataFrame:
-        """INFO FOR DB/TABLE/INDEX → (kind, name, detail) rows (info.rs)."""
-        rows: list[tuple[str, str, str]] = []
+    def _info(self, stmt: InfoStmt):
+        """INFO FOR DB/TABLE/INDEX → the reference-shaped catalog object
+        (info.rs renders category → name → canonical DEFINE text)."""
         if stmt.level == "db":
-            rows += [("table", n, "") for n in sorted(self.db.tables)]
-            rows += [("function", n, "") for n in sorted(self.functions)]
-            rows += [("param", n, repr(self.params_defined[n]))
-                     for n in sorted(self.params_defined)]
-            rows += [("sequence", n, "") for n in sorted(self.sequences)]
-            rows += [("analyzer", n, "") for n in self._analyzer_names()]
-        elif stmt.level == "table":
+            out = {c: dict(self.meta[c]) for c in _INFO_DB_CATS}
+            for n in self.db.tables:
+                out["tables"].setdefault(
+                    n, f"DEFINE TABLE {n} TYPE ANY SCHEMALESS PERMISSIONS NONE")
+            for n in self.functions:
+                out["functions"].setdefault(n.removeprefix("fn::"), "")
+            return out
+        if stmt.level == "table":
             td = self.db.tables[stmt.table]
-            rows += [("field", f.name, f.dtype or "") for f in td.fields]
-            rows += [("index", n, d.kind) for n, d in self.index_defs.items()
-                     if d.table == stmt.table]
-            rows += [("event", n, "") for n, (t, _) in self.events.items()
-                     if t == stmt.table]
-        else:
-            d = self.index_defs[stmt.name]
-            rows.append(("index", stmt.name,
-                         f"{d.kind} ON {d.table} ({', '.join(d.fields)})"))
-        return self.spark.createDataFrame(
-            rows or [("none", "", "")], "kind string, name string, detail string"
-        )
+            tm = self.table_meta.get(stmt.table, {})
+            fields = dict(tm.get("fields", {}))
+            for f in td.fields:
+                fields.setdefault(
+                    f.name,
+                    f"DEFINE FIELD {f.name} ON {stmt.table}"
+                    + (f" TYPE {f.dtype}" if f.dtype else "")
+                    + " PERMISSIONS FULL")
+            indexes = {}
+            for n, d in self.index_defs.items():
+                if d.table != stmt.table:
+                    continue
+                t = f"DEFINE INDEX {n} ON {d.table} FIELDS {', '.join(d.fields)}"
+                if d.kind == "uniq":
+                    t += " UNIQUE"
+                elif d.kind == "fulltext":
+                    t += f" SEARCH ANALYZER {d.analyzer or 'like'} BM25"
+                elif d.kind == "hnsw":
+                    t += f" HNSW DIMENSION {d.dimension}"
+                elif d.kind == "count":
+                    t += " COUNT"
+                indexes[n] = t
+            events = dict(tm.get("events", {}))
+            for n, (t_, _) in self.events.items():
+                if t_ == stmt.table:
+                    events.setdefault(n, "")
+            return {"events": events, "fields": fields, "indexes": indexes,
+                    "lives": {}, "tables": {}}
+        d = self.index_defs[stmt.name]
+        return {"building": {"status": "built"}}
 
     @staticmethod
     def _analyzer_names() -> list[str]:
@@ -1155,6 +1441,11 @@ class StatementRunner:
         if isinstance(stmt, DefineTableStmt):
             self.db.define_table(TableDef(stmt.name))
             self.db.tables[stmt.name].schemafull = stmt.schemafull
+            self.meta["tables"][stmt.name] = (
+                f"DEFINE TABLE {stmt.name} TYPE {stmt.ttype} "
+                + ("SCHEMAFULL" if stmt.schemafull else "SCHEMALESS")
+                + f" PERMISSIONS {stmt.perms_text}"
+            )
             if stmt.select_perm == "none":
                 self.catalog.set_permission(stmt.name, False)
             elif stmt.select_perm != "full":
@@ -1209,6 +1500,11 @@ class StatementRunner:
             from surrealdb_spark.pipeline.analyzer import define_analyzer
 
             define_analyzer(stmt.name, stmt.tokenizers, stmt.filters)
+            self.meta["analyzers"][stmt.name] = _render_analyzer(
+                stmt.name, stmt.raw_tokenizers, stmt.raw_filters, stmt.comment)
+            self.obj_info["analyzers"][stmt.name] = {
+                "toks": stmt.raw_tokenizers, "filts": stmt.raw_filters,
+                "comment": stmt.comment}
             return None
         if isinstance(stmt, DefineIndexStmt):
             self.index_defs[stmt.name] = stmt
@@ -1274,6 +1570,16 @@ class StatementRunner:
 
             REGISTRY[f"fn::{stmt.name}"] = call
             return None
+        if isinstance(stmt, NoopStmt):
+            return None
+        if isinstance(stmt, UseStmt):
+            from surrealdb_spark.functions.extra_fns import SessionContext
+
+            if stmt.ns is not None:
+                SessionContext.configure(ns=stmt.ns)
+            if stmt.db is not None:
+                SessionContext.configure(db=stmt.db)
+            return None
         if isinstance(stmt, DefineBucketStmt):
             import tempfile
 
@@ -1281,6 +1587,12 @@ class StatementRunner:
 
             define_bucket(stmt.name,
                           tempfile.mkdtemp(prefix=f"bucket_{stmt.name}_"))
+            self.meta["buckets"][stmt.name] = _render_bucket(
+                stmt.name, stmt.backend, stmt.readonly, stmt.comment,
+                stmt.perms)
+            self.obj_info["buckets"][stmt.name] = {
+                "backend": stmt.backend, "readonly": stmt.readonly,
+                "comment": stmt.comment, "perms": stmt.perms}
             return None
         if isinstance(stmt, DefineEventStmt):
             if stmt.table not in self.db.tables:
@@ -1329,14 +1641,26 @@ class StatementRunner:
             self.events[stmt.name] = (stmt.table, hook)
             return None
         if isinstance(stmt, DefineParamStmt):
-            self.params_defined[stmt.name] = self.spark.range(1).select(
+            v = self.spark.range(1).select(
                 self._expr(stmt.value, {}).alias("v")
             ).first()["v"]
+            self.params_defined[stmt.name] = v
+            self.meta["params"][stmt.name] = _render_param(
+                stmt.name, v, stmt.comment, stmt.perms)
+            self.obj_info["params"][stmt.name] = {
+                "value": v, "comment": stmt.comment, "perms": stmt.perms}
             return None
         if isinstance(stmt, DefineSequenceStmt):
             from surrealdb_spark.export import define_sequence
 
             self.sequences[stmt.name] = define_sequence(stmt.name, start=stmt.start)
+            txt = f"DEFINE SEQUENCE {stmt.name} BATCH {stmt.batch} START {stmt.start}"
+            if stmt.timeout:
+                txt += f" TIMEOUT {stmt.timeout}"
+            self.meta["sequences"][stmt.name] = txt
+            self.obj_info["sequences"][stmt.name] = {
+                "batch": stmt.batch, "start": stmt.start,
+                "timeout": stmt.timeout}
             return None
         if isinstance(stmt, RemoveStmt):
             try:
@@ -1345,10 +1669,77 @@ class StatementRunner:
                 if not stmt.if_exists:
                     raise
             return None
+        if isinstance(stmt, AlterObjStmt):
+            cat = {"analyzer": "analyzers", "param": "params",
+                   "bucket": "buckets", "sequence": "sequences"}[stmt.kind]
+            info = self.obj_info[cat].get(stmt.name)
+            if info is None:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(f"the {stmt.kind} '{stmt.name}' does not exist")
+            for d in stmt.drops:
+                if d == "COMMENT":
+                    info["comment"] = None
+                elif d == "TOKENIZERS":
+                    info["toks"] = None
+                elif d == "FILTERS":
+                    info["filts"] = None
+                elif d == "READONLY":
+                    info["readonly"] = False
+            for k, v in stmt.sets.items():
+                if k == "COMMENT":
+                    info["comment"] = v
+                elif k == "VALUE":
+                    val = self.spark.range(1).select(
+                        self._expr(v, params).alias("v")).first()["v"]
+                    info["value"] = val
+                    self.params_defined[stmt.name] = val
+                elif k == "PERMISSIONS":
+                    info["perms"] = v
+                elif k == "TOKENIZERS":
+                    info["toks"] = v
+                elif k == "FILTERS":
+                    info["filts"] = v
+                elif k == "BACKEND":
+                    info["backend"] = v
+                elif k == "READONLY":
+                    info["readonly"] = True
+                elif k == "BATCH":
+                    info["batch"] = v
+                elif k == "START":
+                    info["start"] = v
+            if cat == "analyzers":
+                from surrealdb_spark.pipeline.analyzer import define_analyzer
+
+                define_analyzer(stmt.name,
+                                info["toks"] or ["blank", "punct"],
+                                info["filts"] or ["lowercase"])
+                self.meta[cat][stmt.name] = _render_analyzer(
+                    stmt.name, info["toks"], info["filts"], info["comment"])
+            elif cat == "params":
+                self.meta[cat][stmt.name] = _render_param(
+                    stmt.name, info["value"], info["comment"], info["perms"])
+            elif cat == "buckets":
+                self.meta[cat][stmt.name] = _render_bucket(
+                    stmt.name, info["backend"], info["readonly"],
+                    info["comment"], info["perms"])
+            else:
+                txt = (f"DEFINE SEQUENCE {stmt.name} BATCH {info['batch']} "
+                       f"START {info['start']}")
+                if info.get("timeout"):
+                    txt += f" TIMEOUT {info['timeout']}"
+                self.meta[cat][stmt.name] = txt
+            return None
         if isinstance(stmt, AlterTableStmt):
             td = self.db.tables[stmt.name]
             if stmt.schemafull is not None:
                 td.schemafull = stmt.schemafull  # recorded for INFO parity
+                base = self.meta["tables"].get(
+                    stmt.name,
+                    f"DEFINE TABLE {stmt.name} TYPE ANY SCHEMALESS PERMISSIONS NONE")
+                self.meta["tables"][stmt.name] = base.replace(
+                    "SCHEMALESS" if stmt.schemafull else "SCHEMAFULL",
+                    "SCHEMAFULL" if stmt.schemafull else "SCHEMALESS")
             if stmt.select_perm == "none":
                 self.catalog.set_permission(stmt.name, False)
             elif stmt.select_perm == "full":
@@ -1442,19 +1833,41 @@ class StatementRunner:
             return self._ret(out, out, stmt.return_)
         if isinstance(stmt, UpdateStmt):
             tbl = stmt.target.table
+            if stmt.upsert and tbl not in self.db.tables:
+                self.db.define_table(TableDef(tbl))
             where = self._where(stmt.target, stmt.where, tbl, params)
-            if stmt.upsert and stmt.target.key is not None and not self._matches(tbl, where):
-                rows = self._literal_rows(
-                    [self._data_obj(stmt.data, params)], stmt.target, params
-                )
-                out = self.db.upsert(tbl, rows)
-                return self._ret(out, out, stmt.return_)
+            if stmt.upsert:
+                # create-if-absent applies to the KEY (or, unkeyed, to a
+                # WHERE with no matches); an existing record that fails the
+                # WHERE filter yields no rows and no create (upsert.rs)
+                key_where = self._where(stmt.target, None, tbl, params)
+                key_absent = (stmt.target.key is not None
+                              and not self._matches(tbl, key_where))
+                table_miss = (stmt.target.key is None and stmt.where
+                              is not None and not self._matches(tbl, where))
+                if key_absent or table_miss:
+                    rows = self._literal_rows(
+                        [self._data_obj(stmt.data, params)], stmt.target,
+                        params)
+                    out = self.db.upsert(tbl, rows)
+                    return self._ret(out, out, stmt.return_)
             set_exprs = self._set_exprs(stmt.data, tbl, params)
-            return self.db.update(tbl, set_exprs, where, stmt.return_)
+            ret = stmt.return_
+            if isinstance(ret, tuple):
+                cap: dict = {}
+                self.db.update(tbl, set_exprs, where, "NONE", capture=cap)
+                return self._ret_expr_static(cap["before"], cap["after"],
+                                             ret, params)
+            return self.db.update(tbl, set_exprs, where, ret)
         if isinstance(stmt, DeleteStmt):
             tbl = stmt.target.table
             where = self._where(stmt.target, stmt.where, tbl, params)
-            return self.db.delete(tbl, where, stmt.return_)
+            ret = stmt.return_
+            if isinstance(ret, tuple):
+                cap = {}
+                self.db.delete(tbl, where, "NONE", capture=cap)
+                return self._ret_expr_static(cap["before"], None, ret, params)
+            return self.db.delete(tbl, where, ret)
         if isinstance(stmt, RelateStmt):
             frm = self._scalar(stmt.from_expr, params)
             to = self._scalar(stmt.to_expr, params)
@@ -1611,9 +2024,48 @@ class StatementRunner:
         return rhs
 
     @staticmethod
-    def _ret(before: DataFrame, after: DataFrame, mode: str) -> DataFrame:
+    def _ret(before: DataFrame, after: DataFrame, mode) -> DataFrame:
+        if isinstance(mode, tuple):
+            return StatementRunner._ret_expr_static(before, after, mode, {})
         if mode == "NONE":
             return after.limit(0)
         if mode == "BEFORE":
             return before
         return after
+
+    @staticmethod
+    def _ret_expr_static(before: DataFrame | None, after: DataFrame | None,
+                         ret: tuple, params: dict) -> DataFrame:
+        """RETURN VALUE <expr> / RETURN <fields> over the statement's
+        pre/post images; $before/$after align per record by id
+        (expr/output.rs Output::Fields)."""
+        from surrealdb_spark.sql.compiler import compile_expr
+
+        if after is None:
+            df = before
+            cur = F.struct(*[F.col(c) for c in before.columns])
+            binds = {**params, "before": cur, "after": F.lit(None),
+                     "value": cur, "this": cur}
+        else:
+            cur = F.struct(*[F.col(c) for c in after.columns])
+            df = after
+            if (before is not None and "id" in before.columns
+                    and "id" in after.columns):
+                b = before.select(
+                    F.col("id").alias("__bid"),
+                    F.struct(*[F.col(c) for c in before.columns]).alias("__b"),
+                )
+                df = df.join(b, df["id"] == b["__bid"], "left").drop("__bid")
+                bcol = F.col("__b")
+            else:
+                df = df.withColumn("__b", F.lit(None))
+                bcol = F.col("__b")
+            binds = {**params, "before": bcol, "after": cur,
+                     "value": cur, "this": cur}
+        if ret[0] == "value":
+            return df.select(compile_expr(ret[1], binds).alias("value"))
+        cols = []
+        for e, alias in ret[1]:
+            name = alias or (e[1] if e[0] == "ident" else "value")
+            cols.append(compile_expr(e, binds).alias(name))
+        return df.select(*cols)

@@ -220,7 +220,10 @@ def test_statement_long_tail(spark, tmp_path):
     assert [a["who"] for a in acts] == ["Bob"]
 
     # INFO FOR DB lists the objects
-    info = {(x["kind"], x["name"]) for x in r.run("INFO FOR DB").collect()}
+    dbinfo = r.run("INFO FOR DB")
+    info = {("table", n) for n in dbinfo["tables"]} | {
+        ("param", n) for n in dbinfo["params"]} | {
+        ("sequence", n) for n in dbinfo["sequences"]}
     assert ("table", "person") in info
     assert ("param", "adult") in info
     assert ("sequence", "ticket") in info
@@ -236,7 +239,10 @@ def test_statement_long_tail(spark, tmp_path):
         r.run("REMOVE INDEX uniq_name ON person")
 
     # INFO FOR TABLE shows the event; REMOVE EVENT detaches the hook
-    tinfo = {(x["kind"], x["name"]) for x in r.run("INFO FOR TABLE person").collect()}
+    ti = r.run("INFO FOR TABLE person")
+    tinfo = {("field", n) for n in ti["fields"]} | {
+        ("index", n) for n in ti["indexes"]} | {
+        ("event", n) for n in ti["events"]}
     assert ("event", "log_new") in tinfo
     r.run("REMOVE EVENT log_new ON person")
     r.run("CREATE person:3 SET name = 'Cy', age = 9")
