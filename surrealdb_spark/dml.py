@@ -43,6 +43,9 @@ class FieldDef:
     default: Callable[[], Column] | None = None
     assert_fn: Callable[[Column], Column] | None = None
     readonly: bool = False
+    # VALUE <expr>: recomputed on every write from ($value, $this)
+    # (define/field.rs value clause)
+    value_fn: Callable[[Column], Column] | None = None
 
 
 @dataclass
@@ -139,6 +142,8 @@ class Database:
             col = F.col(fd.name) if fd.name in df.columns else F.lit(None)
             if fd.default is not None:
                 col = F.coalesce(col, fd.default())
+            if fd.value_fn is not None:
+                col = fd.value_fn(col)
             if fd.dtype:
                 col = col.cast(fd.dtype)
             df = df.withColumn(fd.name, col)

@@ -83,6 +83,7 @@ class DefineTableStmt:
     schemafull: bool = False
     ttype: str = "ANY"           # TYPE ANY | NORMAL | RELATION (table.rs)
     perms_text: str = "NONE"     # canonical PERMISSIONS text for INFO
+    changefeed: str | None = None
     # SELECT permission: "full" | "none" | WHERE-expr AST
     # (other verbs parsed-ignored: mutations go through dml.Database which
     # is owner-scoped in this engine)
@@ -100,6 +101,7 @@ class DefineFieldStmt:
     computed: tuple | None = None  # COMPUTED <expr> — evaluated on read
     flexible: bool = False
     kind_text: str | None = None   # raw TYPE text for INFO rendering
+    texts: dict = dc_field(default_factory=dict)  # raw clause texts/flags
 
 
 @dataclass
@@ -160,6 +162,12 @@ class AlterTableStmt:
     name: str
     schemafull: bool | None = None
     select_perm: object = None
+    ttype: str | None = None
+    comment: str | None = None
+    changefeed: str | None = None
+    drops: list = dc_field(default_factory=list)
+    perm_updates: dict = dc_field(default_factory=dict)  # verb → NONE|FULL
+    if_exists: bool = False
 
 
 @dataclass
@@ -409,6 +417,16 @@ _INFO_DB_CATS = ("accesses", "analyzers", "apis", "buckets", "configs",
                  "tables", "users")
 
 
+def _duration_text(p: Parser) -> str:
+    """Consume a duration chain (`1d`, `5s500ms`) as raw text (glued
+    contiguous num/name tokens — the lexer splits unit suffixes)."""
+    parts = [p.next()]
+    while p.peek().kind in ("num", "name") and \
+            p.peek().pos == parts[-1].pos + len(parts[-1].text):
+        parts.append(p.next())
+    return "".join(x.text for x in parts)
+
+
 def _render_analyzer(name: str, toks, filts, comment) -> str:
     out = f"DEFINE ANALYZER {name}"
     if toks:
@@ -425,6 +443,51 @@ def _render_param(name: str, v, comment, perms) -> str:
     if comment:
         out += f" COMMENT {_surql_literal(comment)}"
     return out + f" PERMISSIONS {perms}"
+
+
+def _render_field(name: str, tbl: str, st) -> str:
+    """Canonical DEFINE FIELD text from the raw clause captures
+    (define/field.rs Display order)."""
+    out = f"DEFINE FIELD {name} ON {tbl}"
+    if st.kind_text:
+        out += (" TYPE FLEXIBLE " if st.flexible else " TYPE ") + st.kind_text
+    t = st.texts
+    if t.get("default"):
+        out += " DEFAULT" + (" ALWAYS " if t.get("default_always") else " ")             + t["default"]
+    if t.get("readonly"):
+        out += " READONLY"
+    if t.get("value"):
+        out += " VALUE " + t["value"]
+    if t.get("assert"):
+        out += " ASSERT " + t["assert"]
+    if t.get("computed"):
+        out += " COMPUTED " + t["computed"]
+    if t.get("comment"):
+        out += f" COMMENT {_surql_literal(t['comment'])}"
+    return out + " PERMISSIONS FULL"
+
+
+def _render_table(name: str, i: dict) -> str:
+    out = (f"DEFINE TABLE {name} TYPE {i.get('type', 'ANY')} "
+           + ("SCHEMAFULL" if i.get("schemafull") else "SCHEMALESS"))
+    if i.get("comment"):
+        out += f" COMMENT {_surql_literal(i['comment'])}"
+    if i.get("changefeed"):
+        out += f" CHANGEFEED {i['changefeed']}"
+    perms = i.get("perms") or {v: "NONE" for v in
+                               ("select", "create", "update", "delete")}
+    levels = set(perms.values())
+    if levels == {"NONE"}:
+        out += " PERMISSIONS NONE"
+    elif levels == {"FULL"}:
+        out += " PERMISSIONS FULL"
+    else:
+        groups: dict[str, list[str]] = {}
+        for v in ("select", "create", "update", "delete"):
+            groups.setdefault(perms.get(v, "NONE"), []).append(v)
+        out += " PERMISSIONS " + ", ".join(
+            f"FOR {', '.join(vs)} {lvl}" for lvl, vs in groups.items())
+    return out
 
 
 def _render_bucket(name: str, backend, readonly, comment, perms) -> str:
@@ -643,8 +706,10 @@ def _parse_statement_body(p: Parser):
                                 _name(p)
                                 while p.eat("op", "|"):
                                     _name(p)
-                elif p.eat_word("DROP") or p.eat_word("CHANGEFEED") and p.next():
+                elif p.eat_word("DROP"):
                     pass
+                elif p.eat_word("CHANGEFEED"):
+                    st.changefeed = _duration_text(p)
                 elif p.eat_word("COMMENT"):
                     p.next()
                 else:
@@ -689,21 +754,32 @@ def _parse_statement_body(p: Parser):
                 if p.eat("kw", "TYPE"):
                     if p.eat_word("FLEXIBLE"):
                         st.flexible = True
+                    t0 = p.peek()
                     st.dtype = _parse_kind(p, kind_bases)
+                    st.kind_text = p.span_text(t0, p.peek())
                 elif p.eat("kw", "DEFAULT"):
-                    p.eat_word("ALWAYS")
+                    if p.eat_word("ALWAYS"):
+                        st.texts["default_always"] = True
+                    t0 = p.peek()
                     st.default = p.expr(0)
+                    st.texts["default"] = p.span_text(t0, p.peek())
                 elif p.eat("kw", "VALUE"):
+                    t0 = p.peek()
                     st.value = p.expr(0)
+                    st.texts["value"] = p.span_text(t0, p.peek())
                 elif p.eat("kw", "ASSERT"):
+                    t0 = p.peek()
                     st.assert_ = p.expr(0)
+                    st.texts["assert"] = p.span_text(t0, p.peek())
                 elif p.eat_word("COMPUTED"):
+                    t0 = p.peek()
                     st.computed = p.expr(0)
+                    st.texts["computed"] = p.span_text(t0, p.peek())
                     if _ast_mentions_field(st.computed, name):
                         raise SyntaxError(
                             f"computed field {name!r} references itself")
                 elif p.eat_word("READONLY"):
-                    pass
+                    st.texts["readonly"] = True
                 elif p.eat_word("FLEXIBLE"):
                     st.flexible = True
                 elif p.eat_word("REFERENCE"):
@@ -725,7 +801,9 @@ def _parse_statement_body(p: Parser):
                 elif p.eat("kw", "PERMISSIONS"):
                     _skip_permissions(p)
                 elif p.eat_word("COMMENT"):
-                    p.next()
+                    ct = p.next()
+                    st.texts["comment"] = (ct.text[1:-1] if ct.kind == "str"
+                                           else ct.text)
                 else:
                     break
             return st
@@ -953,33 +1031,55 @@ def _parse_statement_body(p: Parser):
                         f"ALTER {what2}: unexpected {p.peek().text!r}")
             return ast_
         p.expect("kw", "TABLE")
-        p.eat_word("IF") and p.expect_word("EXISTS")
+        if_e = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
         st = AlterTableStmt(_name(p))
-        if p.eat("kw", "SCHEMAFULL"):
-            st.schemafull = True
-        elif p.eat("kw", "SCHEMALESS"):
-            st.schemafull = False
-        if p.eat("kw", "PERMISSIONS"):
-            if p.eat("kw", "NONE"):
-                st.select_perm = "none"
-            elif p.eat("kw", "FULL"):
-                st.select_perm = "full"
+        st.if_exists = if_e
+        while True:
+            if p.eat("kw", "SCHEMAFULL"):
+                st.schemafull = True
+            elif p.eat("kw", "SCHEMALESS"):
+                st.schemafull = False
+            elif p.eat("kw", "TYPE"):
+                st.ttype = p.next().text.upper()
+            elif p.eat_word("COMMENT"):
+                ct = p.next()
+                st.comment = ct.text[1:-1] if ct.kind == "str" else ct.text
+            elif p.eat_word("CHANGEFEED"):
+                st.changefeed = _duration_text(p)
+            elif p.eat_word("DROP"):
+                st.drops.append(p.next().text.upper())
+            elif p.eat("kw", "PERMISSIONS"):
+                if p.eat("kw", "NONE"):
+                    st.select_perm = "none"
+                    st.perm_updates = {v: "NONE" for v in
+                                       ("select", "create", "update",
+                                        "delete")}
+                elif p.eat("kw", "FULL"):
+                    st.select_perm = "full"
+                    st.perm_updates = {v: "FULL" for v in
+                                       ("select", "create", "update",
+                                        "delete")}
+                else:
+                    while p.eat("kw", "FOR"):
+                        verbs = []
+                        while True:
+                            verbs.append(p.next().text.lower())
+                            if not p.eat("op", ","):
+                                break
+                        if p.eat("kw", "NONE"):
+                            perm: object = "none"
+                        elif p.eat("kw", "FULL"):
+                            perm = "full"
+                        else:
+                            p.expect("kw", "WHERE")
+                            perm = p.expr(0)
+                        for v in verbs:
+                            if perm in ("none", "full"):
+                                st.perm_updates[v] = perm.upper()
+                        if "select" in verbs:
+                            st.select_perm = perm
             else:
-                while p.eat("kw", "FOR"):
-                    verbs = []
-                    while True:
-                        verbs.append(p.next().text.lower())
-                        if not p.eat("op", ","):
-                            break
-                    if p.eat("kw", "NONE"):
-                        perm: object = "none"
-                    elif p.eat("kw", "FULL"):
-                        perm = "full"
-                    else:
-                        p.expect("kw", "WHERE")
-                        perm = p.expr(0)
-                    if "select" in verbs:
-                        st.select_perm = perm
+                break
         return st
     if word == "REBUILD":
         p.next()
@@ -996,7 +1096,7 @@ def _parse_statement_body(p: Parser):
         lvl = p.next()
         if lvl.text.upper() in ("DB", "DATABASE"):
             return InfoStmt("db")
-        if lvl.text.upper() == "TABLE":
+        if lvl.text.upper() in ("TABLE", "TB"):
             return InfoStmt("table", table=_name(p))
         if lvl.text.upper() == "INDEX":
             name = _name(p)
@@ -1190,7 +1290,8 @@ class StatementRunner:
         self.table_meta: dict[str, dict[str, dict[str, str]]] = {}
         # structured clause state behind the canonical texts (ALTER edits)
         self.obj_info: dict[str, dict[str, dict]] = {
-            "analyzers": {}, "params": {}, "buckets": {}, "sequences": {}}
+            "analyzers": {}, "params": {}, "buckets": {}, "sequences": {},
+            "tables": {}}
         self.live_queries: dict[str, object] = {}  # uuid → StreamingQuery
 
     # public --------------------------------------------------------------
@@ -1441,11 +1542,12 @@ class StatementRunner:
         if isinstance(stmt, DefineTableStmt):
             self.db.define_table(TableDef(stmt.name))
             self.db.tables[stmt.name].schemafull = stmt.schemafull
-            self.meta["tables"][stmt.name] = (
-                f"DEFINE TABLE {stmt.name} TYPE {stmt.ttype} "
-                + ("SCHEMAFULL" if stmt.schemafull else "SCHEMALESS")
-                + f" PERMISSIONS {stmt.perms_text}"
-            )
+            info_t = {"type": stmt.ttype, "schemafull": stmt.schemafull,
+                      "changefeed": stmt.changefeed,
+                      "perms": {v: stmt.perms_text for v in
+                                ("select", "create", "update", "delete")}}
+            self.obj_info["tables"][stmt.name] = info_t
+            self.meta["tables"][stmt.name] = _render_table(stmt.name, info_t)
             if stmt.select_perm == "none":
                 self.catalog.set_permission(stmt.name, False)
             elif stmt.select_perm != "full":
@@ -1470,6 +1572,9 @@ class StatementRunner:
                 raise ValueError(
                     "FLEXIBLE only applies to SCHEMAFULL tables "
                     "(define/field.rs)")
+            self.table_meta.setdefault(stmt.table, {}).setdefault(
+                "fields", {})[stmt.name] = _render_field(
+                    stmt.name, stmt.table, stmt)
             dtype = {"int": "bigint", "float": "double", "number": "double",
                      "string": "string", "bool": "boolean",
                      # 96-bit rust_decimal (types/src/value/number.rs:19-26)
@@ -1494,7 +1599,16 @@ class StatementRunner:
                 assert_fn = (lambda a: (
                     lambda col: self._expr(a, {"value": col, "this": col})
                 ))(aast)
-            td.fields.append(FieldDef(stmt.name, dtype, default, assert_fn))
+            value_fn = None
+            if stmt.value is not None:
+                vast = stmt.value
+                value_fn = (lambda a: (
+                    lambda col: self._expr(
+                        a, {"value": col, "this": col, "input": col})
+                ))(vast)
+            td.fields = [f for f in td.fields if f.name != stmt.name]
+            td.fields.append(FieldDef(stmt.name, dtype, default, assert_fn,
+                                      value_fn=value_fn))
             return None
         if isinstance(stmt, DefineAnalyzerStmt):
             from surrealdb_spark.pipeline.analyzer import define_analyzer
@@ -1731,15 +1845,32 @@ class StatementRunner:
                 self.meta[cat][stmt.name] = txt
             return None
         if isinstance(stmt, AlterTableStmt):
+            if stmt.name not in self.db.tables:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(f"the table '{stmt.name}' does not exist")
             td = self.db.tables[stmt.name]
+            info_t = self.obj_info["tables"].setdefault(
+                stmt.name, {"type": "ANY", "schemafull": False, "perms": {
+                    v: "NONE" for v in ("select", "create", "update",
+                                        "delete")}})
             if stmt.schemafull is not None:
                 td.schemafull = stmt.schemafull  # recorded for INFO parity
-                base = self.meta["tables"].get(
-                    stmt.name,
-                    f"DEFINE TABLE {stmt.name} TYPE ANY SCHEMALESS PERMISSIONS NONE")
-                self.meta["tables"][stmt.name] = base.replace(
-                    "SCHEMALESS" if stmt.schemafull else "SCHEMAFULL",
-                    "SCHEMAFULL" if stmt.schemafull else "SCHEMALESS")
+                info_t["schemafull"] = stmt.schemafull
+            if stmt.ttype is not None:
+                info_t["type"] = stmt.ttype
+            if stmt.comment is not None:
+                info_t["comment"] = stmt.comment
+            if stmt.changefeed is not None:
+                info_t["changefeed"] = stmt.changefeed
+            for d in stmt.drops:
+                if d == "COMMENT":
+                    info_t["comment"] = None
+                elif d == "CHANGEFEED":
+                    info_t["changefeed"] = None
+            for v, lvl in stmt.perm_updates.items():
+                info_t.setdefault("perms", {})[v] = lvl
+            self.meta["tables"][stmt.name] = _render_table(stmt.name, info_t)
             if stmt.select_perm == "none":
                 self.catalog.set_permission(stmt.name, False)
             elif stmt.select_perm == "full":
