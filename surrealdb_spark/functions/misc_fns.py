@@ -386,15 +386,33 @@ def record_tb(r) -> Column:
 record_table = record_tb
 
 
-def record_exists(r, target, target_id: str = "id"):
-    """record::exists — semi-join against the target table (DataFrame-level
-    op, returns a joined DataFrame; per-row form needs the join)."""
-    raise NotImplementedError(
-        "record::exists is a semi-join: df.join(target, cond, 'left_semi')"
-    )
+# runtime record lookup provider: fn(rid_str) -> dict | None, set by
+# StatementRunner (driver-side point read; fnc/record.rs resolves the
+# record the same way)
+_RECORD_PROVIDER = None
+
+
+def set_record_provider(fn) -> None:
+    global _RECORD_PROVIDER
+    _RECORD_PROVIDER = fn
+
+
+def _lookup_record(rid: str):
+    return None if _RECORD_PROVIDER is None else _RECORD_PROVIDER(rid)
+
+
+def record_exists(r) -> Column:
+    """record::exists — the record resolves to a row (fnc/record.rs)."""
+    if not isinstance(r, str):
+        raise ValueError("record::exists expects a record id")
+    return F.lit(_lookup_record(r) is not None)
 
 
 def record_is_edge(r) -> Column:
-    """Edge records' keys embed in/out — our engine marks edges by table
-    membership; string form can't tell, so test key shape."""
-    return _c(r).rlike("^[A-Za-z0-9_]+:.+")
+    """record::is_edge — the record exists and carries in/out
+    (fnc/record.rs is_edge; edges are RELATE-created rows)."""
+    if not isinstance(r, str):
+        raise ValueError("record::is_edge expects a record id")
+    rec = _lookup_record(r)
+    return F.lit(bool(rec and rec.get("in") is not None
+                      and rec.get("out") is not None))

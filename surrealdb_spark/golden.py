@@ -245,6 +245,7 @@ def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> l
 _STMT_WORDS = {
     "CREATE", "INSERT", "UPDATE", "UPSERT", "DELETE", "RELATE", "DEFINE",
     "REMOVE", "ALTER", "REBUILD", "INFO", "SELECT", "LIVE", "SHOW", "KILL",
+    "SLEEP", "USE", "BEGIN", "COMMIT",
 }
 
 
@@ -311,8 +312,13 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         runner.run(inner, params=bindings)
                     elif iw == "RETURN":
                         expr = re.sub(r"^RETURN\s+", "", inner, flags=re.I)
-                        v = _eval_statements(spark, [expr], bindings)[0]
-                        a = None if v is _ERR else v
+                        try:
+                            # runner-backed eval first: subqueries in the
+                            # RETURN read the block's created records
+                            a = _norm(runner._scalar_text(expr, bindings))
+                        except Exception:
+                            v = _eval_statements(spark, [expr], bindings)[0]
+                            a = None if v is _ERR else v
                     else:
                         _eval_statements(spark, [inner], bindings)
             elif word == "LET":

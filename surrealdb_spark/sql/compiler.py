@@ -226,7 +226,13 @@ def _resolve_method(ast, types, params):
     if mname == "type_of":
         return ("call", "type::of", [recv])
     if mname.startswith("is_"):
-        return ("call", f"type::{mname}", [recv])
+        from surrealdb_spark.functions.registry import REGISTRY as _REG
+
+        if f"type::{mname}" in _REG or mname in (
+                "is_none", "is_null"):
+            return ("call", f"type::{mname}", [recv])
+        # not a type check: fall through to namespace dispatch
+        # (record::is_edge, string::is::*, set::is_empty, ...)
     if mname in _TO_KINDS:
         k = _TO_KINDS[mname]
         if k == "set":
@@ -733,6 +739,23 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if args[0][1].startswith(">"):
                 lo = lo + 1
             return F.sequence(lo, hi if args[0][1].endswith("=") else hi - 1)
+        if name in ("record::is_edge", "record::exists") and args:
+            a = args[0]
+            # fold type::record('tb','key') constructors to the id literal
+            if (a[0] == "call" and a[1] == "type::record" and len(a[2]) == 2
+                    and all(x[0] == "lit" for x in a[2])):
+                a = ("lit", f"{a[2][0][1]}:{a[2][1][1]}")
+            if a[0] in ("ident", "path"):
+                # row-context form: the current record is an edge iff it
+                # carries non-null in/out (RELATE-created rows)
+                if "in" in types and "out" in types:
+                    return (F.col("in").isNotNull()
+                            & F.col("out").isNotNull()) \
+                        if name == "record::is_edge" else F.lit(True)
+                return F.lit(False) if name == "record::is_edge" else F.lit(True)
+            if a[0] == "lit" and isinstance(a[1], str) and _RID_RE.match(a[1]):
+                return REGISTRY[name](a[1])
+            raise ValueError(f"{name} expects a record id")
         if name.startswith("parse::") and args and _infer(
             args[0], types, params
         ) in ("int", "float", "bool", "decimal"):
@@ -887,7 +910,10 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
         cat = _infer(args[0], types, params)
         if cat in TY.OF_NAMES:
             col = compile_expr(args[0], params, types)
-            return F.when(col.isNotNull(), F.lit(TY.OF_NAMES[cat]))
+            # a NULL slot reads back as 'none' (absent field; NONE vs NULL
+            # conflate in typed storage — documented, values.py)
+            return F.when(col.isNotNull(), F.lit(TY.OF_NAMES[cat])) \
+                .otherwise(F.lit("none"))
         return None
     if short == "field":
         fld = _literal_str(args[0], params)

@@ -51,6 +51,20 @@ KEYWORDS = {
 # are matched case-insensitively via Parser.eat_word/expect_word instead of
 # reserving them — they stay usable as field/table identifiers.
 
+# keywords that never act as identifiers in expression position
+_STRUCTURAL_KWS = {
+    "TRUE", "FALSE", "NULL", "NONE", "NOT", "AND", "OR", "IS", "SELECT",
+    "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT", "START", "FETCH",
+    "SPLIT", "OMIT", "AS", "ASC", "DESC", "WITH", "DEFINE", "CREATE",
+    "INSERT", "UPDATE", "UPSERT", "DELETE", "RELATE", "RETURN", "LET",
+    "IN", "CONTAINS", "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY",
+    "CONTAINSNONE", "INSIDE", "NOTINSIDE", "ALLINSIDE", "ANYINSIDE",
+    "NONEINSIDE", "OUTSIDE", "INTERSECTS", "MATCHES",
+}
+
+# clause words that terminate a SELECT field list
+_FIELD_STOP_KWS = {"FROM", "OMIT"}
+
 # keywords that can never be a FROM source (clause/structure words)
 _NON_SOURCE_KWS = {
     "WHERE", "GROUP", "ORDER", "SPLIT", "LIMIT", "START", "FETCH", "OMIT",
@@ -509,6 +523,12 @@ class Parser:
                     key = "".join(p.orig or p.text for p in parts)
                     return self.postfix(("lit", f"{t.text}:{key}"))
             return self.postfix(("ident", t.text))
+        if t.kind == "kw" and t.text not in _STRUCTURAL_KWS:
+            # non-structural keywords double as identifiers (`value`,
+            # `type`, `order` are common field names; syn treats most
+            # keywords as soft)
+            self.next()
+            return self.postfix(("ident", t.orig or t.text.lower()))
         raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
     def _curly_part(self):
@@ -616,7 +636,10 @@ class Parser:
                     parts.append(("all",))
                 elif nt.kind == "op" and nt.text == "{":
                     parts.append(self._curly_part())
-                elif nt.kind == "name":
+                elif nt.kind == "name" or (
+                    nt.kind == "kw" and nt.text not in _STRUCTURAL_KWS
+                ):
+                    nt_text = nt.orig or nt.text.lower()
                     if self.peek().kind == "op" and self.peek().text == "(":
                         # method syntax: value.fn(args) dispatches on the
                         # receiver's type (fnc/mod.rs idiom(), dispatch!)
@@ -628,9 +651,9 @@ class Parser:
                                 self.expect("op", ")")
                                 break
                         recv = ("path", base, parts) if parts else base
-                        base, parts = ("method", nt.text, recv, margs), []
+                        base, parts = ("method", nt_text, recv, margs), []
                         continue
-                    parts.append(("field", nt.text))
+                    parts.append(("field", nt_text))
                 else:
                     raise SyntaxError(f"bad path segment {nt.text!r} at {nt.pos}")
                 continue
@@ -716,14 +739,22 @@ def parse_select(src: str) -> Select:
 def _parse_select_body(p: Parser) -> Select:
     p.expect("kw", "SELECT")
     sel = Select(fields=None, value_expr=None)
-    if p.eat("kw", "VALUE"):
+    vt = p.eat("kw", "VALUE")
+    if vt and p.peek().kind == "kw" and p.peek().text == "FROM" or \
+            vt and p.peek().kind == "op" and p.peek().text == ",":
+        # `SELECT value FROM ...` / `SELECT value, x FROM` — a field named
+        # value, not the VALUE projection form
+        p.i -= 1
+        vt = None
+    if vt:
         sel.value_expr = p.expr(0)
     else:
         fields: list[Field] = []
         star = p.eat("op", "*")
         had_comma = bool(star and p.eat("op", ","))  # SELECT *, extra fields
         if not star or had_comma:
-            while p.peek().kind != "kw":
+            while not (p.peek().kind == "kw"
+                       and p.peek().text in _FIELD_STOP_KWS):
                 e = p.expr(0)
                 alias = None
                 if p.eat("kw", "AS"):
@@ -793,9 +824,11 @@ def _parse_select_body(p: Parser) -> Select:
                 def _key():
                     if p.peek().kind == "num":
                         return int(p.next().text)
-                    if p.peek().kind in ("name", "str"):
+                    if p.peek().kind in ("name", "str", "kw"):
                         t_ = p.next()
-                        return t_.text[1:-1] if t_.kind == "str" else t_.text
+                        if t_.kind == "str":
+                            return t_.text[1:-1]
+                        return t_.orig or t_.text.lower()
                     return None
 
                 lo = None

@@ -265,6 +265,16 @@ class NoopStmt:
 
 
 @dataclass
+class SleepStmt:
+    seconds: float = 0.0
+
+
+@dataclass
+class TxStmt:
+    word: str  # BEGIN | COMMIT | CANCEL
+
+
+@dataclass
 class KillStmt:
     """KILL <live-query-id> (kill.rs)."""
 
@@ -670,12 +680,21 @@ def _parse_statement_body(p: Parser):
             else:
                 raise SyntaxError(f"USE {w} not supported")
         return UseStmt(ns, db_)
-    if word in ("BEGIN", "COMMIT"):
+    if word == "SLEEP":
+        # SLEEP <duration> — actually sleeps (statements/sleep.rs), capped
+        # at 2 s so a stray statement can't stall the batch
+        p.next()
+        chain = _duration_text(p)
+        from surrealdb_spark.sql.parser import _parse_duration_nanos
+
+        return SleepStmt(min(_parse_duration_nanos(chain) / 1e9, 2.0))
+    if word in ("BEGIN", "COMMIT", "CANCEL"):
         # transactions are accepted as batch markers — each statement is
-        # already one atomic Spark job (documented scope; COVERAGE.md §2.8)
+        # already one atomic Spark job (documented scope; COVERAGE.md §2.8).
+        # Pairing is still validated (COMMIT/CANCEL need an open BEGIN).
         p.next()
         p.eat_word("TRANSACTION")
-        return NoopStmt()
+        return TxStmt(word)
     if t.text == "DEFINE":
         p.next()
         what = p.next()
@@ -1203,7 +1222,9 @@ def _target(p: Parser) -> Target:
     if p.peek().kind == "op" and p.peek().text == ":":
         p.next()
         kt = p.next()
-        key: object = int(kt.text) if kt.kind == "num" else kt.text
+        key: object = (int(kt.text) if kt.kind == "num"
+                       else (kt.orig or kt.text.lower()) if kt.kind == "kw"
+                       else kt.text)
         return Target(tb, key)
     return Target(tb)
 
@@ -1292,6 +1313,20 @@ class StatementRunner:
         self.obj_info: dict[str, dict[str, dict]] = {
             "analyzers": {}, "params": {}, "buckets": {}, "sequences": {},
             "tables": {}}
+        # record::is_edge / record::exists resolve ids through this runner's
+        # database (driver-side point read, fnc/record.rs)
+        from surrealdb_spark.functions.misc_fns import set_record_provider
+
+        def _lookup_record(rid: str):
+            tb, _, _key = str(rid).partition(":")
+            if tb not in self.db.tables or not self.db._exists(tb):
+                return None
+            idc = self.db.tables[tb].id_col
+            rows = (self.db.table(tb)
+                    .filter(F.col(idc) == str(rid)).limit(1).collect())
+            return rows[0].asDict() if rows else None
+
+        set_record_provider(_lookup_record)
         self.live_queries: dict[str, object] = {}  # uuid → StreamingQuery
 
     # public --------------------------------------------------------------
@@ -1395,14 +1430,32 @@ class StatementRunner:
 
     def _scalar_text(self, src: str, binds: dict):
         """Evaluate an expression (or parenthesized DML) to a Python value."""
+        import re as _re2
+
         src = src.strip().rstrip(";").strip()
+        take_idx = None
+        m_idx = _re2.fullmatch(r"\((.*)\)\s*\[\s*(\d+)\s*\]", src, _re2.S)
+        if m_idx:
+            # `(SELECT ...)[n]` — statement value indexed (idiom on a
+            # subquery result)
+            src, take_idx = f"({m_idx.group(1)})", int(m_idx.group(2))
         inner = src[1:-1].strip() if src.startswith("(") and src.endswith(")") else src
         head = inner.split(None, 1)[0].upper() if inner else ""
         if head in ("CREATE", "INSERT", "UPDATE", "UPSERT", "DELETE",
                     "RELATE", "SELECT"):
+            import re as _re
+
             df = self.run(inner, params=binds)
-            rows = [] if df is None else [r.asDict(recursive=True)
-                                          for r in df.limit(100).collect()]
+            if df is None or isinstance(df, dict):
+                return df
+            rows: list = [r.asDict(recursive=True)
+                          for r in df.limit(100).collect()]
+            if df.columns == ["value"]:
+                rows = [r["value"] for r in rows]
+            if take_idx is not None:
+                return rows[take_idx] if take_idx < len(rows) else None
+            if _re.search(r"\bONLY\b", inner, _re.I):
+                return rows[0] if rows else None
             return rows
         from surrealdb_spark.sql.parser import parse_expr
 
@@ -1685,6 +1738,25 @@ class StatementRunner:
             REGISTRY[f"fn::{stmt.name}"] = call
             return None
         if isinstance(stmt, NoopStmt):
+            return None
+        if isinstance(stmt, SleepStmt):
+            import time as _time
+
+            _time.sleep(stmt.seconds)
+            return None
+        if isinstance(stmt, TxStmt):
+            if stmt.word == "BEGIN":
+                self._tx_open = True
+            else:
+                if not getattr(self, "_tx_open", False):
+                    raise ValueError(
+                        f"{stmt.word} without an open transaction")
+                if stmt.word == "CANCEL":
+                    self._tx_open = False
+                    raise ValueError(
+                        "CANCEL: rollback is out of scope (statements run "
+                        "as atomic batch jobs)")
+                self._tx_open = False
             return None
         if isinstance(stmt, UseStmt):
             from surrealdb_spark.functions.extra_fns import SessionContext
@@ -2078,7 +2150,24 @@ class StatementRunner:
                 d["id"] = f"{tgt.table}:{d['id']}"
             rows.append(d)
         keys = sorted({k for d in rows for k in d})
-        return self.spark.createDataFrame([{k: d.get(k) for k in keys} for d in rows])
+        data = [{k: d.get(k) for k in keys} for d in rows]
+        all_none = [k for k in keys
+                    if all(d.get(k) is None for d in data)]
+        if all_none:
+            # NONE-valued fields need an explicit type for inference —
+            # string is the schemaless default (absent ≡ NULL)
+            from pyspark.sql import types as T
+
+            sample = self.spark.createDataFrame(
+                [{k: v for k, v in d.items() if k not in all_none}
+                 for d in data]) if len(all_none) < len(keys) else None
+            fields = list(sample.schema.fields) if sample is not None else []
+            fields += [T.StructField(k, T.StringType()) for k in all_none]
+            schema = T.StructType(sorted(fields, key=lambda f: f.name))
+            return self.spark.createDataFrame(
+                [tuple(d[f.name] for f in schema.fields) for d in data],
+                schema)
+        return self.spark.createDataFrame(data)
 
     def _where(self, tgt: Target, where_ast, tbl: str, params: dict) -> Column | None:
         conds = []
