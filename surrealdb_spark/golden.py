@@ -295,6 +295,7 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
 
     db = Database(spark, tempfile.mkdtemp(prefix="golden_"))
     runner = StatementRunner(spark, db)
+    script = None  # lazy ScriptRunner for FOR/IF/THROW statements
     bindings: dict = {}
     for s, e in zip(stmts, expected):
         word = _stmt_word(s)
@@ -342,6 +343,17 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         raise ValueError("LET binding failed")
                     bindings[m.group(1)] = v
                 a = None
+            elif word in ("FOR", "THROW") or (word == "IF" and "{" in s):
+                # control-flow statements run through the script engine
+                # sharing this file's runner/bindings (exec/mod.rs
+                # ControlFlow)
+                from surrealdb_spark.script import ScriptRunner
+
+                if script is None:
+                    script = ScriptRunner(spark, db=db,
+                                          catalog=runner.catalog,
+                                          stmts=runner)
+                a = script.run(s, **bindings).value
             elif word in _STMT_WORDS:
                 _auto_define(db, s)
                 a = _df_value(runner.run(s, params=bindings))
@@ -431,7 +443,8 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     if not expected or len(expected) != len(stmts):
         fr.skipped = f"results/statements mismatch ({len(expected)}/{len(stmts)})"
         return fr
-    if any(_stmt_word(s) in _STMT_WORDS for s in stmts):
+    if any(_stmt_word(s) in _STMT_WORDS or _stmt_word(s) in ("FOR", "THROW")
+           for s in stmts):
         return _run_statement_file(spark, stmts, fr, expected)
     # LET statements bind into scope for later statements; their result is
     # NONE in the reference.

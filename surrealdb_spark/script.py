@@ -69,12 +69,12 @@ class ScriptRunner:
     MAX_FOR_ITERS = 10_000
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None,
-                 catalog: Catalog | None = None, db=None):
+                 catalog: Catalog | None = None, db=None, stmts=None):
         self.spark = spark
         self.catalog = catalog or Catalog(spark, sf_dir)
         self.db = db
-        self._stmts = None
-        if db is not None:
+        self._stmts = stmts
+        if db is not None and stmts is None:
             from surrealdb_spark.sql.statements import StatementRunner
 
             self._stmts = StatementRunner(spark, db, catalog=self.catalog)

@@ -82,10 +82,21 @@ _AGGREGATES = {
     "math::median": lambda args: F.median(args[0]),
     "time::min": lambda args: F.min(args[0]),
     "time::max": lambda args: F.max(args[0]),
-    "array::group": lambda args: F.array_distinct(F.flatten(F.collect_list(args[0]))),
-    "array::distinct": lambda args: F.array_distinct(F.collect_list(args[0])),
-    "array::join": lambda args: F.concat_ws(", ", F.collect_list(args[0])),
+    "array::group": lambda args: F.array_distinct(F.flatten(_ocollect(args[0]))),
+    "array::distinct": lambda args: F.array_distinct(_ocollect(args[0])),
+    "array::join": lambda args: F.array_join(
+        F.transform(_ocollect(args[0]), lambda x: x.cast("string")),
+        args[1] if len(args) > 1 and isinstance(args[1], str) else ", "),
 }
+
+
+def _ocollect(c):
+    """collect_list ordered by record id — grouped array aggregates read
+    record order in the reference (aggregates collect in scan order over
+    the ordered KV store); Spark's collect_list is partition-ordered, so
+    pin it."""
+    pairs = F.collect_list(F.struct(F.col("id").alias("k"), c.alias("v")))
+    return F.transform(F.array_sort(pairs), lambda s: s.getField("v"))
 
 # Registry builders whose N-th parameter must be a Python literal (regex
 # patterns, separators, sizes) rather than a Column.
@@ -739,6 +750,24 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if args[0][1].startswith(">"):
                 lo = lo + 1
             return F.sequence(lo, hi if args[0][1].endswith("=") else hi - 1)
+        if name == "count":
+            # scalar count (fnc/count.rs): no arg = 1; arrays/sets count
+            # truthy elements; scalars count their own truthiness.
+            # (The aggregate form decomposes in SELECT context instead.)
+            if not args:
+                return F.lit(1).cast("bigint")
+            a = args[0]
+            if a[0] == "param" and a[1] not in params:
+                return F.lit(0).cast("bigint")  # unbound params are NONE
+            if a[0] == "bin" and a[1] in _RANGE_OPS:
+                return F.lit(0).cast("bigint")  # ranges aren't truthy
+            cat = _infer(a, types, params)
+            c = compile_expr(a, params, types)
+            if cat == "array":
+                return F.coalesce(
+                    F.size(F.filter(c, lambda x: _truthy_col(x, None))),
+                    F.lit(0)).cast("bigint")
+            return _truthy_col(c, cat).cast("bigint")
         if name in ("record::is_edge", "record::exists") and args:
             a = args[0]
             # fold type::record('tb','key') constructors to the id literal
@@ -1004,7 +1033,9 @@ def _decompose(ast, aggs: list, params: dict, types: dict | None = None):
                             _infer(ast[2][0], types, params))
             aggs.append(F.coalesce(F.sum(t.cast("long")), F.lit(0)).alias(alias))
         else:
-            args = [compile_expr(a, params, types) for a in ast[2]]
+            args = [a[1] if ast[1] == "array::join" and i == 1
+                    and a[0] == "lit" else compile_expr(a, params, types)
+                    for i, a in enumerate(ast[2])]
             aggs.append(_AGGREGATES[ast[1]](args).alias(alias))
         return ("ident", alias)
     if ast[0] in ("bin",):
@@ -1294,7 +1325,15 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             order_cols.append(c.desc() if k.desc else c.asc())
         df = df.orderBy(*order_cols)
 
-    # limit/start (operators/limit.rs; Spark offset() is 3.4+)
+    # limit/start (operators/limit.rs; Spark offset() is 3.4+).  Without an
+    # ORDER BY the reference pages in record-id order (ordered KV scan);
+    # Spark row order is partition-dependent, so pin it when paging.
+    # (bare LIMIT keeps Spark's cheap any-N take — a global sort for every
+    # LIMIT would be wrong at scale; START paging is where determinism pays)
+    if sel.start and not sel.order and "id" in df.columns:
+        key = F.substring_index(F.col("id").cast("string"), ":", -1)
+        df = df.orderBy(key.try_cast("bigint").asc_nulls_last(),
+                        F.col("id").asc())
     if sel.start:
         df = df.offset(sel.start)
     if sel.limit is not None:
