@@ -240,6 +240,31 @@ class Database:
                     f"unique index on {cols}: mutation violates uniqueness in {tbl}"
                 )
 
+    def _append(self, tbl: str, records: DataFrame) -> None:
+        """Append rows, rewriting the table when the incoming schema
+        differs (schemaless tables accept new fields and numeric widening;
+        one parquet dir must stay self-consistent)."""
+        if self._exists(tbl):
+            cur = self.table(tbl)
+            cur_t, new_t = dict(cur.dtypes), dict(records.dtypes)
+            if cur_t != new_t:
+                try:
+                    merged = cur.unionByName(records,
+                                             allowMissingColumns=True)
+                except Exception:
+                    # incompatible slots (number vs string): degrade the
+                    # conflicting columns to string on both sides
+                    for c in set(cur_t) & set(new_t):
+                        if cur_t[c] != new_t[c]:
+                            cur = cur.withColumn(c, F.col(c).cast("string"))
+                            records = records.withColumn(
+                                c, F.col(c).cast("string"))
+                    merged = cur.unionByName(records,
+                                             allowMissingColumns=True)
+                self._overwrite(tbl, merged)
+                return
+        records.write.mode("append").parquet(self._data(tbl))
+
     def create(self, tbl: str, records: DataFrame) -> DataFrame:
         """CREATE — insert new records, ERROR if an id already exists
         (expr/statements/create.rs; Iterable::GenerateRecordId)."""
@@ -254,7 +279,8 @@ class Database:
                 raise MutationError(f"CREATE: {n} record id(s) already exist in {tbl}")
         self._check_unique(tbl, records)
         self._snapshot(tbl)
-        records.write.mode("append").parquet(self._data(tbl))
+        records = records.localCheckpoint(eager=True)
+        self._append(tbl, records)
         self._post_write(tbl, "CREATE", records)
         return records
 
@@ -267,7 +293,8 @@ class Database:
         records = self._apply_fields(tbl, records, existing=False)
         if not self._exists(tbl):
             self._check_unique(tbl, records)
-            records.write.mode("append").parquet(self._data(tbl))
+            records = records.localCheckpoint(eager=True)
+            self._append(tbl, records)
             self._post_write(tbl, "CREATE", records)
             return records
         current = self.table(tbl)
@@ -376,7 +403,8 @@ class Database:
             edges = edges.withColumn(
                 td.id_col, F.concat(F.lit(edge_tbl), F.lit(":"), F.md5(F.concat_ws("|", "in", "out")))
             )
-        edges.write.mode("append").parquet(self._data(edge_tbl))
+        edges = edges.localCheckpoint(eager=True)
+        self._append(edge_tbl, edges)
         self._post_write(edge_tbl, "CREATE", edges)
         return edges
 

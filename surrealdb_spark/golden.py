@@ -203,6 +203,52 @@ class FileResult:
 _ERR = object()  # sentinel: statement evaluation raised
 
 
+def _py_literal(ast):
+    """Pure-python evaluation of a literal-only expression AST — used for
+    EXPECTED values whose arrays/objects are heterogeneous (Spark columns
+    can't type them; the reference is dynamically typed).  Raises on any
+    non-literal node."""
+    k = ast[0]
+    if k == "lit":
+        import datetime as _dt
+
+        v = ast[1]
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            # collected Spark timestamps are tz-naive (session tz UTC)
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+    if k == "nulllit":
+        return None
+    if k == "ulit":
+        return ast[1]
+    if k == "dur":
+        return {"months": 0, "nanos": ast[1]}
+    if k == "array":
+        return [_py_literal(e) for e in ast[1]]
+    if k == "setlit":
+        vals = [_py_literal(e) for e in ast[1]]
+        uniq: list = []
+        for v in vals:
+            if v not in uniq:
+                uniq.append(v)
+        return sorted(uniq, key=_canon)
+    if k == "object":
+        return {key: _py_literal(v) for key, v in ast[1]}
+    if k == "un" and ast[1] == "-":
+        return -_py_literal(ast[2])
+    raise ValueError(f"not a literal: {k}")
+
+
+def _try_py_literal(text: str):
+    """(ok, value) — parse+evaluate an expected-value literal in python."""
+    from surrealdb_spark.sql.parser import parse_expr
+
+    try:
+        return True, _py_literal(parse_expr(text))
+    except Exception:
+        return False, None
+
+
 def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> list:
     """Evaluate expression statements; one Spark job for the whole batch
     when everything parses/analyzes, per-statement fallback otherwise.
@@ -259,8 +305,8 @@ def _df_value(df) -> object:
     values for SELECT VALUE results (single `value` column)."""
     if df is None:
         return None
-    if isinstance(df, dict):
-        return df  # INFO statements return the catalog object directly
+    if isinstance(df, (dict, list)):
+        return df  # INFO / EXPLAIN return the reference-shaped value
     rows = [_norm(r) for r in df.limit(10_000).collect()]
     if df.columns == ["value"]:
         return [r["value"] for r in rows]
@@ -381,6 +427,10 @@ def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
         return
     want = _eval_statements(spark, [e[1]], {})[0]
     if want is _ERR:
+        ok_py, want = _try_py_literal(e[1])
+        if not ok_py:
+            want = _ERR
+    if want is _ERR:
         fr.cases.append(CaseResult(s, e, a, False,
                                    f"expected literal unsupported: {e[1]!r}"))
     elif a is _ERR:
@@ -483,6 +533,10 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
             fr.cases.append(CaseResult(s, e, a, True))
         else:
             want = next(it)
+            if want is _ERR:
+                ok_py, wp = _try_py_literal(e[1])
+                if ok_py:
+                    want = wp
             if want is _ERR:
                 fr.cases.append(
                     CaseResult(s, e, a, False, f"expected literal unsupported: {e[1]!r}")

@@ -720,6 +720,11 @@ class Select:
     # `VERSION <datetime>` clause — read the sources as of that instant
     # (exec/operators/version_scope.rs:25); expression AST or None
     version: tuple | None = None
+    # EXPLAIN [FULL] suffix — 'plain' | 'full' | None (explain.rs)
+    explain: str | None = None
+    timeout: object = None  # ns int or ("param", name)
+    # WITH NOINDEX / WITH INDEX a, b hint
+    with_hint: tuple | None = None
 
 
 def parse_expr(src: str):
@@ -844,8 +849,18 @@ def _parse_select_body(p: Parser) -> Select:
                 sel.sources.append(tb)
         if not p.eat("op", ","):
             break
-    if p.eat("kw", "WITH"):  # WITH NOINDEX hint: accepted and ignored
-        p.eat("kw", "NOINDEX")
+    if p.eat("kw", "WITH"):
+        # WITH NOINDEX / WITH NO INDEX / WITH INDEX a[, b] — access-path
+        # hint (recorded for EXPLAIN; Catalyst plans the real access)
+        if p.eat("kw", "NOINDEX") or (
+            p.eat_word("NO") and p.expect("kw", "INDEX")
+        ):
+            sel.with_hint = ("noindex",)
+        elif p.eat("kw", "INDEX"):
+            names = [_src_name(p)]
+            while p.eat("op", ","):
+                names.append(_src_name(p))
+            sel.with_hint = ("index", names)
     if p.eat("kw", "WHERE"):
         sel.where = p.expr(0)
     if p.eat("kw", "SPLIT"):
@@ -895,4 +910,25 @@ def _parse_select_body(p: Parser) -> Select:
     if p.eat_word("VERSION"):
         # SELECT ... VERSION d'...' (version_scope.rs; soft keyword)
         sel.version = p.expr(0)
+    if p.eat("kw", "TIMEOUT"):
+        # duration or $param — recorded so a zero timeout can error like
+        # the reference (batch jobs have no soft deadline otherwise)
+        if p.peek().kind == "param":
+            sel.timeout = ("param", p.next().text[1:])
+        else:
+            t0 = p.next()
+            chain = t0.text
+            while p.peek().kind in ("num", "name") and \
+                    p.peek().pos == p.toks[p.i - 1].pos + len(p.toks[p.i - 1].text):
+                chain += p.next().text
+            sel.timeout = _parse_duration_nanos(chain)
+    if p.eat("kw", "PARALLEL"):
+        pass  # Spark parallelizes everything already
+    if p.eat("kw", "EXPLAIN"):
+        sel.explain = "full" if p.eat_word("FULL") else "plain"
     return sel
+
+
+def _src_name(p: Parser) -> str:
+    t = p.next()
+    return t.orig or t.text

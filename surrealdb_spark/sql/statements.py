@@ -1374,6 +1374,19 @@ class StatementRunner:
             )
         stmt = parse_statement(text)
         params = {**self.params_defined, **(params or {})}
+        if isinstance(stmt, Select) and stmt.timeout is not None:
+            t = stmt.timeout
+            if isinstance(t, tuple):
+                t = params.get(t[1])
+            if isinstance(t, dict):
+                t = t.get("nanos", 0) + t.get("months", 0)
+            elif hasattr(t, "asDict"):
+                d = t.asDict()
+                t = d.get("nanos", 0) + d.get("months", 0)
+            if not t:
+                raise ValueError("query timed out (TIMEOUT 0)")
+        if isinstance(stmt, Select) and stmt.explain:
+            return self._explain_select(stmt)
         if isinstance(stmt, list):
             # multi-target CREATE — run each, concatenate the outputs
             outs = [self._execute(s, params) for s in stmt]
@@ -1461,6 +1474,84 @@ class StatementRunner:
 
         col = self._expr(parse_expr(src), binds)
         return self.spark.range(1).select(col.alias("v")).first()["v"]
+
+    def _explain_select(self, sel) -> list:
+        """SELECT ... EXPLAIN — the reference's plan description
+        (explain.rs): access path chosen from the defined indexes and the
+        WHERE conjuncts, plus the collector stage.  Descriptive of the
+        equivalent reference plan; Catalyst plans the actual execution
+        (predicate pushdown subsumes the index scans)."""
+        src = sel.sources[0] if sel.sources else None
+        tbl = src if isinstance(src, str) else None
+        collector = {"detail": {"type": "MemoryOrdered" if sel.order
+                                else "Memory"},
+                     "operation": "Collector"}
+
+        conj: list = []
+
+        def walk(ast):
+            if ast is None:
+                return
+            if ast[0] == "bin" and ast[1] in ("AND", "&&"):
+                walk(ast[2])
+                walk(ast[3])
+            else:
+                conj.append(ast)
+
+        walk(sel.where)
+        eqs: dict = {}
+        los: dict = {}
+        his: dict = {}
+        for c in conj:
+            if c[0] != "bin" or c[2][0] != "ident" or c[3][0] != "lit":
+                continue
+            f_, v = c[2][1], c[3][1]
+            if c[1] in ("=", "=="):
+                eqs[f_] = v
+            elif c[1] in (">", ">="):
+                los[f_] = (v, c[1] == ">=")
+            elif c[1] in ("<", "<="):
+                his[f_] = (v, c[1] == "<=")
+        noindex = sel.with_hint == ("noindex",)
+        forced = (sel.with_hint[1] if sel.with_hint
+                  and sel.with_hint[0] == "index" else None)
+        cands = [d for d in self.index_defs.values()
+                 if d.table == tbl and d.kind in ("idx", "uniq")
+                 and (forced is None or d.name in forced)]
+        plan = None
+        if not noindex:
+            for d in cands:
+                f0 = d.fields[0] if d.fields else None
+                if len(d.fields) == 1 and f0 in eqs:
+                    plan = {"detail": {"plan": {"index": d.name,
+                                                "operator": "=",
+                                                "value": eqs[f0]},
+                                       "table": tbl},
+                            "operation": "Iterate Index"}
+                    break
+                if len(d.fields) == 1 and (f0 in los or f0 in his):
+                    lo, hi = los.get(f0), his.get(f0)
+                    plan = {"detail": {"plan": {
+                        "direction": "forward",
+                        "from": {"inclusive": bool(lo and lo[1]),
+                                 "value": lo[0] if lo else None},
+                        "index": d.name,
+                        "to": {"inclusive": bool(hi and hi[1]),
+                               "value": hi[0] if hi else None}},
+                        "table": tbl},
+                        "operation": "Iterate Index"}
+                    break
+        out = []
+        if plan is not None:
+            out.append(plan)
+        else:
+            out.append({"detail": {"direction": "forward", "table": tbl},
+                        "operation": "Iterate Table"})
+            if noindex:
+                out.append({"detail": {"reason": "WITH NOINDEX"},
+                            "operation": "Fallback"})
+        out.append(collector)
+        return out
 
     # internals -----------------------------------------------------------
 
