@@ -408,8 +408,11 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                     a = a[0] if a else None
             else:
                 body = re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
-                v = _eval_statements(spark, [body], bindings)[0]
-                a = _ERR if v is _ERR else v
+                try:
+                    a = _norm(runner._scalar_text(body, bindings))
+                except Exception:
+                    v = _eval_statements(spark, [body], bindings)[0]
+                    a = _ERR if v is _ERR else v
         except Exception:
             a = _ERR
         _record_case(fr, s, e, a, spark)

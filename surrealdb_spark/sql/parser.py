@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op><\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|<->|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
+  | (?P<op><~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|<->|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
     """,
     re.X,
 )
@@ -248,6 +248,12 @@ class Parser:
                 rhs = self.expr(_BIN_BP["="][1])
                 lhs = ("bin", "!=" if neg else "=", lhs, rhs)
                 continue
+            if op == "<~":
+                # value<~(table FIELD f) — reverse-reference lookup on a
+                # record value (scan/reference.rs:48)
+                self.next()
+                lhs = ("refscan_on", lhs, self._refscan_entries())
+                continue
             if op not in _BIN_BP:
                 break
             lbp, rbp = _BIN_BP[op]
@@ -392,6 +398,9 @@ class Parser:
                 return self.postfix(("geom_point", e, e2))
             self.expect("op", ")")
             return self.postfix(e)
+        if t.kind == "op" and t.text == "<~":
+            self.next()
+            return self.postfix(("refscan", self._refscan_entries()))
         if t.kind == "op" and t.text == "[":
             self.next()
             elems = []
@@ -530,6 +539,47 @@ class Parser:
             self.next()
             return self.postfix(("ident", t.orig or t.text.lower()))
         raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _refscan_entries(self):
+        """`<~table` / `<~(tb [FIELD f][, ...])` — referencing-table entries
+        [(table, field|None), ...]; richer `<~(SELECT ... FIELD f ...)` /
+        `<~(tb FIELD f WHERE ...)` forms return ("refquery", raw_text)
+        for the runner to rewrite into a SELECT (scan/reference.rs)."""
+        if not (self.peek().kind == "op" and self.peek().text == "("):
+            t = self.next()
+            return [(t.orig or t.text, None)]
+        open_t = self.next()
+        # consume the balanced group, remembering tokens
+        depth, toks = 1, []
+        while depth:
+            t = self.next()
+            if t.kind == "eof":
+                raise SyntaxError("unterminated <~(...)")
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+                if not depth:
+                    break
+            toks.append(t)
+        words = {t.text.upper() for t in toks if t.kind in ("kw", "name")}
+        if words & {"SELECT", "WHERE", "ORDER", "LIMIT", "START", "SPLIT",
+                    "GROUP", "VALUE"} or any(
+                t.kind == "op" and t.text in ("..", "..=", ">") for t in toks):
+            raw = self.src[open_t.pos + 1:toks[-1].pos + len(toks[-1].text)]                 if toks else ""
+            return ("refquery", raw.strip())
+        out, i = [], 0
+        while i < len(toks):
+            tb = toks[i].orig or toks[i].text
+            i += 1
+            fld = None
+            if i < len(toks) and toks[i].text.upper() == "FIELD":
+                fld = toks[i + 1].orig or toks[i + 1].text
+                i += 2
+            out.append((tb, fld))
+            if i < len(toks) and toks[i].text == ",":
+                i += 1
+        return out
 
     def _curly_part(self):
         """`.{...}` — recursion `{min..max}[+instr]` or destructure `{a, b}`

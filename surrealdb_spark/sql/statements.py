@@ -422,6 +422,9 @@ def _surql_literal(v) -> str:
     return str(v)
 
 
+_PATH_MISS = object()  # _walk_record_path: unsupported part form
+
+
 _INFO_DB_CATS = ("accesses", "analyzers", "apis", "buckets", "configs",
                  "functions", "models", "modules", "params", "sequences",
                  "tables", "users")
@@ -804,6 +807,7 @@ def _parse_statement_body(p: Parser):
                 elif p.eat_word("REFERENCE"):
                     # REFERENCE [ON DELETE CASCADE|IGNORE|UNSET|REJECT|
                     # THEN <expr>] (define/field.rs reference tracking)
+                    st.texts["reference"] = True
                     if "." in name or "*" in name:
                         raise SyntaxError(
                             f"cannot use REFERENCE on nested field {name!r}")
@@ -1313,6 +1317,11 @@ class StatementRunner:
         self.obj_info: dict[str, dict[str, dict]] = {
             "analyzers": {}, "params": {}, "buckets": {}, "sequences": {},
             "tables": {}}
+        # REFERENCE-declared fields: table → [(field, target table|None)]
+        # and COMPUTED <~ fields: table → {field: [(ref_table, ref_field)]}
+        # (define/field.rs reference tracking; scan/reference.rs)
+        self.ref_fields: dict[str, list] = {}
+        self.computed_fields: dict[str, dict] = {}
         # record::is_edge / record::exists resolve ids through this runner's
         # database (driver-side point read, fnc/record.rs)
         from surrealdb_spark.functions.misc_fns import set_record_provider
@@ -1472,8 +1481,184 @@ class StatementRunner:
             return rows
         from surrealdb_spark.sql.parser import parse_expr
 
-        col = self._expr(parse_expr(src), binds)
+        ast = parse_expr(src)
+        if ast[0] == "refscan_on":
+            return self._refscan_on(ast, binds)
+        if ast[0] == "path" and ast[1][0] in ("lit", "ulit") \
+                and isinstance(ast[1][1], str) and ":" in str(ast[1][1]):
+            got = self._walk_record_path(str(ast[1][1]), ast[2])
+            if got is not _PATH_MISS:
+                return got
+        col = self._expr(ast, binds)
         return self.spark.range(1).select(col.alias("v")).first()["v"]
+
+    def _walk_record_path(self, rid: str, parts):
+        """`rid.field.*.…` — driver-side idiom walk with record
+        dereference (value/idiom.rs over Thing values).  Returns
+        _PATH_MISS when a part form isn't supported here."""
+        from surrealdb_spark.functions.misc_fns import _lookup_record
+
+        def deref(v):
+            if isinstance(v, str) and ":" in v:
+                rec = _lookup_record(v)
+                if rec is not None and v.partition(":")[0] in \
+                        self.computed_fields:
+                    # computed columns apply at read
+                    full = [r.asDict(recursive=True) for r in
+                            self._with_computed(
+                                v.partition(":")[0],
+                                self.db.table(v.partition(":")[0]))
+                            .filter(F.col("id") == v).limit(1).collect()]
+                    rec = full[0] if full else rec
+                return rec if rec is not None else v
+            return v
+
+        cur: object = rid
+        for p in parts:
+            k = p[0]
+            if k == "field":
+                cur = deref(cur)
+                if isinstance(cur, list):
+                    cur = [x.get(p[1]) if isinstance(x, dict) else None
+                           for x in (deref(e) for e in cur)]
+                elif isinstance(cur, dict):
+                    cur = cur.get(p[1])
+                else:
+                    return _PATH_MISS
+            elif k == "all":
+                cur = deref(cur)
+                if isinstance(cur, list):
+                    cur = [deref(x) for x in cur]
+                elif not isinstance(cur, dict):
+                    return _PATH_MISS
+            elif k == "index":
+                if not isinstance(cur, list):
+                    return _PATH_MISS
+                cur = cur[p[1]] if -len(cur) <= p[1] < len(cur) else None
+            elif k == "optional":
+                if cur is None:
+                    return None
+            else:
+                return _PATH_MISS
+        return cur
+
+    def _refscan_on(self, ast, binds: dict):
+        """`rid<~(table FIELD f)` — ids of records referencing rid
+        (scan/reference.rs:48), driver-evaluated in statement scope."""
+        lhs = ast[1]
+        rid = lhs[1] if lhs[0] in ("lit", "ulit") else None
+        if rid is None and lhs[0] == "param":
+            v = binds.get(lhs[1])
+            rid = v.get("id") if isinstance(v, dict) else v
+        if rid is None:
+            raise ValueError("<~ needs a record id receiver")
+        entries = ast[2]
+        if isinstance(entries, tuple) and entries[0] == "refquery":
+            return self._refquery(str(rid), entries[1])
+        out: list = []
+        for rt, rf in entries:
+            rf2 = rf or self._infer_ref_field(rt, str(rid).partition(":")[0])
+            if rf2 is None or not self.db._exists(rt):
+                continue
+            r = self.db.table(rt)
+            if rf2 not in r.columns:
+                continue
+            if dict(r.dtypes)[rf2].startswith("array"):
+                cond = F.array_contains(F.col(rf2).cast("array<string>"),
+                                        str(rid))
+            else:
+                cond = F.col(rf2).cast("string") == str(rid)
+            rows = (r.filter(cond)
+                    .select(F.col("id").cast("string")).collect())
+            out += [x[0] for x in rows]
+        return sorted(out)
+
+    def _refquery(self, rid: str, raw: str):
+        """`rid<~(SELECT ... FROM tb FIELD f ...)` / `rid<~(tb FIELD f
+        WHERE ...)` — rewrite to a SELECT with `f = rid` injected into the
+        WHERE clause, run it, return the rows (scan/reference.rs with
+        clauses)."""
+        import re as _re4
+
+        m = _re4.search(r"\bFIELD\s+(\w+)", raw, _re4.I)
+        if not m:
+            raise ValueError("<~(...) needs a FIELD clause")
+        fld = m.group(1)
+        q = raw[:m.start()] + raw[m.end():]
+        if not _re4.match(r"\s*SELECT\b", q, _re4.I):
+            # bare `tb [range] [WHERE ...]` → SELECT VALUE id
+            q = "SELECT VALUE id FROM " + q
+        cond = f"{fld} = {rid}"
+        mw = _re4.search(r"\bWHERE\b", q, _re4.I)
+        if mw:
+            tail = q[mw.end():]
+            mt = _re4.search(r"\b(ORDER|LIMIT|START|SPLIT|GROUP|FETCH)\b",
+                             tail, _re4.I)
+            wexpr = tail[:mt.start()] if mt else tail
+            rest = tail[mt.start():] if mt else ""
+            q = (q[:mw.end()] + f" {cond} AND ({wexpr.strip()}) " + rest)
+        else:
+            # inject before the first trailing clause keyword
+            mt = _re4.search(r"\b(ORDER|LIMIT|START|SPLIT|GROUP|FETCH)\b",
+                             q, _re4.I)
+            if mt:
+                q = q[:mt.start()] + f" WHERE {cond} " + q[mt.start():]
+            else:
+                q = q + f" WHERE {cond}"
+        df = self.run(q)
+        rows = [r.asDict(recursive=True) for r in df.limit(10_000).collect()]
+        if df.columns == ["value"]:
+            return [r["value"] for r in rows]
+        return rows
+
+    def _infer_ref_field(self, ref_table: str, target: str) -> str | None:
+        """Which REFERENCE field of ref_table points at target
+        (define/field.rs reference registry)."""
+        cands = self.ref_fields.get(ref_table, [])
+        for f_, tgt in cands:
+            if tgt == target:
+                return f_
+        return cands[0][0] if cands else None
+
+    def _with_computed(self, tbl: str, df: DataFrame) -> DataFrame:
+        """Attach COMPUTED `<~` reverse-reference columns at read time
+        (scan/reference.rs): one groupBy per referencing side, sorted
+        collected ids, left join on this table's id."""
+        specs = self.computed_fields.get(tbl, {})
+        for fname, entries in specs.items():
+            parts = []
+            for rt, rf in entries:
+                rf2 = rf or self._infer_ref_field(rt, tbl)
+                if rf2 is None or not self.db._exists(rt):
+                    continue
+                r = self.db.table(rt)
+                if rf2 not in r.columns:
+                    continue
+                if dict(r.dtypes)[rf2].startswith("array"):
+                    # array-of-records reference field → one row per target
+                    part = r.select(
+                        F.explode(F.col(rf2)).alias("__t"),
+                        F.col("id").cast("string").alias("__rid"),
+                    ).withColumn("__t", F.col("__t").cast("string"))
+                else:
+                    part = r.select(
+                        F.col(rf2).cast("string").alias("__t"),
+                        F.col("id").cast("string").alias("__rid"))
+                parts.append(part)
+            if not parts:
+                df = df.withColumn(fname, F.array().cast("array<string>"))
+                continue
+            allr = parts[0]
+            for o in parts[1:]:
+                allr = allr.unionByName(o)
+            agg = allr.groupBy("__t").agg(
+                F.array_sort(F.collect_list("__rid")).alias("__refs"))
+            df = (df.join(agg, df["id"] == agg["__t"], "left")
+                  .drop("__t")
+                  .withColumn(fname, F.coalesce(
+                      F.col("__refs"), F.array().cast("array<string>")))
+                  .drop("__refs"))
+        return df
 
     def _explain_select(self, sel) -> list:
         """SELECT ... EXPLAIN — the reference's plan description
@@ -1663,7 +1848,8 @@ class StatementRunner:
     def _refresh_catalog(self) -> None:
         for name in self.db.tables:
             if self.db._exists(name):
-                self.catalog.register(name, self.db.table(name))
+                self.catalog.register(
+                    name, self._with_computed(name, self.db.table(name)))
             else:
                 # defined-but-empty table: SELECTs see zero rows, not a
                 # missing-parquet error
@@ -1719,6 +1905,16 @@ class StatementRunner:
             self.table_meta.setdefault(stmt.table, {}).setdefault(
                 "fields", {})[stmt.name] = _render_field(
                     stmt.name, stmt.table, stmt)
+            if stmt.texts.get("reference"):
+                import re as _re3
+
+                m = _re3.search(r"record<\s*(\w+)", stmt.kind_text or "")
+                self.ref_fields.setdefault(stmt.table, []).append(
+                    (stmt.name, m.group(1) if m else None))
+            if stmt.computed is not None and stmt.computed[0] == "refscan":
+                self.computed_fields.setdefault(stmt.table, {})[
+                    stmt.name] = stmt.computed[1]
+                return None
             dtype = {"int": "bigint", "float": "double", "number": "double",
                      "string": "string", "bool": "boolean",
                      # 96-bit rust_decimal (types/src/value/number.rs:19-26)
@@ -2106,6 +2302,8 @@ class StatementRunner:
                 stmt.target, params,
             )
             out = self.db.create(stmt.target.table, rows)
+            if stmt.target.table in self.computed_fields:
+                out = self._with_computed(stmt.target.table, out)
             return self._ret(out, out, stmt.return_)
         if isinstance(stmt, InsertStmt):
             if stmt.select is not None:
@@ -2292,10 +2490,28 @@ class StatementRunner:
         types = types_of(self.db.table(tbl)) if self.db._exists(tbl) else {}
         kind, payload = data
         if kind == "set":
+            dtypes = (dict(self.db.table(tbl).dtypes)
+                      if self.db._exists(tbl) else {})
             out = {}
             for f_, op, ast in payload:
                 rhs = compile_expr(ast, params, types)
-                if op == "+=":
+                dt = dtypes.get(f_, "")
+                if op in ("+=", "-=") and dt.startswith("array"):
+                    # array fields: += appends, -= removes by value
+                    # (doc/data.rs Data::SetExpr on Array values)
+                    base = F.coalesce(F.col(f_), F.array().cast(dt))
+                    rhs = (F.array_append(base, rhs) if op == "+="
+                           else F.array_remove(base, rhs))
+                elif op in ("+=", "-=") and "months" in dt and "nanos" in dt:
+                    sign = 1 if op == "+=" else -1
+                    rhs = F.struct(
+                        (F.coalesce(F.col(f_).getField("months"), F.lit(0))
+                         + sign * rhs.getField("months")).cast("long")
+                        .alias("months"),
+                        (F.coalesce(F.col(f_).getField("nanos"), F.lit(0))
+                         + sign * rhs.getField("nanos")).cast("long")
+                        .alias("nanos"))
+                elif op == "+=":
                     rhs = F.coalesce(F.col(f_), F.lit(0)) + rhs
                 elif op == "-=":
                     rhs = F.coalesce(F.col(f_), F.lit(0)) - rhs
@@ -2328,9 +2544,30 @@ class StatementRunner:
         from surrealdb_spark.sql.compiler import compile_expr
 
         rhs = compile_expr(ast, params)
+        dtype = dict(df.dtypes).get(f_, "")
+        if op == "+=" and "months" in dtype and "nanos" in dtype:
+            # duration field arithmetic (val/duration.rs Add)
+            return F.struct(
+                (F.coalesce(F.col(f_).getField("months"), F.lit(0))
+                 + rhs.getField("months")).cast("long").alias("months"),
+                (F.coalesce(F.col(f_).getField("nanos"), F.lit(0))
+                 + rhs.getField("nanos")).cast("long").alias("nanos"))
+        if op == "-=" and "months" in dtype and "nanos" in dtype:
+            return F.struct(
+                (F.coalesce(F.col(f_).getField("months"), F.lit(0))
+                 - rhs.getField("months")).cast("long").alias("months"),
+                (F.coalesce(F.col(f_).getField("nanos"), F.lit(0))
+                 - rhs.getField("nanos")).cast("long").alias("nanos"))
         if op == "+=":
+            if dtype.startswith("array"):
+                # += on an array field appends (doc/data.rs Data::SetExpr)
+                return F.array_append(F.coalesce(
+                    F.col(f_), F.array().cast(dtype)), rhs)
             return F.coalesce(F.col(f_), F.lit(0)) + rhs
         if op == "-=":
+            if dtype.startswith("array"):
+                return F.array_remove(F.coalesce(
+                    F.col(f_), F.array().cast(dtype)), rhs)
             return F.coalesce(F.col(f_), F.lit(0)) - rhs
         return rhs
 
