@@ -20,7 +20,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from surrealdb_spark.catalog import Catalog
-from surrealdb_spark.dml import Database, FieldDef, TableDef
+from surrealdb_spark.dml import (Database, FieldDef, MutationError,
+                                 TableDef)
 from surrealdb_spark.functions.geometry import GEOM_T as _GEOM_T
 from surrealdb_spark.sql.parser import Parser, Select, _parse_select_body
 
@@ -806,7 +807,8 @@ def _parse_statement_body(p: Parser):
                     st.flexible = True
                 elif p.eat_word("REFERENCE"):
                     # REFERENCE [ON DELETE CASCADE|IGNORE|UNSET|REJECT|
-                    # THEN <expr>] (define/field.rs reference tracking)
+                    # THEN <expr>] (define/field.rs reference tracking;
+                    # expr/reference.rs delete strategies)
                     st.texts["reference"] = True
                     if "." in name or "*" in name:
                         raise SyntaxError(
@@ -819,8 +821,9 @@ def _parse_statement_body(p: Parser):
                     if p.eat("kw", "ON"):
                         p.next()  # DELETE
                         act = p.next()
+                        st.texts["on_delete"] = act.text.upper()
                         if act.text.upper() == "THEN":
-                            p.expr(0)
+                            st.texts["on_delete_then"] = _raw_expr_text(p)
                 elif p.eat("kw", "PERMISSIONS"):
                     _skip_permissions(p)
                 elif p.eat_word("COMMENT"):
@@ -1394,6 +1397,24 @@ class StatementRunner:
                 t = d.get("nanos", 0) + d.get("months", 0)
             if not t:
                 raise ValueError("query timed out (TIMEOUT 0)")
+        if isinstance(stmt, Select) and stmt.fields and any(
+                f.expr[0] == "refscan" for f in stmt.fields):
+            # SELECT *, <~post AS posts — reverse-reference projections
+            # attach after the base compile (scan/reference.rs projection)
+            from dataclasses import replace as _replace2
+
+            refs = [(f.alias or "refs", f.expr[1])
+                    for f in stmt.fields if f.expr[0] == "refscan"]
+            rest = [f for f in stmt.fields if f.expr[0] != "refscan"]
+            base = _replace2(stmt, fields=rest or None)
+            df = self.run_select(base, params)
+            tbl = stmt.sources[0] if stmt.sources and isinstance(
+                stmt.sources[0], str) else None
+            for alias, entries in refs:
+                if isinstance(entries, tuple) and entries[0] == "refquery":
+                    raise ValueError("refquery projections unsupported")
+                df = self._attach_refs(df, tbl, entries, alias)
+            return df
         if isinstance(stmt, Select) and stmt.explain:
             return self._explain_select(stmt)
         if isinstance(stmt, list):
@@ -1405,27 +1426,32 @@ class StatementRunner:
                 out = out.unionByName(o, allowMissingColumns=True)
             return out
         if isinstance(stmt, Select):
-            self._refresh_catalog()
-            if stmt.version is not None:
-                # VERSION clause: re-register db-backed sources as their
-                # snapshot state at that instant (version_scope.rs:25)
-                v = self.spark.range(1).select(
-                    self._expr(stmt.version, params).alias("v")
-                ).first()["v"]
-                import datetime as _dt
-
-                if isinstance(v, _dt.datetime):
-                    if v.tzinfo is None:
-                        v = v.replace(tzinfo=_dt.timezone.utc)
-                    ms = int(v.timestamp() * 1000)
-                else:
-                    ms = int(v)
-                for tbl in stmt.sources:
-                    if tbl in self.db.tables and self.db._exists(tbl):
-                        self.catalog.register(tbl, self.db.table_at(tbl, ms))
-            return compile_select(self.spark, stmt, catalog=self.catalog,
-                                  params=params)
+            return self.run_select(stmt, params)
         return self._execute(stmt, params)
+
+    def run_select(self, stmt, params: dict):
+        from surrealdb_spark.sql.compiler import compile_select
+
+        self._refresh_catalog()
+        if stmt.version is not None:
+            # VERSION clause: re-register db-backed sources as their
+            # snapshot state at that instant (version_scope.rs:25)
+            v = self.spark.range(1).select(
+                self._expr(stmt.version, params).alias("v")
+            ).first()["v"]
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                ms = int(v.timestamp() * 1000)
+            else:
+                ms = int(v)
+            for tbl in stmt.sources:
+                if tbl in self.db.tables and self.db._exists(tbl):
+                    self.catalog.register(tbl, self.db.table_at(tbl, ms))
+        return compile_select(self.spark, stmt, catalog=self.catalog,
+                              params=params)
 
     def run_block(self, body: str, params: dict | None = None):
         """Inner statements of a `{ ... }` block, sequentially, with a
@@ -1615,10 +1641,10 @@ class StatementRunner:
         """Which REFERENCE field of ref_table points at target
         (define/field.rs reference registry)."""
         cands = self.ref_fields.get(ref_table, [])
-        for f_, tgt in cands:
-            if tgt == target:
-                return f_
-        return cands[0][0] if cands else None
+        for e in cands:
+            if e["target"] == target:
+                return e["field"]
+        return cands[0]["field"] if cands else None
 
     def _with_computed(self, tbl: str, df: DataFrame) -> DataFrame:
         """Attach COMPUTED `<~` reverse-reference columns at read time
@@ -1626,39 +1652,110 @@ class StatementRunner:
         collected ids, left join on this table's id."""
         specs = self.computed_fields.get(tbl, {})
         for fname, entries in specs.items():
-            parts = []
-            for rt, rf in entries:
-                rf2 = rf or self._infer_ref_field(rt, tbl)
-                if rf2 is None or not self.db._exists(rt):
-                    continue
-                r = self.db.table(rt)
-                if rf2 not in r.columns:
-                    continue
-                if dict(r.dtypes)[rf2].startswith("array"):
-                    # array-of-records reference field → one row per target
-                    part = r.select(
-                        F.explode(F.col(rf2)).alias("__t"),
-                        F.col("id").cast("string").alias("__rid"),
-                    ).withColumn("__t", F.col("__t").cast("string"))
-                else:
-                    part = r.select(
-                        F.col(rf2).cast("string").alias("__t"),
-                        F.col("id").cast("string").alias("__rid"))
-                parts.append(part)
-            if not parts:
-                df = df.withColumn(fname, F.array().cast("array<string>"))
-                continue
-            allr = parts[0]
-            for o in parts[1:]:
-                allr = allr.unionByName(o)
-            agg = allr.groupBy("__t").agg(
-                F.array_sort(F.collect_list("__rid")).alias("__refs"))
-            df = (df.join(agg, df["id"] == agg["__t"], "left")
-                  .drop("__t")
-                  .withColumn(fname, F.coalesce(
-                      F.col("__refs"), F.array().cast("array<string>")))
-                  .drop("__refs"))
+            df = self._attach_refs(df, tbl, entries, fname)
         return df
+
+    def _apply_on_delete(self, tbl: str, where) -> None:
+        """Enforce REFERENCE ON DELETE strategies before records vanish
+        (expr/reference.rs ReferenceDeleteStrategy; doomed set is driver-
+        bounded — reference enforcement is OLTP-scoped)."""
+        if not self.db._exists(tbl):
+            return
+        refs = [(rt, e) for rt, lst in self.ref_fields.items()
+                for e in lst if e["target"] in (tbl, None)]
+        if not refs:
+            return
+        cond = where if where is not None else F.lit(True)
+        doomed = [r[0] for r in self.db.table(tbl)
+                  .filter(cond).select("id").limit(10_000).collect()]
+        if not doomed:
+            return
+        for rt, e in refs:
+            if not self.db._exists(rt):
+                continue
+            r = self.db.table(rt)
+            fld = e["field"]
+            if fld not in r.columns:
+                continue
+            is_arr = dict(r.dtypes)[fld].startswith("array")
+            if is_arr:
+                hit = F.arrays_overlap(F.col(fld).cast("array<string>"),
+                                       F.array(*[F.lit(d) for d in doomed]))
+            else:
+                hit = F.col(fld).cast("string").isin(doomed)
+            act = e["action"]
+            if act == "IGNORE":
+                continue
+            if act == "REJECT":
+                n = r.filter(F.coalesce(hit, F.lit(False))).count()
+                if n:
+                    raise MutationError(
+                        f"cannot delete: {n} record(s) in '{rt}' still "
+                        f"reference '{tbl}' via {fld} (ON DELETE REJECT)")
+            elif act == "CASCADE":
+                self.db.delete(rt, F.coalesce(hit, F.lit(False)))
+            elif act == "UNSET":
+                if is_arr:
+                    rm = F.filter(
+                        F.col(fld),
+                        lambda x: ~x.cast("string").isin(doomed))
+                    self.db.update(rt, {fld: rm},
+                                   F.coalesce(hit, F.lit(False)))
+                else:
+                    self.db.update(rt, {fld: F.lit(None)},
+                                   F.coalesce(hit, F.lit(False)))
+            elif act == "THEN" and e.get("then"):
+                rows = (r.filter(F.coalesce(hit, F.lit(False)))
+                        .limit(10_000).collect())
+                then_txt = e["then"].strip()
+                if then_txt.startswith("(") and then_txt.endswith(")"):
+                    then_txt = then_txt[1:-1]
+                for row in rows:
+                    d = row.asDict(recursive=True)
+                    for did in doomed:
+                        self.run(then_txt,
+                                 params={"this": d, "reference": did})
+        return
+
+    def _ref_agg(self, target_tbl: str, entries):
+        """(__t, __refs) frame: target id → sorted referencing ids."""
+        parts = []
+        for rt, rf in entries:
+            rf2 = rf or self._infer_ref_field(rt, target_tbl)
+            if rf2 is None or not self.db._exists(rt):
+                continue
+            r = self.db.table(rt)
+            if rf2 not in r.columns:
+                continue
+            if dict(r.dtypes)[rf2].startswith("array"):
+                # array-of-records reference field → one row per target
+                part = r.select(
+                    F.explode(F.col(rf2)).alias("__t"),
+                    F.col("id").cast("string").alias("__rid"),
+                ).withColumn("__t", F.col("__t").cast("string"))
+            else:
+                part = r.select(
+                    F.col(rf2).cast("string").alias("__t"),
+                    F.col("id").cast("string").alias("__rid"))
+            parts.append(part)
+        if not parts:
+            return None
+        allr = parts[0]
+        for o in parts[1:]:
+            allr = allr.unionByName(o)
+        return allr.groupBy("__t").agg(
+            F.array_sort(F.collect_list("__rid")).alias("__refs"))
+
+    def _attach_refs(self, df: DataFrame, tbl: str, entries,
+                     fname: str) -> DataFrame:
+        agg = self._ref_agg(tbl, entries)
+        if agg is None:
+            return df.withColumn(fname, F.array().cast("array<string>"))
+        return (df.join(agg, df["id"] == agg["__t"], "left")
+                .drop("__t")
+                .withColumn(fname, F.coalesce(
+                    F.col("__refs"), F.array().cast("array<string>")))
+                .drop("__refs"))
 
     def _explain_select(self, sel) -> list:
         """SELECT ... EXPLAIN — the reference's plan description
@@ -1909,8 +2006,14 @@ class StatementRunner:
                 import re as _re3
 
                 m = _re3.search(r"record<\s*(\w+)", stmt.kind_text or "")
-                self.ref_fields.setdefault(stmt.table, []).append(
-                    (stmt.name, m.group(1) if m else None))
+                lst = self.ref_fields.setdefault(stmt.table, [])
+                lst[:] = [e for e in lst if e["field"] != stmt.name]
+                lst.append({
+                    "field": stmt.name,
+                    "target": m.group(1) if m else None,
+                    "action": stmt.texts.get("on_delete", "REJECT"),
+                    "then": stmt.texts.get("on_delete_then"),
+                })
             if stmt.computed is not None and stmt.computed[0] == "refscan":
                 self.computed_fields.setdefault(stmt.table, {})[
                     stmt.name] = stmt.computed[1]
@@ -1926,8 +2029,10 @@ class StatementRunner:
                      "geometry": _GEOM_T, "point": _GEOM_T,
                      # record ids / uuids are strings in this engine
                      "record": "string", "uuid": "string",
-                     # dynamic kinds: no cast (schemaless column)
+                     # dynamic/container kinds: no cast (schemaless column;
+                     # element kinds live in the written values)
                      "any": None, "option": None, "object": None,
+                     "array": None, "set": None, "references": None,
                      "datetime": "timestamp"}.get(stmt.dtype, stmt.dtype)
             default = None
             if stmt.default is not None:
@@ -2354,6 +2459,7 @@ class StatementRunner:
         if isinstance(stmt, DeleteStmt):
             tbl = stmt.target.table
             where = self._where(stmt.target, stmt.where, tbl, params)
+            self._apply_on_delete(tbl, where)
             ret = stmt.return_
             if isinstance(ret, tuple):
                 cap = {}
@@ -2418,9 +2524,12 @@ class StatementRunner:
         if kind == "set":
             out = {}
             for f_, op, ast in payload:
-                if op != "=":
-                    raise ValueError("+=/-= need an existing record (use UPDATE)")
-                out[f_] = self._scalar(ast, params)
+                v = self._scalar(ast, params)
+                if op == "-=" and isinstance(v, (int, float)):
+                    # compound ops against an absent record start from the
+                    # zero value (upsert.rs create path)
+                    v = -v
+                out[f_] = v
             return out
         raise ValueError(f"{kind.upper()} not valid here")
 
