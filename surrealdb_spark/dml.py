@@ -330,7 +330,10 @@ class Database:
         if not self._exists(tbl):
             # UPDATE only touches existing records (update.rs; UPSERT is
             # the create-if-absent verb) — empty table is a no-op
-            return self.spark.createDataFrame([], "id string")
+            empty = self.spark.createDataFrame([], "id string")
+            if capture is not None:
+                capture["before"], capture["after"] = empty, empty
+            return empty
         current = self.table(tbl)
         cond = where if where is not None else F.lit(True)
         before = current.filter(cond).localCheckpoint(eager=True)
@@ -382,7 +385,10 @@ class Database:
         td = self.tables[tbl]
         if not self._exists(tbl):
             # deleting from an empty table is a no-op (doc/delete.rs)
-            return self.spark.createDataFrame([], "id string")
+            empty = self.spark.createDataFrame([], "id string")
+            if capture is not None:
+                capture["before"] = empty
+            return empty
         current = self.table(tbl)
         cond = where if where is not None else F.lit(True)
         doomed = current.filter(cond).localCheckpoint(eager=True)

@@ -477,10 +477,24 @@ def _truthy_col(col: Column, cat: str | None) -> Column:
         return O.truthy_string(col)
     if cat == "array":
         return O.truthy_array(col)
-    # unknown static type: generic runtime truthiness over the string form
-    # (false/zero/empty containers are falsy — Value::is_truthy)
+    # unknown static type: branch on the runtime Spark type (constant per
+    # column, so Catalyst folds to the one live branch). The false/0
+    # mapping only applies to genuinely boolean/numeric columns; string
+    # columns follow Value::is_truthy (val/mod.rs:152) — any non-empty
+    # string, including "false"/"0", is truthy.
+    t = F.call_function("typeof", col)
     s = col.cast("string")
-    return col.isNotNull() & ~s.isin("false", "0", "0.0", "", "[]", "{}")
+    falsy = (
+        F.when(t == "boolean", s == "false")
+        .when(
+            t.isin("tinyint", "smallint", "int", "bigint", "float",
+                   "double") | t.startswith("decimal"),
+            F.coalesce(s.try_cast("double") == 0, F.lit(False)),
+        )
+        .when(t == "string", s == "")
+        .otherwise(s.isin("[]", "{}"))
+    )
+    return col.isNotNull() & ~F.coalesce(falsy, F.lit(False))
 
 
 def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> Column:

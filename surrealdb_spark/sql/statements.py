@@ -387,19 +387,6 @@ def _ast_mentions_field(ast, name: str) -> bool:
         return any(p[0] == "field" and p[1] == name for p in ast[2])
     return any(_ast_mentions_field(x, name) for x in ast
                if isinstance(x, (tuple, list)))
-    """Consume a PERMISSIONS clause without interpreting it
-    (define/field.rs; enforcement is table-level at scan resolution)."""
-    if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
-        return
-    while p.eat("kw", "FOR"):
-        while True:
-            p.next()  # verb
-            if not p.eat("op", ","):
-                break
-        if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
-            continue
-        p.expect("kw", "WHERE")
-        p.expr(0)
 
 
 def _surql_literal(v) -> str:
@@ -1471,7 +1458,8 @@ class StatementRunner:
                               _re.I | _re.S)
                 binds[m.group(1)] = self._scalar_text(m.group(2), binds)
             elif w == "RETURN":
-                self._scalar_text(head[1], binds)
+                # RETURN sets the block value and exits (expr/block.rs)
+                return self._scalar_text(head[1], binds)
             else:
                 out = self.run(inner, params=binds)
         return out
@@ -2011,7 +1999,9 @@ class StatementRunner:
                 lst.append({
                     "field": stmt.name,
                     "target": m.group(1) if m else None,
-                    "action": stmt.texts.get("on_delete", "REJECT"),
+                    # bare REFERENCE defaults to IGNORE on delete
+                    # (syn/parser/stmt/parts.rs:497)
+                    "action": stmt.texts.get("on_delete", "IGNORE"),
                     "then": stmt.texts.get("on_delete_then"),
                 })
             if stmt.computed is not None and stmt.computed[0] == "refscan":

@@ -115,3 +115,67 @@ def test_unique_enforced_on_upsert_update(spark, udb):
             "user",
             spark.createDataFrame([("user:2", "a@x.io")], "id string, email string"),
         )
+
+
+# ---- round-5 ADVICE fixes ------------------------------------------------
+
+
+def test_reference_on_delete_defaults_to_ignore(spark, tmp_path):
+    """Bare REFERENCE must default ON DELETE to IGNORE
+    (syn/parser/stmt/parts.rs:497), not REJECT."""
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, str(tmp_path))
+    r = StatementRunner(spark, db)
+    r.run("DEFINE TABLE author")
+    r.run("DEFINE TABLE book")
+    r.run("DEFINE FIELD wrote ON author TYPE option<record<book>> REFERENCE")
+    r.run("CREATE book:1 SET title = 'b'")
+    r.run("CREATE author:1 SET wrote = book:1")
+    # with IGNORE default this delete succeeds silently
+    r.run("DELETE book:1")
+    assert db.table("book").count() == 0
+
+
+def test_block_returns_return_value(spark, tmp_path):
+    """{ LET $x = 1; RETURN $x } must yield 1 (expr/block.rs)."""
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, str(tmp_path))
+    r = StatementRunner(spark, db)
+    assert r.run_block("LET $x = 1; RETURN $x") == 1
+    # RETURN exits early — trailing statements don't override it
+    assert r.run_block("LET $x = 2; RETURN $x; RETURN 99") == 2
+
+
+def test_delete_return_value_on_undefined_table(spark, tmp_path):
+    """DEFINE TABLE t; DELETE t RETURN VALUE id must not crash on the
+    empty-table early-return path (dml.py capture population)."""
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, str(tmp_path))
+    r = StatementRunner(spark, db)
+    r.run("DEFINE TABLE t")
+    out = r.run("DELETE t RETURN VALUE id")
+    assert out is None or out.count() == 0
+    out2 = r.run("UPDATE t SET x = 1 RETURN VALUE id")
+    assert out2 is None or out2.count() == 0
+
+
+def test_unknown_type_truthiness_nonempty_string_truthy(spark):
+    """Value::is_truthy (val/mod.rs:152): any non-empty string is truthy,
+    including 'false' and '0'; empty string is falsy."""
+    from surrealdb_spark.sql.compiler import _truthy_col
+
+    df = spark.createDataFrame(
+        [("false",), ("0",), ("0.0",), ("",), ("x",), (None,)], "v string"
+    )
+    got = [r[0] for r in df.select(_truthy_col(F.col("v"), None)).collect()]
+    assert got == [True, True, True, False, True, False]
+    # genuinely numeric/boolean runtime types still map 0/false → falsy
+    dfn = spark.createDataFrame([(0,), (7,), (None,)], "v bigint")
+    gotn = [r[0] for r in dfn.select(_truthy_col(F.col("v"), None)).collect()]
+    assert gotn == [False, True, False]
+    dfb = spark.createDataFrame([(False,), (True,)], "v boolean")
+    gotb = [r[0] for r in dfb.select(_truthy_col(F.col("v"), None)).collect()]
+    assert gotb == [False, True]
