@@ -19,6 +19,7 @@ statements still get results.
 from __future__ import annotations
 
 import math
+import os
 import re
 import tomllib
 from dataclasses import dataclass, field
@@ -329,8 +330,132 @@ def _auto_define(db, s: str) -> None:
             db.define_table(TableDef(tbl))
 
 
+# -- [env] imports support ---------------------------------------------------
+#
+# Reference test files may declare `[env] imports = [...]` — .surql files
+# (datasets, harness functions, permission fixtures) that run BEFORE the
+# test statements, against the same database (language-tests/src/cli/run.rs
+# import handling).  Data-heavy datasets (graph.surql: 46 CREATE +
+# 63 RELATE) are materialized ONCE per session into a cached parquet
+# directory; read-only test files share it, mutating ones get a copytree
+# clone.  DDL (DEFINE ...) is replayed per-file into the fresh
+# StatementRunner — it is metadata-only and restores ref_fields /
+# table_meta / functions that live on the runner, not on disk.
+
+_DS_CACHE: dict[str, dict] = {}
+
+_MUTATING_RE = re.compile(
+    r"\b(CREATE|INSERT|UPDATE|UPSERT|DELETE|RELATE|REMOVE|ALTER|REBUILD"
+    r"|DEFINE)\b", re.I)
+
+
+def _resolve_import(test_path: str, imp: str) -> str:
+    from pathlib import Path
+
+    p = Path(test_path).resolve()
+    if imp.startswith("./"):
+        return str((p.parent / imp[2:]).resolve())
+    for anc in p.parents:
+        if anc.name == "tests" and anc.parent.name == "language-tests":
+            return str(anc / imp)
+    return str(p.parent / imp)
+
+
+def _import_statements(path: str) -> list[str]:
+    """Statements of an imported file, with a single top-level `{ ... }`
+    wrapper block flattened (datasets wrap their whole body in one)."""
+    _, stmts = parse_test_file(open(path).read())
+    out: list[str] = []
+    for s in stmts:
+        st = s.strip()
+        if st.startswith("{") and st.endswith("}"):
+            out.extend(x for x in split_statements(st[1:-1]) if x.strip())
+        else:
+            out.append(st)
+    return out
+
+
+def _materialize_dataset(spark: SparkSession, ds_path: str) -> dict:
+    """Run a data-heavy import once; cache its parquet root + statements."""
+    entry = _DS_CACHE.get(ds_path)
+    if entry is not None:
+        return entry
+    import tempfile
+
+    from surrealdb_spark.dml import Database
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    stmts = _import_statements(ds_path)
+    n_data = sum(1 for s in stmts if _stmt_word(s) in
+                 ("CREATE", "INSERT", "RELATE", "UPDATE", "UPSERT"))
+    entry = {"stmts": stmts, "heavy": n_data > 5, "root": None,
+             "ddl": [s for s in stmts if _stmt_word(s) in
+                     ("DEFINE", "REMOVE", "ALTER", "REBUILD")]}
+    if entry["heavy"]:
+        root = tempfile.mkdtemp(prefix="golden_ds_")
+        db = Database(spark, root)
+        runner = StatementRunner(spark, db)
+        for s in stmts:
+            if _stmt_word(s) == "RETURN":  # trailing `RETURN NONE;`
+                continue
+            _auto_define(db, s)
+            runner.run(s)
+        entry["root"] = root
+    _DS_CACHE[ds_path] = entry
+    return entry
+
+
+def _attach_tables(db, root: str) -> None:
+    """Register every on-disk table dir of a materialized dataset (the
+    dataset may have created tables — incl. RELATE edge tables — without
+    DEFINE)."""
+    from surrealdb_spark.dml import TableDef
+
+    for name in sorted(os.listdir(root)):
+        if os.path.isdir(os.path.join(root, name, "data")) \
+                and name not in db.tables:
+            db.define_table(TableDef(name))
+
+
+def _prepare_imports(spark: SparkSession, test_path: str,
+                     imports: list[str], test_stmts: list[str]):
+    """Build the (db, runner) pair a test file's imports require."""
+    import shutil
+    import tempfile
+
+    from surrealdb_spark.dml import Database
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    entries = [(_resolve_import(test_path, i),) for i in imports]
+    heavy = [e[0] for e in entries
+             if _materialize_dataset(spark, e[0])["heavy"]]
+    mutates = any(_MUTATING_RE.search(s) for s in test_stmts)
+    if heavy:
+        src = _materialize_dataset(spark, heavy[0])["root"]
+        if mutates:
+            root = tempfile.mkdtemp(prefix="golden_mut_")
+            shutil.rmtree(root)
+            shutil.copytree(src, root)
+        else:
+            root = src
+    else:
+        root = tempfile.mkdtemp(prefix="golden_")
+    db = Database(spark, root)
+    _attach_tables(db, root)
+    runner = StatementRunner(spark, db)
+    for ds_path, in entries:
+        entry = _materialize_dataset(spark, ds_path)
+        # heavy datasets: data already on disk, replay metadata-only DDL;
+        # light imports (harness fns, DEFINE PARAM fixtures): replay all
+        for s in (entry["ddl"] if entry["heavy"] else entry["stmts"]):
+            _auto_define(db, s)
+            runner.run(s)
+    return db, runner
+
+
 def _run_statement_file(spark: SparkSession, stmts: list[str],
-                        fr: "FileResult", expected: list) -> "FileResult":
+                        fr: "FileResult", expected: list,
+                        db=None, runner=None) -> "FileResult":
     """Sequential mode for files containing DML/DDL statements: each
     statement runs in order against a throwaway Database through
     StatementRunner; SELECT-style outputs become arrays of objects."""
@@ -339,8 +464,10 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
     from surrealdb_spark.dml import Database, TableDef
     from surrealdb_spark.sql.statements import StatementRunner
 
-    db = Database(spark, tempfile.mkdtemp(prefix="golden_"))
-    runner = StatementRunner(spark, db)
+    if db is None:
+        db = Database(spark, tempfile.mkdtemp(prefix="golden_"))
+    if runner is None:
+        runner = StatementRunner(spark, db)
     script = None  # lazy ScriptRunner for FOR/IF/THROW statements
     bindings: dict = {}
     for s, e in zip(stmts, expected):
@@ -481,9 +608,6 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     if test.get("wip"):
         fr.skipped = "wip"
         return fr
-    if env.get("imports"):
-        fr.skipped = "imports"
-        return fr
     raw = test.get("results", [])
     expected = []
     for r in raw:
@@ -496,6 +620,15 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     if not expected or len(expected) != len(stmts):
         fr.skipped = f"results/statements mismatch ({len(expected)}/{len(stmts)})"
         return fr
+    if env.get("imports"):
+        # imported state (datasets / harness fns) → always sequential mode
+        try:
+            db, runner = _prepare_imports(spark, path, env["imports"], stmts)
+        except Exception as exc:
+            fr.skipped = f"imports failed: {exc!r:.200}"
+            return fr
+        return _run_statement_file(spark, stmts, fr, expected,
+                                   db=db, runner=runner)
     if any(_stmt_word(s) in _STMT_WORDS or _stmt_word(s) in ("FOR", "THROW")
            for s in stmts):
         return _run_statement_file(spark, stmts, fr, expected)

@@ -2539,18 +2539,32 @@ class StatementRunner:
             rows.append(d)
         keys = sorted({k for d in rows for k in d})
         data = [{k: d.get(k) for k in keys} for d in rows]
-        all_none = [k for k in keys
-                    if all(d.get(k) is None for d in data)]
-        if all_none:
-            # NONE-valued fields need an explicit type for inference —
-            # string is the schemaless default (absent ≡ NULL)
+
+        def _forced_type(vals):
+            """Explicit type for fields inference can't determine: all-NONE
+            → string (schemaless default, absent ≡ NULL); all empty
+            arrays/objects → array<string>/map (CREATE t SET xs = [])."""
+            from pyspark.sql import types as T
+
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                return T.StringType()
+            if all(isinstance(v, list) and not v for v in vals):
+                return T.ArrayType(T.StringType())
+            if all(isinstance(v, dict) and not v for v in vals):
+                return T.MapType(T.StringType(), T.StringType())
+            return None
+
+        forced = {k: t for k in keys
+                  if (t := _forced_type([d.get(k) for d in data])) is not None}
+        if forced:
             from pyspark.sql import types as T
 
             sample = self.spark.createDataFrame(
-                [{k: v for k, v in d.items() if k not in all_none}
-                 for d in data]) if len(all_none) < len(keys) else None
+                [{k: v for k, v in d.items() if k not in forced}
+                 for d in data]) if len(forced) < len(keys) else None
             fields = list(sample.schema.fields) if sample is not None else []
-            fields += [T.StructField(k, T.StringType()) for k in all_none]
+            fields += [T.StructField(k, t) for k, t in forced.items()]
             schema = T.StructType(sorted(fields, key=lambda f: f.name))
             return self.spark.createDataFrame(
                 [tuple(d[f.name] for f in schema.fields) for d in data],
