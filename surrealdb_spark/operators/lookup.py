@@ -1,0 +1,539 @@
+"""Graph-lookup attach engine: join-based multi-hop traversal columns.
+
+Reference semantics (surrealdb/surrealdb):
+  - each ``->seg`` / ``<-seg`` / ``<->seg`` is ONE Lookup part applied to
+    the current value (core/src/expr/lookup.rs; exec chains one
+    GraphEdgeScan per segment, core/src/exec/operators/scan/graph.rs:43);
+  - applied to a *record*, a segment scans that record's graph keys —
+    output order is the KV key order ``(dir, edge_table, edge_key)`` with
+    In before Out for ``<->`` (core/src/key/graph/mod.rs:124-137: fields
+    eg, ft, fk);
+  - applied to an *edge record*, a segment reads the edge's pointer —
+    ``out`` for ``->``, ``in`` for ``<-``, both (in first) for ``<->`` —
+    filtered to the segment's table (scan/graph.rs:28-36 TargetId);
+  - duplicates are kept, per-source subquery clauses
+    ``->(tb WHERE .. ORDER .. LIMIT n)`` apply per source record.
+
+Spark mapping: the frontier is a DataFrame keyed by the source row's
+record id.  An edge segment is one equi-join against the edge table
+(broadcastable when small); a target segment is a pure projection on the
+joined edge row — zero extra joins.  Results re-nest per source row with
+``collect_list`` + ``array_sort`` over an accumulated KV-order key, so a
+pair ``->knows->person`` costs exactly one join + one aggregation.  At
+100 TB nothing touches the driver: per-source LIMIT/ORDER lower to a
+window over (source, path-prefix) and the KV-order key is a plain string
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SEP = "\x01"  # sorts below every printable char → correct (ft, fk) order
+
+
+def _rid_table(c: Column) -> Column:
+    return F.regexp_extract(c, "^([^:]*):", 1)
+
+
+def _rid_key(c: Column) -> Column:
+    return F.regexp_replace(c, "^[^:]*:", "")
+
+
+def _kv_key(c: Column) -> Column:
+    """Record-id key part, tagged so numeric keys order before strings
+    (types/src/value/record_id/key.rs ordering: Number < String)."""
+    k = _rid_key(c)
+    return F.when(
+        k.rlike("^[0-9]+$"), F.concat(F.lit("\x02"), F.lpad(k, 20, "0"))
+    ).otherwise(F.concat(F.lit("\x03"), k))
+
+
+def edge_table_names(cat) -> list[str]:
+    """Candidate edge tables for a `?` wildcard segment: RELATE-shaped
+    tables (in/out record-id columns — doc/relate.rs edge shape)."""
+    names = set(getattr(cat, "edge_names", ()) or ())
+    names |= set(getattr(cat, "edges", {}) or {})
+    return sorted(names)
+
+
+def edge_df(cat, name: str) -> DataFrame | None:
+    """Resolve an edge table by name; None when it isn't RELATE-shaped."""
+    df = None
+    if name in getattr(cat, "edges", {}):
+        df = cat.edges[name]
+    else:
+        try:
+            df = cat.table(name)
+        except Exception:
+            return None
+    if df is None or "in" not in df.columns or "out" not in df.columns:
+        return None
+    if "id" not in df.columns:
+        df = df.withColumn(
+            "id", F.concat(F.lit(name), F.lit(":"), F.md5(F.concat_ws("|", "in", "out")))
+        )
+    return df
+
+
+class LookupError_(ValueError):
+    """A lookup shape this engine doesn't support (falls back to error)."""
+
+
+def attach_lookups(spark: SparkSession, df: DataFrame, cat, specs: list,
+                   params: dict, compile_expr, types_of) -> DataFrame:
+    """Attach one hidden array column per lookup spec.
+
+    specs: list of ``(slot, base_ast, steps, mode)`` where steps is a list
+    of ``(dir, tables|None, opts)`` single lookups and mode is ``("id",)``,
+    ``("rows",)`` or ``("destructure", fields)``.
+    """
+    if "id" not in df.columns:
+        raise LookupError_("graph lookups need record sources (no id column)")
+    for spec in specs:
+        df = _attach_one(spark, df, cat, spec, params, compile_expr, types_of)
+    return df
+
+
+def _seed_col(base, params, compile_expr) -> Column:
+    if base == ("curr",) or base == ("ident", "id"):
+        return F.col("id")
+    return compile_expr(base, params, {})
+
+
+def _attach_one(spark, df, cat, spec, params, compile_expr, types_of):
+    slot, base, steps, mode = spec
+    fr = df.select(
+        F.col("id").alias("__rk"),
+        _seed_col(base, params, compile_expr).alias("__node"),
+        F.lit("").alias("__ord"),
+    )
+    state = "node"
+    last_tables = None
+    want_row_at = len(steps) - 1 if mode[0] != "id" else None
+    for i, (dirn, tables, opts) in enumerate(steps):
+        want_row = (i == want_row_at) or bool(
+            opts.get("fields") or opts.get("star") or opts.get("order")
+        )
+        if state == "node":
+            fr = _edge_segment(fr, cat, dirn, tables, opts, params,
+                               want_row, compile_expr, types_of)
+            state = "edge"
+        else:
+            fr = _target_segment(fr, cat, dirn, tables, opts, params,
+                                 want_row, compile_expr, types_of)
+            state = "node"
+        last_tables = tables
+    val, vtype_hint = _final_value(fr, cat, state, mode, steps[-1],
+                                   last_tables, params, compile_expr, types_of)
+    agg = (
+        fr.select("__rk", F.struct(F.col("__ord").alias("o"),
+                                   val.alias("v")).alias("__s"))
+        .groupBy("__rk")
+        .agg(F.transform(F.array_sort(F.collect_list("__s")),
+                         lambda x: x["v"]).alias(slot))
+    )
+    out = df.join(agg, df["id"] == agg["__rk"], "left").drop("__rk")
+    empty = F.array().cast(dict(agg.dtypes)[slot])
+    return out.withColumn(slot, F.coalesce(F.col(slot), empty))
+
+
+def _edge_segment(fr, cat, dirn, tables, opts, params, want_row,
+                  compile_expr, types_of):
+    """One node→edges hop: equi-join frontier against the edge table(s)."""
+    dirs = [("in", "0"), ("out", "1")] if dirn == "both" else [(dirn, "")]
+    names = tables if tables is not None else edge_table_names(cat)
+    hops = []
+    carry_cols: list[str] | None = None
+    for t in names:
+        e = edge_df(cat, t)
+        if e is None:
+            continue
+        if "where" in opts:
+            e = e.filter(_truthy_guard(
+                compile_expr(opts["where"], params, types_of(e))))
+        for d, rank in dirs:
+            here = "in" if d == "out" else "out"
+            sel = [
+                F.col("id").alias("__eid"),
+                F.col("in").alias("__ein"),
+                F.col("out").alias("__eout"),
+                F.col(here).alias("__mt"),
+                F.concat(F.lit(rank), F.lit(SEP), F.lit(t), F.lit(SEP),
+                         _kv_key(F.col("id"))).alias("__piece"),
+            ]
+            if want_row:
+                cols = [c for c in e.columns]
+                if carry_cols is None:
+                    carry_cols = cols
+                elif carry_cols != cols:
+                    raise LookupError_(
+                        "row-shaped lookup over heterogeneous edge tables")
+                sel += [F.col(c).alias(f"__c_{c}") for c in cols]
+            hops.append(e.select(*sel))
+    if not hops:
+        sc = fr.sparkSession
+        schema = "__rk string, __ord string, __eid string, __ein string, __eout string"
+        return sc.createDataFrame([], schema)
+    hop = hops[0]
+    for h in hops[1:]:
+        hop = hop.unionByName(h)
+    joined = fr.join(hop, fr["__node"] == hop["__mt"]).drop("__mt", "__node")
+    joined = joined.withColumn("__prevord", F.col("__ord"))
+    joined = joined.withColumn(
+        "__ord", F.concat(F.col("__prevord"), F.lit(SEP), F.col("__piece"))
+    ).drop("__piece")
+    joined = _apply_subquery_opts(joined, opts, params, compile_expr)
+    return joined.drop("__prevord")
+
+
+def _apply_subquery_opts(joined, opts, params, compile_expr):
+    """Per-source ORDER/LIMIT/START from a lookup subquery — one window
+    over (source row, path prefix), no driver round-trips."""
+    if not (opts.get("order") or opts.get("limit") is not None
+            or opts.get("start") is not None):
+        return joined
+    if opts.get("order"):
+        sort_cols = []
+        for ast, desc in opts["order"]:
+            c = _row_expr(ast, params, compile_expr)
+            sort_cols.append(c.desc() if desc else c.asc())
+        sort_cols.append(F.col("__ord").asc())
+    else:
+        sort_cols = [F.col("__ord").asc()]
+    w = Window.partitionBy("__rk", "__prevord").orderBy(*sort_cols)
+    joined = joined.withColumn("__rn", F.row_number().over(w))
+    lo = opts.get("start") or 0
+    joined = joined.filter(F.col("__rn") > lo)
+    if opts.get("limit") is not None:
+        joined = joined.filter(F.col("__rn") <= lo + opts["limit"])
+    if opts.get("order"):
+        # subquery ORDER replaces KV order for this segment's output
+        joined = joined.withColumn(
+            "__ord",
+            F.concat(F.col("__prevord"), F.lit(SEP),
+                     F.lpad(F.col("__rn").cast("string"), 12, "0")),
+        )
+    return joined.drop("__rn")
+
+
+def _row_expr(ast, params, compile_expr) -> Column:
+    """Compile an expression over the carried row columns (__c_<name>)."""
+    remapped = _remap_idents(ast)
+    return compile_expr(remapped, params, {})
+
+
+def _remap_idents(ast):
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "ident":
+        return ("ident", f"__c_{ast[1]}")
+    return tuple(
+        [_remap_idents(x) if isinstance(x, tuple)
+         else ([_remap_idents(e) for e in x] if isinstance(x, list) else x)
+         for x in ast]
+    )
+
+
+def _truthy_guard(c: Column) -> Column:
+    return c.cast("boolean")
+
+
+def _target_segment(fr, cat, dirn, tables, opts, params, want_row,
+                    compile_expr, types_of):
+    """One edge→record hop: read the edge's pointer(s) — a projection."""
+    drop = [c for c in fr.columns if c.startswith("__c_")] + \
+        ["__eid", "__ein", "__eout"]
+    if dirn == "both":
+        ptrs = F.array(
+            F.struct(F.lit("0").alias("r"), F.col("__ein").alias("p")),
+            F.struct(F.lit("1").alias("r"), F.col("__eout").alias("p")),
+        )
+        fr = fr.withColumn("__pt", F.explode(ptrs))
+        fr = fr.withColumn("__node", F.col("__pt.p")).withColumn(
+            "__ord", F.concat(F.col("__ord"), F.lit(SEP), F.col("__pt.r"))
+        ).drop("__pt", *drop)
+    else:
+        ptr = F.col("__eout") if dirn == "out" else F.col("__ein")
+        fr = fr.withColumn("__node", ptr).drop(*drop)
+    if tables is not None:
+        fr = fr.filter(_rid_table(F.col("__node")).isin(tables))
+    if "where" in opts or opts.get("order") or opts.get("limit") is not None \
+            or opts.get("start") is not None or want_row:
+        # target-record predicates/projections need the target rows
+        fr = _join_target_rows(fr, cat, tables)
+        if "where" in opts:
+            fr = fr.filter(_truthy_guard(
+                _row_expr(opts["where"], params, compile_expr)))
+        if opts.get("order") or opts.get("limit") is not None \
+                or opts.get("start") is not None:
+            fr = fr.withColumn("__prevord", F.col("__ord"))
+            fr = _apply_subquery_opts(fr, opts, params, compile_expr)
+            fr = fr.drop("__prevord")
+    return fr
+
+
+def _join_target_rows(fr, cat, tables):
+    """Attach the target records' columns as __c_<name> (single table)."""
+    if tables is None or len(tables) != 1:
+        raise LookupError_(
+            "row-shaped lookup needs a single target table (got wildcard)")
+    t = cat.table(tables[0])
+    if "id" not in t.columns:
+        raise LookupError_(f"target table {tables[0]!r} has no id column")
+    tgt = t.select(F.col("id").alias("__tid"),
+                   *[F.col(c).alias(f"__c_{c}") for c in t.columns])
+    return fr.join(tgt, fr["__node"] == tgt["__tid"], "inner").drop("__tid")
+
+
+def _final_value(fr, cat, state, mode, last_step, last_tables, params,
+                 compile_expr, types_of):
+    """The per-result value column for the collect, per output mode."""
+    _, _, opts = last_step
+    if mode[0] == "id" and not (opts.get("fields") or opts.get("star")):
+        return (F.col("__eid") if state == "edge" else F.col("__node")), None
+    # row-shaped output: carried columns must be present
+    if not any(c.startswith("__c_") for c in fr.columns):
+        raise LookupError_("internal: row mode without carried row columns")
+    row_cols = [c[4:] for c in fr.columns if c.startswith("__c_")]
+    if opts.get("fields"):
+        parts = []
+        for fld in opts["fields"]:
+            name = fld.alias or _field_default_name(fld.expr)
+            parts.append(_row_expr(fld.expr, params, compile_expr).alias(name))
+        return F.struct(*parts), None
+    if mode[0] == "destructure":
+        parts = []
+        for name, sub in mode[1]:
+            c = F.col(f"__c_{name}") if name in row_cols else F.lit(None)
+            parts.append(c.alias(name))
+        return F.struct(*parts), None
+    # full row (star / field-chain handled by idiom getField downstream)
+    return F.struct(*[F.col(f"__c_{c}").alias(c) for c in row_cols]), None
+
+
+def _field_default_name(expr) -> str:
+    if isinstance(expr, tuple) and expr[0] == "ident":
+        return expr[1]
+    return "value"
+
+
+# -- bounded recursion `.{min..max}[+instr](->edge->tbl)` ---------------------
+#
+# Reference semantics (core/src/exec/operators/recursion.rs; verified
+# against language-tests/tests/language/graph/{depth_*,path_*,cycles_*,
+# collect_min_depth,range_simple}.surql):
+#   - no instruction → the frontier at the FINAL depth (max, or the last
+#     non-empty level on dead end), traversal-ordered, duplicates kept;
+#   - +collect → all nodes over depths [min..max], deduplicated, ordered
+#     by proximity (first-reach depth, then traversal order);
+#   - +path → every terminated path (dead end or max depth) as an array
+#     of record ids excluding the start (+inclusive prepends it), ordered
+#     by (termination depth, traversal order);
+#   - +shortest=<rid> → the shortest path to the target as an id array
+#     (NONE when unreachable);
+#   - unbounded `..` applies the per-path no-revisit cycle rule
+#     (recursion.rs:8-15) and the depth cap 256 (cnf/mod.rs:53).
+
+
+RECURSION_LIMIT = 256
+
+
+def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
+                  trailing_field: str | None, params, compile_expr):
+    """Attach the recursion result for each row of ``df`` as ``slot``.
+
+    One Spark join per (depth × pair-step) with eager localCheckpoint per
+    level (lineage truncation — the GraphFrames iteration pattern); no
+    driver-side row loops, so the same plan runs on a 1000-executor
+    frontier.
+    """
+    lo, hi = rng
+    lo = 0 if lo is None else lo
+    unbounded = hi is None
+    hi_eff = RECURSION_LIMIT if unbounded else min(hi, RECURSION_LIMIT)
+    kind = instr.get("kind", "last")
+    if "shortest" in instr:
+        kind = "shortest"
+    no_revisit = unbounded
+    inclusive = bool(instr.get("inclusive"))
+
+    seed = _seed_col(base, params, compile_expr)
+    frontier = df.select(
+        F.col("id").alias("__rk"), seed.alias("__seed"),
+        seed.alias("__node"), F.lit("").alias("__ord"),
+        F.array(seed).alias("__path"),
+    ).distinct().localCheckpoint(eager=True)
+
+    levels: list[DataFrame] = []
+    reached = 0
+    for depth in range(1, hi_eff + 1):
+        nxt = frontier
+        for (dirn, edge, target) in steps:
+            e = edge_df(cat, edge)
+            if e is None:
+                nxt = nxt.limit(0)
+                break
+            here, there = ("in", "out") if dirn == "out" else ("out", "in")
+            hop = e.select(
+                F.col(here).alias("__src"), F.col(there).alias("__dst"),
+                F.concat(F.lit(edge), F.lit(SEP), _kv_key(F.col("id"))
+                         ).alias("__piece"),
+            )
+            if target != "?":
+                hop = hop.filter(_rid_table(F.col("__dst")) == target)
+            nxt = (
+                nxt.join(hop, nxt["__node"] == hop["__src"])
+                .select(
+                    "__rk", "__seed",
+                    F.col("__dst").alias("__node"),
+                    F.concat(F.col("__ord"), F.lit(SEP),
+                             F.col("__piece")).alias("__ord"),
+                    F.array_append(F.col("__path"),
+                                   F.col("__dst")).alias("__path"),
+                )
+            )
+        if no_revisit:
+            # cycle rule: a path never revisits one of its own nodes
+            nxt = nxt.filter(
+                ~F.array_contains(F.slice(
+                    F.col("__path"), 1, F.size(F.col("__path")) - 1),
+                    F.col("__node"))
+            )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        reached = depth
+        levels.append(nxt.withColumn("__depth", F.lit(depth)))
+        frontier = nxt
+
+    spark = df.sparkSession
+    if kind == "last":
+        if not levels or reached < max(lo, 1):
+            rows = spark.createDataFrame(
+                [], "__rk string, __node string, __ord string, __depth int")
+        else:
+            rows = levels[-1].select("__rk", "__node", "__ord", "__depth")
+        return _nest_nodes(df, cat, slot, rows, steps, trailing_field,
+                           sort_by_depth=False)
+    if kind == "collect":
+        # min-depth gate: `.{2..+collect}` collects depths >= 2 only
+        # (graph/collect_min_depth.surql)
+        parts = [lv.select("__rk", "__node", "__ord", "__depth")
+                 for d, lv in enumerate(levels, start=1) if d >= max(lo, 1)]
+        if inclusive:
+            base_rows = df.select(
+                F.col("id").alias("__rk"),
+                _seed_col(base, params, compile_expr).alias("__node"),
+                F.lit("").alias("__ord"), F.lit(0).alias("__depth"))
+            parts = [base_rows] + parts
+        if not parts:
+            rows = spark.createDataFrame(
+                [], "__rk string, __node string, __ord string, __depth int")
+        else:
+            rows = parts[0]
+            for p in parts[1:]:
+                rows = rows.unionByName(p)
+            # dedup: keep each node's first reach (min depth, then order)
+            w = Window.partitionBy("__rk", "__node").orderBy(
+                F.col("__depth").asc(), F.col("__ord").asc())
+            rows = rows.withColumn("__rn", F.row_number().over(w)) \
+                .filter(F.col("__rn") == 1).drop("__rn")
+        return _nest_nodes(df, cat, slot, rows, steps, trailing_field,
+                           sort_by_depth=True)
+    if kind == "path":
+        if not levels:
+            return df.withColumn(slot, F.array().cast("array<array<string>>"))
+        leaves = _terminated_paths(levels, hi_eff)
+        if inclusive:
+            val = F.col("__path")
+        else:
+            val = F.slice(F.col("__path"), 2,
+                          F.greatest(F.size(F.col("__path")) - 1, F.lit(0)))
+        agg = (
+            leaves.select(
+                "__rk",
+                F.struct(
+                    F.col("__depth").alias("d"), F.col("__ord").alias("o"),
+                    val.alias("v")).alias("__s"))
+            .groupBy("__rk")
+            .agg(F.transform(F.array_sort(F.collect_list("__s")),
+                             lambda x: x["v"]).alias(slot))
+        )
+        out = df.join(agg, df["id"] == agg["__rk"], "left").drop("__rk")
+        return out.withColumn(slot, F.coalesce(
+            F.col(slot), F.array().cast("array<array<string>>")))
+    if kind == "shortest":
+        tgt = instr["shortest"]
+        tgt_val = tgt[1] if tgt[0] in ("lit", "ulit") else str(tgt[1])
+        hits = None
+        for lv in levels:
+            h = lv.filter(F.col("__node") == F.lit(tgt_val)).select(
+                "__rk", "__ord", "__path", "__depth")
+            hits = h if hits is None else hits.unionByName(h)
+        if hits is None:
+            hits = spark.createDataFrame(
+                [], "__rk string, __ord string, __path array<string>, "
+                    "__depth int")
+        w = Window.partitionBy("__rk").orderBy(
+            F.col("__depth").asc(), F.col("__ord").asc())
+        best = hits.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") == 1)
+        val = F.col("__path") if inclusive else F.slice(
+            F.col("__path"), 2, F.greatest(F.size(F.col("__path")) - 1,
+                                           F.lit(0)))
+        agg = best.select("__rk", val.alias(slot))
+        return df.join(agg, df["id"] == agg["__rk"], "left").drop("__rk")
+    raise LookupError_(f"unknown recursion kind {kind!r}")
+
+
+def _terminated_paths(levels: list[DataFrame], hi: int) -> DataFrame:
+    """Paths that ended: no child at the next level (dead end) or at the
+    depth bound.  Linked by parent path (child path minus its last node)."""
+    outs = []
+    for i, lv in enumerate(levels):
+        if i + 1 < len(levels):
+            child_parents = levels[i + 1].select(
+                F.col("__rk").alias("__crk"),
+                F.slice(F.col("__path"), 1,
+                        F.size(F.col("__path")) - 1).alias("__ppath"),
+            ).distinct()
+            dead = lv.join(
+                child_parents,
+                (lv["__rk"] == child_parents["__crk"])
+                & (lv["__path"] == child_parents["__ppath"]),
+                "left_anti",
+            )
+            outs.append(dead.select("__rk", "__ord", "__path", "__depth"))
+        else:
+            outs.append(lv.select("__rk", "__ord", "__path", "__depth"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _nest_nodes(df, cat, slot, rows, steps, trailing_field, sort_by_depth):
+    """Group per-source node rows back into an ordered array column."""
+    order = [F.col("__depth").alias("d"), F.col("__ord").alias("o")] \
+        if sort_by_depth else [F.col("__ord").alias("o")]
+    if trailing_field is not None:
+        target = steps[-1][2]
+        t = cat.table(target)
+        tgt = t.select(F.col("id").alias("__tid"),
+                       F.col(trailing_field).alias("__tv"))
+        rows = rows.join(tgt, rows["__node"] == tgt["__tid"], "left")
+        val = F.col("__tv")
+    else:
+        val = F.col("__node")
+    agg = (
+        rows.select("__rk", F.struct(*order, val.alias("v")).alias("__s"))
+        .groupBy("__rk")
+        .agg(F.transform(F.array_sort(F.collect_list("__s")),
+                         lambda x: x["v"]).alias(slot))
+    )
+    out = df.join(agg, df["id"] == agg["__rk"], "left").drop("__rk")
+    empty = F.array().cast(dict(agg.dtypes).get(slot, "array<string>"))
+    return out.withColumn(slot, F.coalesce(F.col(slot), empty))

@@ -510,6 +510,10 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         return F.lit(ast[1])
     if kind == "nulllit":
         return F.lit(None)
+    if kind == "curr":
+        # `@` / leading lookup receiver: the current record id
+        # (syn Param::this shorthand; exec CurrentValueSource)
+        return F.col("id")
     if kind == "ulit":
         return F.lit(ast[1])
     if kind == "param":
@@ -1244,6 +1248,44 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         params = {**params, "this": F.col("value")}
     types = types_of(df)  # static dispatch for /, ?:, count(expr)
 
+    # graph lookups anywhere in WHERE / fields / VALUE / ORDER are
+    # extracted to hidden join-computed columns first (operators/lookup.py;
+    # exec chains GraphEdgeScan per segment — here one equi-join per edge
+    # segment, re-nested per source row)
+    lookup_slots: list = []
+    if (
+        (sel.where is not None and _has_lookup(sel.where))
+        or (sel.value_expr is not None and _has_lookup(sel.value_expr))
+        or (sel.fields and any(_has_lookup(f.expr) for f in sel.fields))
+        or any(_has_lookup(k.expr) for k in (sel.order or []))
+    ):
+        from surrealdb_spark.sql.parser import Field as _FieldCls
+
+        specs: list = []
+        new_where = (_extract_lookups(sel.where, specs, bool_ctx=True)
+                     if sel.where is not None else None)
+        new_value = (_extract_lookups(sel.value_expr, specs)
+                     if sel.value_expr is not None else None)
+        new_fields = None
+        if sel.fields:
+            new_fields = [
+                _FieldCls(_extract_lookups(f.expr, specs), f.alias)
+                if _has_lookup(f.expr) else f
+                for f in sel.fields
+            ]
+        new_order = [
+            dataclasses_replace_order(k, _extract_lookups(k.expr, specs))
+            if _has_lookup(k.expr) else k
+            for k in (sel.order or [])
+        ]
+        if specs:
+            df = _attach_lookup_specs(spark, df, cat, specs, params)
+            lookup_slots = [s[0] for s in specs]
+            types = types_of(df)
+        sel = _replace(sel, where=new_where, value_expr=new_value,
+                       fields=new_fields if sel.fields else sel.fields,
+                       order=new_order)
+
     # filter — IN/NOTINSIDE (subquery) conjuncts become semi/anti joins
     # (Catalyst decorrelation territory, SURVEY §4; here: explicit rewrite)
     knn_specs: list[tuple] = []
@@ -1362,12 +1404,9 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             *[compile_expr(a, params, types).alias(n) for a, n in post_fields]
         )
     elif sel.fields is not None and sel.fields:
-        graph_fields = [f for f in sel.fields if f.expr[0] == "graphpath"]
-        if graph_fields:
-            df = _attach_graph_fields(df, cat, sel, graph_fields, params)
         rec_fields = [f for f in sel.fields if _is_recurse_path(f.expr)]
         if rec_fields:
-            df = _attach_recurse_fields(df, cat, rec_fields)
+            df = _attach_recurse_fields(df, cat, rec_fields, params)
         corr_fields = [f for f in sel.fields if _is_corr_subquery(f.expr)]
         for f in corr_fields:
             df = _attach_corr_subquery(
@@ -1377,12 +1416,16 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         cols = [F.col("*")] if sel.star else []
         for fld in sel.fields:
             name = fld.alias or _default_name(fld.expr)
-            if (fld.expr[0] == "graphpath" or _is_recurse_path(fld.expr)
-                    or _is_corr_subquery(fld.expr)):
+            if _is_recurse_path(fld.expr) or _is_corr_subquery(fld.expr):
                 cols.append(F.col(name))
             else:
                 cols.append(compile_expr(fld.expr, params, types).alias(name))
         df = df.select(*cols)
+        if sel.star and lookup_slots:
+            df = df.drop(*lookup_slots)
+    elif lookup_slots:
+        # SELECT * with WHERE/ORDER lookups: hidden slots must not leak
+        df = df.drop(*lookup_slots)
     if sel.omit:
         df = df.drop(*sel.omit)
 
@@ -1503,46 +1546,167 @@ def _attach_corr_subquery(spark, df, cat: Catalog, fld, name: str,
     )
 
 
-def _attach_graph_fields(df, cat: Catalog, sel: Select, graph_fields, params):
-    """Graph-path projections: ``SELECT ->edge->target FROM tbl`` returns a
-    sorted array of reached record ids per row (GraphEdgeScan TargetId
-    output, scan/graph.rs:28-36) — joins + collect_list re-nest.
+def _pair_steps(singles):
+    """Pair consecutive single lookups into (dir, edge, target) triples for
+    the recursion engine (recursion repeats an edge+target pair)."""
+    steps = []
+    for k in range(0, len(singles) - 1, 2):
+        (d1, s1, _), (_, s2, _) = singles[k], singles[k + 1]
+        steps.append((d1, (s1 or ["?"])[0], (s2 or ["?"])[0]))
+    if len(singles) % 2:
+        d1, s1, _ = singles[-1]
+        steps.append((d1, (s1 or ["?"])[0], "?"))
+    return steps
 
-    Requires edge tables registered via Catalog.register_edges (RELATE
-    output shape: in/out record-id columns)."""
-    from surrealdb_spark.operators.graph import record_id
 
-    src = sel.sources[0]
-    assert isinstance(src, str), "graph paths need a table FROM source"
-    df = df.withColumn("__rid", F.col("id"))
-    for fld in graph_fields:
-        steps = fld.expr[1]
-        alias = fld.alias or steps[-1][2]
-        frontier = df.select(F.col("__rid").alias("start"), F.col("__rid").alias("node"))
-        for direction, edge, target in steps:
-            if edge not in cat.edges:
-                raise KeyError(f"edge table {edge!r} not registered on the catalog")
-            e = cat.edges[edge]
-            here, there = ("in", "out") if direction == "out" else ("out", "in")
-            hop = e.select(F.col(here).alias("__here"), F.col(there).alias("__nbr")).filter(
-                F.col(there).startswith(f"{target}:")
-            )
-            frontier = (
-                frontier.join(hop, frontier.node == hop.__here)
-                .select("start", F.col("__nbr").alias("node"))
-            )
-        nested = frontier.groupBy("start").agg(
-            F.array_sort(F.collect_list("node")).alias(alias)
+def _norm_recurse_parts(parts):
+    """Merge `.{min..max}` + following unparenthesized `->e->t` parts into
+    the recurse part (syn: both `.{..3}(->e->t)` and `.{..3}->e->t` parse;
+    reference recursion syntax, exec/operators/recursion.rs)."""
+    out, i = [], 0
+    while i < len(parts):
+        p = parts[i]
+        if p[0] == "recurse" and not p[3]:
+            singles, j = [], i + 1
+            while j < len(parts) and parts[j][0] == "graph":
+                singles.append(parts[j][1])
+                j += 1
+            if singles:
+                out.append(("recurse", p[1], p[2], _pair_steps(singles)))
+                i = j
+                continue
+        out.append(p)
+        i += 1
+    return out
+
+
+def _has_lookup(ast) -> bool:
+    """Any graph/recurse part anywhere in the expression (not descending
+    into subquery Selects — they compile recursively)?"""
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if isinstance(ast, tuple):
+        if ast[0] == "subquery":
+            return False
+        if ast[0] == "path" and any(
+            isinstance(p, tuple) and p[0] in ("graph", "recurse")
+            for p in ast[2]
+        ):
+            return True
+        if ast[0] == "curr":
+            return True
+    return any(_has_lookup(x) for x in ast if isinstance(x, (tuple, list)))
+
+
+def _extract_lookups(ast, specs: list, bool_ctx: bool = False,
+                     rows_hint: bool = False):
+    """Rewrite pass: replace graph-lookup subtrees with hidden-slot idents
+    and record (slot, base, steps, mode) specs for the join-based attach
+    (operators/lookup.py).  Recursion parts are normalized but left for
+    _attach_recurse_fields.  ``rows_hint`` forces row-shaped output for
+    bare paths (used when a wrapping call's result gets field access:
+    `array::first(->knows->person).name`)."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "subquery":
+        return ast
+    if ast[0] == "path":
+        hint = (
+            ast[1][0] in ("call", "method")
+            and ast[2] and isinstance(ast[2][0], tuple)
+            and ast[2][0][0] in ("field", "destructure")
         )
-        df = df.join(nested, df.__rid == nested.start, "left").drop("start")
-        df = df.withColumn(alias, F.coalesce(F.col(alias), F.array().cast("array<string>")))
-    return df.drop("__rid")
+        base = _extract_lookups(ast[1], specs, rows_hint=hint)
+        parts = _norm_recurse_parts(list(ast[2]))
+        gidx = [i for i, p in enumerate(parts) if p[0] == "graph"]
+        if any(p[0] == "recurse" for p in parts):
+            return ("path", base, parts)
+        if not gidx:
+            return ("path", base, parts)
+        if gidx[0] != 0:
+            raise ValueError(
+                "graph lookups are supported from the row's record id, a "
+                "record-id literal, or a record-valued field")
+        k = 0
+        while k < len(parts) and parts[k][0] == "graph":
+            k += 1
+        steps = [p[1] for p in parts[:k]]
+        trailing = list(parts[k:])
+        mode: tuple = ("rows",) if rows_hint else ("id",)
+        if trailing:
+            t0 = trailing[0]
+            if t0[0] == "destructure":
+                mode, trailing = ("destructure", t0[1]), trailing[1:]
+            elif t0[0] == "field":
+                if t0[1] == "id":
+                    mode, trailing = ("id",), trailing[1:]
+                else:
+                    mode = ("rows",)
+            elif t0[0] in ("where", "all"):
+                mode = ("rows",)
+        slot = f"__gp{len(specs)}"
+        specs.append((slot, base, steps, mode))
+        new = ("ident", slot) if not trailing else \
+            ("path", ("ident", slot), trailing)
+        if bool_ctx and new[0] == "ident":
+            # traversal truthiness in WHERE: non-empty result
+            return ("bin", ">", ("call", "array::len", [new]), ("lit", 0))
+        return new
+    if ast[0] == "bin" and ast[1] in ("AND", "OR", "&&", "||"):
+        return ("bin", ast[1],
+                _extract_lookups(ast[2], specs, bool_ctx),
+                _extract_lookups(ast[3], specs, bool_ctx))
+    if ast[0] == "un" and ast[1] in ("!", "NOT"):
+        return ("un", ast[1], _extract_lookups(ast[2], specs, bool_ctx))
+    return tuple(
+        _extract_lookups(x, specs, rows_hint=rows_hint)
+        if isinstance(x, tuple)
+        else ([_extract_lookups(e, specs, rows_hint=rows_hint) for e in x]
+              if isinstance(x, list) else x)
+        for x in ast
+    )
+
+
+def _attach_lookup_specs(spark, df, cat, specs, params):
+    from surrealdb_spark.operators import lookup as LK
+
+    return LK.attach_lookups(spark, df, cat, specs, params,
+                             compile_expr, types_of)
+
+
+def eval_lookup_value(spark, cat, ast, params: dict):
+    """Scalar evaluation of an expression containing graph lookups from
+    literal record-id receivers (`person:alice->knows->person`) — a
+    one-row frame through the same join-based attach, so scalar and SELECT
+    traversals share one engine (OLTP point lookup; the frontier seeds
+    from the literal)."""
+    specs: list = []
+    new = _extract_lookups(ast, specs)
+    df = spark.range(1).select(F.lit("__scalar__").alias("id"))
+    if specs:
+        df = _attach_lookup_specs(spark, df, cat, specs, params)
+    if isinstance(new, tuple) and new[0] == "path" and any(
+            p[0] == "recurse" for p in new[2]):
+        from surrealdb_spark.sql.parser import Field as _F2
+
+        df = _attach_recurse_fields(df, cat,
+                                    [_F2(new, "__rv")], params)
+        new = ("ident", "__rv")
+    row = df.select(
+        compile_expr(new, params, types_of(df)).alias("v")).first()
+    return row["v"]
 
 
 def _replace(sel: Select, **kw) -> Select:
     import dataclasses
 
     return dataclasses.replace(sel, **kw)
+
+
+def dataclasses_replace_order(k, expr):
+    import dataclasses
+
+    return dataclasses.replace(k, expr=expr)
 
 
 def _split_knn_filters(ast):
@@ -1571,55 +1735,34 @@ def _is_recurse_path(expr) -> bool:
     return expr[0] == "path" and any(p[0] == "recurse" for p in expr[2])
 
 
-def _attach_recurse_fields(df: DataFrame, cat: Catalog, fields) -> DataFrame:
-    """`id.{min..max}[+instr](->edge->tbl)` projections → iterative BFS
-    (operators/graph.py recurse/recurse_paths/shortest_depth; reference
-    exec/operators/recursion.rs).  Results re-nest per start record:
-    +collect (default) → sorted node array, +path → sorted path-string
-    array, +shortest=<rid> → min depth int."""
-    from surrealdb_spark.operators import graph as GR
+def _attach_recurse_fields(df: DataFrame, cat: Catalog, fields,
+                           params: dict | None = None) -> DataFrame:
+    """`recv.{min..max}[+instr](->edge->tbl)[.field]` projections →
+    iterative level-wise traversal (operators/lookup.py recurse_value;
+    reference exec/operators/recursion.rs).  The receiver may be the row's
+    id column, `@`, or a record-id literal."""
+    from surrealdb_spark.operators import lookup as LK
 
+    params = params or {}
     for fld in fields:
         base, parts = fld.expr[1], fld.expr[2]
-        assert base[0] == "ident", "recursion paths start from a record-id column"
-        id_col = base[1]
+        parts = _norm_recurse_parts(list(parts))
         recs = [p for p in parts if p[0] == "recurse"]
-        if len(recs) != 1 or len(parts) != 1:
-            raise ValueError("a recursion part must be the whole path")
+        if len(recs) != 1 or parts[0][0] != "recurse":
+            raise ValueError("a recursion part must lead the path")
         _, (lo, hi), instr, steps = recs[0]
-        if len(steps) != 1:
-            raise ValueError("recursion repeats exactly one ->edge->target step")
-        direction, edge, target = steps[0]
-        if edge not in cat.edges:
-            raise KeyError(f"edge table {edge!r} not registered on the catalog")
-        there = "out" if direction == "out" else "in"
-        e = cat.edges[edge].filter(F.col(there).startswith(f"{target}:"))
-        lo = 1 if lo is None else lo
-        hi = GR.RECURSION_LIMIT if hi is None else hi
+        if not steps:
+            raise ValueError("recursion needs a ->edge->target step")
+        trailing = parts[1:]
+        trailing_field = None
+        if trailing and trailing[0][0] == "field":
+            trailing_field = trailing[0][1]
+            trailing = trailing[1:]
+        if trailing:
+            raise ValueError("unsupported parts after a recursion")
         name = fld.alias or "recurse"
-        start = df.select(F.col(id_col).alias("id")).distinct()
-        kind = instr.get("kind", "collect")
-        if "shortest" in instr:
-            tgt = instr["shortest"]
-            tgt_col = F.lit(tgt[1]) if tgt[0] == "lit" else F.lit(str(tgt[1]))
-            agg = GR.shortest_depth(start, e, tgt_col, hi, direction).select(
-                "start", F.col("depth").alias(name)
-            )
-        elif kind == "path":
-            reached = GR.recurse_paths(start, e, lo, hi, direction)
-            agg = reached.groupBy("start").agg(
-                F.array_sort(F.collect_list("path")).alias(name)
-            )
-        else:
-            reached = GR.recurse(start, e, lo, hi, direction)
-            agg = reached.groupBy("start").agg(
-                F.array_sort(F.collect_list("node")).alias(name)
-            )
-        df = df.join(agg, df[id_col] == agg.start, "left").drop("start")
-        if "shortest" not in instr:  # array-valued kinds → [] for no matches
-            df = df.withColumn(
-                name, F.coalesce(F.col(name), F.array().cast("array<string>"))
-            )
+        df = LK.recurse_value(df, cat, name, base, (lo, hi), instr, steps,
+                              trailing_field, params, compile_expr)
     return df
 
 

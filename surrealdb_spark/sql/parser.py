@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op><~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|<->|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
+  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
     """,
     re.X,
 )
@@ -162,6 +162,9 @@ class Parser:
         self.src = src
         self.toks = tokenize(src)
         self.i = 0
+        # >0 → postfix() leaves `->`/`<-` untouched (RELATE from/to
+        # operands use arrows as statement syntax, not lookups)
+        self.no_graph = 0
 
     def span_text(self, start_tok, end_tok=None) -> str:
         """Source text from start_tok to end_tok (or to the end)."""
@@ -312,8 +315,14 @@ class Parser:
 
     def prefix(self):
         t = self.peek()
-        if t.kind == "op" and t.text in ("->", "<-"):
-            return ("graphpath", self._graph_steps())
+        if t.kind == "op" and t.text in ("->", "<-", "<->"):
+            # leading lookup: `->knows->person` — traverses from the
+            # current record (expr/lookup.rs; exec GraphEdgeScan chains)
+            return self.postfix(("curr",))
+        if t.kind == "op" and t.text == "@":
+            # `@` = the current record id (syn: Param::this shorthand)
+            self.next()
+            return self.postfix(("curr",))
         if t.kind == "op" and t.text == "<":
             # `<kind> expr` cast (expr/cast.rs; binds like unary prefix)
             self.next()
@@ -532,6 +541,11 @@ class Parser:
                     key = "".join(p.orig or p.text for p in parts)
                     return self.postfix(("lit", f"{t.text}:{key}"))
             return self.postfix(("ident", t.text))
+        if t.kind == "kw" and t.text == "IN":
+            # `in` is infix-only as an operator; in prefix position it's
+            # the edge pointer field (doc/relate.rs edge shape: in/out)
+            self.next()
+            return self.postfix(("ident", "in"))
         if t.kind == "kw" and t.text not in _STRUCTURAL_KWS:
             # non-structural keywords double as identifiers (`value`,
             # `type`, `order` are common field names; syn treats most
@@ -633,18 +647,110 @@ class Parser:
         return ("destructure", fields)
 
     def _graph_steps(self):
+        """Pairwise `->edge->target` steps for the recursion syntax
+        `.{min..max}(->e->t)` — built from single lookups (expr/lookup.rs:
+        each `->name` is one Lookup part; recursion repeats a pair)."""
+        singles = []
+        while self.peek().kind == "op" and self.peek().text in ("->", "<-", "<->"):
+            singles.append(self._lookup_step())
         steps = []
-        while self.peek().kind == "op" and self.peek().text in ("->", "<-"):
-            arrow = self.next().text
-            edge = self.expect("name").text
-            self.expect("op", arrow)
-            target = self.expect("name").text
-            steps.append(("out" if arrow == "->" else "in", edge, target))
+        for i in range(0, len(singles) - 1, 2):
+            (d1, s1, _), (_, s2, _) = singles[i], singles[i + 1]
+            steps.append((d1, (s1 or ["?"])[0], (s2 or ["?"])[0]))
+        if len(singles) % 2:
+            d1, s1, _ = singles[-1]
+            steps.append((d1, (s1 or ["?"])[0], "?"))
         return steps
+
+    _DIRS = {"->": "out", "<-": "in", "<->": "both"}
+
+    def _lookup_step(self):
+        """One graph lookup `->seg` (expr/lookup.rs; scan/graph.rs): seg is
+        a table name, `?` wildcard, or a parenthesized lookup subquery —
+        `(tb [| tb2...] [WHERE ..] [ORDER BY ..] [LIMIT n] [START n])` or
+        `(SELECT fields FROM tb [WHERE ..] ...)`.  Returns
+        ``(dir, tables|None, opts)``."""
+        arrow = self.next().text
+        dirn = self._DIRS[arrow]
+        t = self.peek()
+        opts: dict = {}
+        if t.kind == "op" and t.text == "?":
+            self.next()
+            return (dirn, None, opts)
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            if self.peek().kind == "kw" and self.peek().text == "SELECT":
+                # `->(SELECT fields FROM tb ...)` — FullEdge scan projected
+                # through a per-source subquery (planner lookup subqueries)
+                sub = _parse_select_body(self)
+                tables = [s for s in sub.sources if isinstance(s, str)]
+                opts = {
+                    "where": sub.where,
+                    "order": [(k.expr, k.desc) for k in (sub.order or [])] or None,
+                    "limit": sub.limit, "start": sub.start,
+                    "fields": sub.fields,
+                    "group": sub.group,
+                }
+                opts = {k: v for k, v in opts.items() if v is not None}
+                if sub.fields is None or sub.star:
+                    opts["star"] = True  # SELECT * — full edge rows
+                self.expect("op", ")")
+                return (dirn, tables or None, opts)
+            tables: list | None = []
+            if self.peek().kind == "op" and self.peek().text == "?":
+                self.next()
+                tables = None
+            else:
+                t0 = self.next()
+                tables.append(t0.orig or t0.text)
+                while self.eat("op", "|") or self.eat("op", ","):
+                    tn = self.next()
+                    tables.append(tn.orig or tn.text)
+            while True:
+                nt = self.peek()
+                if nt.kind == "kw" and nt.text == "WHERE":
+                    self.next()
+                    opts["where"] = self.expr(0)
+                elif nt.kind == "kw" and nt.text == "ORDER":
+                    self.next()
+                    self.eat("kw", "BY")
+                    order = []
+                    while True:
+                        e = self.expr(0)
+                        desc = False
+                        if self.eat("kw", "DESC"):
+                            desc = True
+                        else:
+                            self.eat("kw", "ASC")
+                        order.append((e, desc))
+                        if not self.eat("op", ","):
+                            break
+                    opts["order"] = order
+                elif nt.kind == "kw" and nt.text == "LIMIT":
+                    self.next()
+                    opts["limit"] = int(self.expect("num").text)
+                elif nt.kind == "kw" and nt.text == "START":
+                    self.next()
+                    opts["start"] = int(self.expect("num").text)
+                else:
+                    break
+            self.expect("op", ")")
+            return (dirn, tables, opts)
+        nt = self.next()
+        if nt.kind not in ("name", "kw"):
+            raise SyntaxError(f"bad lookup segment {nt.text!r} at {nt.pos}")
+        return (dirn, [nt.orig or nt.text.lower()], opts)
 
     def postfix(self, base):
         parts = []
         while True:
+            nt = self.peek()
+            if nt.kind == "op" and nt.text in ("->", "<-", "<->") \
+                    and not self.no_graph:
+                # graph lookup part on any receiver: `person:alice->knows`
+                # (expr/lookup.rs — Part::Graph applies to the current value)
+                parts.append(("graph", self._lookup_step()))
+                continue
             if self.eat("op", "?."):
                 # ?. optional chaining (part.rs Optional) — null-propagating
                 parts.append(("optional",))

@@ -643,6 +643,7 @@ def _parse_statement_body(p: Parser):
         return DeleteStmt(tgt, where, _return_clause(p, default="NONE"))
     if t.text == "RELATE":
         p.next()
+        p.no_graph += 1  # arrows here are RELATE syntax, not lookups
         frm = p.expr(9)  # bind tighter than -> steps
         p.expect("op", "->")
         edge = _name(p)
@@ -654,6 +655,7 @@ def _parse_statement_body(p: Parser):
             edge_key = int(kt.text) if kt.kind == "num" else kt.text
         p.expect("op", "->")
         to = p.expr(9)
+        p.no_graph -= 1
         data = _data_clause(p)
         return RelateStmt(frm, edge, to, data, _return_clause(p),
                           edge_key=edge_key)
@@ -1496,6 +1498,16 @@ class StatementRunner:
         from surrealdb_spark.sql.parser import parse_expr
 
         ast = parse_expr(src)
+        from surrealdb_spark.sql.compiler import _has_lookup
+
+        if _has_lookup(ast):
+            # graph lookups from record-id literals
+            # (`person:alice->knows->person`) — one-row frame through the
+            # join-based lookup engine (operators/lookup.py)
+            from surrealdb_spark.sql.compiler import eval_lookup_value
+
+            self._refresh_catalog()
+            return eval_lookup_value(self.spark, self.catalog, ast, binds)
         if ast[0] == "refscan_on":
             return self._refscan_on(ast, binds)
         if ast[0] == "path" and ast[1][0] in ("lit", "ulit") \
@@ -1931,16 +1943,22 @@ class StatementRunner:
         return sorted(ANALYZERS)
 
     def _refresh_catalog(self) -> None:
+        edge_names = set()
         for name in self.db.tables:
             if self.db._exists(name):
-                self.catalog.register(
-                    name, self._with_computed(name, self.db.table(name)))
+                t = self._with_computed(name, self.db.table(name))
+                self.catalog.register(name, t)
+                if "in" in t.columns and "out" in t.columns:
+                    # RELATE-shaped table → graph-lookup candidate for `?`
+                    # wildcard segments (doc/relate.rs edge shape)
+                    edge_names.add(name)
             else:
                 # defined-but-empty table: SELECTs see zero rows, not a
                 # missing-parquet error
                 self.catalog.register(
                     name, self.spark.createDataFrame([], "id string")
                 )
+        self.catalog.edge_names = edge_names
 
     def _execute(self, stmt, params: dict) -> DataFrame | None:
         tgt = getattr(stmt, "target", None)

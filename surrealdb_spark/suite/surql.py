@@ -405,7 +405,10 @@ def surql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 hidden=True)
 def surql_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `SELECT ->placed->orders FROM customer` through the parser: per-row
-    # sorted arrays of reached record ids (GraphEdgeScan TargetId output).
+    # arrays of reached record ids (GraphEdgeScan TargetId output).  The
+    # engine returns them in KV graph-key order (edge-id order,
+    # key/graph/mod.rs) — synthesized edges here have hash ids, so the
+    # query sorts for a deterministic cross-engine oracle.
     from surrealdb_spark.operators.graph import relate
     from surrealdb_spark.sql import surql
 
@@ -422,8 +425,8 @@ def surql_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return surql(
         spark,
-        "SELECT id, c_name, ->placed->orders AS orders FROM customer "
-        "WHERE c_custkey % 200 = 0",
+        "SELECT id, c_name, array::sort(->placed->orders) AS orders "
+        "FROM customer WHERE c_custkey % 200 = 0",
         catalog=cat,
     )
 
@@ -592,15 +595,18 @@ _SQL_DOCWORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x ->
       SELECT start, k // 2, depth + 1 FROM anc WHERE depth < 5 AND k >= 2
     )
     SELECT start AS id,
-           list_sort(list(concat('customer:', CAST(k AS VARCHAR)))) AS anc
-    FROM anc WHERE depth >= 1 GROUP BY start
+           list(concat('customer:', CAST(k AS VARCHAR))) AS anc
+    FROM anc WHERE depth = 5 GROUP BY start
     """,
     hidden=True,
 )
 def surql_recurse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `.{min..max}(->edge->tbl)` recursion in SurrealQL text (syn/parser/
     # idiom.rs parse_recurse_part → exec/operators/recursion.rs), lowered
-    # to the BFS of operators/graph.py.
+    # to the level-wise BFS of operators/lookup.py.  Default (no
+    # instruction) semantics = the frontier at the FINAL depth, matching
+    # the reference's golden corpus (graph/depth_range.surql) — here the
+    # single 5th-halving ancestor per start.
     from surrealdb_spark.sql import surql
     from surrealdb_spark.suite.graph import _reports_to
 
