@@ -148,8 +148,9 @@ def truthy_array(c) -> Column:
 
 
 def matches(text, query) -> Column:
-    """`@@` — the document's analyzed tokens contain at least one query term
-    (FullTextScan predicate semantics; BM25 scoring lives in
+    """`@@` — every analyzed query term occurs in the document's tokens
+    (FullTextScan conjunction semantics, idx/ft/fulltext.rs QueryTerms:
+    all terms must have postings; BM25 scoring lives in
     operators/fulltext.py — the predicate form is index-free and JVM-side).
     Tokenization mirrors pipeline/text.py: lowercase, split on non-alnum.
     """
@@ -157,7 +158,8 @@ def matches(text, query) -> Column:
     # trailing '' token, and ''-overlap would make any punctuated pair match.
     toks = F.array_remove(F.split(F.lower(_c(text)), r"[^a-z0-9]+"), "")
     qtoks = F.array_remove(F.split(F.lower(_c(query)), r"[^a-z0-9]+"), "")
-    return F.arrays_overlap(toks, qtoks)
+    return (F.size(qtoks) > 0) & F.forall(
+        qtoks, lambda q: F.array_contains(toks, q))
 
 
 # -- ranges (operator.rs:108-112: .. ..= >.. >..=) --------------------------

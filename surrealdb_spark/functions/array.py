@@ -240,8 +240,13 @@ def difference(a, b) -> Column:
 
 
 def complement(a, b) -> Column:
-    """array::complement — a \\ b."""
-    return F.array_except(_c(a), _c(b))
+    """array::complement — a \\ b, keeping a's duplicates and order
+    (fnc/array.rs complement retains the left array's shape;
+    array_except would dedup)."""
+    a, b = _c(a), _c(b)
+    # exists + null-safe eq instead of array_contains: the latter rejects
+    # NULL-typed elements (empty-set literals)
+    return F.filter(a, lambda x: ~F.exists(b, lambda y: y.eqNullSafe(x)))
 
 
 def combine(a, b) -> Column:

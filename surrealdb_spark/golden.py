@@ -292,7 +292,7 @@ def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> l
 _STMT_WORDS = {
     "CREATE", "INSERT", "UPDATE", "UPSERT", "DELETE", "RELATE", "DEFINE",
     "REMOVE", "ALTER", "REBUILD", "INFO", "SELECT", "LIVE", "SHOW", "KILL",
-    "SLEEP", "USE", "BEGIN", "COMMIT",
+    "SLEEP", "USE", "BEGIN", "COMMIT", "EXPLAIN",
 }
 
 
@@ -306,7 +306,7 @@ def _df_value(df) -> object:
     values for SELECT VALUE results (single `value` column)."""
     if df is None:
         return None
-    if isinstance(df, (dict, list)):
+    if isinstance(df, (dict, list, str)):
         return df  # INFO / EXPLAIN return the reference-shaped value
     rows = [_norm(r) for r in df.limit(10_000).collect()]
     if df.columns == ["value"]:
@@ -566,9 +566,28 @@ def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
     elif a is _ERR:
         fr.cases.append(CaseResult(s, e, "ERROR", False, "engine errored"))
     else:
+        if len(e) > 2 and e[2].get("skip-record-id-key"):
+            want, a = _strip_rid_keys(want), _strip_rid_keys(a)
         ok = values_equal(want, a) or _multiset_equal(want, a)
         fr.cases.append(CaseResult(s, e, a, ok,
                                    "" if ok else f"want {want!r} got {a!r}"))
+
+
+_RIDISH = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*:.+$")
+
+
+def _strip_rid_keys(v):
+    """`skip-record-id-key` result flag (language-tests config): record-id
+    KEYS are generated, compare only the table part."""
+    if isinstance(v, str) and _RIDISH.match(v):
+        return v.split(":", 1)[0] + ":*"
+    if isinstance(v, dict):
+        return {k: _strip_rid_keys(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):
+        return _strip_rid_keys(v.asDict(recursive=True))
+    if isinstance(v, (list, tuple)):
+        return [_strip_rid_keys(x) for x in v]
+    return v
 
 
 def _canon(v) -> str:
@@ -612,7 +631,8 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     expected = []
     for r in raw:
         if isinstance(r, dict) and "value" in r:
-            expected.append(("value", r["value"]))
+            flags = {k: v for k, v in r.items() if k != "value"}
+            expected.append(("value", r["value"], flags))
         elif isinstance(r, dict) and ("error" in r and r["error"]):
             expected.append(("error",))
         else:
@@ -680,6 +700,8 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
             elif a is _ERR:
                 fr.cases.append(CaseResult(s, e, "ERROR", False, "engine errored"))
             else:
+                if len(e) > 2 and e[2].get("skip-record-id-key"):
+                    want, a = _strip_rid_keys(want), _strip_rid_keys(a)
                 ok = values_equal(want, a)
                 fr.cases.append(
                     CaseResult(s, e, a, ok, "" if ok else f"want {want!r} got {a!r}")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -203,3 +204,39 @@ def match_offsets(text: F.Column | str, terms: list[str]) -> tuple[F.Column, F.C
     n = F.regexp_count(c, F.lit(pat))
     first = F.regexp_instr(c, F.lit(pat)) - 1
     return first, n
+
+
+def offsets_col(field: F.Column, terms: list[str], partial: bool) -> F.Column:
+    """search::offsets — per-value match positions keyed by value index
+    (idx/ft/offset.rs; highlighter.rs).  Whole-word mode reports the
+    containing word's span; partial reports the matched substring.
+    Arrow-batched pandas UDF (one pass per row, no driver loop)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pats = [_re.escape(t) for t in sorted(terms, key=len, reverse=True)]
+    if not pats:
+        pats = ["(?!x)x"]
+    rx_part = _re.compile("(?i)(" + "|".join(pats) + ")")
+    rx_word = _re.compile(r"(?i)(\w*(?:" + "|".join(pats) + r")\w*)")
+    rx = rx_part if partial else rx_word
+
+    @pandas_udf("map<string,array<struct<e:int,s:int>>>")
+    def off(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            items = v if isinstance(v, (list, tuple)) else [v]
+            m: dict = {}
+            for i, item in enumerate(items):
+                spans = [{"e": mt.end(), "s": mt.start()}
+                         for mt in rx.finditer(str(item))]
+                if spans:
+                    m[str(i)] = spans
+            out.append(m if m else None)
+        return pd.Series(out)
+
+    return off(field)

@@ -103,13 +103,37 @@ def _seed_col(base, params, compile_expr) -> Column:
     return compile_expr(base, params, {})
 
 
+def _has_parent(ast) -> bool:
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if isinstance(ast, tuple) and ast[0] == "param" and ast[1] == "parent":
+        return True
+    return any(_has_parent(x) for x in ast if isinstance(x, (tuple, list)))
+
+
+def _opts_have_parent(steps) -> bool:
+    for _, _, o in steps:
+        if _has_parent(o.get("where")):
+            return True
+        if any(_has_parent(a) for a, _ in o.get("order", [])):
+            return True
+    return False
+
+
 def _attach_one(spark, df, cat, spec, params, compile_expr, types_of):
     slot, base, steps, mode = spec
-    fr = df.select(
+    sel_cols = [
         F.col("id").alias("__rk"),
         _seed_col(base, params, compile_expr).alias("__node"),
         F.lit("").alias("__ord"),
-    )
+    ]
+    if _opts_have_parent(steps):
+        # $parent in a lookup subquery: carry the source row through the
+        # hops (exec CurrentValueSource $parent binding)
+        sel_cols.append(F.struct(*[F.col(c) for c in df.columns])
+                        .alias("__parent"))
+        params = {**params, "parent": F.col("__parent")}
+    fr = df.select(*sel_cols)
     state = "node"
     last_tables = None
     want_row_at = len(steps) - 1 if mode[0] != "id" else None
@@ -126,8 +150,8 @@ def _attach_one(spark, df, cat, spec, params, compile_expr, types_of):
                                  want_row, compile_expr, types_of)
             state = "node"
         last_tables = tables
-    val, vtype_hint = _final_value(fr, cat, state, mode, steps[-1],
-                                   last_tables, params, compile_expr, types_of)
+    fr, val = _final_value(fr, cat, state, mode, steps[-1],
+                           last_tables, params, compile_expr, types_of)
     agg = (
         fr.select("__rk", F.struct(F.col("__ord").alias("o"),
                                    val.alias("v")).alias("__s"))
@@ -143,17 +167,35 @@ def _attach_one(spark, df, cat, spec, params, compile_expr, types_of):
 def _edge_segment(fr, cat, dirn, tables, opts, params, want_row,
                   compile_expr, types_of):
     """One node→edges hop: equi-join frontier against the edge table(s)."""
+    fr = fr.drop(*[c for c in fr.columns if c.startswith("__c_")])
     dirs = [("in", "0"), ("out", "1")] if dirn == "both" else [(dirn, "")]
     names = tables if tables is not None else edge_table_names(cat)
     hops = []
     carry_cols: list[str] | None = None
-    for t in names:
+    parent_where = _has_parent(opts.get("where"))
+    if parent_where:
+        want_row = True  # correlated filter needs the edge fields post-join
+    for ti, t in enumerate(names):
         e = edge_df(cat, t)
         if e is None:
             continue
-        if "where" in opts:
+        if "range" in opts:
+            # edge-id range bounds (scan/graph.rs EdgeTableSpec) — a plain
+            # key predicate, pushdown-able into the edge scan
+            lo, hi, incl = opts["range"]
+            k = _rid_key(F.col("id"))
+            if isinstance(lo, int) or isinstance(hi, int):
+                k = k.try_cast("bigint")
+            if lo is not None:
+                e = e.filter(k >= F.lit(lo))
+            if hi is not None:
+                e = e.filter(k <= F.lit(hi) if incl else k < F.lit(hi))
+        if "where" in opts and not parent_where:
             e = e.filter(_truthy_guard(
                 compile_expr(opts["where"], params, types_of(e))))
+        # explicit lists scan in specification order; the `?` wildcard
+        # scans KV order = table-name order (key/graph/mod.rs ft field)
+        tkey = f"{ti:03d}" if tables is not None else t
         for d, rank in dirs:
             here = "in" if d == "out" else "out"
             sel = [
@@ -161,7 +203,7 @@ def _edge_segment(fr, cat, dirn, tables, opts, params, want_row,
                 F.col("in").alias("__ein"),
                 F.col("out").alias("__eout"),
                 F.col(here).alias("__mt"),
-                F.concat(F.lit(rank), F.lit(SEP), F.lit(t), F.lit(SEP),
+                F.concat(F.lit(rank), F.lit(SEP), F.lit(tkey), F.lit(SEP),
                          _kv_key(F.col("id"))).alias("__piece"),
             ]
             if want_row:
@@ -181,6 +223,9 @@ def _edge_segment(fr, cat, dirn, tables, opts, params, want_row,
     for h in hops[1:]:
         hop = hop.unionByName(h)
     joined = fr.join(hop, fr["__node"] == hop["__mt"]).drop("__mt", "__node")
+    if parent_where:
+        joined = joined.filter(_truthy_guard(
+            _row_expr(opts["where"], params, compile_expr)))
     joined = joined.withColumn("__prevord", F.col("__ord"))
     joined = joined.withColumn(
         "__ord", F.concat(F.col("__prevord"), F.lit(SEP), F.col("__piece"))
@@ -293,7 +338,7 @@ def _final_value(fr, cat, state, mode, last_step, last_tables, params,
     """The per-result value column for the collect, per output mode."""
     _, _, opts = last_step
     if mode[0] == "id" and not (opts.get("fields") or opts.get("star")):
-        return (F.col("__eid") if state == "edge" else F.col("__node")), None
+        return fr, (F.col("__eid") if state == "edge" else F.col("__node"))
     # row-shaped output: carried columns must be present
     if not any(c.startswith("__c_") for c in fr.columns):
         raise LookupError_("internal: row mode without carried row columns")
@@ -303,15 +348,60 @@ def _final_value(fr, cat, state, mode, last_step, last_tables, params,
         for fld in opts["fields"]:
             name = fld.alias or _field_default_name(fld.expr)
             parts.append(_row_expr(fld.expr, params, compile_expr).alias(name))
-        return F.struct(*parts), None
+        return fr, F.struct(*parts)
     if mode[0] == "destructure":
         parts = []
         for name, sub in mode[1]:
-            c = F.col(f"__c_{name}") if name in row_cols else F.lit(None)
+            if sub and sub[0][0] == "aliased":
+                fr, c = _deref_expr(fr, cat, sub[0][1], params, compile_expr)
+            elif name in row_cols:
+                c = F.col(f"__c_{name}")
+            else:
+                c = F.lit(None)
             parts.append(c.alias(name))
-        return F.struct(*parts), None
+        return fr, F.struct(*parts)
     # full row (star / field-chain handled by idiom getField downstream)
-    return F.struct(*[F.col(f"__c_{c}").alias(c) for c in row_cols]), None
+    return fr, F.struct(*[F.col(f"__c_{c}").alias(c) for c in row_cols])
+
+
+_DEREF_N = [0]
+
+
+def _deref_expr(fr, cat, expr, params, compile_expr):
+    """Evaluate an aliased-destructure expression over the carried row,
+    dereferencing one level of record links (`team.name` — team holds a
+    record id).  The link's table comes from sampling one value, the FETCH
+    precedent (compiler fetch attach) — an OLTP-bounded driver action."""
+    if expr[0] == "ident":
+        return fr, F.col(f"__c_{expr[1]}")
+    if not (expr[0] == "path" and expr[1][0] == "ident"
+            and all(p[0] == "field" for p in expr[2])):
+        return fr, _row_expr(expr, params, compile_expr)
+    colname = f"__c_{expr[1][1]}"
+    chain = [p[1] for p in expr[2]]
+    if colname not in fr.columns:
+        return fr, F.lit(None)
+    sample = fr.select(colname).filter(F.col(colname).isNotNull()).first()
+    if sample is None:
+        return fr, F.lit(None)
+    v = sample[0]
+    if not (isinstance(v, str) and ":" in v):
+        c = F.col(colname)
+        for f_ in chain:
+            c = c.getField(f_)
+        return fr, c
+    tbl = v.split(":", 1)[0]
+    t = cat.table(tbl)
+    _DEREF_N[0] += 1
+    a = f"__dl{_DEREF_N[0]}"
+    pick = t.select(F.col("id").alias(f"{a}_id"),
+                    F.col(chain[0]).alias(f"{a}_v"))
+    fr = fr.join(pick, fr[colname] == pick[f"{a}_id"], "left") \
+        .drop(f"{a}_id")
+    c = F.col(f"{a}_v")
+    for f_ in chain[1:]:
+        c = c.getField(f_)
+    return fr, c
 
 
 def _field_default_name(expr) -> str:
@@ -369,9 +459,15 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
 
     levels: list[DataFrame] = []
     reached = 0
+    scalar_chain = all(s[0] == "link" for s in steps)
     for depth in range(1, hi_eff + 1):
         nxt = frontier
-        for (dirn, edge, target) in steps:
+        for step in steps:
+            if step[0] == "link":
+                nxt, was_scalar = _link_hop(nxt, cat, step[1])
+                scalar_chain = scalar_chain and was_scalar
+                continue
+            (dirn, edge, target) = step
             e = edge_df(cat, edge)
             if e is None:
                 nxt = nxt.limit(0)
@@ -416,8 +512,15 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
                 [], "__rk string, __node string, __ord string, __depth int")
         else:
             rows = levels[-1].select("__rk", "__node", "__ord", "__depth")
-        return _nest_nodes(df, cat, slot, rows, steps, trailing_field,
-                           sort_by_depth=False)
+        out = _nest_nodes(df, cat, slot, rows, steps, trailing_field,
+                          sort_by_depth=False)
+        if scalar_chain:
+            # a scalar record-link chain repeats to a VALUE, not an array
+            # (idiom repeat over non-array values; graph/
+            # recursion_record_links.surql `.{..}.parent` → org:company)
+            out = out.withColumn(slot, F.try_element_at(F.col(slot),
+                                                        F.lit(1)))
+        return out
     if kind == "collect":
         # min-depth gate: `.{2..+collect}` collects depths >= 2 only
         # (graph/collect_min_depth.surql)
@@ -477,6 +580,23 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
             hits = spark.createDataFrame(
                 [], "__rk string, __ord string, __path array<string>, "
                     "__depth int")
+        hits = hits.localCheckpoint(eager=True)
+        if hits.isEmpty() and not unbounded and levels:
+            # target unreached within the bound: the recursion stops at the
+            # bound and yields the frontier PATHS, nested like +path
+            # (golden: graph/path_shortest.surql `.{..3+shortest=...}`)
+            leaves = levels[-1]
+            val = F.col("__path") if inclusive else F.slice(
+                F.col("__path"), 2,
+                F.greatest(F.size(F.col("__path")) - 1, F.lit(0)))
+            agg = (
+                leaves.select("__rk", F.struct(
+                    F.col("__ord").alias("o"), val.alias("v")).alias("__s"))
+                .groupBy("__rk")
+                .agg(F.transform(F.array_sort(F.collect_list("__s")),
+                                 lambda x: x["v"]).alias(slot))
+            )
+            return df.join(agg, df["id"] == agg["__rk"], "left").drop("__rk")
         w = Window.partitionBy("__rk").orderBy(
             F.col("__depth").asc(), F.col("__ord").asc())
         best = hits.withColumn("__rn", F.row_number().over(w)) \
@@ -515,17 +635,74 @@ def _terminated_paths(levels: list[DataFrame], hi: int) -> DataFrame:
     return out
 
 
-def _nest_nodes(df, cat, slot, rows, steps, trailing_field, sort_by_depth):
-    """Group per-source node rows back into an ordered array column."""
+def _link_hop(fr, cat, chain: list[str]):
+    """One record-link hop: join the nodes' table and follow the field
+    chain; array-valued links (children) flatten with positional order.
+    Returns (frontier, was_scalar).  Link table inferred by sampling one
+    frontier value (FETCH precedent, OLTP-bounded driver action)."""
+    from pyspark.sql.types import ArrayType
+
+    sample = fr.select("__node").filter(F.col("__node").isNotNull()).first()
+    if sample is None or ":" not in str(sample[0]):
+        return fr.limit(0), True
+    tbl = str(sample[0]).split(":", 1)[0]
+    try:
+        t = cat.table(tbl)
+    except Exception:
+        return fr.limit(0), True
+    if chain[0] not in t.columns or "id" not in t.columns:
+        return fr.limit(0), True
+    c = F.col(chain[0])
+    for f_ in chain[1:]:
+        c = c.getField(f_)
+    tgt = t.select(F.col("id").alias("__lid"), c.alias("__lv"))
+    joined = fr.join(tgt, fr["__node"] == tgt["__lid"]).drop("__lid")
+    is_array = isinstance(tgt.schema["__lv"].dataType, ArrayType)
+    if is_array:
+        joined = joined.select(
+            *[c2 for c2 in joined.columns if c2 != "__lv"],
+            F.posexplode(F.col("__lv")).alias("__lp", "__lv"))
+        piece = F.lpad(F.col("__lp").cast("string"), 8, "0")
+    else:
+        piece = _kv_key(F.col("__lv"))
+    joined = joined.filter(F.col("__lv").isNotNull())
+    out = joined.select(
+        "__rk", "__seed", F.col("__lv").alias("__node"),
+        F.concat(F.col("__ord"), F.lit(SEP), piece).alias("__ord"),
+        F.array_append(F.col("__path"), F.col("__lv")).alias("__path"),
+    )
+    return out, not is_array
+
+
+def _nest_nodes(df, cat, slot, rows, steps, trailing, sort_by_depth):
+    """Group per-source node rows back into an ordered array column.
+    ``trailing`` is None, ("field", f), or ("destructure", entries) —
+    applied to the reached records (a target-table join)."""
     order = [F.col("__depth").alias("d"), F.col("__ord").alias("o")] \
         if sort_by_depth else [F.col("__ord").alias("o")]
-    if trailing_field is not None:
-        target = steps[-1][2]
-        t = cat.table(target)
-        tgt = t.select(F.col("id").alias("__tid"),
-                       F.col(trailing_field).alias("__tv"))
-        rows = rows.join(tgt, rows["__node"] == tgt["__tid"], "left")
-        val = F.col("__tv")
+    if trailing is not None:
+        if steps[-1][0] == "link":
+            sample = rows.select("__node").filter(
+                F.col("__node").isNotNull()).first()
+            target = str(sample[0]).split(":", 1)[0] if sample else None
+        else:
+            target = steps[-1][2]
+        if target is None:
+            val = F.lit(None)
+        else:
+            t = cat.table(target)
+            if trailing[0] == "field":
+                tgt = t.select(F.col("id").alias("__tid"),
+                               F.col(trailing[1]).alias("__tv"))
+                val = F.col("__tv")
+            else:  # destructure
+                picks = [F.col(n).alias(n) if n in t.columns
+                         else F.lit(None).alias(n)
+                         for n, _sub in trailing[1]]
+                tgt = t.select(F.col("id").alias("__tid"),
+                               F.struct(*picks).alias("__tv"))
+                val = F.col("__tv")
+            rows = rows.join(tgt, rows["__node"] == tgt["__tid"], "left")
     else:
         val = F.col("__node")
     agg = (

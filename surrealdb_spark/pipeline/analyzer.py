@@ -224,7 +224,11 @@ class Analyzer:
 
     # tokenization ----------------------------------------------------------
 
-    def tokens(self, col: Column | str) -> Column:
+    def tokens(self, col: Column | str, querying: bool = False) -> Column:
+        """``querying=True`` skips Ngram/EdgeNgram filters — the reference
+        analyzes queries without them (idx/ft/analyzer/filter.rs:78-84
+        FilteringStage::Querying), so `@@ 'el'` queries one term 'el'
+        against ngram-indexed documents."""
         s = F.col(col) if isinstance(col, str) else col
         if "camel" in self.tokenizers:
             s = F.regexp_replace(s, _CAMEL_BOUNDARY, _SEP)
@@ -236,6 +240,8 @@ class Analyzer:
         arr = F.split(s, f"[{classes}]+")
         arr = F.filter(arr, lambda x: x != "")
         for f in self.filters:
+            if querying and f[0] in ("ngram", "edgengram"):
+                continue
             arr = self._apply(arr, f)
         return F.filter(arr, lambda x: x.isNotNull() & (x != ""))
 

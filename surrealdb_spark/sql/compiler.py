@@ -173,6 +173,11 @@ _BINOPS = {
     "INTERSECTS": GEO.intersects,
 }
 
+# `@N@` match-reference operators behave like `@@` outside the runner's
+# analyzer-aware rewrite (statements._rewrite_search)
+for _n_ in range(10):
+    _BINOPS[f"@{_n_}@"] = O.matches
+
 
 def _type_cat(simple: str) -> str | None:
     """Spark simpleString dtype → coarse SurrealQL Number/value category."""
@@ -519,6 +524,10 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
     if kind == "param":
         name = ast[1]
         if name not in params:
+            if name == "parent":
+                # $parent inside projections / idiom filters: the
+                # enclosing row (exec CurrentValueSource $parent binding)
+                return F.struct("*")
             raise KeyError(f"unbound parameter ${name}")
         v = params[name]
         if isinstance(v, Column):
@@ -611,7 +620,9 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if _infer(e, types, params) == "duration":
                 # truthy(duration) = non-zero (Value::is_truthy)
                 return ~((c.getField("months") != 0) | (c.getField("nanos") != 0))
-            return ~c
+            # ! = NOT is_truthy (expr/operator.rs Not) — arrays/strings/
+            # numbers negate their truthiness, and !NONE is true
+            return ~_truthy_col(c, _infer(e, types, params))
         if op == "-":
             if _infer(e, types, params) == "duration":
                 raise ValueError("cannot negate a duration")
@@ -751,6 +762,8 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 "CONTAINS": lambda a, b: GEO.contains(a, b),
                 "CONTAINSNOT": lambda a, b: ~GEO.contains(a, b),
             }[op](lc, rc)
+        if op not in _BINOPS and op.startswith("@") and op.endswith("@"):
+            return O.matches(lc, rc)  # @N@/@AND@ variants outside the runner
         return _BINOPS[op](lc, rc)
     if kind == "method":
         return compile_expr(_resolve_method(ast, types, params), params, types)
@@ -1024,8 +1037,22 @@ def _compile_lambda(cond_ast, element: Column, params: dict) -> Column:
         if k == "lit":
             return F.lit(ast[1])
         if k == "param":
+            if ast[1] == "parent" and "parent" not in params:
+                # $parent = the enclosing row (outer-column reference
+                # inside the filter lambda)
+                return F.struct("*")
             v = params[ast[1]]
             return v if isinstance(v, Column) else F.lit(v)
+        if k == "path":
+            c = walk(ast[1])
+            for p in ast[2]:
+                if p[0] == "field":
+                    c = c.getField(p[1])
+                elif p[0] == "optional":
+                    pass
+                else:
+                    raise ValueError(f"unsupported in [WHERE]: {ast!r}")
+            return c
         if k == "bin":
             return _BINOPS[ast[1]](walk(ast[2]), walk(ast[3]))
         if k == "un":
@@ -1268,8 +1295,11 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                      if sel.value_expr is not None else None)
         new_fields = None
         if sel.fields:
+            # unaliased lookup projections are named by their verbatim
+            # text (reference: printed-form output names)
             new_fields = [
-                _FieldCls(_extract_lookups(f.expr, specs), f.alias)
+                _FieldCls(_extract_lookups(f.expr, specs),
+                          f.alias or getattr(f, "text", None))
                 if _has_lookup(f.expr) else f
                 for f in sel.fields
             ]
@@ -1575,6 +1605,12 @@ def _norm_recurse_parts(parts):
                 out.append(("recurse", p[1], p[2], _pair_steps(singles)))
                 i = j
                 continue
+            if i + 1 < len(parts) and parts[i + 1][0] == "field":
+                # `.{n}.parent` — record-link recursion step
+                out.append(("recurse", p[1], p[2],
+                            [("link", [parts[i + 1][1]])]))
+                i += 2
+                continue
         out.append(p)
         i += 1
     return out
@@ -1627,10 +1663,24 @@ def _extract_lookups(ast, specs: list, bool_ctx: bool = False,
             raise ValueError(
                 "graph lookups are supported from the row's record id, a "
                 "record-id literal, or a record-valued field")
+        steps: list = []
         k = 0
-        while k < len(parts) and parts[k][0] == "graph":
+        while k < len(parts):
+            p = parts[k]
+            if p[0] == "graph":
+                steps.append(p[1])
+            elif (p[0] == "where" and steps and k + 1 < len(parts)
+                  and parts[k + 1][0] == "graph"):
+                # `[WHERE cond]` between segments filters the previous
+                # segment's records before the traversal continues —
+                # same lowering as `->(tb WHERE cond)`
+                d, tb, o = steps[-1]
+                cond = p[1] if "where" not in o else \
+                    ("bin", "AND", o["where"], p[1])
+                steps[-1] = (d, tb, {**o, "where": cond})
+            else:
+                break
             k += 1
-        steps = [p[1] for p in parts[:k]]
         trailing = list(parts[k:])
         mode: tuple = ("rows",) if rows_hint else ("id",)
         if trailing:
@@ -1642,10 +1692,26 @@ def _extract_lookups(ast, specs: list, bool_ctx: bool = False,
                     mode, trailing = ("id",), trailing[1:]
                 else:
                     mode = ("rows",)
-            elif t0[0] in ("where", "all"):
+            elif t0[0] == "where":
+                # `[WHERE cond]` evaluates cond against the dereferenced
+                # records but keeps id elements (value/idiom.rs over
+                # Thing values) — filter row structs, then re-project ids
+                # unless the path reads fields afterwards
+                mode = ("rows",)
+                j = 0
+                while j < len(trailing) and trailing[j][0] == "where":
+                    j += 1
+                if j >= len(trailing) or trailing[j][0] not in (
+                        "field", "destructure", "all"):
+                    trailing = (trailing[:j] + [("all",), ("field", "id")]
+                                + trailing[j:])
+            elif t0[0] == "all":
                 mode = ("rows",)
         slot = f"__gp{len(specs)}"
         specs.append((slot, base, steps, mode))
+        if steps[-1][2].get("only"):
+            # `->(SELECT .. FROM ONLY ..)` unwraps to the bare object
+            trailing = [("first",)] + trailing
         new = ("ident", slot) if not trailing else \
             ("path", ("ident", slot), trailing)
         if bool_ctx and new[0] == "ident":
@@ -1754,15 +1820,15 @@ def _attach_recurse_fields(df: DataFrame, cat: Catalog, fields,
         if not steps:
             raise ValueError("recursion needs a ->edge->target step")
         trailing = parts[1:]
-        trailing_field = None
-        if trailing and trailing[0][0] == "field":
-            trailing_field = trailing[0][1]
+        tspec = None
+        if trailing and trailing[0][0] in ("field", "destructure"):
+            tspec = trailing[0]
             trailing = trailing[1:]
         if trailing:
             raise ValueError("unsupported parts after a recursion")
         name = fld.alias or "recurse"
         df = LK.recurse_value(df, cat, name, base, (lo, hi), instr, steps,
-                              trailing_field, params, compile_expr)
+                              tspec, params, compile_expr)
     return df
 
 

@@ -1,0 +1,865 @@
+"""EXPLAIN / EXPLAIN ANALYZE — reference-parity plan descriptions.
+
+The reference has two explain surfaces the language tests assert:
+
+  * legacy ``SELECT ... EXPLAIN [FULL]`` — an array of
+    ``{detail, operation}`` rows describing the old planner's access path
+    (core/src/idx/planner, core/src/dbs/iterators.rs);
+  * new-executor ``EXPLAIN [ANALYZE] <stmt>`` — an indented operator-tree
+    text (core/src/exec/operators/explain.rs:30,103; 4-space indent,
+    ``Name [ctx: Db] [attr: v, ...]`` lines, ANALYZE appends
+    ``{rows: N}`` per operator plus a ``Total rows: N`` footer).
+
+This module DESCRIBES the plan the reference would choose — index
+selection from the defined indexes and WHERE conjuncts, sort elimination,
+limit pushdown — while the actual Spark execution stays Catalyst-planned
+(predicate pushdown subsumes these index scans).  ANALYZE row counts are
+measured by executing the equivalent stages against the engine's tables
+(OLTP-scoped: explain analyze is interactive, never a 100 TB path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# -- SurrealQL expression printer (ToSql parity) ------------------------------
+
+
+_BIN_PRINT = {
+    "=": "=", "==": "==", "!=": "!=", ">": ">", ">=": ">=", "<": "<",
+    "<=": "<=", "AND": "AND", "&&": "AND", "OR": "OR", "||": "OR",
+    "IN": "INSIDE", "INSIDE": "INSIDE", "NOTINSIDE": "NOTINSIDE",
+    "CONTAINS": "CONTAINS", "CONTAINSALL": "CONTAINSALL",
+    "CONTAINSANY": "CONTAINSANY", "CONTAINSNONE": "CONTAINSNONE",
+    "+": "+", "-": "-", "*": "*", "/": "/",
+}
+
+
+def to_sql(ast) -> str:
+    """Printed form of an expression AST (types ToSql; used for Filter
+    predicates and TableScan predicate attrs)."""
+    if ast is None:
+        return ""
+    k = ast[0]
+    if k == "lit":
+        v = ast[1]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if v is None:
+            return "NONE"
+        if isinstance(v, str):
+            return v if _is_record_id(v) else f"'{v}'"
+        if isinstance(v, float) and v == int(v):
+            return str(int(v)) + "f"
+        return str(v)
+    if k == "ulit":
+        return f"u'{ast[1]}'"
+    if k == "nulllit":
+        return "NULL"
+    if k == "ident":
+        return ast[1]
+    if k == "param":
+        return f"${ast[1]}"
+    if k == "all":
+        return "*"
+    if k == "array":
+        return "[" + ", ".join(to_sql(e) for e in ast[1]) + "]"
+    if k == "path":
+        base = to_sql(ast[1])
+        outp = base
+        for p in ast[2]:
+            if p[0] == "field":
+                outp += f".{p[1]}"
+            elif p[0] == "all":
+                outp += ".*"
+            elif p[0] == "index":
+                outp += f"[{p[1]}]"
+            elif p[0] == "optional":
+                outp += "?"
+            else:
+                outp += "..."
+        return outp
+    if k == "bin":
+        return f"{to_sql(ast[2])} {_BIN_PRINT.get(ast[1], ast[1])} " \
+               f"{to_sql(ast[3])}"
+    if k == "un":
+        return f"{ast[1]} {to_sql(ast[2])}"
+    if k == "call":
+        return f"{ast[1]}(...)"
+    if k == "matches":
+        return f"{to_sql(ast[1])} @@ {to_sql(ast[2])}"
+    return "?"
+
+
+def _is_record_id(s: str) -> bool:
+    import re
+
+    return bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_]+", s))
+
+
+def _lit_value(ast):
+    """Python value of a literal-ish AST (for legacy detail dicts)."""
+    if ast is None:
+        return None
+    if ast[0] in ("lit", "ulit"):
+        return ast[1]
+    if ast[0] == "nulllit":
+        return None
+    if ast[0] == "array":
+        return [_lit_value(e) for e in ast[1]]
+    if ast[0] == "un" and ast[1] == "-" and ast[2][0] == "lit":
+        return -ast[2][1]
+    return _Opaque(to_sql(ast))
+
+
+class _Opaque(str):
+    pass
+
+
+# -- WHERE analysis -----------------------------------------------------------
+
+
+def _conjuncts(ast) -> list:
+    if ast is None:
+        return []
+    if ast[0] == "bin" and ast[1] in ("AND", "&&"):
+        return _conjuncts(ast[2]) + _conjuncts(ast[3])
+    return [ast]
+
+
+def _disjuncts(ast) -> list:
+    if ast is None:
+        return []
+    if ast[0] == "bin" and ast[1] in ("OR", "||"):
+        return _disjuncts(ast[2]) + _disjuncts(ast[3])
+    return [ast]
+
+
+def _field_of(ast) -> str | None:
+    """Printed field path of the lhs of a conjunct (ident or path)."""
+    if ast[0] in ("ident", "path"):
+        return to_sql(ast)
+    return None
+
+
+@dataclass
+class Access:
+    """The access path chosen for one table source."""
+    kind: str                 # table|index|unionidx|ft|knn|knnbrute|multi
+    index: str | None = None
+    # equality prefix values (ASTs) for compound access
+    eq_values: list = field(default_factory=list)
+    # single range bound: (op, value_ast) or None
+    range_: tuple | None = None
+    # union branch values (ASTs)
+    union_values: list = field(default_factory=list)
+    # matches / knn specifics
+    op_text: str = ""
+    query: object = None
+    knn: tuple | None = None  # (k, second, field_ast)
+    # conjuncts still checked after the scan
+    residual: list = field(default_factory=list)
+    # conjunct folded into the scan predicate (table scans)
+    predicate: object = None
+    direction: str = "Forward"
+    limit: int | None = None
+    offset: int | None = None
+    order_eliminated: bool = False
+    reverse_order: bool = False  # legacy ReverseOrder plan
+    fallback: str | None = None
+    # the matched conjuncts' combined predicate (kept as Filter for
+    # CONTAINS*/IN accesses)
+    keep_pred: list = field(default_factory=list)
+
+
+def _index_defs(runner, tbl):
+    return [d for d in runner.index_defs.values() if d.table == tbl]
+
+
+def analyze_access(runner, sel, tbl, params=None) -> Access:
+    """Reference planner emulation for one table source."""
+    params = params or {}
+    conj = _conjuncts(sel.where)
+    noindex = sel.with_hint == ("noindex",)
+    forced = (sel.with_hint[1] if sel.with_hint
+              and sel.with_hint[0] == "index" else None)
+    defs = _index_defs(runner, tbl)
+    if forced is not None:
+        defs = [d for d in defs if d.name in forced]
+
+    acc = Access(kind="table")
+    order1 = sel.order[0] if sel.order else None
+    order_field = (order1.expr[1] if order1 and order1.expr[0] == "ident"
+                   else None)
+
+    # KNN conjunct?
+    knn_c = next((c for c in conj if c[0] == "knn"), None)
+    rest = [c for c in conj if c is not knn_c]
+    if knn_c is not None:
+        _, k, metric, lhs, rhs = knn_c
+        dim = _knn_dim(rhs, params)
+        hnsw = next((d for d in defs if getattr(d, "kind", "") == "hnsw"
+                     and d.fields and d.fields[0] == _field_of(lhs)), None)
+        if hnsw is not None and not noindex and str(metric).isdigit():
+            acc = Access(kind="knn", index=hnsw.name,
+                         knn=(k, int(metric), lhs), residual=rest,
+                         op_text=f"<|{k},{metric}|>", query=dim)
+        else:
+            met = (metric or "euclidean")
+            met = met.capitalize() if isinstance(met, str) else "Euclidean"
+            acc = Access(kind="knnbrute", knn=(k, met, lhs),
+                         residual=rest, query=dim)
+        acc.direction = "Forward"
+        return _finish(acc, sel, order_field, order1)
+
+    if noindex:
+        acc.fallback = "WITH NOINDEX"
+        acc.predicate = sel.where
+        return _finish(acc, sel, order_field, order1, noindex=True)
+
+    # full-text matches conjunct
+    ft_c = None
+    for c in conj:
+        if c[0] == "matches" or (c[0] == "bin" and str(c[1]).startswith("@")):
+            ft_c = c
+            break
+
+    disj = _disjuncts(sel.where)
+    if len(disj) > 1 and all(_branch_index(runner, d, defs) for d in disj):
+        branches = [_branch_index(runner, d, defs) for d in disj]
+        acc = Access(kind="multi")
+        acc.union_values = branches  # list of (idx, op, value_ast)
+        return _finish(acc, sel, order_field, order1)
+
+    # score indexes against the AND conjuncts (prefer the longest
+    # equality-prefix match; ties go to the later conjunct — observed
+    # planner behavior in planner/multi_index_or_and.surql)
+    best = None
+    for d in defs:
+        kind = getattr(d, "kind", "idx")
+        if kind == "fulltext":
+            if ft_c is not None and d.fields and \
+                    d.fields[0] == _field_of(ft_c[2]):
+                best = ("ft", d, None, None, 3_000)
+            continue
+        if kind in ("hnsw", "count"):
+            continue
+        m = _match_compound(d, conj)
+        if m is None:
+            continue
+        eqs, rng, used, last_pos = m
+        score = (len(eqs) + (0.5 if rng else 0), last_pos)
+        if best is None or best[0] != "ft" and score > best[4]:
+            best = ("idx", d, m, None, score)
+    if best is None and ft_c is None:
+        acc.predicate = sel.where
+        if any(c[0] == "un" and c[1] in ("!", "NOT") for c in conj):
+            acc.fallback = f"Unsupported expression: {_bang(sel.where)}"
+        return _finish(acc, sel, order_field, order1)
+    if best is not None and best[0] == "ft":
+        d = best[1]
+        acc = Access(kind="ft", index=d.name, op_text=str(ft_c[1]),
+                     query=_lit_value(ft_c[3]),
+                     residual=[c for c in conj if c is not ft_c])
+        return _finish(acc, sel, order_field, order1)
+    if best is not None:
+        d, m = best[1], best[2]
+        eqs, rng, used, _ = m
+        residual = [c for c in conj if c not in used]
+        # IN / CONTAINS family on the matched column
+        unions = [c for c in used if c[0] == "bin" and
+                  str(c[1]) in ("IN", "INSIDE", "CONTAINSALL", "CONTAINSANY")]
+        contains = [c for c in used if c[0] == "bin"
+                    and str(c[1]) == "CONTAINS"]
+        acc = Access(kind="index", index=d.name,
+                     eq_values=[e for _, e in eqs], range_=rng,
+                     residual=residual)
+        if unions:
+            c = unions[0]
+            vals = c[3][1] if c[3][0] == "array" else [c[3]]
+            if len(d.fields) == 1 and len(vals) > 1:
+                acc.kind = "unionidx"
+                acc.union_values = list(vals)
+            elif len(d.fields) == 1:
+                acc.eq_values = [vals[0]]
+            acc.keep_pred = list(used) + residual
+            acc.residual = []
+        elif contains:
+            acc.keep_pred = list(used) + residual
+            acc.residual = []
+        return _finish(acc, sel, order_field, order1, idx_def=d)
+    return _finish(acc, sel, order_field, order1)
+
+
+def _bang(ast) -> str:
+    # legacy Fallback prints the raw expression without the added space
+    s = to_sql(ast)
+    return s.replace("! ", "!")
+
+
+def _knn_dim(rhs, params):
+    if rhs[0] == "array":
+        return len(rhs[1])
+    if rhs[0] == "param":
+        v = params.get(rhs[1])
+        try:
+            return len(v)
+        except Exception:
+            return None
+    return None
+
+
+def _branch_index(runner, d_ast, defs):
+    """OR branch → (idx_name, op, value_ast) if index-matchable."""
+    if d_ast[0] == "matches" or (
+            d_ast[0] == "bin" and str(d_ast[1]).startswith("@")):
+        f = _field_of(d_ast[1])
+        for d in defs:
+            if getattr(d, "kind", "") == "fulltext" and d.fields \
+                    and d.fields[0] == f:
+                q = d_ast[3] if d_ast[0] == "bin" else d_ast[2]
+                return (d.name, str(d_ast[1]) if d_ast[0] == "bin"
+                        else "@@", q)
+        return None
+    if d_ast[0] == "bin" and d_ast[1] in ("=", "=="):
+        f = _field_of(d_ast[2])
+        for d in defs:
+            if getattr(d, "kind", "idx") in ("idx", "uniq") and \
+                    len(d.fields) == 1 and d.fields[0] == f:
+                return (d.name, "=", d_ast[3])
+    return None
+
+
+def _match_compound(d, conj):
+    """Match a (possibly compound) index against AND conjuncts.
+
+    Returns (eq_prefix [(field, value_ast)], range|None, used_conjuncts,
+    last_conjunct_position) or None."""
+    eqs, used = [], []
+    last_pos = -1
+    for fi, f in enumerate(d.fields):
+        hit = None
+        for pos, c in enumerate(conj):
+            if c[0] != "bin":
+                continue
+            op = str(c[1])
+            if _field_of(c[2]) != f:
+                continue
+            if op in ("=", "=="):
+                hit = (pos, c, ("eq", c[3]))
+                break
+            if op in ("IN", "INSIDE", "CONTAINS", "CONTAINSALL",
+                      "CONTAINSANY") and fi == len(d.fields) - 1:
+                hit = (pos, c, ("set", c[3]))
+                break
+            if op in (">", ">=", "<", "<="):
+                hit = (pos, c, ("range", op, c[3]))
+                break
+        if hit is None:
+            break
+        pos, c, spec = hit
+        used.append(c)
+        last_pos = max(last_pos, pos)
+        if spec[0] == "eq":
+            eqs.append((f, spec[1]))
+        elif spec[0] == "set":
+            eqs.append((f, spec[1]))
+            return eqs[:-1], None, used, last_pos
+        else:
+            return eqs, (spec[1], spec[2]), used, last_pos
+    if not used:
+        return None
+    return eqs, None, used, last_pos
+
+
+_RANGE_OPS = {">": "MoreThan", ">=": "MoreThanEqual",
+              "<": "LessThan", "<=": "LessThanEqual"}
+
+
+def _finish(acc: Access, sel, order_field, order1, noindex=False,
+            idx_def=None):
+    # sort elimination: ORDER BY id → table order; ORDER BY <indexed col>
+    # → index order (Backward for DESC); KNN ORDER BY distance → TopK
+    if order1 is not None:
+        if order_field == "id" and acc.kind == "table":
+            acc.order_eliminated = True
+        elif acc.kind in ("index", "unionidx") and idx_def is not None \
+                and idx_def.fields and order_field == idx_def.fields[-1] \
+                and acc.kind == "index":
+            acc.order_eliminated = True
+            if order1.desc:
+                acc.direction = "Backward"
+        elif acc.kind in ("knn", "knnbrute"):
+            acc.order_eliminated = True
+    if sel.limit is not None and (acc.order_eliminated or order1 is None):
+        acc.limit = sel.limit
+        acc.offset = sel.start
+    return acc
+
+
+# -- new-executor tree --------------------------------------------------------
+
+
+@dataclass
+class Node:
+    name: str
+    attrs: str            # rendered "[a: x, b: y]" tail (may be "")
+    children: list = field(default_factory=list)
+    rows: int | None = None
+
+
+def _scan_nodes(runner, sel, tbl, acc: Access, params) -> Node:
+    cnt = _counter(runner, tbl, params)
+    if acc.kind == "table":
+        a = [f"table: {tbl}", f"direction: {acc.direction}"]
+        if acc.predicate is not None:
+            a.append(f"predicate: {to_sql(acc.predicate)}")
+        if acc.limit is not None:
+            a.append(f"limit: {acc.limit}")
+        if acc.offset:
+            a.append(f"offset: {acc.offset}")
+        n = Node("TableScan", "[" + ", ".join(a) + "]")
+        n.rows = cnt(acc.predicate, acc.limit, acc.offset)
+        return n
+    if acc.kind == "index":
+        a = [f"index: {acc.index}", f"access: {_access_text(acc)}",
+             f"direction: {acc.direction}"]
+        if acc.limit is not None:
+            a.append(f"limit: {acc.limit}")
+        n = Node("IndexScan", "[" + ", ".join(a) + "]")
+        n.rows = cnt(_access_pred(runner, acc), acc.limit, acc.offset)
+        return n
+    if acc.kind == "unionidx":
+        kids = []
+        d = runner.index_defs[acc.index]
+        f_ast = ("ident", d.fields[0])
+        for v in acc.union_values:
+            k = Node("IndexScan",
+                     f"[index: {acc.index}, access: = {to_sql(v)}, "
+                     f"direction: Forward]")
+            k.rows = cnt(_mk_contains_eq(d.fields[0], v), None, None)
+            kids.append(k)
+        n = Node("UnionIndexScan",
+                 f"[table: {tbl}, branches: {len(kids)}]", kids)
+        n.rows = cnt(("bin", "CONTAINSANY" if True else "IN", f_ast,
+                      ("array", list(acc.union_values))), None, None)
+        if n.rows is None:
+            n.rows = sum(k.rows or 0 for k in kids)
+        return n
+    if acc.kind == "ft":
+        q = acc.query if isinstance(acc.query, str) else to_sql(acc.query)
+        n = Node("FullTextScan", f"[index: {acc.index}, query: {q}]")
+        n.rows = cnt(("matchpred", acc), None, None)
+        return n
+    if acc.kind == "knn":
+        k, ef, lhs = acc.knn
+        n = Node("KnnScan", f"[index: {acc.index}, k: {k}, ef: {ef}, "
+                            f"dimension: {acc.query}]")
+        base = cnt(None, None, None) or 0
+        n.rows = min(int(k), base)
+        return n
+    raise ValueError(acc.kind)
+
+
+def _mk_contains_eq(fpath, v):
+    # field path may be 'marks.*.subject'; evaluated via engine WHERE —
+    # build a CONTAINS predicate AST textually
+    from surrealdb_spark.sql.parser import parse_expr
+
+    return parse_expr(f"{fpath} CONTAINS {to_sql(v)}")
+
+
+def _access_text(acc: Access) -> str:
+    if acc.range_ is not None and not acc.eq_values:
+        op, v = acc.range_
+        return f"{op}{to_sql(v)}"
+    parts = "[" + ", ".join(to_sql(v) for v in acc.eq_values) + "]" \
+        if acc.eq_values else ""
+    if acc.range_ is not None:
+        op, v = acc.range_
+        return f"{parts} {_RANGE_OPS[op]} {to_sql(v)}"
+    if not acc.eq_values:
+        return ""
+    if len(acc.eq_values) == 1 and getattr(acc, "_single", False):
+        return f"= {to_sql(acc.eq_values[0])}"
+    return parts
+
+
+def _access_pred(runner, acc: Access):
+    """Equality/range access as a WHERE AST for row counting."""
+    d = runner.index_defs[acc.index]
+    node = None
+
+    def conj(a, b):
+        return b if a is None else ("bin", "AND", a, b)
+
+    for f, v in zip(d.fields, acc.eq_values):
+        from surrealdb_spark.sql.parser import parse_expr
+
+        node = conj(node, parse_expr(f"{f} = {to_sql(v)}")
+                    if not isinstance(v, tuple)
+                    else ("bin", "=", parse_expr(f), v))
+    if acc.range_ is not None:
+        op, v = acc.range_
+        fld = d.fields[len(acc.eq_values)]
+        from surrealdb_spark.sql.parser import parse_expr
+
+        node = conj(node, ("bin", op, parse_expr(fld), v))
+    return node
+
+
+def _counter(runner, tbl, params):
+    """Row counter: engine-side count of rows matching a predicate
+    (measured ANALYZE metrics — OLTP-scoped)."""
+
+    def cnt(pred, limit, offset):
+        try:
+            from surrealdb_spark.sql.compiler import compile_expr, types_of
+
+            runner._refresh_catalog()
+            df = runner.catalog.table(tbl)
+            if pred is not None and isinstance(pred, tuple) \
+                    and pred[0] == "matchpred":
+                acc = pred[1]
+                sel2 = _mk_matches_select(runner, tbl, acc)
+                df = runner.run_select(sel2, params or {})
+            elif pred is not None:
+                from surrealdb_spark.sql.compiler import _truthy_col, _infer
+
+                col = compile_expr(pred, params or {}, types_of(df))
+                df = df.filter(_truthy_col(col, None))
+            n = df.count()
+            if offset:
+                n = max(0, n - offset)
+            if limit is not None:
+                n = min(n, limit)
+            return n
+        except Exception:
+            return None
+
+    return cnt
+
+
+def _mk_matches_select(runner, tbl, acc: Access):
+    from surrealdb_spark.sql.parser import parse_select
+
+    q = acc.query if isinstance(acc.query, str) else ""
+    op = acc.op_text or "@@"
+    d = runner.index_defs[acc.index]
+    return parse_select(
+        f"SELECT * FROM {tbl} WHERE {d.fields[0]} {op} '{q}'")
+
+
+def plan_new(runner, sel, params=None) -> Node:
+    """New-executor operator tree for a SELECT (exec/planner/select.rs)."""
+    params = params or {}
+    tbls = [s for s in sel.sources if isinstance(s, str)]
+    conj = _conjuncts(sel.where)
+    order1 = sel.order[0] if sel.order else None
+
+    # count() GROUP ALL family
+    if sel.group == [] and sel.fields and len(sel.fields) == 1 \
+            and sel.fields[0].expr[0] == "call" \
+            and sel.fields[0].expr[1] == "count" and len(tbls) == 1:
+        tbl = tbls[0]
+        defs = _index_defs(runner, tbl)
+        noindex = sel.with_hint == ("noindex",)
+        has_count = any(getattr(d, "kind", "") == "count" for d in defs)
+        cnt = _counter(runner, tbl, params)
+        if not noindex and sel.where is None and has_count:
+            n = Node("CountScan", f"[source: {tbl}]")
+            n.rows = 1
+            return n
+        if not noindex and sel.where is not None and any(
+                _match_compound(d, conj) for d in defs
+                if getattr(d, "kind", "idx") in ("idx", "uniq")):
+            n = Node("IndexCountScan",
+                     f"[source: {tbl}, condition: {to_sql(sel.where)}]")
+            n.rows = 1
+            return n
+        acc = analyze_access(runner, sel, tbl, params)
+        acc.predicate = sel.where if acc.kind == "table" else acc.predicate
+        scan = _scan_nodes(runner, sel, tbl, acc, params)
+        agg = Node("Aggregate", "[mode: GROUP ALL]", [scan])
+        agg.rows = 1
+        return agg
+
+    # scans per source
+    scans = []
+    accs = []
+    for tbl in tbls:
+        acc = analyze_access(runner, sel, tbl, params)
+        if acc.kind == "table" and sel.where is not None \
+                and len(tbls) == 1 and not acc.residual:
+            acc.predicate = sel.where
+        accs.append((tbl, acc))
+    multi = len(tbls) > 1
+    for tbl, acc in accs:
+        if multi:
+            a2 = Access(kind="table")
+            a2.direction = "Forward"
+            scans.append(_scan_nodes(runner, sel, tbl, a2, params))
+        else:
+            scans.append(_scan_nodes(runner, sel, tbl, acc, params))
+    if multi:
+        node = Node("Union", "", scans)
+        node.rows = sum(s.rows or 0 for s in scans)
+        acc = Access(kind="table")
+        knn_c = next((c for c in conj if c[0] == "knn"), None)
+        rest = [c for c in conj if c is not knn_c]
+        if rest:
+            pred = _and_all(rest)
+            node = _filter_node(runner, node, pred, tbls, params)
+        if knn_c is not None:
+            node = _knn_topk_node(runner, node, knn_c, params)
+    else:
+        tbl, acc = accs[0]
+        node = scans[0]
+        knn_c = next((c for c in conj if c[0] == "knn"), None)
+        if acc.kind == "knnbrute":
+            # predicate folded into the scan, TopK on top
+            base = Access(kind="table")
+            base.predicate = _and_all(acc.residual) if acc.residual else None
+            node = _scan_nodes(runner, sel, tbl, base, params)
+            node2 = _knn_topk_node(runner, node, knn_c, params)
+            node = node2
+        else:
+            fpred = None
+            if acc.keep_pred:
+                fpred = _and_all(acc.keep_pred)
+            elif acc.residual and acc.kind != "table":
+                fpred = _and_all(acc.residual)
+            if fpred is not None:
+                node = _filter_node(runner, node, fpred, tbls, params)
+            if acc.kind == "knn":
+                pass
+
+    # Compute for computed AS fields (function-call projections)
+    computed = []
+    if sel.fields:
+        for f in sel.fields:
+            if f.alias and f.expr[0] in ("call", "method"):
+                computed.append(f"{f.alias} = {f.expr[1]}(...)")
+    if computed:
+        c = Node("Compute", "[fields: " + ", ".join(computed) + "]", [node])
+        c.rows = node.rows
+        node = c
+
+    # Sort
+    acc0 = accs[0][1] if accs else Access(kind="table")
+    if order1 is not None and not acc0.order_eliminated:
+        keys = ", ".join(
+            f"{to_sql(k.expr)} {'DESC' if k.desc else 'ASC'}"
+            for k in sel.order)
+        s = Node("SortByKey", f"[sort_keys: {keys}]", [node])
+        s.rows = node.rows
+        node = s
+
+    # projections
+    projs = []
+    if sel.value_expr is not None:
+        projs = [to_sql(sel.value_expr)]
+        name = "ProjectValue"
+    else:
+        name = "SelectProject"
+        if sel.star or sel.fields is None:
+            projs.append("*")
+        for f in (sel.fields or []):
+            nm = f.alias or to_sql(f.expr)
+            if nm != "*":
+                projs.append(nm)
+    p = Node(name, "[projections: " + ", ".join(projs) + "]", [node])
+    p.rows = node.rows
+    if sel.limit is not None and acc0.limit is None:
+        p.rows = min(p.rows or 0, sel.limit)
+    if sel.group is not None:
+        agg = Node("Aggregate", "[mode: GROUP ALL]"
+                   if sel.group == [] else "[mode: GROUP BY]", [node])
+        agg.rows = 1 if sel.group == [] else p.rows
+        p = Node(name, p.attrs, [agg])
+        p.rows = agg.rows
+    if sel.fetch:
+        fch = Node("Fetch", "[fields: " + ", ".join(sel.fetch) + "]", [p])
+        fch.rows = p.rows
+        p = fch
+    return p
+
+
+def _and_all(conjs):
+    node = None
+    for c in conjs:
+        node = c if node is None else ("bin", "AND", node, c)
+    return node
+
+
+def _filter_node(runner, child, pred, tbls, params):
+    n = Node("Filter", f"[predicate: {to_sql(pred)}]", [child])
+    if len(tbls) >= 1:
+        total = 0
+        ok = True
+        for t in tbls:
+            c = _counter(runner, t, params)(pred, None, None)
+            if c is None:
+                ok = False
+                break
+            total += c
+        n.rows = total if ok else None
+    return n
+
+
+def _knn_topk_node(runner, child, knn_c, params):
+    _, k, metric, lhs, rhs = knn_c
+    met = (metric or "euclidean")
+    met = met.capitalize() if isinstance(met, str) and not str(
+        met).isdigit() else "Euclidean"
+    dim = _knn_dim(rhs, params)
+    n = Node("KnnTopK", f"[field: {to_sql(lhs)}, k: {k}, distance: {met}, "
+                        f"dimension: {dim}]", [child])
+    n.rows = min(int(k), child.rows or 0) if child.rows is not None \
+        else None
+    return n
+
+
+def render_text(node: Node, analyze: bool) -> str:
+    lines: list[str] = []
+
+    def walk(n: Node, depth: int):
+        tail = f" {{rows: {n.rows if n.rows is not None else 0}}}" \
+            if analyze else ""
+        attrs = f" {n.attrs}" if n.attrs else ""
+        lines.append(" " * (4 * depth) + f"{n.name} [ctx: Db]{attrs}{tail}")
+        for c in n.children:
+            walk(c, depth + 1)
+
+    walk(node, 0)
+    body = "\n".join(lines)
+    if analyze:
+        return body + f"\n\nTotal rows: {node.rows if node.rows is not None else 0}"
+    return body + "\n"
+
+
+# -- legacy array format ------------------------------------------------------
+
+
+def plan_legacy(runner, sel, params=None) -> list:
+    """``SELECT ... EXPLAIN [FULL]`` rows (old planner description)."""
+    params = params or {}
+    tbls = [s for s in sel.sources if isinstance(s, str)]
+    tbl = tbls[0] if tbls else None
+    out: list = []
+    acc = analyze_access(runner, sel, tbl, params) if tbl else \
+        Access(kind="table")
+    conj = _conjuncts(sel.where)
+    is_count = (sel.group == [] and sel.fields and len(sel.fields) == 1
+                and sel.fields[0].expr[0] == "call"
+                and sel.fields[0].expr[1] == "count")
+
+    def iterate_index_detail(a: Access):
+        if a.range_ is not None:
+            lo = hi = None
+            op, v = a.range_
+            if op in (">", ">="):
+                lo = (v, op == ">=")
+            else:
+                hi = (v, op == "<=")
+            plan = {
+                "direction": "backward" if a.direction == "Backward"
+                else "forward",
+                "from": {"inclusive": bool(lo and lo[1]),
+                         "value": _lit_value(lo[0]) if lo else None},
+                "index": a.index,
+                "to": {"inclusive": bool(hi and hi[1]),
+                       "value": _lit_value(hi[0]) if hi else None},
+            }
+            return plan
+        if a.kind == "unionidx":
+            return {"index": a.index, "operator": "union",
+                    "value": [_lit_value(v) for v in a.union_values]}
+        if a.kind == "ft":
+            return {"index": a.index, "operator": a.op_text,
+                    "value": a.query}
+        if a.kind == "knn":
+            k, ef, _ = a.knn
+            return {"index": a.index, "operator": f"<|{k},{ef}|>",
+                    "value": None}
+        vals = [_lit_value(v) for v in a.eq_values]
+        value = vals[0] if len(vals) == 1 and getattr(
+            a, "_single", True) and len(
+            runner.index_defs[a.index].fields) == 1 else vals
+        return {"index": a.index, "operator": "=", "value": value}
+
+    used_index = acc.kind in ("index", "unionidx", "ft", "knn", "multi") \
+        or acc.reverse_order
+    if is_count and sel.where is None and not used_index \
+            and sel.with_hint != ("noindex",):
+        cdef = next((d for d in _index_defs(runner, tbl)
+                     if getattr(d, "kind", "") == "count"), None)
+        if cdef is not None:
+            out.append({"detail": {"plan": {"index": cdef.name,
+                                            "operator": "Count"},
+                                   "table": tbl},
+                        "operation": "Iterate Index Count"})
+            used_index = True
+            acc = Access(kind="count", index=cdef.name)
+    if acc.kind == "multi":
+        for idx, op, v in acc.union_values:
+            out.append({"detail": {"plan": {
+                "index": idx, "operator": op if op != "IN" else "union",
+                "value": _lit_value(v)}, "table": tbl},
+                "operation": "Iterate Index"})
+    elif used_index and acc.kind != "count":
+        op_name = "Iterate Index Count" if is_count else "Iterate Index"
+        out.append({"detail": {"plan": iterate_index_detail(acc),
+                               "table": tbl},
+                    "operation": op_name})
+    elif not used_index:
+        for t in tbls:
+            out.append({"detail": {"direction": "forward", "table": t},
+                        "operation": "Iterate Table"})
+        if acc.fallback:
+            out.append({"detail": {"reason": acc.fallback},
+                        "operation": "Fallback"})
+    # collector
+    if sel.group is not None and is_count:
+        out.append({"detail": {
+            "Aggregate expressions": {}, "Aggregations": {"_a0": "Count"},
+            "Group expressions": {},
+            "Select expression": {"count": "_a0"}, "type": "Group"},
+            "operation": "Collector"})
+    else:
+        if sel.order and sel.limit is not None:
+            out.append({"detail": {"limit": sel.limit + (sel.start or 0),
+                                   "type": "MemoryOrderedLimit"},
+                        "operation": "Collector"})
+        elif sel.order:
+            out.append({"detail": {"type": "MemoryOrdered"},
+                        "operation": "Collector"})
+        else:
+            out.append({"detail": {"type": "Memory"},
+                        "operation": "Collector"})
+    if sel.explain == "full":
+        out.append({"detail": {"type": "KeysAndValues"},
+                    "operation": "RecordStrategy"})
+        if sel.limit is not None:
+            d = {"CancelOnLimit": sel.limit}
+            if sel.start:
+                d["SkipStart"] = sel.start
+            out.append({"detail": d, "operation": "StartLimitStrategy"})
+        # count of record fetches: 0 when the index covers the iteration
+        covered = used_index and acc.order_eliminated
+        n = 0
+        if not covered:
+            try:
+                df = runner.run_select(_strip_explain(sel), params)
+                n = df.count()
+            except Exception:
+                n = 0
+        out.append({"detail": {"count": n}, "operation": "Fetch"})
+    return out
+
+
+def _strip_explain(sel):
+    import dataclasses
+
+    return dataclasses.replace(sel, explain=None)

@@ -257,6 +257,30 @@ class Parser:
                 self.next()
                 lhs = ("refscan_on", lhs, self._refscan_entries())
                 continue
+            if op == "@" and self.toks[self.i + 1].kind in ("num", "name",
+                                                            "kw"):
+                # `@N@` / `@AND@` / `@N,OR@` — matches with a numbered
+                # match reference and/or boolean mode
+                # (operator.rs Matches{rf, operator})
+                j = self.i + 1
+                inner = []
+                while j < len(self.toks) and not (
+                        self.toks[j].kind == "op"
+                        and self.toks[j].text == "@"):
+                    if self.toks[j].kind not in ("num", "name", "kw") and \
+                            self.toks[j].text != ",":
+                        break
+                    inner.append(self.toks[j])
+                    j += 1
+                if j < len(self.toks) and self.toks[j].kind == "op" \
+                        and self.toks[j].text == "@" and inner:
+                    if _BIN_BP["@@"][0] < min_bp:
+                        break
+                    self.i = j + 1
+                    spec = "".join(t.orig or t.text for t in inner)
+                    rhs = self.expr(_BIN_BP["@@"][1])
+                    lhs = ("bin", f"@{spec.upper()}@", lhs, rhs)
+                    continue
             if op not in _BIN_BP:
                 break
             lbp, rbp = _BIN_BP[op]
@@ -612,7 +636,9 @@ class Parser:
                 kind = self.expect("name").text.lower()
                 if kind == "shortest":
                     self.expect("op", "=")
-                    instr["shortest"] = self.expr(0)
+                    # bind above '+' so `+inclusive` stays an instruction
+                    # (syn: recursion instructions chain with '+')
+                    instr["shortest"] = self.expr(14)
                 elif kind == "inclusive":
                     instr["inclusive"] = True
                 elif kind in ("collect", "path"):
@@ -622,16 +648,41 @@ class Parser:
             self.expect("op", "}")
             steps = []
             if self.eat("op", "("):
-                steps = self._graph_steps()
-                self.eat("op", ".")  # optional trailing .@ repeat marker
-                self.eat("op", "@")
+                if self.peek().kind == "op" and self.peek().text == ".":
+                    # `(.field)` — record-link recursion step
+                    # (idiom.rs Recurse over plain idiom parts)
+                    self.next()
+                    chain = [self.expect("name").text]
+                    while self.eat("op", "."):
+                        if self.peek().kind == "op" and \
+                                self.peek().text == "@":
+                            self.next()
+                            break
+                        chain.append(self.expect("name").text)
+                    steps = [("link", chain)]
+                else:
+                    steps = self._graph_steps()
+                    self.eat("op", ".")  # optional trailing .@ repeat marker
+                    self.eat("op", "@")
                 self.expect("op", ")")
             return ("recurse", (lo, hi), instr, steps)
-        # destructure: {a, b.*, c.{...}}
+        # destructure: {a, b.*, c.{...}, alias: expr}
         fields = []
         while not self.eat("op", "}"):
-            name = self.expect("name").text
+            nt = self.next()
+            if nt.kind not in ("name", "kw"):
+                raise SyntaxError(f"bad destructure name {nt.text!r}")
+            name = nt.orig or nt.text.lower()
             sub: list = []
+            if self.eat("op", ":"):
+                # aliased destructure entry (part.rs DestructurePart::
+                # Aliased): value is an expression over the record
+                sub = [("aliased", self.expr(0))]
+                fields.append((name, sub))
+                if not self.eat("op", ","):
+                    self.expect("op", "}")
+                    break
+                continue
             if self.eat("op", "."):
                 nt = self.next()
                 if nt.kind == "op" and nt.text == "*":
@@ -677,13 +728,31 @@ class Parser:
         if t.kind == "op" and t.text == "?":
             self.next()
             return (dirn, None, opts)
+        if t.kind == "op" and t.text == "?.":
+            # lexer pairs `?` + `.` greedily (`->?.id`): wildcard segment,
+            # hand the `.` back for the following field part
+            self.toks[self.i] = Tok("op", ".", t.pos + 1, ".")
+            return (dirn, None, opts)
         if t.kind == "op" and t.text == "(":
             self.next()
             if self.peek().kind == "kw" and self.peek().text == "SELECT":
                 # `->(SELECT fields FROM tb ...)` — FullEdge scan projected
                 # through a per-source subquery (planner lookup subqueries)
                 sub = _parse_select_body(self)
-                tables = [s for s in sub.sources if isinstance(s, str)]
+                tables = []
+                rng = None
+                for s in sub.sources:
+                    if isinstance(s, str):
+                        tables.append(s)
+                    elif isinstance(s, tuple) and s[0] == "idrange":
+                        # `->(SELECT .. FROM edge:1..=5)` — edge-id range
+                        # bounds (EdgeTableSpec range_start/range_end,
+                        # scan/graph.rs:44-50)
+                        tables.append(s[1])
+                        rng = (s[2], s[3], s[4])
+                    elif isinstance(s, tuple) and s[0] == "idpoint":
+                        tables.append(s[1])
+                        rng = (s[2], s[2], True)
                 opts = {
                     "where": sub.where,
                     "order": [(k.expr, k.desc) for k in (sub.order or [])] or None,
@@ -692,8 +761,12 @@ class Parser:
                     "group": sub.group,
                 }
                 opts = {k: v for k, v in opts.items() if v is not None}
+                if rng is not None:
+                    opts["range"] = rng
                 if sub.fields is None or sub.star:
                     opts["star"] = True  # SELECT * — full edge rows
+                if sub.only:
+                    opts["only"] = True  # FROM ONLY → bare object result
                 self.expect("op", ")")
                 return (dirn, tables or None, opts)
             tables: list | None = []
@@ -848,6 +921,9 @@ class Parser:
 class Field:
     expr: tuple
     alias: str | None = None
+    # verbatim source text of the expression (reference: unaliased output
+    # columns are named by their printed form); not part of identity
+    text: str | None = field(default=None, compare=False)
 
 
 @dataclass
@@ -916,11 +992,20 @@ def _parse_select_body(p: Parser) -> Select:
         if not star or had_comma:
             while not (p.peek().kind == "kw"
                        and p.peek().text in _FIELD_STOP_KWS):
+                t0 = p.peek()
                 e = p.expr(0)
+                t1 = p.peek()
                 alias = None
                 if p.eat("kw", "AS"):
-                    alias = p.expect("name").text
-                fields.append(Field(e, alias))
+                    at = p.next()
+                    if at.kind not in ("name", "kw"):
+                        raise SyntaxError(f"bad alias {at.text!r}")
+                    # keywords are soft in alias position (`AS content`)
+                    alias = at.orig or at.text.lower()
+                # verbatim field text: the reference names unaliased
+                # lookup projections by their printed form
+                fields.append(Field(e, alias,
+                                    p.src[t0.pos:t1.pos].strip()))
                 if not p.eat("op", ","):
                     break
         # star + extras: keep both — the compiler emits select('*', *extras)

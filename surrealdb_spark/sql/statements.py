@@ -113,6 +113,9 @@ class DefineIndexStmt:
     kind: str = "idx"           # idx | uniq | fulltext | hnsw | count
     analyzer: str | None = None
     dimension: int | None = None
+    bm25: tuple | None = None   # (k1, b) when BM25 scoring declared
+    highlights: bool = False
+    initial_rows: int = 0       # rows indexed at (re)build (INFO building)
 
 
 @dataclass
@@ -832,8 +835,35 @@ def _parse_statement_body(p: Parser):
             tbl = _name(p)
             st = DefineIndexStmt(name, tbl)
             if p.eat("kw", "FIELDS") or p.eat("kw", "COLUMNS"):
+                # index columns may be full idiom paths (`marks.*.subject`,
+                # `id[1]`, `id.id().r` — catalog/schema/index.rs cols):
+                # capture each verbatim up to ',' or the kind clause
+                _STOP = {"UNIQUE", "FULLTEXT", "SEARCH", "HNSW", "COUNT",
+                         "COMMENT", "CONCURRENTLY", "MTREE"}
                 while True:
-                    st.fields.append(_name(p))
+                    t0 = p.peek()
+                    last = None
+                    depth = 0
+                    while True:
+                        t = p.peek()
+                        if t.kind == "eof":
+                            break
+                        if t.kind == "op" and t.text in ("(", "["):
+                            depth += 1
+                        elif t.kind == "op" and t.text in (")", "]"):
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        elif depth == 0 and t.kind == "op" and t.text == ",":
+                            break
+                        elif depth == 0 and t.kind in ("kw", "name") and \
+                                (t.orig or t.text).upper() in _STOP:
+                            break
+                        last = p.next()
+                    if last is None:
+                        break
+                    st.fields.append(
+                        p.src[t0.pos:last.pos + len(last.text)])
                     if not p.eat("op", ","):
                         break
             if p.eat("kw", "UNIQUE"):
@@ -842,13 +872,57 @@ def _parse_statement_body(p: Parser):
                 st.kind = "fulltext"
                 if p.eat("kw", "ANALYZER"):
                     st.analyzer = _name(p)
-            elif p.eat("kw", "HNSW"):
+            elif p.eat("kw", "HNSW") or p.eat_word("HNSW"):
                 st.kind = "hnsw"
-                if p.eat("kw", "DIMENSION"):
-                    st.dimension = int(p.expect("num").text)
+            elif p.eat_word("MTREE"):
+                st.kind = "hnsw"  # same brute/LSH artifact
             elif p.peek().kind == "name" and p.peek().text.upper() == "COUNT":
                 p.next()
                 st.kind = "count"
+            # trailing index parameters (catalog/schema/index.rs: BM25
+            # scoring, HIGHLIGHTS, HNSW/MTREE hyper-params) — recorded or
+            # accepted; the Spark artifacts don't tune these knobs
+            while True:
+                t = p.peek()
+                w = (t.orig or t.text).upper() if t.kind in ("kw", "name") \
+                    else None
+                if w == "BM25":
+                    p.next()
+                    st.bm25 = (1.2, 0.75)
+                    nums = []
+                    if p.eat("op", "("):
+                        while not p.eat("op", ")"):
+                            t2 = p.next()
+                            if t2.kind == "num":
+                                nums.append(float(t2.text))
+                    else:
+                        while p.peek().kind == "num":
+                            nums.append(float(p.next().text))
+                    if len(nums) >= 2:
+                        st.bm25 = (nums[0], nums[1])
+                elif w == "HIGHLIGHTS":
+                    p.next()
+                    st.highlights = True
+                elif w in ("CONCURRENTLY", "OVERWRITE"):
+                    p.next()
+                elif w in ("DIMENSION", "EFC", "M", "M0", "LM", "CAPACITY",
+                           "DOC_IDS_ORDER", "DOC_IDS_CACHE", "DOC_LENGTHS_ORDER",
+                           "DOC_LENGTHS_CACHE", "POSTINGS_ORDER",
+                           "POSTINGS_CACHE", "TERMS_ORDER", "TERMS_CACHE",
+                           "EXTEND_CANDIDATES", "KEEP_PRUNED_CONNECTIONS"):
+                    p.next()
+                    if w == "DIMENSION":
+                        st.dimension = int(p.expect("num").text)
+                    elif p.peek().kind in ("num", "name"):
+                        p.next()
+                elif w in ("DIST", "TYPE"):
+                    p.next()
+                    p.next()
+                elif w == "COMMENT":
+                    p.next()
+                    p.next()
+                else:
+                    break
             return st
         if what.text == "BUCKET":
             # DEFINE BUCKET name [READONLY] BACKEND "memory"|... [COMMENT s]
@@ -1336,6 +1410,21 @@ class StatementRunner:
         from surrealdb_spark.sql.compiler import compile_select
 
         txt = text.strip().rstrip(";").strip()
+        import re as _re0
+
+        m0 = _re0.match(r"EXPLAIN(\s+ANALYZE)?\s+(SELECT\b.*)$", txt,
+                        _re0.I | _re0.S)
+        if m0:
+            # new-executor `EXPLAIN [ANALYZE] <stmt>` — the operator-tree
+            # text (exec/operators/explain.rs:30,103)
+            from surrealdb_spark.sql.explain import plan_new, render_text
+            from surrealdb_spark.sql.parser import parse_select as _ps
+
+            self._refresh_catalog()
+            inner = _ps(m0.group(2))
+            merged0 = {**self.params_defined, **(params or {})}
+            node = plan_new(self, inner, merged0)
+            return render_text(node, analyze=bool(m0.group(1)))
         if txt.startswith("{") and txt.endswith("}"):
             # block statement: run inner statements sequentially with a
             # shared LET scope; value = last RETURN (expr/block.rs)
@@ -1405,7 +1494,7 @@ class StatementRunner:
                 df = self._attach_refs(df, tbl, entries, alias)
             return df
         if isinstance(stmt, Select) and stmt.explain:
-            return self._explain_select(stmt)
+            return self._explain_select(stmt, merged)
         if isinstance(stmt, list):
             # multi-target CREATE — run each, concatenate the outputs
             outs = [self._execute(s, params) for s in stmt]
@@ -1422,6 +1511,7 @@ class StatementRunner:
         from surrealdb_spark.sql.compiler import compile_select
 
         self._refresh_catalog()
+        stmt, params = self._rewrite_search(stmt, params)
         if stmt.version is not None:
             # VERSION clause: re-register db-backed sources as their
             # snapshot state at that instant (version_scope.rs:25)
@@ -1757,83 +1847,196 @@ class StatementRunner:
                     F.col("__refs"), F.array().cast("array<string>")))
                 .drop("__refs"))
 
-    def _explain_select(self, sel) -> list:
-        """SELECT ... EXPLAIN — the reference's plan description
-        (explain.rs): access path chosen from the defined indexes and the
-        WHERE conjuncts, plus the collector stage.  Descriptive of the
-        equivalent reference plan; Catalyst plans the actual execution
-        (predicate pushdown subsumes the index scans)."""
-        src = sel.sources[0] if sel.sources else None
-        tbl = src if isinstance(src, str) else None
-        collector = {"detail": {"type": "MemoryOrdered" if sel.order
-                                else "Memory"},
-                     "operation": "Collector"}
+    def _rewrite_search(self, sel, params: dict):
+        """Full-text matches + search::score/highlight/offsets lowering.
 
-        conj: list = []
+        ``field @[N]@ 'query'`` compiles to an analyzer-aware all-terms
+        predicate (the FT index's analyzer, querying stage — idx/ft/
+        analyzer); `search::score(N)` to the reference's Okapi-BM25 with
+        lower-bounded tf (idx/ft/fulltext.rs:915-955), `search::highlight`
+        / `search::offsets` to term-position columns (idx/ft/
+        highlighter.rs).  Corpus stats for BM25 are one driver aggregate
+        per query — OLTP-scoped; the 100 TB path is the build-once
+        postings index (operators/fulltext.py)."""
+        import math
+        import re as _re
 
-        def walk(ast):
-            if ast is None:
-                return
-            if ast[0] == "bin" and ast[1] in ("AND", "&&"):
-                walk(ast[2])
-                walk(ast[3])
-            else:
-                conj.append(ast)
+        from surrealdb_spark.pipeline.analyzer import get_analyzer
+        from surrealdb_spark.sql.compiler import compile_expr
+        from surrealdb_spark.sql.explain import to_sql
+        from surrealdb_spark.sql.parser import Field as _Fld
 
-        walk(sel.where)
-        eqs: dict = {}
-        los: dict = {}
-        his: dict = {}
-        for c in conj:
-            if c[0] != "bin" or c[2][0] != "ident" or c[3][0] != "lit":
-                continue
-            f_, v = c[2][1], c[3][1]
-            if c[1] in ("=", "=="):
-                eqs[f_] = v
-            elif c[1] in (">", ">="):
-                los[f_] = (v, c[1] == ">=")
-            elif c[1] in ("<", "<="):
-                his[f_] = (v, c[1] == "<=")
-        noindex = sel.with_hint == ("noindex",)
-        forced = (sel.with_hint[1] if sel.with_hint
-                  and sel.with_hint[0] == "index" else None)
-        cands = [d for d in self.index_defs.values()
-                 if d.table == tbl and d.kind in ("idx", "uniq")
-                 and (forced is None or d.name in forced)]
-        plan = None
-        if not noindex:
-            for d in cands:
-                f0 = d.fields[0] if d.fields else None
-                if len(d.fields) == 1 and f0 in eqs:
-                    plan = {"detail": {"plan": {"index": d.name,
-                                                "operator": "=",
-                                                "value": eqs[f0]},
-                                       "table": tbl},
-                            "operation": "Iterate Index"}
-                    break
-                if len(d.fields) == 1 and (f0 in los or f0 in his):
-                    lo, hi = los.get(f0), his.get(f0)
-                    plan = {"detail": {"plan": {
-                        "direction": "forward",
-                        "from": {"inclusive": bool(lo and lo[1]),
-                                 "value": lo[0] if lo else None},
-                        "index": d.name,
-                        "to": {"inclusive": bool(hi and hi[1]),
-                               "value": hi[0] if hi else None}},
-                        "table": tbl},
-                        "operation": "Iterate Index"}
-                    break
-        out = []
-        if plan is not None:
-            out.append(plan)
-        else:
-            out.append({"detail": {"direction": "forward", "table": tbl},
-                        "operation": "Iterate Table"})
-            if noindex:
-                out.append({"detail": {"reason": "WITH NOINDEX"},
-                            "operation": "Fallback"})
-        out.append(collector)
-        return out
+        if not ((sel.where is not None and _has_matches(sel.where))
+                or any(_has_searchfn(f.expr) for f in (sel.fields or []))):
+            return sel, params
+        tbl = sel.sources[0] if sel.sources and \
+            isinstance(sel.sources[0], str) else None
+        slots = dict(params)
+        refs: dict = {}
+        n = [0]
+
+        def analyzer_for(fname):
+            for d in self.index_defs.values():
+                if d.table == tbl and getattr(d, "kind", "") == "fulltext" \
+                        and d.fields and d.fields[0] == fname:
+                    try:
+                        an = get_analyzer(d.analyzer) if d.analyzer \
+                            else get_analyzer("default")
+                    except KeyError:
+                        an = get_analyzer("default")
+                    return an, d
+            return get_analyzer("default"), None
+
+        def terms_of(an, q):
+            row = self.spark.range(1).select(
+                an.tokens(F.lit(str(q)), querying=True).alias("t")).first()
+            # plain str() — Arrow collects numpy strings, and
+            # F.lit(np.str_) miscoerces inside HOF lambdas
+            return [str(t) for t in (row["t"] or []) if t]
+
+        def doc_tokens(an, fld_ast):
+            fcol = compile_expr(fld_ast, slots, {})
+            return an.tokens(F.coalesce(fcol.cast("string"), F.lit("")))
+
+        def new_slot(col):
+            s = f"__ft{n[0]}"
+            n[0] += 1
+            slots[s] = col
+            return ("param", s)
+
+        def repl_matches(ast):
+            if not isinstance(ast, tuple):
+                return ast
+            mm = (_re.fullmatch(r"@(\d+)?,?(AND|OR)?@", str(ast[1]))
+                  if ast[0] == "bin" else None)
+            if mm is not None:
+                fld, qast = ast[2], ast[3]
+                q = (qast[1] if qast[0] in ("lit", "ulit")
+                     else params.get(qast[1]) if qast[0] == "param" else None)
+                fname = to_sql(fld)
+                an, d = analyzer_for(fname)
+                terms = terms_of(an, q) if q is not None else []
+                toks = doc_tokens(an, fld)
+                any_mode = mm.group(2) == "OR"
+                pred = F.lit(False) if any_mode else F.lit(bool(terms))
+                for t in terms:
+                    hit = F.coalesce(F.array_contains(toks, t), F.lit(False))
+                    pred = (pred | hit) if any_mode else (pred & hit)
+                if mm.group(1) is not None:
+                    refs[int(mm.group(1))] = (fld, fname, terms, an, d)
+                return new_slot(pred)
+            return tuple(
+                repl_matches(x) if isinstance(x, tuple)
+                else ([repl_matches(e) for e in x] if isinstance(x, list)
+                      else x)
+                for x in ast)
+
+        new_where = repl_matches(sel.where) if sel.where is not None else None
+
+        def bm25_col(ref):
+            fld, fname, terms, an, d = refs[ref]
+            df = self.catalog.table(tbl)
+            toks = an.tokens(F.coalesce(
+                compile_expr(fld, slots, {}).cast("string"), F.lit("")))
+            aggs = [F.count(F.lit(1)).alias("N"),
+                    F.avg(F.size(toks)).alias("avgdl")]
+            for i, t in enumerate(terms):
+                aggs.append(F.sum(F.array_contains(toks, t).cast("int"))
+                            .alias(f"n{i}"))
+            st = df.agg(*aggs).first()
+            N, avgdl = float(st["N"]), float(st["avgdl"] or 0)
+            k1, b = 1.2, 0.75
+            dl = F.size(toks).cast("double")
+            score = F.lit(0.0)
+            for i, t in enumerate(terms):
+                nq = float(st[f"n{i}"] or 0)
+                idf = max(0.0, math.log((N - nq + 0.5) / (nq + 0.5)))
+                if idf == 0.0:
+                    continue
+                tf = F.size(F.filter(toks, lambda x, _t=t: x == _t)) \
+                    .cast("double")
+                tfp = F.lit(1.0) + F.log(tf)
+                term_sc = (F.lit(idf) * F.lit(k1 + 1.0) * tfp) / (
+                    tfp + F.lit(k1) * (F.lit(1.0 - b)
+                                       + F.lit(b / avgdl if avgdl else 0.0)
+                                       * dl))
+                score = score + F.when(tf > 0, term_sc).otherwise(F.lit(0.0))
+            return score.cast("float")
+
+        def hl_col(ref, pre, post, partial):
+            fld, fname, terms, an, d = refs[ref]
+            fcol = compile_expr(fld, slots, {})
+            if not terms:
+                return fcol
+            pat = "|".join(_re.escape(t) for t in
+                           sorted(terms, key=len, reverse=True))
+            rx = f"(?i)({pat})" if partial else f"(?i)(\\w*(?:{pat})\\w*)"
+            return F.regexp_replace(fcol, rx, f"{pre}$1{post}")
+
+        def off_col(ref, partial):
+            from surrealdb_spark.operators.fulltext import offsets_col
+
+            fld, fname, terms, an, d = refs[ref]
+            fcol = compile_expr(fld, slots, {})
+            return offsets_col(fcol, terms, partial)
+
+        def lit_of(a, default=None):
+            return a[1] if isinstance(a, tuple) and a[0] == "lit" else default
+
+        def repl_search(ast):
+            if not isinstance(ast, tuple):
+                return ast
+            if ast[0] == "call" and ast[1] in (
+                    "search::score", "search::highlight", "search::offsets"):
+                args = ast[2]
+                if ast[1] == "search::score":
+                    ref = int(lit_of(args[0], 1))
+                    if ref not in refs:
+                        raise ValueError(f"no match ref {ref}")
+                    return new_slot(bm25_col(ref))
+                if ast[1] == "search::highlight":
+                    pre, post = lit_of(args[0], ""), lit_of(args[1], "")
+                    ref = int(lit_of(args[2], 1))
+                    partial = bool(lit_of(args[3])) if len(args) > 3 \
+                        else False
+                    if ref not in refs:
+                        raise ValueError(f"no match ref {ref}")
+                    return new_slot(hl_col(ref, pre, post, partial))
+                ref = int(lit_of(args[0], 1))
+                partial = bool(lit_of(args[1])) if len(args) > 1 else False
+                if ref not in refs:
+                    raise ValueError(f"no match ref {ref}")
+                return new_slot(off_col(ref, partial))
+            return tuple(
+                repl_search(x) if isinstance(x, tuple)
+                else ([repl_search(e) for e in x] if isinstance(x, list)
+                      else x)
+                for x in ast)
+
+        new_fields = sel.fields
+        if sel.fields:
+            new_fields = [
+                _Fld(repl_search(f.expr), f.alias, getattr(f, "text", None))
+                if _has_searchfn(f.expr) else f
+                for f in sel.fields
+            ]
+        new_value = (repl_search(sel.value_expr)
+                     if sel.value_expr is not None
+                     and _has_searchfn(sel.value_expr) else sel.value_expr)
+        from dataclasses import replace as _rpl
+
+        return _rpl(sel, where=new_where, fields=new_fields,
+                    value_expr=new_value), slots
+
+    def _explain_select(self, sel, params=None) -> list:
+        """SELECT ... EXPLAIN [FULL] — the legacy planner's plan rows
+        (idx/planner description; sql/explain.py emulates the reference's
+        access-path selection.  Catalyst plans the actual execution —
+        predicate pushdown subsumes the index scans)."""
+        from surrealdb_spark.sql.explain import plan_legacy
+
+        self._refresh_catalog()
+        return plan_legacy(self, sel, params or {})
 
     # internals -----------------------------------------------------------
 
@@ -1917,11 +2120,16 @@ class StatementRunner:
             for n, d in self.index_defs.items():
                 if d.table != stmt.table:
                     continue
-                t = f"DEFINE INDEX {n} ON {d.table} FIELDS {', '.join(d.fields)}"
+                t = f"DEFINE INDEX {n} ON {d.table}" + (
+                    f" FIELDS {', '.join(d.fields)}" if d.fields else "")
                 if d.kind == "uniq":
                     t += " UNIQUE"
                 elif d.kind == "fulltext":
-                    t += f" SEARCH ANALYZER {d.analyzer or 'like'} BM25"
+                    t += f" FULLTEXT ANALYZER {d.analyzer or 'like'}"
+                    if d.bm25 is not None:
+                        t += f" BM25({d.bm25[0]},{d.bm25[1]})"
+                    if d.highlights:
+                        t += " HIGHLIGHTS"
                 elif d.kind == "hnsw":
                     t += f" HNSW DIMENSION {d.dimension}"
                 elif d.kind == "count":
@@ -1934,7 +2142,11 @@ class StatementRunner:
             return {"events": events, "fields": fields, "indexes": indexes,
                     "lives": {}, "tables": {}}
         d = self.index_defs[stmt.name]
-        return {"building": {"status": "built"}}
+        # `{building: {...}}` status shape (expr/statements/info.rs;
+        # initial = rows indexed at (re)build time, async build done)
+        return {"building": {"initial": getattr(d, "initial_rows", 0),
+                             "pending": 0, "status": "ready",
+                             "updated": 0}}
 
     @staticmethod
     def _analyzer_names() -> list[str]:
@@ -2078,6 +2290,11 @@ class StatementRunner:
             if stmt.table not in self.db.tables:
                 self.db.define_table(TableDef(stmt.table))
             td = self.db.tables[stmt.table]
+            try:
+                stmt.initial_rows = (self.db.table(stmt.table).count()
+                                     if self.db._exists(stmt.table) else 0)
+            except Exception:
+                stmt.initial_rows = 0
             if stmt.kind == "uniq":
                 td.unique_indexes.append(list(stmt.fields))
                 return None
@@ -2092,6 +2309,10 @@ class StatementRunner:
                 from surrealdb_spark.operators.fulltext import FulltextIndex
                 from surrealdb_spark.pipeline.analyzer import get_analyzer
 
+                if stmt.fields and stmt.fields[0] not in df.columns:
+                    # indexed column absent on every current row
+                    # (schemaless) — artifact built lazily when it appears
+                    return None
                 an = get_analyzer(stmt.analyzer) if stmt.analyzer else None
                 self.indexes[stmt.name] = FulltextIndex(
                     df, td.id_col, stmt.fields[0], analyzer=an
@@ -2361,6 +2582,11 @@ class StatementRunner:
                 raise KeyError(f"no such index {stmt.name}")
             if d.kind not in ("uniq", "idx", "count"):
                 self._execute(d, {})  # rebuild the stored artifact
+            try:
+                d.initial_rows = (self.db.table(d.table).count()
+                                  if self.db._exists(d.table) else 0)
+            except Exception:
+                d.initial_rows = 0
             return None
         if isinstance(stmt, InfoStmt):
             return self._info(stmt)
@@ -2748,3 +2974,23 @@ class StatementRunner:
             name = alias or (e[1] if e[0] == "ident" else "value")
             cols.append(compile_expr(e, binds).alias(name))
         return df.select(*cols)
+
+
+def _has_matches(ast) -> bool:
+    import re as _re
+
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if isinstance(ast, tuple) and ast[0] == "bin" and \
+            _re.fullmatch(r"@(\d+)?,?(AND|OR)?@", str(ast[1])):
+        return True
+    return any(_has_matches(x) for x in ast if isinstance(x, (tuple, list)))
+
+
+def _has_searchfn(ast) -> bool:
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if isinstance(ast, tuple) and ast[0] == "call" and ast[1] in (
+            "search::score", "search::highlight", "search::offsets"):
+        return True
+    return any(_has_searchfn(x) for x in ast if isinstance(x, (tuple, list)))

@@ -626,13 +626,15 @@ def surql_recurse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id FROM documents
     WHERE doc_id % 7 = 0
-      AND list_has_any({_SQL_DOCWORDS}, ['customer', 'window'])
+      AND list_has_all({_SQL_DOCWORDS}, ['customer', 'window'])
     """,
     hidden=True,
 )
 def surql_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `@@` MATCHES operator in query text (operator.rs Matches): index-free
-    # token-overlap predicate; BM25 scoring is operators/fulltext.py.
+    # all-terms predicate (reference conjunction semantics — every query
+    # term must match, idx/ft/fulltext.rs QueryTerms); BM25 scoring is
+    # operators/fulltext.py.
     from surrealdb_spark.sql import surql
 
     return surql(
