@@ -129,15 +129,21 @@ def split_statements(src: str) -> list[str]:
 
 
 def _norm(v):
-    """Normalize a collected Spark value for comparison."""
+    """Normalize a collected Spark value for comparison.  Row dicts pass
+    through the absent-field filter (values.strip_absent): fields not
+    present on the record are omitted, like the reference's objects."""
     try:  # Row → dict
         from pyspark.sql import Row
 
         if isinstance(v, Row):
-            return {k: _norm(x) for k, x in v.asDict().items()}
+            v = v.asDict()
     except Exception:
         pass
     if isinstance(v, dict):
+        if "__present" in v:
+            from surrealdb_spark.values import strip_absent
+
+            v = strip_absent(v)
         return {k: _norm(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_norm(x) for x in v]
@@ -455,7 +461,7 @@ def _prepare_imports(spark: SparkSession, test_path: str,
 
 def _run_statement_file(spark: SparkSession, stmts: list[str],
                         fr: "FileResult", expected: list,
-                        db=None, runner=None) -> "FileResult":
+                        db=None, runner=None, env=None) -> "FileResult":
     """Sequential mode for files containing DML/DDL statements: each
     statement runs in order against a throwaway Database through
     StatementRunner; SELECT-style outputs become arrays of objects."""
@@ -468,6 +474,8 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
         db = Database(spark, tempfile.mkdtemp(prefix="golden_"))
     if runner is None:
         runner = StatementRunner(spark, db)
+    # new-executor behavioral switches ([env] planner-strategy)
+    runner.planner_strategy = list((env or {}).get("planner-strategy", []))
     script = None  # lazy ScriptRunner for FOR/IF/THROW statements
     bindings: dict = {}
     for s, e in zip(stmts, expected):
@@ -481,7 +489,15 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 a = None
                 for inner in split_statements(body):
                     iw = _stmt_word(inner)
-                    if iw in _STMT_WORDS:
+                    if iw in ("FOR", "THROW") or (iw == "IF" and "{" in inner):
+                        from surrealdb_spark.script import ScriptRunner
+
+                        if script is None:
+                            script = ScriptRunner(spark, db=db,
+                                                  catalog=runner.catalog,
+                                                  stmts=runner)
+                        script.run(inner, **bindings)
+                    elif iw in _STMT_WORDS:
                         _auto_define(db, inner)
                         runner.run(inner, params=bindings)
                     elif iw == "RETURN":
@@ -546,6 +562,56 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
     return fr
 
 
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+            i += 1
+            while i < len(s):
+                cur.append(s[i])
+                if s[i] == "\\":
+                    i += 1
+                    if i < len(s):
+                        cur.append(s[i])
+                elif s[i] == q:
+                    break
+                i += 1
+        elif ch in "([{":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _eval_literal(spark: SparkSession, text: str):
+    """Expected-value literal → Python value; heterogeneous arrays
+    (differently-shaped objects) evaluate element-wise — Spark's array()
+    needs one type, the reference's Values don't."""
+    v = _eval_statements(spark, [text], {})[0]
+    if v is not _ERR:
+        return v
+    t = text.strip()
+    if t.startswith("[") and t.endswith("]") and len(t) > 2:
+        parts = [p for p in _split_top_commas(t[1:-1]) if p.strip()]
+        vals = [_eval_literal(spark, p) for p in parts]
+        if all(x is not _ERR for x in vals):
+            return vals
+    return _ERR
+
+
 def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
     if e[0] == "error":
         ok = a is _ERR
@@ -555,7 +621,7 @@ def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
     if e[0] == "any":
         fr.cases.append(CaseResult(s, e, a, True))
         return
-    want = _eval_statements(spark, [e[1]], {})[0]
+    want = _eval_literal(spark, e[1])
     if want is _ERR:
         ok_py, want = _try_py_literal(e[1])
         if not ok_py:
@@ -648,10 +714,10 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
             fr.skipped = f"imports failed: {exc!r:.200}"
             return fr
         return _run_statement_file(spark, stmts, fr, expected,
-                                   db=db, runner=runner)
+                                   db=db, runner=runner, env=env)
     if any(_stmt_word(s) in _STMT_WORDS or _stmt_word(s) in ("FOR", "THROW")
            for s in stmts):
-        return _run_statement_file(spark, stmts, fr, expected)
+        return _run_statement_file(spark, stmts, fr, expected, env=env)
     # LET statements bind into scope for later statements; their result is
     # NONE in the reference.
     bindings: dict = {}
@@ -689,6 +755,8 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
             fr.cases.append(CaseResult(s, e, a, True))
         else:
             want = next(it)
+            if want is _ERR:
+                want = _eval_literal(spark, e[1])
             if want is _ERR:
                 ok_py, wp = _try_py_literal(e[1])
                 if ok_py:

@@ -410,6 +410,33 @@ def _field_default_name(expr) -> str:
     return "value"
 
 
+def attach_deref(df: DataFrame, cat, slot: str, col: str,
+                 chain: list[str]) -> DataFrame:
+    """Record-link dereference: `t.name` where `t` holds a record id —
+    one left join against the link's table (value/idiom.rs record deref;
+    planner/record_link_index.surql).  The table comes from sampling one
+    value (FETCH precedent); rows whose value isn't a record id (or with
+    no target row) yield NULL, matching `.field` on a non-record."""
+    sample = df.select(col).filter(
+        F.col(col).isNotNull() & F.col(col).contains(":")).first()
+    if sample is None:
+        return df.withColumn(slot, F.lit(None).cast("string"))
+    tbl = str(sample[0]).split(":", 1)[0]
+    try:
+        t = cat.table(tbl)
+    except Exception:
+        return df.withColumn(slot, F.lit(None).cast("string"))
+    if "id" not in t.columns or chain[0] not in t.columns:
+        return df.withColumn(slot, F.lit(None).cast("string"))
+    c = F.col(chain[0])
+    for f_ in chain[1:]:
+        c = c.getField(f_)
+    _DEREF_N[0] += 1
+    a = f"__dr{_DEREF_N[0]}"
+    tgt = t.select(F.col("id").alias(f"{a}_id"), c.alias(slot))
+    return df.join(tgt, df[col] == tgt[f"{a}_id"], "left").drop(f"{a}_id")
+
+
 # -- bounded recursion `.{min..max}[+instr](->edge->tbl)` ---------------------
 #
 # Reference semantics (core/src/exec/operators/recursion.rs; verified

@@ -151,6 +151,14 @@ class ScriptRunner:
         if isinstance(items, DataFrame):
             head_rows = items.limit(self.MAX_FOR_ITERS + 1).collect()
             items = [r.asDict(recursive=True) for r in head_rows]
+        if hasattr(items, "asDict"):
+            items = items.asDict()
+        if isinstance(items, dict) and {"start", "end"} <= set(items):
+            # integer range value `lo..[=]hi` iterates its sequence
+            # (statements/foreach.rs over Value::Range)
+            lo = items["start"] + (0 if items.get("start_incl", True) else 1)
+            hi = items["end"] + (1 if items.get("end_incl") else 0)
+            items = list(range(int(lo), int(hi)))
         if not isinstance(items, (list, tuple)):
             raise ValueError("FOR needs an array/list to iterate")
         if len(items) > self.MAX_FOR_ITERS:
@@ -158,6 +166,11 @@ class ScriptRunner:
                 f"FOR exceeds {self.MAX_FOR_ITERS} iterations — a driver "
                 "loop at that size is a scale bug; use DataFrame operations"
             )
+        if len(items) > 50 and self._bulk_create(block, var, items, bindings):
+            # vectorized fast path: `FOR $i IN 0..10000 { CREATE ... }`
+            # becomes ONE bulk insert — a 10k-iteration driver loop of
+            # Spark writes is a scale bug, not a semantic requirement
+            return
         for it in items:
             bindings[var] = it
             try:
@@ -166,6 +179,72 @@ class ScriptRunner:
                 break
             except _Continue:
                 continue
+
+    def _bulk_create(self, block: str, var: str, items, bindings) -> bool:
+        """Recognize a FOR body that is ONE CREATE with driver-evaluable
+        expressions; build every row in Python and insert once."""
+        from surrealdb_spark.sql.statements import CreateStmt, parse_statement
+
+        stmts = [s for s in self._statements(block) if s.strip()]
+        if len(stmts) != 1 or not stmts[0].strip().upper().startswith("CREATE"):
+            return False
+        try:
+            st = parse_statement(stmts[0])
+        except Exception:
+            return False
+        if not isinstance(st, CreateStmt) or st.target.mock or \
+                (st.data is not None and st.data[0] != "set"):
+            return False
+
+        def ev(ast, env):
+            k = ast[0]
+            if k == "lit":
+                return ast[1]
+            if k == "param":
+                if ast[1] not in env:
+                    raise KeyError(ast[1])
+                return env[ast[1]]
+            if k == "un" and ast[1] == "-":
+                return -ev(ast[2], env)
+            if k == "bin" and ast[1] in ("+", "-", "*", "%"):
+                l, r = ev(ast[2], env), ev(ast[3], env)
+                return {"+": l + r, "-": l - r, "*": l * r,
+                        "%": l % r if r else None}[ast[1]]
+            if k == "array":
+                return [ev(e, env) for e in ast[1]]
+            raise ValueError("not driver-evaluable")
+
+        from surrealdb_spark.values import render_rid_vals
+
+        try:
+            dicts = []
+            for it in items:
+                env = {**bindings, var: it}
+                d = {}
+                for f_, op, ast in (st.data[1] if st.data else []):
+                    if op != "=":
+                        return False
+                    d[f_] = ev(ast, env)
+                key = st.target.key
+                if isinstance(key, tuple) and key[0] == "kexpr":
+                    ka = key[1]
+                    vals = ([ev(e, env) for e in ka[1]]
+                            if ka[0] == "array" else [ev(ka, env)])
+                    d["id"] = f"{st.target.table}:{render_rid_vals(vals)}"
+                elif key is not None:
+                    d["id"] = f"{st.target.table}:{key}"
+                dicts.append(d)
+        except Exception:
+            return False
+        from surrealdb_spark.dml import TableDef
+        from surrealdb_spark.sql.statements import Target
+
+        runner = self._stmts
+        if st.target.table not in runner.db.tables:
+            runner.db.define_table(TableDef(st.target.table))
+        rows = runner._literal_rows(dicts, Target(st.target.table), bindings)
+        runner.db.create(st.target.table, rows)
+        return True
 
     def _eval_expr(self, src: str, bindings: dict):
         """Driver-side SurrealQL expression evaluation (IF conditions)."""

@@ -519,6 +519,14 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         # `@` / leading lookup receiver: the current record id
         # (syn Param::this shorthand; exec CurrentValueSource)
         return F.col("id")
+    if kind == "ridexpr":
+        # array-keyed record id with computed elements (`i:[$n - 5]`) —
+        # canonical `tb:[v, ...]` string (record_id/key.rs Array)
+        tb, arr = ast[1], ast[2]
+        elems = [compile_expr(e, params, types).cast("string")
+                 for e in arr[1]]
+        return F.concat(F.lit(tb + ":["),
+                        F.concat_ws(", ", *elems), F.lit("]"))
     if kind == "ulit":
         return F.lit(ast[1])
     if kind == "param":
@@ -749,6 +757,12 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if op == "ANYINSIDE":
                 return F.exists(arr, lambda x: F.contains(rc, x))
             return ~F.exists(arr, lambda x: F.contains(rc, x))
+        if op in ("CONTAINS", "CONTAINSNOT") and \
+                _infer(l, types, params) == "string":
+            # String-subject CONTAINS is substring
+            # (fnc/operate.rs contain dispatch on Value::Strand)
+            hit = F.contains(lc, rc.cast("string"))
+            return ~hit if op == "CONTAINSNOT" else hit
         if op in ("IN", "INSIDE", "NOTINSIDE", "CONTAINS", "CONTAINSNOT") and "geometry" in (
             _infer(l, types, params), _infer(r, types, params)
         ):
@@ -1206,6 +1220,28 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             t = resolve(src[1])
             bounds = [b for b in (src[2], src[3] if src[0] == "idrange" else None)
                       if b is not None]
+            if any(isinstance(b, tuple) and b[0] == "karr" for b in bounds):
+                # array-key bounds (record_id/key.rs Array): compare the
+                # numeric first element (the corpus' composite-range shape)
+                def _first_num(b):
+                    ast = b[1]
+                    e0 = ast[1][0] if ast[0] == "array" and ast[1] else ast
+                    row = spark.range(1).select(
+                        compile_expr(e0, params).alias("v")).first()
+                    return row["v"]
+
+                key = F.regexp_replace(F.col("id"), "^[^:]*:", "")
+                knum = F.regexp_extract(key, r"^\[(-?\d+)", 1) \
+                    .try_cast("bigint")
+                if src[0] == "idpoint":
+                    return t.filter(knum == F.lit(_first_num(src[2])))
+                _, _tb, lo, hi, incl = src
+                if lo is not None:
+                    t = t.filter(knum >= F.lit(_first_num(lo)))
+                if hi is not None:
+                    b2 = F.lit(_first_num(hi))
+                    t = t.filter(knum <= b2 if incl else knum < b2)
+                return t
             numeric = all(isinstance(b, int) for b in bounds) and bool(bounds)
             kc = _id_key_col(t, src[1], numeric)
             if src[0] == "idpoint":
@@ -1316,6 +1352,47 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                        fields=new_fields if sel.fields else sel.fields,
                        order=new_order)
 
+    # record-link dereference: `link.field` over string record-id columns
+    # → one left join each (value/idiom.rs deref; operators/lookup.py)
+    str_cols = {c for c, t in df.dtypes if t == "string" and c != "id"
+                and not c.startswith("__")}
+    if str_cols and (
+        (sel.where is not None and _has_deref(sel.where, str_cols))
+        or (sel.fields and any(_has_deref(f.expr, str_cols)
+                               for f in sel.fields))
+        or (sel.value_expr is not None
+            and _has_deref(sel.value_expr, str_cols))
+        or any(_has_deref(k.expr, str_cols) for k in (sel.order or []))
+    ):
+        from surrealdb_spark.operators import lookup as LK
+        from surrealdb_spark.sql.parser import Field as _FieldCls2
+
+        dspecs: list = []
+        new_where = (_extract_derefs(sel.where, str_cols, dspecs)
+                     if sel.where is not None else None)
+        new_value = (_extract_derefs(sel.value_expr, str_cols, dspecs)
+                     if sel.value_expr is not None else None)
+        new_fields = sel.fields
+        if sel.fields:
+            new_fields = [
+                _FieldCls2(_extract_derefs(f.expr, str_cols, dspecs),
+                           f.alias or getattr(f, "text", None))
+                if _has_deref(f.expr, str_cols) else f
+                for f in sel.fields
+            ]
+        new_order = [
+            dataclasses_replace_order(k, _extract_derefs(k.expr, str_cols,
+                                                         dspecs))
+            if _has_deref(k.expr, str_cols) else k
+            for k in (sel.order or [])
+        ]
+        for slot, col_, chain in dspecs:
+            df = LK.attach_deref(df, cat, slot, col_, chain)
+        lookup_slots += [s[0] for s in dspecs]
+        types = types_of(df)
+        sel = _replace(sel, where=new_where, value_expr=new_value,
+                       fields=new_fields, order=new_order)
+
     # filter — IN/NOTINSIDE (subquery) conjuncts become semi/anti joins
     # (Catalyst decorrelation territory, SURVEY §4; here: explicit rewrite)
     knn_specs: list[tuple] = []
@@ -1398,6 +1475,11 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         order_cols = []
         for k in sel.order:
             c = compile_expr(k.expr, params, types)
+            if k.expr == ("ident", "id"):
+                # record ids order by KV key semantics: table, then
+                # numeric keys before strings before arrays, numerically
+                # (record_id/key.rs ord) — not lexicographically
+                c = _rid_order_key(c)
             if k.numeric:
                 # ORDER NUMERIC: natural sort by embedded number then text
                 c = F.struct(
@@ -1740,6 +1822,39 @@ def _attach_lookup_specs(spark, df, cat, specs, params):
                              compile_expr, types_of)
 
 
+def _has_deref(ast, str_cols: set) -> bool:
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if isinstance(ast, tuple) and ast[0] == "path" \
+            and ast[1][0] == "ident" and ast[1][1] in str_cols \
+            and ast[2] and all(isinstance(p, tuple) and p[0] == "field"
+                               for p in ast[2]):
+        return True
+    return any(_has_deref(x, str_cols) for x in ast
+               if isinstance(x, (tuple, list)))
+
+
+def _extract_derefs(ast, str_cols: set, specs: list):
+    """`link.field` paths over string (record-id) columns → hidden
+    join-dereferenced columns (value/idiom.rs record deref)."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "subquery":
+        return ast
+    if ast[0] == "path" and ast[1][0] == "ident" \
+            and ast[1][1] in str_cols \
+            and ast[2] and all(isinstance(p, tuple) and p[0] == "field"
+                               for p in ast[2]):
+        slot = f"__dr_s{len(specs)}"
+        specs.append((slot, ast[1][1], [p[1] for p in ast[2]]))
+        return ("ident", slot)
+    return tuple(
+        _extract_derefs(x, str_cols, specs) if isinstance(x, tuple)
+        else ([_extract_derefs(e, str_cols, specs) for e in x]
+              if isinstance(x, list) else x)
+        for x in ast)
+
+
 def eval_lookup_value(spark, cat, ast, params: dict):
     """Scalar evaluation of an expression containing graph lookups from
     literal record-id receivers (`person:alice->knows->person`) — a
@@ -1761,6 +1876,24 @@ def eval_lookup_value(spark, cat, ast, params: dict):
     row = df.select(
         compile_expr(new, params, types_of(df)).alias("v")).first()
     return row["v"]
+
+
+def _rid_order_key(c: Column) -> Column:
+    """KV-order sort key for a record-id column: (table, kind, numeric
+    value, key text) — numbers sort numerically before strings before
+    array keys (types/src/value/record_id/key.rs ordering)."""
+    key = F.regexp_replace(c, "^[^:]*:", "")
+    tbl = F.substring_index(c, ":", 1)
+    isnum = key.rlike("^-?[0-9]+$")
+    isarr = key.startswith("[")
+    cat = F.when(isnum, F.lit(0)).when(isarr, F.lit(2)).otherwise(F.lit(1))
+    num = F.coalesce(
+        F.when(isnum, key.try_cast("bigint"))
+        .when(isarr, F.regexp_extract(key, r"^\[(-?\d+)", 1)
+              .try_cast("bigint")),
+        F.lit(0),
+    )
+    return F.struct(tbl, cat, num, key)
 
 
 def _replace(sel: Select, **kw) -> Select:

@@ -100,10 +100,16 @@ def _is_record_id(s: str) -> bool:
 
 def _lit_value(ast):
     """Python value of a literal-ish AST (for legacy detail dicts)."""
+    import datetime as _dt
+
     if ast is None:
         return None
     if ast[0] in ("lit", "ulit"):
-        return ast[1]
+        v = ast[1]
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            # collected Spark timestamps are tz-naive (session tz UTC)
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
     if ast[0] == "nulllit":
         return None
     if ast[0] == "array":
@@ -171,6 +177,10 @@ class Access:
     # the matched conjuncts' combined predicate (kept as Filter for
     # CONTAINS*/IN accesses)
     keep_pred: list = field(default_factory=list)
+    # single-value access rendered `= v` (IN [v] / CONTAINS v)
+    _single: bool = False
+    # original conjunct for ANALYZE row counting (CONTAINS accesses)
+    count_pred: object = None
 
 
 def _index_defs(runner, tbl):
@@ -256,7 +266,7 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         acc.predicate = sel.where
         if any(c[0] == "un" and c[1] in ("!", "NOT") for c in conj):
             acc.fallback = f"Unsupported expression: {_bang(sel.where)}"
-        return _finish(acc, sel, order_field, order1)
+        return _finish(acc, sel, order_field, order1, defs=defs)
     if best is not None and best[0] == "ft":
         d = best[1]
         acc = Access(kind="ft", index=d.name, op_text=str(ft_c[1]),
@@ -272,6 +282,23 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
                   str(c[1]) in ("IN", "INSIDE", "CONTAINSALL", "CONTAINSANY")]
         contains = [c for c in used if c[0] == "bin"
                     and str(c[1]) == "CONTAINS"]
+        setops = [c for c in (unions + contains)
+                  if str(c[1]).startswith("CONTAINS")]
+        if setops:
+            # CONTAINS* on a plain string column is substring semantics —
+            # the index stores whole values, no access path (planner/
+            # delete_select_std_*_contains_inside.surql)
+            fpath = _field_of(setops[0][2]) or ""
+            base_col = fpath.split(".")[0].split("[")[0]
+            dt = ""
+            try:
+                dt = dict(runner.catalog.table(tbl).dtypes).get(base_col, "")
+            except Exception:
+                pass
+            if fpath == base_col and not dt.startswith("array"):
+                acc = Access(kind="table")
+                acc.predicate = sel.where
+                return _finish(acc, sel, order_field, order1, defs=defs)
         acc = Access(kind="index", index=d.name,
                      eq_values=[e for _, e in eqs], range_=rng,
                      residual=residual)
@@ -283,13 +310,20 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
                 acc.union_values = list(vals)
             elif len(d.fields) == 1:
                 acc.eq_values = [vals[0]]
+                acc._single = True
+                acc.count_pred = c
             acc.keep_pred = list(used) + residual
             acc.residual = []
         elif contains:
+            c = contains[0]
+            if len(d.fields) == 1:
+                acc.eq_values = [c[3]]
+                acc._single = True
+                acc.count_pred = c
             acc.keep_pred = list(used) + residual
             acc.residual = []
         return _finish(acc, sel, order_field, order1, idx_def=d)
-    return _finish(acc, sel, order_field, order1)
+    return _finish(acc, sel, order_field, order1, defs=defs)
 
 
 def _bang(ast) -> str:
@@ -367,7 +401,20 @@ def _match_compound(d, conj):
             eqs.append((f, spec[1]))
             return eqs[:-1], None, used, last_pos
         else:
-            return eqs, (spec[1], spec[2]), used, last_pos
+            # two-sided range: pick up the complementary bound on the
+            # same field (`> lo AND < hi` → one IndexScan range access)
+            bounds = [(spec[1], spec[2])]
+            want = ("<", "<=") if spec[1][0] == ">" else (">", ">=")
+            for pos2, c2 in enumerate(conj):
+                if c2 is c or c2[0] != "bin":
+                    continue
+                if str(c2[1]) in want and _field_of(c2[2]) == f:
+                    bounds.append((str(c2[1]), c2[3]))
+                    used.append(c2)
+                    last_pos = max(last_pos, pos2)
+                    break
+            bounds.sort(key=lambda b: b[0][0] != ">")  # lo first
+            return eqs, bounds, used, last_pos
     if not used:
         return None
     return eqs, None, used, last_pos
@@ -378,7 +425,7 @@ _RANGE_OPS = {">": "MoreThan", ">=": "MoreThanEqual",
 
 
 def _finish(acc: Access, sel, order_field, order1, noindex=False,
-            idx_def=None):
+            idx_def=None, defs=()):
     # sort elimination: ORDER BY id → table order; ORDER BY <indexed col>
     # → index order (Backward for DESC); KNN ORDER BY distance → TopK
     if order1 is not None:
@@ -392,6 +439,21 @@ def _finish(acc: Access, sel, order_field, order1, noindex=False,
                 acc.direction = "Backward"
         elif acc.kind in ("knn", "knnbrute"):
             acc.order_eliminated = True
+        elif acc.kind == "table" and not noindex and acc.predicate is None \
+                and not acc.fallback and len(sel.order) == 1:
+            # no WHERE: an index on the sort column eliminates the sort
+            # (idx/planner: IndexOrder / ReverseOrder iteration)
+            od = next((d for d in defs
+                       if getattr(d, "kind", "idx") in ("idx", "uniq")
+                       and len(d.fields) == 1
+                       and d.fields[0] == order_field), None)
+            if od is not None:
+                acc.kind = "index"
+                acc.index = od.name
+                acc.order_eliminated = True
+                acc.reverse_order = True  # legacy Order/ReverseOrder plan
+                if order1.desc:
+                    acc.direction = "Backward"
     if sel.limit is not None and (acc.order_eliminated or order1 is None):
         acc.limit = sel.limit
         acc.offset = sel.start
@@ -472,13 +534,13 @@ def _mk_contains_eq(fpath, v):
 
 def _access_text(acc: Access) -> str:
     if acc.range_ is not None and not acc.eq_values:
-        op, v = acc.range_
-        return f"{op}{to_sql(v)}"
+        return " ".join(f"{op}{to_sql(v)}" for op, v in acc.range_)
     parts = "[" + ", ".join(to_sql(v) for v in acc.eq_values) + "]" \
         if acc.eq_values else ""
     if acc.range_ is not None:
-        op, v = acc.range_
-        return f"{parts} {_RANGE_OPS[op]} {to_sql(v)}"
+        rng = " ".join(f"{_RANGE_OPS[op]} {to_sql(v)}"
+                       for op, v in acc.range_)
+        return f"{parts} {rng}"
     if not acc.eq_values:
         return ""
     if len(acc.eq_values) == 1 and getattr(acc, "_single", False):
@@ -488,6 +550,8 @@ def _access_text(acc: Access) -> str:
 
 def _access_pred(runner, acc: Access):
     """Equality/range access as a WHERE AST for row counting."""
+    if acc.count_pred is not None:
+        return acc.count_pred
     d = runner.index_defs[acc.index]
     node = None
 
@@ -501,11 +565,11 @@ def _access_pred(runner, acc: Access):
                     if not isinstance(v, tuple)
                     else ("bin", "=", parse_expr(f), v))
     if acc.range_ is not None:
-        op, v = acc.range_
         fld = d.fields[len(acc.eq_values)]
         from surrealdb_spark.sql.parser import parse_expr
 
-        node = conj(node, ("bin", op, parse_expr(fld), v))
+        for op, v in acc.range_:
+            node = conj(node, ("bin", op, parse_expr(fld), v))
     return node
 
 
@@ -515,20 +579,20 @@ def _counter(runner, tbl, params):
 
     def cnt(pred, limit, offset):
         try:
-            from surrealdb_spark.sql.compiler import compile_expr, types_of
-
             runner._refresh_catalog()
-            df = runner.catalog.table(tbl)
             if pred is not None and isinstance(pred, tuple) \
                     and pred[0] == "matchpred":
-                acc = pred[1]
-                sel2 = _mk_matches_select(runner, tbl, acc)
+                sel2 = _mk_matches_select(runner, tbl, pred[1])
                 df = runner.run_select(sel2, params or {})
             elif pred is not None:
-                from surrealdb_spark.sql.compiler import _truthy_col, _infer
+                # count through the full engine (deref/search rewrites)
+                from surrealdb_spark.sql.parser import Select as _Sel
 
-                col = compile_expr(pred, params or {}, types_of(df))
-                df = df.filter(_truthy_col(col, None))
+                df = runner.run_select(
+                    _Sel(fields=None, value_expr=None, sources=[tbl],
+                         where=pred), params or {})
+            else:
+                df = runner.catalog.table(tbl)
             n = df.count()
             if offset:
                 n = max(0, n - offset)
@@ -646,15 +710,25 @@ def plan_new(runner, sel, params=None) -> Node:
         c.rows = node.rows
         node = c
 
-    # Sort
+    # Sort — with a LIMIT this is a TopK (SortTopKByKey under a Limit)
     acc0 = accs[0][1] if accs else Access(kind="table")
+    topk_limit = None
     if order1 is not None and not acc0.order_eliminated:
         keys = ", ".join(
             f"{to_sql(k.expr)} {'DESC' if k.desc else 'ASC'}"
             for k in sel.order)
-        s = Node("SortByKey", f"[sort_keys: {keys}]", [node])
-        s.rows = node.rows
-        node = s
+        if sel.limit is not None:
+            s = Node("SortTopKByKey",
+                     f"[sort_keys: {keys}, limit: {sel.limit}]", [node])
+            s.rows = min(node.rows or 0, sel.limit) \
+                if node.rows is not None else None
+            topk_limit = sel.limit
+            node = Node("Limit", f"[limit: {sel.limit}]", [s])
+            node.rows = s.rows
+        else:
+            s = Node("SortByKey", f"[sort_keys: {keys}]", [node])
+            s.rows = node.rows
+            node = s
 
     # projections
     projs = []
@@ -747,7 +821,41 @@ def plan_legacy(runner, sel, params=None) -> list:
     params = params or {}
     tbls = [s for s in sel.sources if isinstance(s, str)]
     tbl = tbls[0] if tbls else None
+    ranges = [s for s in sel.sources
+              if isinstance(s, tuple) and s[0] == "idrange"]
     out: list = []
+    if ranges and not tbls:
+        # record-id range source: Iterate Range rows (dbs/iterators.rs)
+        _, rtb, lo, hi, incl = ranges[0]
+
+        def bval(b):
+            if isinstance(b, tuple) and b[0] == "karr":
+                return _lit_value(b[1])
+            return b
+
+        desc = bool(sel.order and sel.order[0].desc)
+        rng = {"start": bval(lo), "end": bval(hi),
+               "start_incl": True, "end_incl": bool(incl)}
+        out.append({"detail": {
+            "direction": "backward" if desc else "forward",
+            "range": rng, "table": rtb}, "operation": "Iterate Range"})
+        if sel.order and sel.limit is not None:
+            out.append({"detail": {"limit": sel.limit + (sel.start or 0),
+                                   "type": "MemoryOrderedLimit"},
+                        "operation": "Collector"})
+        elif sel.order:
+            out.append({"detail": {"type": "MemoryOrdered"},
+                        "operation": "Collector"})
+        else:
+            out.append({"detail": {"type": "Memory"},
+                        "operation": "Collector"})
+        if sel.explain == "full":
+            # range iteration is key-driven: no start/limit strategy row,
+            # zero record fetches (dbs/iterators.rs Iterable::Range)
+            out.append({"detail": {"type": "KeysAndValues"},
+                        "operation": "RecordStrategy"})
+            out.append({"detail": {"count": 0}, "operation": "Fetch"})
+        return out
     acc = analyze_access(runner, sel, tbl, params) if tbl else \
         Access(kind="table")
     conj = _conjuncts(sel.where)
@@ -756,13 +864,18 @@ def plan_legacy(runner, sel, params=None) -> list:
                 and sel.fields[0].expr[1] == "count")
 
     def iterate_index_detail(a: Access):
+        if a.reverse_order and not a.eq_values and a.range_ is None:
+            # sort-eliminating ordered index iteration
+            return {"index": a.index,
+                    "operator": "ReverseOrder"
+                    if a.direction == "Backward" else "Order"}
         if a.range_ is not None:
             lo = hi = None
-            op, v = a.range_
-            if op in (">", ">="):
-                lo = (v, op == ">=")
-            else:
-                hi = (v, op == "<=")
+            for op, v in a.range_:
+                if op in (">", ">="):
+                    lo = (v, op == ">=")
+                else:
+                    hi = (v, op == "<=")
             plan = {
                 "direction": "backward" if a.direction == "Backward"
                 else "forward",
@@ -784,13 +897,18 @@ def plan_legacy(runner, sel, params=None) -> list:
             return {"index": a.index, "operator": f"<|{k},{ef}|>",
                     "value": None}
         vals = [_lit_value(v) for v in a.eq_values]
-        value = vals[0] if len(vals) == 1 and getattr(
-            a, "_single", True) and len(
+        value = vals[0] if len(vals) == 1 and len(
             runner.index_defs[a.index].fields) == 1 else vals
         return {"index": a.index, "operator": "=", "value": value}
 
+    jp = None
+    if acc.kind == "table" and sel.with_hint != ("noindex",):
+        jp = _link_join_plan(runner, tbl, conj)
+        if jp is not None:
+            out.append({"detail": {"plan": jp, "table": tbl},
+                        "operation": "Iterate Index"})
     used_index = acc.kind in ("index", "unionidx", "ft", "knn", "multi") \
-        or acc.reverse_order
+        or acc.reverse_order or jp is not None
     if is_count and sel.where is None and not used_index \
             and sel.with_hint != ("noindex",):
         cdef = next((d for d in _index_defs(runner, tbl)
@@ -808,7 +926,7 @@ def plan_legacy(runner, sel, params=None) -> list:
                 "index": idx, "operator": op if op != "IN" else "union",
                 "value": _lit_value(v)}, "table": tbl},
                 "operation": "Iterate Index"})
-    elif used_index and acc.kind != "count":
+    elif used_index and acc.kind != "count" and jp is None:
         op_name = "Iterate Index Count" if is_count else "Iterate Index"
         out.append({"detail": {"plan": iterate_index_detail(acc),
                                "table": tbl},
@@ -846,8 +964,10 @@ def plan_legacy(runner, sel, params=None) -> list:
             if sel.start:
                 d["SkipStart"] = sel.start
             out.append({"detail": d, "operation": "StartLimitStrategy"})
-        # count of record fetches: 0 when the index covers the iteration
-        covered = used_index and acc.order_eliminated
+        # count of record fetches: 0 when an index-ordered iteration is
+        # cut short by a LIMIT (keys only; dbs/iterators.rs)
+        covered = used_index and acc.order_eliminated \
+            and sel.limit is not None
         n = 0
         if not covered:
             try:
@@ -863,3 +983,53 @@ def _strip_explain(sel):
     import dataclasses
 
     return dataclasses.replace(sel, explain=None)
+
+
+def _link_join_plan(runner, tbl, conj):
+    """`WHERE link.field <op> v` with an index on `link` (this table) and
+    on `field` (the link's table, from its `record<t>` field type) → the
+    legacy planner's join plan (idx/planner record-link joins)."""
+    import re as _re
+
+    for c in conj:
+        if c[0] != "bin":
+            continue
+        lhs = c[2]
+        if not (isinstance(lhs, tuple) and lhs[0] == "path"
+                and lhs[1][0] == "ident" and len(lhs[2]) == 1
+                and lhs[2][0][0] == "field"):
+            continue
+        link, fld = lhs[1][1], lhs[2][0][1]
+        li = next((d for d in _index_defs(runner, tbl)
+                   if list(d.fields) == [link]
+                   and getattr(d, "kind", "idx") in ("idx", "uniq")), None)
+        if li is None:
+            continue
+        ftext = runner.table_meta.get(tbl, {}).get("fields", {}).get(link, "")
+        m = _re.search(r"record<\s*(\w+)", str(ftext))
+        if m is None:
+            continue
+        ttbl = m.group(1)
+        op = str(c[1])
+        want_ft = op.startswith("@")
+        ti = next(
+            (d for d in _index_defs(runner, ttbl)
+             if list(d.fields) == [fld]
+             and ((getattr(d, "kind", "idx") in ("idx", "uniq")
+                   and not want_ft)
+                  or (getattr(d, "kind", "") == "fulltext" and want_ft))),
+            None)
+        if ti is None:
+            continue
+        if op in ("=", "=="):
+            jop, val = "=", _lit_value(c[3])
+        elif op in ("IN", "INSIDE"):
+            jop, val = "union", _lit_value(c[3])
+        elif want_ft:
+            jop, val = op, _lit_value(c[3])
+        else:
+            continue
+        return {"index": li.name,
+                "joins": [{"index": ti.name, "operator": jop, "value": val}],
+                "operator": "join"}
+    return None

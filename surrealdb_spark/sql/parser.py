@@ -551,6 +551,21 @@ class Parser:
                     self.next()
                     key = _unescape(self.next().text[1:-1])
                     return self.postfix(("lit", f"{t.text}:{key}"))
+                if nxt.kind == "op" and nxt.text == "[":
+                    # array-keyed record id `tb:[1]` / `knows:[a:1, b:2]`
+                    # (types/src/value/record_id/key.rs RecordIdKey::Array)
+                    self.next()
+                    arr = self.prefix()
+                    if arr[0] == "array" and all(
+                            e[0] in ("lit", "ulit") or
+                            (e[0] == "un" and e[1] == "-"
+                             and e[2][0] == "lit")
+                            for e in arr[1]):
+                        from surrealdb_spark.values import render_rid_key
+
+                        return self.postfix(
+                            ("lit", f"{t.text}:{render_rid_key(arr)}"))
+                    return self.postfix(("ridexpr", t.text, arr))
                 if nxt.kind in ("name", "num") and nxt.pos == colon.pos + 1:
                     self.next()
                     parts = [self.next()]
@@ -1070,6 +1085,10 @@ def _parse_select_body(p: Parser) -> Select:
                 def _key():
                     if p.peek().kind == "num":
                         return int(p.next().text)
+                    if p.peek().kind == "op" and p.peek().text == "[":
+                        # array key bound (record_id/key.rs Array) —
+                        # an AST, resolved at compile/execution
+                        return ("karr", p.prefix())
                     if p.peek().kind in ("name", "str", "kw"):
                         t_ = p.next()
                         if t_.kind == "str":

@@ -66,6 +66,7 @@ class DeleteStmt:
     target: Target
     where: tuple | None = None
     return_: str = "NONE"
+    explain: str | None = None  # DELETE ... EXPLAIN [FULL] (read-only)
 
 
 @dataclass
@@ -643,7 +644,10 @@ def _parse_statement_body(p: Parser):
         p.eat("kw", "ONLY")
         tgt = _target(p)
         where = p.expr(0) if p.eat("kw", "WHERE") else None
-        return DeleteStmt(tgt, where, _return_clause(p, default="NONE"))
+        st = DeleteStmt(tgt, where, _return_clause(p, default="NONE"))
+        if p.eat("kw", "EXPLAIN"):
+            st.explain = "full" if p.eat_word("FULL") else "plain"
+        return st
     if t.text == "RELATE":
         p.next()
         p.no_graph += 1  # arrows here are RELATE syntax, not lookups
@@ -654,8 +658,11 @@ def _parse_statement_body(p: Parser):
         if p.peek().kind == "op" and p.peek().text == ":":
             # RELATE a->edge:key->b — explicit edge record id (relate.rs)
             p.next()
-            kt = p.next()
-            edge_key = int(kt.text) if kt.kind == "num" else kt.text
+            if p.peek().kind == "op" and p.peek().text == "[":
+                edge_key = ("kexpr", p.prefix())  # edge:[...] array key
+            else:
+                kt = p.next()
+                edge_key = int(kt.text) if kt.kind == "num" else kt.text
         p.expect("op", "->")
         to = p.expr(9)
         p.no_graph -= 1
@@ -1291,6 +1298,9 @@ def _target(p: Parser) -> Target:
     tb = _name(p)
     if p.peek().kind == "op" and p.peek().text == ":":
         p.next()
+        if p.peek().kind == "op" and p.peek().text == "[":
+            # array-keyed target `CREATE i:[$i]` (record_id/key.rs Array)
+            return Target(tb, ("kexpr", p.prefix()))
         kt = p.next()
         key: object = (int(kt.text) if kt.kind == "num"
                        else (kt.orig or kt.text.lower()) if kt.kind == "kw"
@@ -1576,7 +1586,9 @@ class StatementRunner:
             df = self.run(inner, params=binds)
             if df is None or isinstance(df, dict):
                 return df
-            rows: list = [r.asDict(recursive=True)
+            from surrealdb_spark.values import strip_absent
+
+            rows: list = [strip_absent(r.asDict(recursive=True))
                           for r in df.limit(100).collect()]
             if df.columns == ["value"]:
                 rows = [r["value"] for r in rows]
@@ -1741,8 +1753,22 @@ class StatementRunner:
         (scan/reference.rs): one groupBy per referencing side, sorted
         collected ids, left join on this table's id."""
         specs = self.computed_fields.get(tbl, {})
-        for fname, entries in specs.items():
-            df = self._attach_refs(df, tbl, entries, fname)
+        for fname, (kind, payload) in specs.items():
+            if kind == "refs":
+                df = self._attach_refs(df, tbl, payload, fname)
+            else:  # generic COMPUTED expr over the row's own columns
+                from surrealdb_spark.sql.compiler import (compile_expr,
+                                                          types_of)
+
+                df = df.withColumn(
+                    fname, compile_expr(payload, {}, types_of(df)))
+                if "__present" in df.columns:
+                    df = df.withColumn(
+                        "__present",
+                        F.array_sort(F.array_union(
+                            F.coalesce(F.col("__present"),
+                                       F.array().cast("array<string>")),
+                            F.array(F.lit(fname)))))
         return df
 
     def _apply_on_delete(self, tbl: str, where) -> None:
@@ -1911,6 +1937,23 @@ class StatementRunner:
                   if ast[0] == "bin" else None)
             if mm is not None:
                 fld, qast = ast[2], ast[3]
+                if fld[0] == "path" and fld[1][0] == "ident" \
+                        and mm.group(1) is None:
+                    try:
+                        dt = dict(self.catalog.table(tbl).dtypes) \
+                            .get(fld[1][1], "")
+                    except Exception:
+                        dt = ""
+                    if dt == "string":
+                        if "all-ro" in getattr(self, "planner_strategy",
+                                               ()):
+                            # the new executor rejects matches over a
+                            # record link (no index-join FT path)
+                            raise ValueError(
+                                "@@ on a record link needs a direct index")
+                        # matches over a record-link path: leave it for
+                        # the deref pass + generic matches operator
+                        return ast
                 q = (qast[1] if qast[0] in ("lit", "ulit")
                      else params.get(qast[1]) if qast[0] == "param" else None)
                 fname = to_sql(fld)
@@ -2051,6 +2094,16 @@ class StatementRunner:
         if k == "table":
             del self.db.tables[name]
             self.catalog._cache.pop(name, None)
+            import shutil
+
+            # the table's rows, indexes and field meta go with it —
+            # a later re-DEFINE starts empty (statements/remove/table.rs)
+            shutil.rmtree(f"{self.db.root}/{name}", ignore_errors=True)
+            for ixn in [n for n, d in self.index_defs.items()
+                        if d.table == name]:
+                self.index_defs.pop(ixn, None)
+                self.indexes.pop(ixn, None)
+            self.table_meta.pop(name, None)
             return
         if k == "field":
             td = self.db.tables[stmt.table]
@@ -2236,7 +2289,19 @@ class StatementRunner:
                 })
             if stmt.computed is not None and stmt.computed[0] == "refscan":
                 self.computed_fields.setdefault(stmt.table, {})[
-                    stmt.name] = stmt.computed[1]
+                    stmt.name] = ("refs", stmt.computed[1])
+                return None
+            if stmt.computed is not None:
+                # generic COMPUTED <expr>: evaluated at read, always
+                # present on every record (define/field.rs Computed)
+                cast = stmt.computed
+                if cast[0] == "setlit" and len(cast[1]) == 1:
+                    # `COMPUTED { expr }` — a value block, not a set
+                    cast = cast[1][0]
+                self.computed_fields.setdefault(stmt.table, {})[
+                    stmt.name] = ("expr", cast)
+                if stmt.table not in self.db.tables:
+                    self.db.define_table(TableDef(stmt.table))
                 return None
             dtype = {"int": "bigint", "float": "double", "number": "double",
                      "string": "string", "bool": "boolean",
@@ -2692,6 +2757,15 @@ class StatementRunner:
             return self.db.update(tbl, set_exprs, where, ret)
         if isinstance(stmt, DeleteStmt):
             tbl = stmt.target.table
+            if stmt.explain:
+                # DELETE ... EXPLAIN — plan rows only, nothing deleted
+                # (explain is always read-only)
+                from surrealdb_spark.sql.parser import Select as _Sel
+
+                sel = _Sel(fields=None, value_expr=None,
+                           sources=[tbl], where=stmt.where,
+                           explain=stmt.explain)
+                return self._explain_select(sel, params)
             where = self._where(stmt.target, stmt.where, tbl, params)
             self._apply_on_delete(tbl, where)
             ret = stmt.return_
@@ -2706,7 +2780,8 @@ class StatementRunner:
             extra = self._data_obj(stmt.data, params) if stmt.data else {}
             row = {"in": frm, "out": to, **extra}
             if stmt.edge_key is not None:
-                row["id"] = f"{stmt.edge}:{stmt.edge_key}"
+                row["id"] = f"{stmt.edge}:" + str(
+                    self._key_text(Target(stmt.edge, stmt.edge_key), params))
             edges = self.spark.createDataFrame([row])
             out = self.db.relate(stmt.edge, edges)
             return self._ret(out, out, stmt.return_)
@@ -2750,15 +2825,28 @@ class StatementRunner:
         return {k: self._scalar(v, params) for k, v in ast[1]}
 
     def _data_obj(self, data, params: dict) -> dict:
+        """SET/CONTENT payload → row dict.  NONE-valued fields are DROPPED
+        (objects have no entry for NONE, types/src/value/mod.rs); explicit
+        NULL stays — the distinction comes from the AST (`("nulllit",)`)
+        since both evaluate to Python None."""
         if data is None:
             return {}
         kind, payload = data
         if kind == "content":
-            return self._obj(payload, params)
+            out = self._obj(payload, params)
+            if isinstance(payload, tuple) and payload[0] == "object":
+                null_keys = {k for k, vast in payload[1]
+                             if vast == ("nulllit",)}
+                out = {k: v for k, v in out.items()
+                       if v is not None or k in null_keys}
+            return out
         if kind == "set":
             out = {}
             for f_, op, ast in payload:
                 v = self._scalar(ast, params)
+                if v is None and ast != ("nulllit",) and op == "=":
+                    out.pop(f_, None)  # SET x = NONE on create → absent
+                    continue
                 if op == "-=" and isinstance(v, (int, float)):
                     # compound ops against an absent record start from the
                     # zero value (upsert.rs create path)
@@ -2773,13 +2861,17 @@ class StatementRunner:
             d = dict(d)
             if "id" not in d:
                 if tgt.key is not None:
-                    d["id"] = f"{tgt.table}:{tgt.key}"
+                    d["id"] = f"{tgt.table}:{self._key_text(tgt, params)}"
                 else:
                     import uuid as _uuid
 
                     d["id"] = f"{tgt.table}:{_uuid.uuid4().hex[:16]}"
             elif not isinstance(d["id"], str) or ":" not in str(d["id"]):
                 d["id"] = f"{tgt.table}:{d['id']}"
+            # field-presence marker: which fields THIS record carries
+            # (schema-union NULLs are indistinguishable from explicit NULL
+            # otherwise; values.strip_absent consumes it on output)
+            d["__present"] = sorted(k for k in d if k != "__present")
             rows.append(d)
         keys = sorted({k for d in rows for k in d})
         data = [{k: d.get(k) for k in keys} for d in rows]
@@ -2815,10 +2907,24 @@ class StatementRunner:
                 schema)
         return self.spark.createDataFrame(data)
 
+    def _key_text(self, tgt: Target, params: dict):
+        """Key part of a record-id target; array keys (`("kexpr", ast)`)
+        render canonically after evaluation (record_id/key.rs Array)."""
+        k = tgt.key
+        if isinstance(k, tuple) and k[0] == "kexpr":
+            from surrealdb_spark.values import render_rid_vals
+
+            ast = k[1]
+            vals = ([self._scalar(e, params) for e in ast[1]]
+                    if ast[0] == "array" else [self._scalar(ast, params)])
+            return render_rid_vals(vals)
+        return k
+
     def _where(self, tgt: Target, where_ast, tbl: str, params: dict) -> Column | None:
         conds = []
         if tgt.key is not None:
-            conds.append(F.col("id") == f"{tgt.table}:{tgt.key}")
+            conds.append(
+                F.col("id") == f"{tgt.table}:{self._key_text(tgt, params)}")
         if where_ast is not None:
             from surrealdb_spark.sql.compiler import compile_expr, types_of
 
@@ -2873,16 +2979,36 @@ class StatementRunner:
                 elif op == "-=":
                     rhs = F.coalesce(F.col(f_), F.lit(0)) - rhs
                 out[f_] = rhs
+            removed = [f_ for f_, op, ast in payload
+                       if op == "=" and ast == ("lit", None)]
+            added = [f_ for f_, op, ast in payload if f_ not in removed]
+            out["__present"] = self._present_expr(tbl, removed, added)
             return out
         if kind in ("content", "merge"):
             obj = self._obj(payload, params)
-            out = {k: F.lit(v) for k, v in obj.items()}
+            null_keys = set()
+            if isinstance(payload, tuple) and payload[0] == "object":
+                null_keys = {k for k, vast in payload[1]
+                             if vast == ("nulllit",)}
+            out = {k: F.lit(v) for k, v in obj.items()
+                   if v is not None or k in null_keys}
             if kind == "content":
                 # CONTENT replaces the document: non-listed fields → NULL
                 existing = set(self.db.table(tbl).columns) if self.db._exists(tbl) else set()
                 td = self.db.tables[tbl]
-                for c in existing - set(obj) - {td.id_col}:
+                for c in existing - set(obj) - {td.id_col, "__present"}:
                     out[c] = F.lit(None)
+                out["__present"] = F.array(
+                    *[F.lit(k) for k in
+                      sorted(set(obj) | {td.id_col})
+                      if k in out or k == td.id_col])
+            else:
+                removed = [k for k, v in obj.items()
+                           if v is None and k not in null_keys]
+                added = [k for k in obj if k not in removed]
+                for k in removed:
+                    out[k] = F.lit(None)
+                out["__present"] = self._present_expr(tbl, removed, added)
             return out
         if kind == "patch":
             # JSON-Patch array: add/replace/remove ops on flat fields
@@ -2896,6 +3022,27 @@ class StatementRunner:
                     out[key] = F.lit(None)
             return out
         raise ValueError(kind)
+
+    def _present_expr(self, tbl: str, removed: list, added: list) -> Column:
+        """Updated field-presence array: existing presence (or, for legacy
+        rows, the non-null columns) minus NONE-set fields plus assigned
+        ones — consumed by values.strip_absent at output time."""
+        cols = (self.db.table(tbl).columns if self.db._exists(tbl) else [])
+        data_cols = [c for c in cols if c != "__present"]
+        if data_cols:
+            derived = F.array_compact(F.array(
+                *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in data_cols]))
+        else:
+            derived = F.array().cast("array<string>")
+        if "__present" in cols:
+            base = F.coalesce(F.col("__present"), derived)
+        else:
+            base = derived
+        if removed:
+            base = F.array_except(base, F.array(*[F.lit(x) for x in removed]))
+        if added:
+            base = F.array_union(base, F.array(*[F.lit(x) for x in added]))
+        return F.array_sort(base)
 
     def _assign_col(self, f_: str, op: str, ast, df: DataFrame, params: dict) -> Column:
         from surrealdb_spark.sql.compiler import compile_expr

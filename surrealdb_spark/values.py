@@ -150,3 +150,68 @@ def duration(months: Column | int = 0, nanos: Column | int = 0) -> Column:
     m = F.lit(months) if isinstance(months, int) else months
     n = F.lit(nanos) if isinstance(nanos, int) else nanos
     return F.struct(m.cast("long").alias("months"), n.cast("long").alias("nanos"))
+
+
+def strip_absent(d):
+    """Reference-shaped object from a stored row dict: fields NOT present
+    on the record are omitted (types/src/value/mod.rs — objects have no
+    entry for NONE; explicit NULL is stored and kept).
+
+    Presence comes from the hidden `__present` column the DML layer writes
+    (array of field names provided at CREATE/UPDATE time, including
+    explicitly-NULL ones).  Rows without it (legacy/external) fall back to
+    "non-null ⇒ present"."""
+    if isinstance(d, list):
+        return [strip_absent(x) for x in d]
+    if not isinstance(d, dict):
+        return d
+    if "__present" not in d:
+        return {k: strip_absent(v) for k, v in d.items()}
+    present = d.get("__present")
+    out = {}
+    for k, v in d.items():
+        if k == "__present":
+            continue
+        if v is None and (present is None or k not in present):
+            continue
+        out[k] = strip_absent(v)
+    return out
+
+
+def render_rid_key(arr_ast) -> str:
+    """Canonical text of an array record-id key (`tb:[1, 'a', b:2]` —
+    types/src/value/record_id/key.rs RecordIdKey::Array ToSql): numbers
+    bare, record ids bare, strings quoted."""
+    import re as _re
+
+    def one(e):
+        if e[0] == "un" and e[1] == "-":
+            return f"-{one(e[2])}"
+        v = e[1]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        s = str(v)
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:.+", s):
+            return s
+        return f"'{s}'"
+
+    return "[" + ", ".join(one(e) for e in arr_ast[1]) + "]"
+
+
+def render_rid_vals(vals: list) -> str:
+    """Canonical `[v, ...]` key text from evaluated Python values."""
+    import re as _re
+
+    def one(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        s = str(v)
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:.+", s):
+            return s
+        return f"'{s}'"
+
+    return "[" + ", ".join(one(v) for v in vals) + "]"
