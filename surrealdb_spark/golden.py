@@ -401,14 +401,29 @@ def _materialize_dataset(spark: SparkSession, ds_path: str) -> dict:
         root = tempfile.mkdtemp(prefix="golden_ds_")
         db = Database(spark, root)
         runner = StatementRunner(spark, db)
-        for s in stmts:
-            if _stmt_word(s) == "RETURN":  # trailing `RETURN NONE;`
-                continue
-            _auto_define(db, s)
-            runner.run(s)
+        _replay_dataset(spark, db, runner, stmts)
         entry["root"] = root
     _DS_CACHE[ds_path] = entry
     return entry
+
+
+def _replay_dataset(spark, db, runner, stmts: list[str]) -> None:
+    """Run a dataset's statements for materialization.  A bare
+    `RETURN NONE/NULL` is value-only noise and skipped; any other RETURN
+    (e.g. `RETURN { ...mutations... }`) runs for its side effects."""
+    for s in stmts:
+        if _stmt_word(s) == "RETURN":
+            body = re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
+            if body.rstrip(";").strip().upper() in ("NONE", "NULL"):
+                continue
+            if body.startswith("{") and _MUTATING_RE.search(body):
+                for inner in split_statements(body.strip()[1:-1]):
+                    if _stmt_word(inner) in _STMT_WORDS:
+                        _auto_define(db, inner)
+                        runner.run(inner)
+            continue
+        _auto_define(db, s)
+        runner.run(s)
 
 
 def _attach_tables(db, root: str) -> None:
@@ -435,10 +450,26 @@ def _prepare_imports(spark: SparkSession, test_path: str,
     entries = [(_resolve_import(test_path, i),) for i in imports]
     heavy = [e[0] for e in entries
              if _materialize_dataset(spark, e[0])["heavy"]]
-    mutates = any(_MUTATING_RE.search(s) for s in test_stmts)
+    # mutation scan covers the test's own statements AND the light
+    # imports replayed into the db (a mutating co-import — or a DEFINE
+    # FUNCTION body the test may call via fn:: — must not write into the
+    # session-wide cached dataset root)
+    light_stmts = [s for ds_path, in entries
+                   for s in _materialize_dataset(spark, ds_path)["stmts"]
+                   if ds_path not in heavy]
+    mutates = (any(_MUTATING_RE.search(s) for s in test_stmts)
+               or any(_stmt_word(s) in ("CREATE", "INSERT", "UPDATE",
+                                        "UPSERT", "DELETE", "RELATE")
+                      for s in light_stmts)
+               or (any("fn::" in s for s in test_stmts)
+                   and any(_stmt_word(s) == "DEFINE"
+                           and _MUTATING_RE.search(s[6:])
+                           for s in light_stmts)))
     if heavy:
         src = _materialize_dataset(spark, heavy[0])["root"]
-        if mutates:
+        if mutates or len(heavy) > 1:
+            # >1 heavy import: the extra datasets replay their data into
+            # this root, so it must be a private copy of the cached one
             root = tempfile.mkdtemp(prefix="golden_mut_")
             shutil.rmtree(root)
             shutil.copytree(src, root)
@@ -451,8 +482,14 @@ def _prepare_imports(spark: SparkSession, test_path: str,
     runner = StatementRunner(spark, db)
     for ds_path, in entries:
         entry = _materialize_dataset(spark, ds_path)
-        # heavy datasets: data already on disk, replay metadata-only DDL;
-        # light imports (harness fns, DEFINE PARAM fixtures): replay all
+        if entry["heavy"] and heavy and ds_path != heavy[0]:
+            # secondary heavy dataset: full replay (data + DDL) into the
+            # private root
+            _replay_dataset(spark, db, runner, entry["stmts"])
+            continue
+        # primary heavy dataset: data already on disk, replay
+        # metadata-only DDL; light imports (harness fns, DEFINE PARAM
+        # fixtures): replay all
         for s in (entry["ddl"] if entry["heavy"] else entry["stmts"]):
             _auto_define(db, s)
             runner.run(s)

@@ -1362,6 +1362,24 @@ def _return_clause(p: Parser, default: str = "AFTER"):
 # -- execution ---------------------------------------------------------------
 
 
+_OLTP_CAP = 10_000
+
+
+def _bounded_collect(df: DataFrame, what: str, cap: int = _OLTP_CAP) -> list:
+    """Driver-side materialization with a LOUD overflow: OLTP-scoped
+    reference semantics (event firing, ON DELETE enforcement, statement
+    results) are driver loops by design, but silently dropping rows above
+    the cap is a correctness bug — fail like script.py's FOR guard."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise MutationError(
+            f"{what} exceeds the {cap}-row driver materialization cap — "
+            "a driver loop at that size is a scale bug; restructure as a "
+            "DataFrame operation or raise the cap explicitly"
+        )
+    return rows
+
+
 class StatementRunner:
     """Executes parsed statements against a Database + Catalog pair.
 
@@ -1734,7 +1752,8 @@ class StatementRunner:
             else:
                 q = q + f" WHERE {cond}"
         df = self.run(q)
-        rows = [r.asDict(recursive=True) for r in df.limit(10_000).collect()]
+        rows = [r.asDict(recursive=True)
+                for r in _bounded_collect(df, "statement materialization")]
         if df.columns == ["value"]:
             return [r["value"] for r in rows]
         return rows
@@ -1782,8 +1801,9 @@ class StatementRunner:
         if not refs:
             return
         cond = where if where is not None else F.lit(True)
-        doomed = [r[0] for r in self.db.table(tbl)
-                  .filter(cond).select("id").limit(10_000).collect()]
+        doomed = [r[0] for r in _bounded_collect(
+            self.db.table(tbl).filter(cond).select("id"),
+            "ON DELETE reference enforcement (doomed set)")]
         if not doomed:
             return
         for rt, e in refs:
@@ -1821,8 +1841,9 @@ class StatementRunner:
                     self.db.update(rt, {fld: F.lit(None)},
                                    F.coalesce(hit, F.lit(False)))
             elif act == "THEN" and e.get("then"):
-                rows = (r.filter(F.coalesce(hit, F.lit(False)))
-                        .limit(10_000).collect())
+                rows = _bounded_collect(
+                    r.filter(F.coalesce(hit, F.lit(False))),
+                    "ON DELETE THEN row set")
                 then_txt = e["then"].strip()
                 if then_txt.startswith("(") and then_txt.endswith(")"):
                     then_txt = then_txt[1:-1]
@@ -2491,7 +2512,9 @@ class StatementRunner:
                 binds = {"event": F.lit(action), "after": aft, "value": cur,
                          "before": bef, "this": cur}
                 matched = df if _w is None else df.filter(self._expr(_w, binds))
-                for row in matched.limit(10_000).collect():
+                if self._event_fast_path(matched, binds, _t):
+                    return
+                for row in _bounded_collect(matched, "DEFINE EVENT firing"):
                     d = row.asDict(recursive=True)
                     flat = [F.lit(v).alias(k) for k, v in d.items()
                             if not isinstance(v, (dict, list))]
@@ -2729,7 +2752,9 @@ class StatementRunner:
             return self._ret(out, out, stmt.return_)
         if isinstance(stmt, UpdateStmt):
             tbl = stmt.target.table
-            if stmt.upsert and tbl not in self.db.tables:
+            if tbl not in self.db.tables:
+                # undefined table: UPSERT creates it; UPDATE is a no-op
+                # over the implicit empty table (update.rs)
                 self.db.define_table(TableDef(tbl))
             where = self._where(stmt.target, stmt.where, tbl, params)
             if stmt.upsert:
@@ -2766,6 +2791,8 @@ class StatementRunner:
                            sources=[tbl], where=stmt.where,
                            explain=stmt.explain)
                 return self._explain_select(sel, params)
+            if tbl not in self.db.tables:
+                self.db.define_table(TableDef(tbl))  # no-op empty table
             where = self._where(stmt.target, stmt.where, tbl, params)
             self._apply_on_delete(tbl, where)
             ret = stmt.return_
@@ -2906,6 +2933,49 @@ class StatementRunner:
                 [tuple(d[f.name] for f in schema.fields) for d in data],
                 schema)
         return self.spark.createDataFrame(data)
+
+    def _event_fast_path(self, matched: DataFrame, binds: dict,
+                         then_stmts: list) -> bool:
+        """Distributed THEN execution for the common simple shape: ONE
+        `CREATE tbl SET f = <expr over $event/$after/$before/$value>`
+        with no explicit key — one DataFrame select + insert instead of a
+        per-row driver loop (doc/event.rs semantics, Spark-first plan)."""
+        if len(then_stmts) != 1:
+            return False
+        txt = then_stmts[0].strip()
+        if txt.startswith("(") and txt.endswith(")"):
+            txt = txt[1:-1].strip()
+        if not txt.upper().startswith("CREATE"):
+            return False
+        try:
+            st = parse_statement(txt)
+        except Exception:
+            return False
+        if not isinstance(st, CreateStmt) or st.target.key is not None \
+                or st.target.mock or st.data is None \
+                or st.data[0] != "set" \
+                or any(op != "=" for _, op, _a in st.data[1]):
+            return False
+        tbl = st.target.table
+        if tbl not in self.db.tables:
+            self.db.define_table(TableDef(tbl))
+        try:
+            fields = [(f_, self._expr(ast, binds))
+                      for f_, _, ast in st.data[1]]
+        except Exception:
+            return False
+        cols = [c.alias(f_) for f_, c in fields]
+        cols.append(F.concat(
+            F.lit(tbl + ":"),
+            F.substring(F.regexp_replace(F.expr("uuid()"), "-", ""), 1, 16)
+        ).alias("id"))
+        names = sorted([f_ for f_, _ in fields] + ["id"])
+        cols.append(F.array(*[F.lit(n) for n in names]).alias("__present"))
+        try:
+            self.db.create(tbl, matched.select(*cols))
+        except Exception:
+            return False
+        return True
 
     def _key_text(self, tgt: Target, params: dict):
         """Key part of a record-id target; array keys (`("kexpr", ast)`)
@@ -3114,13 +3184,23 @@ class StatementRunner:
                 bcol = F.col("__b")
             binds = {**params, "before": bcol, "after": cur,
                      "value": cur, "this": cur}
-        if ret[0] == "value":
-            return df.select(compile_expr(ret[1], binds).alias("value"))
-        cols = []
-        for e, alias in ret[1]:
-            name = alias or (e[1] if e[0] == "ident" else "value")
-            cols.append(compile_expr(e, binds).alias(name))
-        return df.select(*cols)
+        from pyspark.errors import AnalysisException
+
+        try:
+            if ret[0] == "value":
+                return df.select(compile_expr(ret[1], binds).alias("value"))
+            cols = []
+            for e, alias in ret[1]:
+                name = alias or (e[1] if e[0] == "ident" else "value")
+                cols.append(compile_expr(e, binds).alias(name))
+            return df.select(*cols)
+        except AnalysisException:
+            # RETURN expr referencing a field no row carries (e.g. the
+            # empty/undefined-table image, schema `id` only): the
+            # reference returns [] — zero rows, nothing to project
+            if df.isEmpty():
+                return df.sparkSession.createDataFrame([], "value string")
+            raise
 
 
 def _has_matches(ast) -> bool:

@@ -179,3 +179,83 @@ def test_unknown_type_truthiness_nonempty_string_truthy(spark):
     dfb = spark.createDataFrame([(False,), (True,)], "v boolean")
     gotb = [r[0] for r in dfb.select(_truthy_col(F.col("v"), None)).collect()]
     assert gotb == [False, True]
+
+
+def test_return_expr_unknown_field_on_empty_table(spark, tmp_path):
+    """UPDATE/DELETE on an empty or undefined table with RETURN
+    expressions over fields the id-only image doesn't carry must return
+    [] like the reference, not raise AnalysisException
+    (sql/statements.py _ret_expr_static empty-image short-circuit)."""
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, str(tmp_path))
+    r = StatementRunner(spark, db)
+    # undefined table entirely
+    assert r.run("UPDATE t SET x = 1 RETURN VALUE x").count() == 0
+    assert r.run("UPDATE t SET x = 1 RETURN x, y AS why").count() == 0
+    assert r.run("DELETE t RETURN VALUE x").count() == 0
+    # defined but empty table
+    r.run("DEFINE TABLE e")
+    assert r.run("UPDATE e SET v = 2 RETURN VALUE v * 2").count() == 0
+
+
+def test_dataset_return_block_mutations_materialize(spark, tmp_path):
+    """_materialize_dataset must not drop data produced by a top-level
+    RETURN { ...mutations... } block (golden.py _replay_dataset)."""
+    from surrealdb_spark.golden import _materialize_dataset
+
+    ds = tmp_path / "ds.surql"
+    ds.write_text(
+        ";\n".join(f"CREATE seed:{i} SET n = {i}" for i in range(6))
+        + ";\nRETURN { CREATE extra:1 SET v = 42; };\nRETURN NONE;\n"
+    )
+    entry = _materialize_dataset(spark, str(ds))
+    assert entry["heavy"]
+    import os
+
+    assert os.path.isdir(os.path.join(entry["root"], "extra"))
+
+
+def test_driver_caps_fail_loudly(spark, tmp_path):
+    """The four driver-side materialization sites must raise above the
+    10k cap instead of silently dropping rows (statements.py
+    _bounded_collect)."""
+    import pytest as _pt
+
+    from surrealdb_spark.sql import statements as S
+
+    df = spark.range(S._OLTP_CAP + 5).select(
+        F.concat(F.lit("t:"), F.col("id")).alias("id"))
+    with _pt.raises(MutationError, match="driver materialization cap"):
+        S._bounded_collect(df, "test site")
+    # under the cap: plain rows back
+    assert len(S._bounded_collect(df.limit(10), "test site")) == 10
+
+
+def test_event_fast_path_is_distributed(spark, tmp_path):
+    """A single simple CREATE...SET THEN body runs as one DataFrame
+    insert (statements.py _event_fast_path), so it works above the
+    driver-loop cap."""
+    from surrealdb_spark.sql import statements as S
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    db = Database(spark, str(tmp_path))
+    r = StatementRunner(spark, db)
+    r.run("DEFINE TABLE user")
+    r.run("DEFINE EVENT log ON TABLE user WHEN $event = 'CREATE' "
+          "THEN (CREATE log SET who = $after.name, ev = $event)")
+    r.run("CREATE user:1 SET name = 'alice'")
+    rows = r.run("SELECT who, ev FROM log").collect()
+    assert [(x["who"], x["ev"]) for x in rows] == [("alice", "CREATE")]
+    # the fast path recognizes the shape without collecting matched rows
+    hook_tbl = db.tables["user"]
+    assert hook_tbl.events, "event hook registered"
+    matched = spark.range(3).select(
+        F.concat(F.lit("user:"), F.col("id")).alias("id"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"))
+    binds = {"event": F.lit("CREATE"),
+             "after": F.struct(F.col("id"), F.col("name")),
+             "before": F.lit(None), "value": F.lit(None), "this": F.lit(None)}
+    assert r._event_fast_path(
+        matched, binds, ["(CREATE log SET who = $after.name, ev = $event)"])
+    assert r.run("SELECT count() FROM log GROUP ALL").collect()[0][0] == 4
