@@ -206,10 +206,12 @@ def match_offsets(text: F.Column | str, terms: list[str]) -> tuple[F.Column, F.C
     return first, n
 
 
-def offsets_col(field: F.Column, terms: list[str], partial: bool) -> F.Column:
+def offsets_col(field: F.Column, terms: list[str], partial: bool,
+                ci: bool = True) -> F.Column:
     """search::offsets — per-value match positions keyed by value index
     (idx/ft/offset.rs; highlighter.rs).  Whole-word mode reports the
     containing word's span; partial reports the matched substring.
+    ``ci``: case-insensitive matching (analyzer has a lowercase filter).
     Arrow-batched pandas UDF (one pass per row, no driver loop)."""
     import re as _re
 
@@ -218,8 +220,9 @@ def offsets_col(field: F.Column, terms: list[str], partial: bool) -> F.Column:
     pats = [_re.escape(t) for t in sorted(terms, key=len, reverse=True)]
     if not pats:
         pats = ["(?!x)x"]
-    rx_part = _re.compile("(?i)(" + "|".join(pats) + ")")
-    rx_word = _re.compile(r"(?i)(\w*(?:" + "|".join(pats) + r")\w*)")
+    flag = "(?i)" if ci else ""
+    rx_part = _re.compile(flag + "(" + "|".join(pats) + ")")
+    rx_word = _re.compile(flag + r"(\w*(?:" + "|".join(pats) + r")\w*)")
     rx = rx_part if partial else rx_word
 
     @pandas_udf("map<string,array<struct<e:int,s:int>>>")
@@ -229,7 +232,10 @@ def offsets_col(field: F.Column, terms: list[str], partial: bool) -> F.Column:
             if v is None:
                 out.append(None)
                 continue
-            items = v if isinstance(v, (list, tuple)) else [v]
+            import numpy as _np
+
+            items = (list(v) if isinstance(v, (list, tuple, _np.ndarray))
+                     else [v])
             m: dict = {}
             for i, item in enumerate(items):
                 spans = [{"e": mt.end(), "s": mt.start()}

@@ -38,14 +38,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, max_doc_freq: int | None = None
+    df: DataFrame, id_col: str, text_col: str, threshold: float,
+    max_doc_freq: int | None = None, allow_quadratic: bool = False
 ) -> DataFrame:
     """All pairs with word-set Jaccard ≥ threshold (exact, via self-join).
+
+    O(N²) VERIFY PRIMITIVE — refuses to run unless ``allow_quadratic=True``:
+    the token self-join explodes quadratically on shared words and will
+    not survive a large corpus.  The scale path is ``minhash_lsh_pairs``
+    (banded LSH candidates, exact Jaccard re-score on candidates only).
 
     ``max_doc_freq`` prunes ultra-common words before the join — at scale
     the hot-word skew dominates; dropping words in >X% of docs is the
     standard fix (they contribute little to Jaccard discrimination anyway).
     """
+    if not allow_quadratic:
+        raise ValueError(
+            "jaccard_pairs is an O(N²) all-pairs primitive; pass "
+            "allow_quadratic=True for small verify scopes, or use "
+            "minhash_lsh_pairs for the scale path"
+        )
     dw = doc_words(df, id_col, text_col)
     if max_doc_freq is not None:
         freq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))

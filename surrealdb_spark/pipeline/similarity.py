@@ -44,6 +44,31 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float,
+    allow_quadratic: bool = False
+) -> DataFrame:
+    """All embedding pairs with cosine similarity > threshold.
+
+    O(N²) VERIFY PRIMITIVE — refuses to run unless ``allow_quadratic=True``:
+    a full self-join over embeddings cannot survive a large corpus.  The
+    scale path is ``srp_lsh_topk`` (banded SRP-LSH candidates, exact
+    re-score on candidates only)."""
+    if not allow_quadratic:
+        raise ValueError(
+            "cosine_pairs is an O(N²) all-pairs primitive; pass "
+            "allow_quadratic=True for small verify scopes, or use "
+            "srp_lsh_topk for the scale path"
+        )
+    e1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    e2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        e1.join(e2, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", V.cosine_similarity("v1", "v2").alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
 def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign of md5("p:d")'s top hex bit."""
     return [

@@ -299,9 +299,16 @@ def _compile_cast(kind_spec, operand, params, types) -> Column:
     # static strictness (cast.rs errors): scalars don't cast to containers /
     # temporal / identity kinds
     src = _infer(operand, types, params)
+    if name == "regex":
+        if src == "regex":
+            return compile_expr(operand, params, types)
+        if src == "string":
+            return F.struct(
+                compile_expr(operand, params, types).alias("regex"))
+        raise ValueError(f"Could not cast into `regex` using input ({src})")
     _SCALARS = ("int", "float", "decimal", "bool")
     if name in ("object", "duration", "point", "uuid", "record", "geometry",
-                "function", "range", "bytes", "regex") and src in _SCALARS + ("string",) \
+                "function", "range", "bytes") and src in _SCALARS + ("string",) \
             and not (name in ("record", "uuid", "duration", "bytes") and src == "string"):
         raise ValueError(f"cannot cast {src} to {name}")
     if name in ("array", "set") and src in _SCALARS + ("string",):
@@ -412,12 +419,16 @@ def _infer(ast, types: dict[str, str], params: dict) -> str | None:
     if kind == "object":
         return "object"
     if kind == "setlit":
+        if len(ast[1]) == 1:  # `{ expr }` value block
+            return _infer(ast[1][0], types, params)
         return "array"
+    if kind == "regex":
+        return "regex"
     if kind == "cast":
         n = ast[1][0]
         return {"int": "int", "float": "float", "decimal": "decimal",
                 "string": "string", "bool": "bool", "array": "array",
-                "set": "array"}.get(n)
+                "set": "array", "regex": "regex"}.get(n)
     if kind == "ident":
         return types.get(ast[1])
     if kind == "param":
@@ -476,6 +487,9 @@ def _truthy_col(col: Column, cat: str | None) -> Column:
     non-false, non-zero, non-empty, non-null)."""
     if cat == "bool":
         return F.coalesce(col, F.lit(False))
+    if cat == "regex":
+        # regex values are always falsy (primitive/regex/truthiness.surql)
+        return F.lit(False)
     if cat in ("int", "float", "decimal"):
         return O.truthy_number(col)
     if cat == "string":
@@ -515,6 +529,9 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         return F.lit(ast[1])
     if kind == "nulllit":
         return F.lit(None)
+    if kind == "regex":
+        # `/pattern/` → tagged single-field struct (Value::Regex)
+        return F.struct(F.lit(ast[1]).alias("regex"))
     if kind == "curr":
         # `@` / leading lookup receiver: the current record id
         # (syn Param::this shorthand; exec CurrentValueSource)
@@ -571,6 +588,11 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
 
         return _mk_dur(0, ast[1])
     if kind == "setlit":
+        # `{ expr }` with ONE element is a value block, not a set —
+        # blocks return their trailing expression (expr/block.rs); sets
+        # as literals only exist in type-kind position (types/kind.rs)
+        if len(ast[1]) == 1:
+            return compile_expr(ast[1][0], params, types)
         # {1,2} set literal → sorted deduplicated array (types/kind.rs
         # Literal; sets are BTreeSet-ordered, val/set.rs)
         if not ast[1]:
@@ -638,7 +660,43 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         return c
     if kind == "bin":
         _, op, l, r = ast
+        # NONE comparisons follow the Value total order (val/mod.rs Ord):
+        # NONE sorts below every other value, so `missing < 99` is true
+        # and `missing > 0` is false
+        lnone = l in (("lit", None), ("nulllit",))
+        rnone = r in (("lit", None), ("nulllit",))
+        if (lnone or rnone) and op in ("<", "<=", ">", ">="):
+            if lnone and rnone:
+                return F.lit(op in ("<=", ">="))
+            if lnone:  # NONE op x
+                return F.lit(op in ("<", "<="))
+            return F.lit(op in (">", ">="))  # x op NONE
         lc, rc = compile_expr(l, params, types), compile_expr(r, params, types)
+        lreg = _infer(l, types, params) == "regex"
+        rreg = _infer(r, types, params) == "regex"
+        if (lreg or rreg) and op in ("=", "==", "!="):
+            # regex equality (types Value::Regex PartialEq + operate.rs):
+            # regex=regex compares patterns; regex=string is a partial
+            # match; any other operand kind is false (uuid included —
+            # only its <string> cast matches)
+            if lreg and rreg:
+                hit = lc.getField("regex") == rc.getField("regex")
+            else:
+                reg, other, oast = (lc, rc, r) if lreg else (rc, lc, l)
+                ot = _infer(oast, types, params)
+                if oast[0] == "ulit" or ot not in ("string", None):
+                    hit = F.lit(False)
+                elif ot == "string":
+                    hit = F.coalesce(
+                        F.regexp_like(other, reg.getField("regex")),
+                        F.lit(False))
+                else:  # dynamic: match only when the runtime type is string
+                    hit = F.coalesce(
+                        F.when(F.call_function("typeof", other) == "string",
+                               F.regexp_like(other.cast("string"),
+                                             reg.getField("regex")))
+                        .otherwise(F.lit(False)), F.lit(False))
+            return ~hit if op == "!=" else hit
         if _infer(l, types, params) == "duration" and _infer(r, types, params) == "duration":
             # duration ⊕ duration: field-wise arithmetic / nanos ordering
             # (val/duration.rs Add/Sub/Ord; months carries the calendar ext)
@@ -1397,6 +1455,11 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # (Catalyst decorrelation territory, SURVEY §4; here: explicit rewrite)
     knn_specs: list[tuple] = []
     if sel.where is not None:
+        # fields no row carries are NONE, not an analysis error
+        # (schemaless semantics: `identifier > 0` over a table without
+        # the column filters everything out)
+        sel = _replace(sel, where=_null_unknown_idents(sel.where, types))
+    if sel.where is not None:
         sel_where, knn_specs = _split_knn_filters(sel.where)
         sel = _replace(sel, where=sel_where)
     if sel.where is not None:
@@ -1425,8 +1488,14 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             "manhattan": V.manhattan,
             "chebyshev": V.chebyshev,
         }.get((metric or "euclidean").lower(), V.euclidean)(lhs, rhs)
-        df = df.withColumn("__knn_dist", dist).orderBy("__knn_dist").limit(k)
-        df = df.drop("__knn_dist")
+        # keep the computed distance as `_distance` so
+        # vector::distance::knn() (fnc/vector.rs knn) can reference it;
+        # dropped again unless the query mentions the function
+        df = df.withColumn("_distance", dist).orderBy("_distance").limit(k)
+        if not _mentions_knn_fn(sel):
+            df = df.drop("_distance")
+        else:
+            types = types_of(df)
 
     # split (explode, operators/split.rs)
     for f_ in sel.split:
@@ -1472,8 +1541,16 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
 
     # sort (Sort/SortTopK; with LIMIT Catalyst emits TakeOrderedAndProject)
     if sel.order:
+        # ORDER BY may reference an output alias (`... AS distance ORDER
+        # BY distance`) — resolve to the aliased expression when the name
+        # isn't a source column (order.rs sorts the projected document)
+        alias_map = {f.alias: f.expr for f in (sel.fields or [])
+                     if f.alias and f.expr != ("ident", f.alias)}
         order_cols = []
         for k in sel.order:
+            if (k.expr[0] == "ident" and k.expr[1] in alias_map
+                    and k.expr[1] not in types):
+                k = dataclasses_replace_order(k, alias_map[k.expr[1]])
             c = compile_expr(k.expr, params, types)
             if k.expr == ("ident", "id"):
                 # record ids order by KV key semantics: table, then
@@ -1876,6 +1953,42 @@ def eval_lookup_value(spark, cat, ast, params: dict):
     row = df.select(
         compile_expr(new, params, types_of(df)).alias("v")).first()
     return row["v"]
+
+
+def _null_unknown_idents(ast, types: dict):
+    """Replace bare idents (and path bases) naming columns the frame
+    doesn't carry with NONE (value/idiom.rs missing-field semantics)."""
+    if not isinstance(ast, tuple):
+        return ast
+    k = ast[0]
+    if k == "subquery":
+        return ast
+    if k == "ident":
+        return ast if ast[1] in types else ("lit", None)
+    if k == "path" and ast[1][0] == "ident" and ast[1][1] not in types:
+        return ("lit", None)
+    return tuple(
+        _null_unknown_idents(x, types) if isinstance(x, tuple)
+        else ([_null_unknown_idents(e, types) for e in x]
+              if isinstance(x, list) else x)
+        for x in ast)
+
+
+def _mentions_knn_fn(sel) -> bool:
+    """Does any output/order expression call vector::distance::knn?"""
+    def walk(ast):
+        if not isinstance(ast, (tuple, list)):
+            return False
+        if isinstance(ast, tuple) and ast[0] == "call" \
+                and ast[1] == "vector::distance::knn":
+            return True
+        return any(walk(x) for x in ast if isinstance(x, (tuple, list)))
+
+    exprs = [f.expr for f in (sel.fields or [])]
+    if sel.value_expr is not None:
+        exprs.append(sel.value_expr)
+    exprs += [k.expr for k in (sel.order or [])]
+    return any(walk(e) for e in exprs)
 
 
 def _rid_order_key(c: Column) -> Column:

@@ -179,6 +179,8 @@ class Access:
     keep_pred: list = field(default_factory=list)
     # single-value access rendered `= v` (IN [v] / CONTAINS v)
     _single: bool = False
+    # resolved KNN query vector (plan `value`)
+    knn_vec: object = None
     # original conjunct for ANALYZE row counting (CONTAINS accesses)
     count_pred: object = None
 
@@ -211,10 +213,27 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         dim = _knn_dim(rhs, params)
         hnsw = next((d for d in defs if getattr(d, "kind", "") == "hnsw"
                      and d.fields and d.fields[0] == _field_of(lhs)), None)
+        # a metric NAME routes to the HNSW index when it matches the
+        # index's DIST; ef then defaults to the index EFC (idx/planner)
+        # the new executor (all-ro) brute-forces name-metric KNN; the
+        # legacy planner routes it to a DIST-matching HNSW index
+        name_match = (hnsw is not None and isinstance(metric, str)
+                      and not str(metric).isdigit()
+                      and "all-ro" not in getattr(runner,
+                                                  "planner_strategy", ())
+                      and metric.upper() == str(
+                          getattr(hnsw, "dist", None) or "EUCLIDEAN").upper())
         if hnsw is not None and not noindex and str(metric).isdigit():
             acc = Access(kind="knn", index=hnsw.name,
                          knn=(k, int(metric), lhs), residual=rest,
                          op_text=f"<|{k},{metric}|>", query=dim)
+            acc.knn_vec = _knn_vec(rhs, params)
+        elif name_match and not noindex:
+            ef = getattr(hnsw, "efc", None) or 500
+            acc = Access(kind="knn", index=hnsw.name,
+                         knn=(k, int(ef), lhs), residual=rest,
+                         op_text=f"<|{k},{ef}|>", query=dim)
+            acc.knn_vec = _knn_vec(rhs, params)
         else:
             met = (metric or "euclidean")
             met = met.capitalize() if isinstance(met, str) else "Euclidean"
@@ -344,11 +363,23 @@ def _knn_dim(rhs, params):
     return None
 
 
+def _knn_vec(rhs, params):
+    """Resolved KNN query vector for the plan's `value` field."""
+    if rhs[0] == "array":
+        try:
+            return [_lit_value(e) for e in rhs[1]]
+        except Exception:
+            return None
+    if rhs[0] == "param":
+        return params.get(rhs[1])
+    return None
+
+
 def _branch_index(runner, d_ast, defs):
     """OR branch → (idx_name, op, value_ast) if index-matchable."""
     if d_ast[0] == "matches" or (
             d_ast[0] == "bin" and str(d_ast[1]).startswith("@")):
-        f = _field_of(d_ast[1])
+        f = _field_of(d_ast[2] if d_ast[0] == "bin" else d_ast[1])
         for d in defs:
             if getattr(d, "kind", "") == "fulltext" and d.fields \
                     and d.fields[0] == f:
@@ -437,8 +468,6 @@ def _finish(acc: Access, sel, order_field, order1, noindex=False,
             acc.order_eliminated = True
             if order1.desc:
                 acc.direction = "Backward"
-        elif acc.kind in ("knn", "knnbrute"):
-            acc.order_eliminated = True
         elif acc.kind == "table" and not noindex and acc.predicate is None \
                 and not acc.fallback and len(sel.order) == 1:
             # no WHERE: an index on the sort column eliminates the sort
@@ -605,6 +634,45 @@ def _counter(runner, tbl, params):
     return cnt
 
 
+def _union_ft_branches(runner, sel, tbl):
+    """When every OR branch carries an index-matchable conjunct (FT
+    matches or single-column equality): [(kind, index, query_ast,
+    access)] for a UnionIndexScan plan; else None (exec/planner
+    union-of-branches strategy).  Requires ≥1 FT branch — pure-equality
+    unions go through the `multi` access path."""
+    if sel.where is None:
+        return None
+    disj = _disjuncts(sel.where)
+    if len(disj) < 2:
+        return None
+    defs = _index_defs(runner, tbl)
+    out = []
+    saw_ft = False
+    for d_ast in disj:
+        hit = None
+        for c in _conjuncts(d_ast):
+            bi = _branch_index(runner, c, defs)
+            if bi is not None:
+                hit = (c, bi)
+                break
+        if hit is None:
+            return None
+        c, (idx, op, qast) = hit
+        is_ft = c[0] == "matches" or (c[0] == "bin"
+                                      and str(c[1]).startswith("@"))
+        saw_ft = saw_ft or is_ft
+        if is_ft:
+            # numbered refs (@1@) collapse to plain @@ in the scan
+            fa = Access(kind="ft", index=idx, op_text="@@",
+                        query=_lit_value(qast))
+        else:
+            fa = Access(kind="index", index=idx, eq_values=[qast])
+            fa._single = True
+        fa.count_pred = c
+        out.append(("ft" if is_ft else "eq", idx, qast, fa))
+    return out if saw_ft else None
+
+
 def _mk_matches_select(runner, tbl, acc: Access):
     from surrealdb_spark.sql.parser import parse_select
 
@@ -664,6 +732,8 @@ def plan_new(runner, sel, params=None) -> Node:
             a2 = Access(kind="table")
             a2.direction = "Forward"
             scans.append(_scan_nodes(runner, sel, tbl, a2, params))
+        elif acc.kind in ("knnbrute", "multi"):
+            scans.append(None)  # built in the dedicated branch below
         else:
             scans.append(_scan_nodes(runner, sel, tbl, acc, params))
     if multi:
@@ -681,7 +751,47 @@ def plan_new(runner, sel, params=None) -> Node:
         tbl, acc = accs[0]
         node = scans[0]
         knn_c = next((c for c in conj if c[0] == "knn"), None)
-        if acc.kind == "knnbrute":
+        uft = _union_ft_branches(runner, sel, tbl) \
+            if acc.kind in ("table", "multi") else None
+        if acc.kind == "multi" and uft is None:
+            # pure-equality OR union: same tree, IndexScan branches
+            uft = []
+            for idx, op, v in acc.union_values:
+                fa = Access(kind="index", index=idx, eq_values=[v])
+                fa._single = True
+                d = runner.index_defs[idx]
+                fa.count_pred = ("bin", "=", ("ident", d.fields[0]), v)
+                uft.append(("eq", idx, v, fa))
+        if uft is not None:
+            # every OR branch carries an FT conjunct: UnionIndexScan of
+            # FullTextScans, full predicate re-filtered above
+            # (exec/planner: union of index-driven branches)
+            kids = []
+            for bkind, idx, qast, b_acc in uft:
+                if bkind == "ft":
+                    k = Node("FullTextScan",
+                             f"[index: {idx}, query: {b_acc.query}]")
+                    k.rows = _counter(runner, tbl, params)(
+                        ("matchpred", b_acc), None, None)
+                else:
+                    k = Node("IndexScan",
+                             f"[index: {idx}, access: = {to_sql(qast)}, "
+                             f"direction: Forward]")
+                    k.rows = _counter(runner, tbl, params)(
+                        b_acc.count_pred, None, None)
+                kids.append(k)
+            node = Node("UnionIndexScan",
+                        f"[table: {tbl}, branches: {len(kids)}]", kids)
+            or_pred = None
+            for _k, _idx, _q, fa in uft:
+                m = fa.count_pred
+                or_pred = m if or_pred is None \
+                    else ("bin", "OR", or_pred, m)
+            node.rows = _counter(runner, tbl, params)(or_pred, None, None)
+            if node.rows is None:
+                node.rows = sum(k.rows or 0 for k in kids)
+            node = _filter_node(runner, node, sel.where, tbls, params)
+        elif acc.kind == "knnbrute":
             # predicate folded into the scan, TopK on top
             base = Access(kind="table")
             base.predicate = _and_all(acc.residual) if acc.residual else None
@@ -695,9 +805,12 @@ def plan_new(runner, sel, params=None) -> Node:
             elif acc.residual and acc.kind != "table":
                 fpred = _and_all(acc.residual)
             if fpred is not None:
-                node = _filter_node(runner, node, fpred, tbls, params)
-            if acc.kind == "knn":
-                pass
+                # over a KNN scan, count the filter through the FULL
+                # predicate (knn conjunct included) so ANALYZE reflects
+                # the rows that actually reached this operator
+                cw = sel.where if acc.kind == "knn" else None
+                node = _filter_node(runner, node, fpred, tbls, params,
+                                    count_where=cw)
 
     # Compute for computed AS fields (function-call projections)
     computed = []
@@ -767,18 +880,23 @@ def _and_all(conjs):
     return node
 
 
-def _filter_node(runner, child, pred, tbls, params):
+def _filter_node(runner, child, pred, tbls, params, count_where=None):
+    """Filter node; ANALYZE rows counted via the engine.  count_where
+    overrides the counted predicate (e.g. include the KNN conjunct so the
+    count reflects rows that survived the child scan)."""
     n = Node("Filter", f"[predicate: {to_sql(pred)}]", [child])
     if len(tbls) >= 1:
         total = 0
         ok = True
         for t in tbls:
-            c = _counter(runner, t, params)(pred, None, None)
+            c = _counter(runner, t, params)(count_where or pred, None, None)
             if c is None:
                 ok = False
                 break
             total += c
         n.rows = total if ok else None
+        if n.rows is not None and child.rows is not None:
+            n.rows = min(n.rows, child.rows)
     return n
 
 
@@ -895,7 +1013,7 @@ def plan_legacy(runner, sel, params=None) -> list:
         if a.kind == "knn":
             k, ef, _ = a.knn
             return {"index": a.index, "operator": f"<|{k},{ef}|>",
-                    "value": None}
+                    "value": a.knn_vec}
         vals = [_lit_value(v) for v in a.eq_values]
         value = vals[0] if len(vals) == 1 and len(
             runner.index_defs[a.index].fields) == 1 else vals

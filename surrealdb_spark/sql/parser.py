@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?])
+  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\])
     """,
     re.X,
 )
@@ -347,6 +347,26 @@ class Parser:
             # `@` = the current record id (syn: Param::this shorthand)
             self.next()
             return self.postfix(("curr",))
+        if t.kind == "op" and t.text == "/":
+            # `/pattern/` regex literal (types Value::Regex) — only valid
+            # in prefix position (infix `/` is division), so scan the raw
+            # source to the next unescaped slash and resync the tokens
+            start = t.pos + 1
+            j = start
+            while j < len(self.src):
+                if self.src[j] == "\\":
+                    j += 2
+                    continue
+                if self.src[j] == "/":
+                    break
+                j += 1
+            if j >= len(self.src):
+                raise SyntaxError(f"unterminated regex literal at {t.pos}")
+            pattern = self.src[start:j]
+            while self.toks[self.i].kind != "eof" \
+                    and self.toks[self.i].pos <= j:
+                self.i += 1
+            return self.postfix(("regex", pattern))
         if t.kind == "op" and t.text == "<":
             # `<kind> expr` cast (expr/cast.rs; binds like unary prefix)
             self.next()

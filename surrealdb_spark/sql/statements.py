@@ -117,6 +117,8 @@ class DefineIndexStmt:
     bm25: tuple | None = None   # (k1, b) when BM25 scoring declared
     highlights: bool = False
     initial_rows: int = 0       # rows indexed at (re)build (INFO building)
+    dist: str | None = None     # HNSW DIST metric name
+    efc: int | None = None      # HNSW EFC (construction ef; plan default)
 
 
 @dataclass
@@ -132,7 +134,9 @@ class DefineBucketStmt:
 class DefineAnalyzerStmt:
     name: str
     tokenizers: list = dc_field(default_factory=lambda: ["blank", "punct"])
-    filters: list = dc_field(default_factory=lambda: ["lowercase"])
+    # no FILTERS clause → no filters: matching is case-SENSITIVE
+    # (define/analyzer.rs — filters are opt-in)
+    filters: list = dc_field(default_factory=list)
     # raw clause state for INFO canonical rendering (None = clause absent)
     raw_tokenizers: list | None = None
     raw_filters: list | None = None
@@ -920,11 +924,15 @@ def _parse_statement_body(p: Parser):
                     p.next()
                     if w == "DIMENSION":
                         st.dimension = int(p.expect("num").text)
+                    elif w == "EFC" and p.peek().kind == "num":
+                        st.efc = int(p.next().text)
                     elif p.peek().kind in ("num", "name"):
                         p.next()
                 elif w in ("DIST", "TYPE"):
                     p.next()
-                    p.next()
+                    t2 = p.next()
+                    if w == "DIST":
+                        st.dist = (t2.orig or t2.text)
                 elif w == "COMMENT":
                     p.next()
                     p.next()
@@ -1332,6 +1340,13 @@ def _data_clause(p: Parser):
         return ("merge", p.expr(0))
     if p.eat("kw", "PATCH"):
         return ("patch", p.expr(0))
+    if p.eat_word("UNSET"):
+        # UNSET f, g — remove fields (expr/data.rs Data::UnsetExpression);
+        # lowered to `f = NONE` assignments (NONE-set fields go absent)
+        fields = [_name(p)]
+        while p.eat("op", ","):
+            fields.append(_name(p))
+        return ("set", [(f, "=", ("lit", None)) for f in fields])
     return None
 
 
@@ -1943,6 +1958,18 @@ class StatementRunner:
 
         def doc_tokens(an, fld_ast):
             fcol = compile_expr(fld_ast, slots, {})
+            try:
+                fname = to_sql(fld_ast)
+                obj = _obj_strings(fcol, fname)
+                if obj is not None:
+                    fcol = F.array_join(obj, "\x1f")
+                elif dict(self.catalog.table(tbl).dtypes).get(
+                        fname, "").startswith("array"):
+                    # FT over an array field tokenizes each element
+                    # (\x1f is an analyzer split class)
+                    fcol = F.array_join(fcol.cast("array<string>"), "\x1f")
+            except Exception:
+                pass
             return an.tokens(F.coalesce(fcol.cast("string"), F.lit("")))
 
         def new_slot(col):
@@ -2017,8 +2044,11 @@ class StatementRunner:
                 idf = max(0.0, math.log((N - nq + 0.5) / (nq + 0.5)))
                 if idf == 0.0:
                     continue
-                tf = F.size(F.filter(toks, lambda x, _t=t: x == _t)) \
-                    .cast("double")
+                # NB: a default-arg lambda (`lambda x, _t=t:`) would make
+                # PySpark treat this as the 2-arg (element, index) form
+                tf = F.size(
+                    F.filter(toks, (lambda _t: lambda x: x == F.lit(_t))(t))
+                ).cast("double")
                 tfp = F.lit(1.0) + F.log(tf)
                 term_sc = (F.lit(idf) * F.lit(k1 + 1.0) * tfp) / (
                     tfp + F.lit(k1) * (F.lit(1.0 - b)
@@ -2027,6 +2057,33 @@ class StatementRunner:
                 score = score + F.when(tf > 0, term_sc).otherwise(F.lit(0.0))
             return score.cast("float")
 
+        def _ci(an) -> bool:
+            return any(f and f[0] == "lowercase"
+                       for f in getattr(an, "filters", ()))
+
+        def _obj_strings(fcol, fname):
+            """Object-valued FT field → array of its string leaf values
+            in sorted-key order, arrays inlined (ft/analyzer.rs walks
+            Value::Object values).  None if the field isn't a struct."""
+            from pyspark.sql.types import ArrayType, StringType, StructType
+
+            try:
+                dt = self.catalog.table(tbl).schema[fname].dataType
+            except Exception:
+                return None
+            if not isinstance(dt, StructType):
+                return None
+            parts = []
+            for f in sorted(dt.fields, key=lambda x: x.name):
+                c = fcol.getField(f.name)
+                if isinstance(f.dataType, StringType):
+                    parts.append(F.array(c))
+                elif isinstance(f.dataType, ArrayType):
+                    parts.append(c.cast("array<string>"))
+                else:
+                    parts.append(F.array(c.cast("string")))
+            return F.array_compact(F.concat(*parts)) if parts else None
+
         def hl_col(ref, pre, post, partial):
             fld, fname, terms, an, d = refs[ref]
             fcol = compile_expr(fld, slots, {})
@@ -2034,15 +2091,33 @@ class StatementRunner:
                 return fcol
             pat = "|".join(_re.escape(t) for t in
                            sorted(terms, key=len, reverse=True))
-            rx = f"(?i)({pat})" if partial else f"(?i)(\\w*(?:{pat})\\w*)"
-            return F.regexp_replace(fcol, rx, f"{pre}$1{post}")
+            flag = "(?i)" if _ci(an) else ""
+            rx = f"{flag}({pat})" if partial \
+                else f"{flag}(\\w*(?:{pat})\\w*)"
+            hl = F.regexp_replace(fcol.cast("string"), rx, f"{pre}$1{post}")
+            try:
+                fname = to_sql(fld)
+                obj = _obj_strings(fcol, fname)
+                if obj is not None:
+                    # object field: highlight over the flattened values
+                    hl = F.transform(
+                        obj, lambda x: F.regexp_replace(
+                            x, rx, f"{pre}$1{post}"))
+                elif dict(self.catalog.table(tbl).dtypes).get(
+                        fname, "").startswith("array"):
+                    hl = F.transform(
+                        fcol, lambda x: F.regexp_replace(
+                            x, rx, f"{pre}$1{post}"))
+            except Exception:
+                pass
+            return hl
 
         def off_col(ref, partial):
             from surrealdb_spark.operators.fulltext import offsets_col
 
             fld, fname, terms, an, d = refs[ref]
             fcol = compile_expr(fld, slots, {})
-            return offsets_col(fcol, terms, partial)
+            return offsets_col(fcol, terms, partial, ci=_ci(an))
 
         def lit_of(a, default=None):
             return a[1] if isinstance(a, tuple) and a[0] == "lit" else default
@@ -2400,8 +2475,37 @@ class StatementRunner:
                     # (schemaless) — artifact built lazily when it appears
                     return None
                 an = get_analyzer(stmt.analyzer) if stmt.analyzer else None
+                fcol = stmt.fields[0]
+                dts = dict(df.dtypes).get(fcol, "")
+                if dts.startswith("array"):
+                    # FT over an array field indexes every element
+                    # (ft/analyzer.rs analyzes Value::Array per element);
+                    # \x1f separator is an analyzer split class
+                    df = df.withColumn(
+                        fcol, F.array_join(F.col(fcol).cast(
+                            "array<string>"), "\x1f"))
+                elif dts.startswith("struct"):
+                    # FT over an object field indexes its string values
+                    from pyspark.sql.types import (ArrayType, StringType,
+                                                   StructType)
+
+                    sdt = df.schema[fcol].dataType
+                    parts = []
+                    for fdef in sorted(sdt.fields, key=lambda x: x.name) \
+                            if isinstance(sdt, StructType) else []:
+                        c = F.col(fcol).getField(fdef.name)
+                        if isinstance(fdef.dataType, ArrayType):
+                            parts.append(c.cast("array<string>"))
+                        elif isinstance(fdef.dataType, StringType):
+                            parts.append(F.array(c))
+                        else:
+                            parts.append(F.array(c.cast("string")))
+                    if parts:
+                        df = df.withColumn(
+                            fcol, F.array_join(
+                                F.array_compact(F.concat(*parts)), "\x1f"))
                 self.indexes[stmt.name] = FulltextIndex(
-                    df, td.id_col, stmt.fields[0], analyzer=an
+                    df, td.id_col, fcol, analyzer=an
                 )
             elif stmt.kind == "hnsw":
                 from surrealdb_spark.pipeline.similarity import (
@@ -2409,13 +2513,21 @@ class StatementRunner:
                     srp_sign,
                 )
 
+                vcol = stmt.fields[0]
+                if vcol not in df.columns:
+                    return None  # no vectors yet — built lazily
+                # rows without a (full-dimension) vector are unindexable
+                # (hnsw builds skip docs missing the field)
+                df = df.filter(F.col(vcol).isNotNull())
                 dim = stmt.dimension
                 if dim is None:
-                    first = df.select(F.size(stmt.fields[0]).alias("d")).first()
+                    first = df.select(F.size(vcol).alias("d")).first()
                     dim = int(first["d"]) if first else 0
+                df = df.filter(F.size(vcol) == dim)
+                if df.isEmpty():
+                    return None
                 self.indexes[stmt.name] = srp_sign(
-                    df, srp_planes(16, dim), id_col=td.id_col,
-                    vec_col=stmt.fields[0],
+                    df, srp_planes(16, dim), id_col=td.id_col, vec_col=vcol,
                 )
             return None
         if isinstance(stmt, DefineFunctionStmt):

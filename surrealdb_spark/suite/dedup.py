@@ -65,7 +65,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 hidden=True)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact word-set Jaccard near-dup pairs (n-gram Jaccard tier).
-    return jaccard_pairs(Catalog(spark, sf_dir).documents, "doc_id", "text", 0.99)
+    # allow_quadratic: hidden tiny-SF oracle-verify scope, not a bench path.
+    return jaccard_pairs(Catalog(spark, sf_dir).documents, "doc_id", "text",
+                         0.99, allow_quadratic=True)
 
 
 @query(

@@ -122,15 +122,13 @@ def vector_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 hidden=True)
 def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Embedding-cosine near-dup pair mining (brute force; LSH is the scale path).
+    # Embedding-cosine near-dup pair mining (brute force; LSH is the scale
+    # path).  allow_quadratic: hidden tiny-SF oracle-verify scope only.
+    from surrealdb_spark.pipeline.similarity import cosine_pairs
+
     emb = Catalog(spark, sf_dir).embeddings
-    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
-    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
-    return (
-        e1.join(e2, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", V.cosine_similarity("v1", "v2").alias("sim"))
-        .filter(F.col("sim") > 0.35)
-    )
+    return cosine_pairs(emb, "vec_id", "embedding", 0.35,
+                        allow_quadratic=True)
 
 
 @query("ann_ivf", hidden=True)

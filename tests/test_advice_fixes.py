@@ -259,3 +259,25 @@ def test_event_fast_path_is_distributed(spark, tmp_path):
     assert r._event_fast_path(
         matched, binds, ["(CREATE log SET who = $after.name, ev = $event)"])
     assert r.run("SELECT count() FROM log GROUP ALL").collect()[0][0] == 4
+
+
+def test_quadratic_primitives_guarded(spark):
+    """jaccard_pairs / cosine_pairs refuse to run without
+    allow_quadratic=True (the LSH paths are the scale-safe defaults)."""
+    import pytest as _pt
+
+    from surrealdb_spark.pipeline.dedup import jaccard_pairs
+    from surrealdb_spark.pipeline.similarity import cosine_pairs
+
+    docs = spark.createDataFrame([("d1", "a b"), ("d2", "a b")],
+                                 "doc_id string, text string")
+    with _pt.raises(ValueError, match="allow_quadratic"):
+        jaccard_pairs(docs, "doc_id", "text", 0.9)
+    assert jaccard_pairs(docs, "doc_id", "text", 0.9,
+                         allow_quadratic=True).count() == 1
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+                                "vec_id bigint, embedding array<double>")
+    with _pt.raises(ValueError, match="allow_quadratic"):
+        cosine_pairs(emb, "vec_id", "embedding", 0.5)
+    assert cosine_pairs(emb, "vec_id", "embedding", 0.5,
+                        allow_quadratic=True).count() == 1
