@@ -300,3 +300,50 @@ def as_point(g) -> Column:
     """Extract a bare {lon,lat} struct from a point geometry (bridges the
     geo:: scalar namespace, which takes bare points)."""
     return F.element_at(F.element_at(F.element_at(_c(g).getField("polys"), 1), 1), 1)
+
+
+# -- GeometryCollection (types/src/value/geometry.rs:23-38 Collection) --------
+#
+# A collection is an ARRAY of member geometries (array<GEOM_T>) — the
+# recursive member structure, kept distinct from GEOM_T so each member
+# retains its own kind.  Predicates distribute over members (geo crate
+# Relate semantics for GeometryCollection):
+#   g INTERSECTS coll ⇔ ∃ member: g intersects member
+#   g INSIDE    coll ⇔ ∃ member: member contains g
+#   coll INSIDE g    ⇔ ∀ member: g contains member
+
+
+def collection(members) -> Column:
+    """Collection from a python list of member geometry Columns (or an
+    existing array<GEOM_T> Column)."""
+    if isinstance(members, (list, tuple)):
+        return F.array(*[_c(m) for m in members])
+    return _c(members)
+
+
+def coll_intersects(g, coll) -> Column:
+    """g INTERSECTS collection (either operand order)."""
+    return F.exists(_c(coll), lambda m: intersects(_c(g), m))
+
+
+def coll_contains(coll, inner) -> Column:
+    """collection ⊇ inner — some member contains it."""
+    return F.exists(_c(coll), lambda m: contains(m, _c(inner)))
+
+
+def inside_coll(g, coll) -> Column:
+    """g INSIDE collection (operate.rs inside → contains(b, a))."""
+    return coll_contains(coll, g)
+
+
+def coll_inside(coll, g) -> Column:
+    """collection INSIDE g — every member contained."""
+    return F.forall(_c(coll), lambda m: contains(_c(g), m))
+
+
+def collection_from_geojson(members: list) -> Column:
+    """GeometryCollection from GeoJSON member dicts
+    ({type, coordinates})."""
+    return F.array(*[
+        from_coords(m["type"], m["coordinates"]) for m in members
+    ])

@@ -136,3 +136,41 @@ def test_surql_geometry_operators(spark):
         catalog=Cat(),
     )
     assert [r["id"] for r in out3.collect()] == [2]
+
+
+def test_geometry_collection_predicates(spark):
+    """Collection = array of member geometries; INSIDE/INTERSECTS
+    distribute over members (types/src/value/geometry.rs Collection;
+    geo crate Relate semantics)."""
+    from surrealdb_spark.functions import geometry as G
+
+    df = spark.range(1)
+    sq = G.from_coords("Polygon", [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]])
+    far = G.from_coords("Polygon",
+                        [[[10, 10], [12, 10], [12, 12], [10, 12], [10, 10]]])
+    coll = G.collection([sq, far])
+    p_in = G.from_coords("Point", [1, 1])
+    p_out = G.from_coords("Point", [7, 7])
+    ln = G.from_coords("LineString", [[1, 1], [3, 3]])
+    got = df.select(
+        G.coll_intersects(p_in, coll).alias("a"),
+        G.coll_intersects(p_out, coll).alias("b"),
+        G.inside_coll(ln, coll).alias("c"),
+        G.inside_coll(p_out, coll).alias("d"),
+        G.coll_inside(coll, sq).alias("e"),
+        G.coll_inside(G.collection([p_in, ln]), sq).alias("f"),
+    ).first()
+    assert got["a"] is True
+    assert got["b"] is False
+    assert got["c"] is True
+    assert got["d"] is False
+    assert got["e"] is False  # far member escapes sq
+    assert got["f"] is True
+
+    # GeoJSON member construction round-trip
+    c2 = G.collection_from_geojson([
+        {"type": "Point", "coordinates": [1, 1]},
+        {"type": "LineString", "coordinates": [[0, 0], [2, 2]]},
+    ])
+    n = df.select(F.size(c2).alias("n")).first()["n"]
+    assert n == 2

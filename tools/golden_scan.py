@@ -74,7 +74,9 @@ def main() -> None:
         n_pass += r.passed
         n_total += r.total
         files_100 += r.all_ok
-        if (i + 1) % 50 == 0:
+        if (i + 1) % 10 == 0:
+            # checkpoint — a killed scan still leaves a usable report
+            Path(out_path).write_text(json.dumps(report, indent=1))
             print(
                 f"[{i+1}/{len(paths)}] {n_pass}/{n_total} cases, "
                 f"{files_100} files@100% ({time.time()-report['t0']:.0f}s)",
