@@ -232,6 +232,8 @@ def _py_literal(ast):
         return {"months": 0, "nanos": ast[1]}
     if k == "array":
         return [_py_literal(e) for e in ast[1]]
+    if k == "block1":
+        return _py_literal(ast[1])
     if k == "setlit":
         vals = [_py_literal(e) for e in ast[1]]
         uniq: list = []
@@ -671,6 +673,10 @@ def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
     else:
         if len(e) > 2 and e[2].get("skip-record-id-key"):
             want, a = _strip_rid_keys(want), _strip_rid_keys(a)
+        if len(e) > 2 and e[2].get("skip-datetime"):
+            want, a = _mask_datetimes(want), _mask_datetimes(a)
+        if len(e) > 2 and e[2].get("skip-uuid"):
+            want, a = _mask_uuids(want), _mask_uuids(a)
         ok = values_equal(want, a) or _multiset_equal(want, a)
         fr.cases.append(CaseResult(s, e, a, ok,
                                    "" if ok else f"want {want!r} got {a!r}"))
@@ -690,6 +696,40 @@ def _strip_rid_keys(v):
         return _strip_rid_keys(v.asDict(recursive=True))
     if isinstance(v, (list, tuple)):
         return [_strip_rid_keys(x) for x in v]
+    return v
+
+
+_UUIDISH = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+
+
+def _mask_datetimes(v):
+    """`skip-datetime` result flag (language-tests README Rough equality):
+    datetime values are indeterministic (time::now()) — mask them."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return "<datetime>"
+    if isinstance(v, dict):
+        return {k: _mask_datetimes(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):
+        return _mask_datetimes(v.asDict(recursive=True))
+    if isinstance(v, (list, tuple)):
+        return [_mask_datetimes(x) for x in v]
+    return v
+
+
+def _mask_uuids(v):
+    """`skip-uuid` result flag: generated uuids differ per run."""
+    if isinstance(v, str) and _UUIDISH.match(v):
+        return "<uuid>"
+    if isinstance(v, dict):
+        return {k: _mask_uuids(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):
+        return _mask_uuids(v.asDict(recursive=True))
+    if isinstance(v, (list, tuple)):
+        return [_mask_uuids(x) for x in v]
     return v
 
 

@@ -150,8 +150,11 @@ def _attach_one(spark, df, cat, spec, params, compile_expr, types_of):
                                  want_row, compile_expr, types_of)
             state = "node"
         last_tables = tables
-    fr, val = _final_value(fr, cat, state, mode, steps[-1],
-                           last_tables, params, compile_expr, types_of)
+    if "__grpv" in fr.columns:
+        val = fr["__grpv"]  # grouped subquery: per-group struct rows
+    else:
+        fr, val = _final_value(fr, cat, state, mode, steps[-1],
+                               last_tables, params, compile_expr, types_of)
     agg = (
         fr.select("__rk", F.struct(F.col("__ord").alias("o"),
                                    val.alias("v")).alias("__s"))
@@ -181,15 +184,40 @@ def _edge_segment(fr, cat, dirn, tables, opts, params, want_row,
             continue
         if "range" in opts:
             # edge-id range bounds (scan/graph.rs EdgeTableSpec) — a plain
-            # key predicate, pushdown-able into the edge scan
+            # key predicate, pushdown-able into the edge scan.  Array-key
+            # bounds (`->edge:[6]..=[$n]`) compare in element-wise VALUE
+            # order via the order-preserving key encoding (values.py).
             lo, hi, incl = opts["range"]
-            k = _rid_key(F.col("id"))
-            if isinstance(lo, int) or isinstance(hi, int):
-                k = k.try_cast("bigint")
-            if lo is not None:
-                e = e.filter(k >= F.lit(lo))
-            if hi is not None:
-                e = e.filter(k <= F.lit(hi) if incl else k < F.lit(hi))
+            if any(isinstance(b, tuple) and b[0] == "karr"
+                   for b in (lo, hi) if b is not None):
+                from surrealdb_spark.values import (
+                    encode_key_value, key_sort_udf)
+
+                def _kb(b):
+                    if not (isinstance(b, tuple) and b[0] == "karr"):
+                        return encode_key_value(b)
+                    ast = b[1]
+                    elems = ast[1] if ast[0] == "array" else [ast]
+                    row = e.sparkSession.range(1).select(*[
+                        compile_expr(el, params, {}).alias(f"v{i}")
+                        for i, el in enumerate(elems)]).first()
+                    return encode_key_value(
+                        [row[f"v{i}"] for i in range(len(elems))])
+
+                enc = key_sort_udf()(F.col("id"))
+                if lo is not None:
+                    e = e.filter(enc >= F.lit(_kb(lo)))
+                if hi is not None:
+                    b2 = F.lit(_kb(hi))
+                    e = e.filter(enc <= b2 if incl else enc < b2)
+            else:
+                k = _rid_key(F.col("id"))
+                if isinstance(lo, int) or isinstance(hi, int):
+                    k = k.try_cast("bigint")
+                if lo is not None:
+                    e = e.filter(k >= F.lit(lo))
+                if hi is not None:
+                    e = e.filter(k <= F.lit(hi) if incl else k < F.lit(hi))
         if "where" in opts and not parent_where:
             e = e.filter(_truthy_guard(
                 compile_expr(opts["where"], params, types_of(e))))
@@ -230,6 +258,8 @@ def _edge_segment(fr, cat, dirn, tables, opts, params, want_row,
     joined = joined.withColumn(
         "__ord", F.concat(F.col("__prevord"), F.lit(SEP), F.col("__piece"))
     ).drop("__piece")
+    if opts.get("group") is not None:
+        return _apply_group(joined, opts, params, compile_expr)
     joined = _apply_subquery_opts(joined, opts, params, compile_expr)
     return joined.drop("__prevord")
 
@@ -262,6 +292,65 @@ def _apply_subquery_opts(joined, opts, params, compile_expr):
                      F.lpad(F.col("__rn").cast("string"), 12, "0")),
         )
     return joined.drop("__rn")
+
+
+def _apply_group(joined, opts, params, compile_expr):
+    """`->(SELECT aggs, key FROM edge GROUP BY key)` — per-source grouped
+    aggregation over the joined edge rows (graph/subqueries.surql): ONE
+    groupBy on (source, keys), partial-aggregated map-side; group objects
+    order by their key text.  Emits `__grpv` (the per-group struct) which
+    short-circuits _final_value."""
+    from surrealdb_spark.sql.compiler import (
+        _decompose, _default_name, _has_aggregate, types_of)
+
+    keys = opts["group"]
+    types = types_of(joined)
+    key_aliases = []
+    key_cols = []
+    for i, k in enumerate(keys):
+        rk = _remap_idents(k)
+        alias = rk[1] if rk[0] == "ident" else f"__gk{i}"
+        key_aliases.append(alias)
+        key_cols.append(compile_expr(rk, params, types).alias(alias))
+    aggs: list = []
+    post: list = []
+    for fld in opts.get("fields") or []:
+        name = fld.alias or _default_name(fld.expr)
+        e = _remap_idents(fld.expr)
+        e = _wrap_scalar_group(e, types)
+        if _has_aggregate(e):
+            post.append((_decompose(e, aggs, params, types), name))
+        else:
+            post.append((e, name))
+    # _ocollect orders grouped arrays by `id` — surface the edge's id
+    if "__c_id" in joined.columns and "id" not in joined.columns:
+        joined = joined.withColumn("id", F.col("__c_id"))
+    g = joined.groupBy(F.col("__rk"), F.col("__prevord"), *key_cols)
+    out = g.agg(*aggs) if aggs else g.agg(F.count(F.lit(1)).alias("__n"))
+    ptypes = dict(out.dtypes)
+    struct_col = F.struct(*[
+        compile_expr(a, params, ptypes).alias(n) for a, n in post])
+    ordc = F.concat_ws(SEP, F.col("__prevord"),
+                       *[F.col(a).cast("string") for a in key_aliases])
+    return out.select(F.col("__rk"), ordc.alias("__ord"),
+                      struct_col.alias("__grpv"))
+
+
+def _wrap_scalar_group(ast, types: dict):
+    """array::group over a SCALAR column collects+dedups (fnc/array.rs
+    group flattens array values, passes scalars through) — wrap the arg in
+    a one-element array so the flatten stays well-typed."""
+    if not isinstance(ast, tuple):
+        return ast
+    if (ast[0] == "call" and ast[1] == "array::group" and ast[2]
+            and ast[2][0][0] == "ident"
+            and not str(types.get(ast[2][0][1], "")).startswith("array")):
+        return ("call", "array::group", [("array", [ast[2][0]])])
+    return tuple(
+        _wrap_scalar_group(x, types) if isinstance(x, tuple)
+        else ([_wrap_scalar_group(e, types) for e in x]
+              if isinstance(x, list) else x)
+        for x in ast)
 
 
 def _row_expr(ast, params, compile_expr) -> Column:
@@ -321,16 +410,40 @@ def _target_segment(fr, cat, dirn, tables, opts, params, want_row,
 
 
 def _join_target_rows(fr, cat, tables):
-    """Attach the target records' columns as __c_<name> (single table)."""
-    if tables is None or len(tables) != 1:
-        raise LookupError_(
-            "row-shaped lookup needs a single target table (got wildcard)")
-    t = cat.table(tables[0])
-    if "id" not in t.columns:
-        raise LookupError_(f"target table {tables[0]!r} has no id column")
-    tgt = t.select(F.col("id").alias("__tid"),
-                   *[F.col(c).alias(f"__c_{c}") for c in t.columns])
-    return fr.join(tgt, fr["__node"] == tgt["__tid"], "inner").drop("__tid")
+    """Attach the target records' columns as __c_<name>.  A `?` wildcard
+    (or multi-table list) resolves the candidate tables from the pointers'
+    prefixes (scan/graph.rs TargetId: any-table target) — one bounded
+    driver action over DISTINCT table names, then per-table joins merged
+    with schema-aligning unions."""
+    if tables is not None and len(tables) == 1:
+        t = cat.table(tables[0])
+        if "id" not in t.columns:
+            raise LookupError_(f"target table {tables[0]!r} has no id column")
+        tgt = t.select(F.col("id").alias("__tid"),
+                       *[F.col(c).alias(f"__c_{c}") for c in t.columns])
+        return fr.join(tgt, fr["__node"] == tgt["__tid"], "inner").drop("__tid")
+    if tables is None:
+        tables = [r[0] for r in fr.select(
+            _rid_table(F.col("__node")).alias("t")).distinct().collect()
+            if r[0]]
+    outs = []
+    for tb in sorted(tables):
+        try:
+            t = cat.table(tb)
+        except Exception:
+            continue
+        if "id" not in t.columns:
+            continue
+        tgt = t.select(F.col("id").alias("__tid"),
+                       *[F.col(c).alias(f"__c_{c}") for c in t.columns])
+        outs.append(fr.join(tgt, fr["__node"] == tgt["__tid"], "inner")
+                    .drop("__tid"))
+    if not outs:
+        raise LookupError_("row-shaped lookup found no resolvable target")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
 
 
 def _final_value(fr, cat, state, mode, last_step, last_tables, params,
@@ -435,6 +548,135 @@ def attach_deref(df: DataFrame, cat, slot: str, col: str,
     a = f"__dr{_DEREF_N[0]}"
     tgt = t.select(F.col("id").alias(f"{a}_id"), c.alias(slot))
     return df.join(tgt, df[col] == tgt[f"{a}_id"], "left").drop(f"{a}_id")
+
+
+# -- recursive destructure `.{min..max}.{f, g: ->e->t.@}` ---------------------
+
+
+def recursive_destructure_value(spark, cat, start_rid: str, bounds,
+                                destr_fields: list):
+    """`rid.{..max}.{name, kids: ->edge->tbl.@}` — nested-tree assembly
+    (recursion.rs Part::RepeatRecurse; graph/destructure_recursive.surql).
+
+    The result is a recursively-typed document (unbounded nesting), which
+    no static Spark schema can carry — so this is the OLTP point-query
+    path: a level-wise distributed BFS collects the reachable closure
+    (one filtered edge scan per level — same frontier pattern as
+    recurse_value), then the tree assembles driver-side from the collected
+    maps.  Work is bounded by the reachable subgraph of ONE root record,
+    not the table size."""
+    from surrealdb_spark.values import key_sort_text, strip_absent
+
+    lo, hi = bounds
+    hi_eff = RECURSION_LIMIT if hi is None else min(hi, RECURSION_LIMIT)
+
+    # per-field traversal steps: (name, [(dir, edge, target), ...])
+    trav: dict[str, list] = {}
+    plain: list[str] = []
+    for name, sub in destr_fields:
+        if sub and sub[0][0] == "aliased":
+            path = sub[0][1]
+            if not (path[0] == "path" and path[2]
+                    and path[2][-1] == ("repeat",)):
+                raise LookupError_(
+                    "recursive destructure supports plain fields and "
+                    "`->edge->tbl.@` / `linkfield.@` traversal fields")
+            if (path[1][0] == "ident" and len(path[2]) == 1):
+                # `children.@` — record-link recursion (idiom.rs Recurse
+                # over a link field holding record id(s))
+                trav[name] = ("link", path[1][1])
+                continue
+            singles = [p[1] for p in path[2][:-1] if p[0] == "graph"]
+            if len(singles) != len(path[2]) - 1 or len(singles) > 2:
+                raise LookupError_(
+                    "traversal field must be ONE ->edge->tbl pair")
+            d1, s1, _ = singles[0]
+            tgt = "?"
+            if len(singles) == 2:
+                _, s2, _ = singles[1]
+                tgt = (s2 or ["?"])[0]
+            trav[name] = ("edge", d1, (s1 or ["?"])[0], tgt)
+        else:
+            plain.append(name)
+
+    # BFS: collect children maps per traversal field, level by level
+    # (one filtered scan per level per field — the recurse_value frontier
+    # pattern, bounded by the root's reachable subgraph)
+    def _fetch_rows(ids: set) -> dict:
+        got: dict = {}
+        by_tb: dict[str, list] = {}
+        for rid in ids:
+            by_tb.setdefault(str(rid).split(":", 1)[0], []).append(rid)
+        for tb, tids in by_tb.items():
+            try:
+                t = cat.table(tb)
+            except Exception:
+                continue
+            if "id" not in t.columns:
+                continue
+            for r in t.filter(F.col("id").isin(tids)).collect():
+                got[r["id"]] = strip_absent(r.asDict(recursive=True))
+        return got
+
+    children: dict[str, dict[str, list]] = {n: {} for n in trav}
+    rowmap: dict[str, dict] = _fetch_rows({start_rid})
+    frontier = {start_rid}
+    seen = {start_rid}
+    for _depth in range(hi_eff):
+        if not frontier:
+            break
+        nxt: set = set()
+        for name, spec in trav.items():
+            if spec[0] == "link":
+                fldname = spec[1]
+                for rid in frontier:
+                    v = rowmap.get(rid, {}).get(fldname)
+                    kids = v if isinstance(v, list) else (
+                        [v] if v is not None else [])
+                    kids = [k for k in kids
+                            if isinstance(k, str) and ":" in k]
+                    children[name][rid] = kids
+                    nxt.update(kids)
+                continue
+            _, dirn, edge, target = spec
+            ids = sorted(frontier)
+            e = edge_df(cat, edge)
+            if e is None:
+                continue
+            here, there = ("in", "out") if dirn == "out" else ("out", "in")
+            hop = (e.filter(F.col(here).isin(ids))
+                   .select(F.col(here).alias("src"),
+                           F.col(there).alias("dst"),
+                           F.col("id").alias("eid")))
+            if target != "?":
+                hop = hop.filter(_rid_table(F.col("dst")) == target)
+            for r in sorted(
+                    hop.collect(),
+                    key=lambda r: key_sort_text(
+                        str(r["eid"]).split(":", 1)[1])):
+                children[name].setdefault(r["src"], []).append(r["dst"])
+                nxt.add(r["dst"])
+        frontier = nxt - seen
+        seen |= nxt
+        rowmap.update(_fetch_rows(frontier))
+
+    def assemble(rid: str, depth: int, path: tuple):
+        row = rowmap.get(rid, {})
+        out = {}
+        for name, sub in destr_fields:
+            if name in trav:
+                kids = [k for k in children[name].get(rid, [])
+                        if k not in path]
+                if depth >= hi_eff:
+                    out[name] = kids  # bound reached: bare ids
+                else:
+                    out[name] = [assemble(k, depth + 1, path + (rid,))
+                                 for k in kids]
+            elif name in row:
+                out[name] = row[name]
+        return out
+
+    return assemble(start_rid, 1, ())
 
 
 # -- bounded recursion `.{min..max}[+instr](->edge->tbl)` ---------------------

@@ -418,9 +418,9 @@ def _infer(ast, types: dict[str, str], params: dict) -> str | None:
         return "array"
     if kind == "object":
         return "object"
+    if kind == "block1":  # `{ expr }` value block
+        return _infer(ast[1], types, params)
     if kind == "setlit":
-        if len(ast[1]) == 1:  # `{ expr }` value block
-            return _infer(ast[1][0], types, params)
         return "array"
     if kind == "regex":
         return "regex"
@@ -587,12 +587,11 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         from surrealdb_spark.values import duration as _mk_dur
 
         return _mk_dur(0, ast[1])
+    if kind == "block1":
+        # `{ expr }` — a value block returning its trailing expression
+        # (expr/block.rs); sets need an explicit comma (`{1,}`)
+        return compile_expr(ast[1], params, types)
     if kind == "setlit":
-        # `{ expr }` with ONE element is a value block, not a set —
-        # blocks return their trailing expression (expr/block.rs); sets
-        # as literals only exist in type-kind position (types/kind.rs)
-        if len(ast[1]) == 1:
-            return compile_expr(ast[1][0], params, types)
         # {1,2} set literal → sorted deduplicated array (types/kind.rs
         # Literal; sets are BTreeSet-ordered, val/set.rs)
         if not ast[1]:
@@ -973,6 +972,8 @@ def _static_of_kind(ast, params: dict, types: dict) -> str | None:
         return "uuid"
     if k == "dur":
         return "duration"
+    if k == "block1":
+        return _static_of_kind(ast[1], params, types)
     if k == "setlit":
         return "set"
     if k == "array":
@@ -1236,6 +1237,19 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             for o in outs[1:]:
                 out = out.unionByName(o, allowMissingColumns=True)
             return out
+        if isinstance(src, tuple) and src[0] == "pathsrc":
+            # FROM rid->edge[:range]... — the walked edge/target ROWS
+            # (SourceExpr over a GraphEdgeScan chain) through the same
+            # join-based lookup engine, then exploded back to records
+            specs: list = []
+            new = _extract_lookups(src[1], specs, rows_hint=True)
+            seed = spark.range(1).select(F.lit("__src__").alias("id"))
+            if not specs:
+                raise ValueError("path source without a graph lookup")
+            attached = _attach_lookup_specs(spark, seed, cat, specs, params)
+            col = compile_expr(new, params, types_of(attached))
+            return attached.select(F.explode(col).alias("__row")) \
+                .select("__row.*")
         if isinstance(src, tuple) and src[0] == "mocksrc":
             # |tb:n| / |tb:lo..hi| as a SELECT source reads the records with
             # those ids (expr/mock.rs) — an id-range scan, so absent records
@@ -1279,26 +1293,38 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             bounds = [b for b in (src[2], src[3] if src[0] == "idrange" else None)
                       if b is not None]
             if any(isinstance(b, tuple) and b[0] == "karr" for b in bounds):
-                # array-key bounds (record_id/key.rs Array): compare the
-                # numeric first element (the corpus' composite-range shape)
-                def _first_num(b):
-                    ast = b[1]
-                    e0 = ast[1][0] if ast[0] == "array" and ast[1] else ast
-                    row = spark.range(1).select(
-                        compile_expr(e0, params).alias("v")).first()
-                    return row["v"]
+                # array-key bounds (record_id/key.rs Array Ord): element-wise
+                # VALUE order.  The bound's elements evaluate driver-side
+                # (literals/params — one tiny job); rows compare via an
+                # order-preserving key encoding (values.key_sort_text),
+                # computed distributed by an Arrow-batched UDF over `id`.
+                from surrealdb_spark.values import (
+                    encode_key_value, key_sort_udf, render_rid_vals)
 
-                key = F.regexp_replace(F.col("id"), "^[^:]*:", "")
-                knum = F.regexp_extract(key, r"^\[(-?\d+)", 1) \
-                    .try_cast("bigint")
+                def _bound(b):
+                    if not (isinstance(b, tuple) and b[0] == "karr"):
+                        return encode_key_value(b), str(b)
+                    ast = b[1]
+                    elems = ast[1] if ast[0] == "array" else [ast]
+                    row = spark.range(1).select(*[
+                        compile_expr(e, params).alias(f"v{i}")
+                        for i, e in enumerate(elems)]).first()
+                    vals = [row[f"v{i}"] for i in range(len(elems))]
+                    return (encode_key_value([None if v == "NONE" else v
+                                              for v in vals]),
+                            render_rid_vals(vals))
+
                 if src[0] == "idpoint":
-                    return t.filter(knum == F.lit(_first_num(src[2])))
+                    _, txt = _bound(src[2])
+                    return t.filter(
+                        F.col("id") == F.lit(f"{src[1]}:{txt}"))
                 _, _tb, lo, hi, incl = src
+                enc = key_sort_udf()(F.col("id"))
                 if lo is not None:
-                    t = t.filter(knum >= F.lit(_first_num(lo)))
+                    t = t.filter(enc >= F.lit(_bound(lo)[0]))
                 if hi is not None:
-                    b2 = F.lit(_first_num(hi))
-                    t = t.filter(knum <= b2 if incl else knum < b2)
+                    b2 = F.lit(_bound(hi)[0])
+                    t = t.filter(enc <= b2 if incl else enc < b2)
                 return t
             numeric = all(isinstance(b, int) for b in bounds) and bool(bounds)
             kc = _id_key_col(t, src[1], numeric)
@@ -1389,14 +1415,36 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                      if sel.value_expr is not None else None)
         new_fields = None
         if sel.fields:
-            # unaliased lookup projections are named by their verbatim
-            # text (reference: printed-form output names)
-            new_fields = [
-                _FieldCls(_extract_lookups(f.expr, specs),
-                          f.alias or getattr(f, "text", None))
-                if _has_lookup(f.expr) else f
-                for f in sel.fields
-            ]
+            # unaliased PLAIN graph-path projections nest per segment
+            # (`->knows.when` → {"->knows": {when: [...]}} — Document::set
+            # at the idiom path, expr/idiom.rs simplification); paths with
+            # subquery/filtered segments keep their verbatim text as ONE
+            # flat key (graph/subqueries.surql expected shape)
+            chains = {}
+            heads: dict = {}
+            for fi, f in enumerate(sel.fields):
+                if f.alias is None and _has_lookup(f.expr):
+                    ch = _projection_chain(f.expr)
+                    if ch and len(ch) > 1:
+                        chains[fi] = ch
+                        heads[ch[0]] = heads.get(ch[0], 0) + 1
+            new_fields = []
+            for fi, f in enumerate(sel.fields):
+                if not _has_lookup(f.expr):
+                    new_fields.append(f)
+                    continue
+                ext = _extract_lookups(f.expr, specs)
+                ch = chains.get(fi)
+                if ch and heads.get(ch[0], 0) == 1:
+                    # nest: head key column, inner keys wrap as objects
+                    for k in reversed(ch[1:]):
+                        ext = ("object", [(k, ext)])
+                    new_fields.append(_FieldCls(ext, ch[0]))
+                else:
+                    # duplicate heads need element-wise document merge
+                    # (not expressible column-wise) — verbatim flat key
+                    new_fields.append(
+                        _FieldCls(ext, f.alias or getattr(f, "text", None)))
         new_order = [
             dataclasses_replace_order(k, _extract_lookups(k.expr, specs))
             if _has_lookup(k.expr) else k
@@ -1432,12 +1480,27 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                      if sel.value_expr is not None else None)
         new_fields = sel.fields
         if sel.fields:
-            new_fields = [
-                _FieldCls2(_extract_derefs(f.expr, str_cols, dspecs),
-                           f.alias or getattr(f, "text", None))
-                if _has_deref(f.expr, str_cols) else f
-                for f in sel.fields
-            ]
+            # unaliased `link.field` projections nest (`brother.name` →
+            # {brother: {name: v}}), replacing the star's flat column
+            # (Document::set at the idiom path — value/idiom.rs)
+            new_fields = []
+            for f in sel.fields:
+                if not _has_deref(f.expr, str_cols):
+                    new_fields.append(f)
+                    continue
+                ext = _extract_derefs(f.expr, str_cols, dspecs)
+                ch = None
+                if (f.alias is None and f.expr[0] == "path"
+                        and f.expr[1][0] == "ident"
+                        and all(p[0] == "field" for p in f.expr[2])):
+                    ch = [f.expr[1][1]] + [p[1] for p in f.expr[2]]
+                if ch:
+                    for k in reversed(ch[1:]):
+                        ext = ("object", [(k, ext)])
+                    new_fields.append(_FieldCls2(ext, ch[0]))
+                else:
+                    new_fields.append(
+                        _FieldCls2(ext, f.alias or getattr(f, "text", None)))
         new_order = [
             dataclasses_replace_order(k, _extract_derefs(k.expr, str_cols,
                                                          dspecs))
@@ -1602,9 +1665,14 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 spark, df, cat, f, f.alias or _default_name(f.expr),
                 params, sf_dir
             )
-        cols = [F.col("*")] if sel.star else []
-        for fld in sel.fields:
-            name = fld.alias or _default_name(fld.expr)
+        names = [fld.alias or _default_name(fld.expr) for fld in sel.fields]
+        if sel.star:
+            # explicit projections SHADOW the star's same-named columns
+            # (Document::set overwrites the field — `SELECT *, brother.name`)
+            cols = [F.col(c) for c in df.columns if c not in set(names)]
+        else:
+            cols = []
+        for fld, name in zip(sel.fields, names):
             if _is_recurse_path(fld.expr) or _is_corr_subquery(fld.expr):
                 cols.append(F.col(name))
             else:
@@ -1892,6 +1960,40 @@ def _extract_lookups(ast, specs: list, bool_ctx: bool = False,
     )
 
 
+_DIR_SYM = {"out": "->", "in": "<-", "both": "<->"}
+
+
+def _projection_chain(ast):
+    """Per-segment key chain of a PLAIN unaliased graph-path projection
+    (`->knows.when` → ["->knows", "when"]), or None when any segment
+    carries clauses (subquery/WHERE/slice) — those keep a verbatim flat
+    key.  The leaf (trailing destructure) is the value, not a key."""
+    if not (isinstance(ast, tuple) and ast[0] == "path"):
+        return None
+    chain: list[str] = []
+    parts = list(ast[2])
+    for i, p in enumerate(parts):
+        if not isinstance(p, tuple):
+            return None
+        if p[0] == "graph":
+            dirn, tables, opts = p[1]
+            if opts:
+                return None
+            if tables is None:
+                chain.append(f"{_DIR_SYM[dirn]}?")
+            elif len(tables) == 1:
+                chain.append(f"{_DIR_SYM[dirn]}{tables[0]}")
+            else:
+                return None
+        elif p[0] == "field":
+            chain.append(p[1])
+        elif p[0] == "destructure":
+            return chain if i == len(parts) - 1 and chain else None
+        else:
+            return None
+    return chain if any(s.startswith(("->", "<-")) for s in chain) else None
+
+
 def _attach_lookup_specs(spark, df, cat, specs, params):
     from surrealdb_spark.operators import lookup as LK
 
@@ -1938,6 +2040,22 @@ def eval_lookup_value(spark, cat, ast, params: dict):
     one-row frame through the same join-based attach, so scalar and SELECT
     traversals share one engine (OLTP point lookup; the frontier seeds
     from the literal)."""
+    if (ast[0] == "path" and ast[1][0] in ("lit", "ulit")
+            and isinstance(ast[1][1], str) and ":" in str(ast[1][1])
+            and len(ast[2]) == 2 and ast[2][0][0] == "recurse"
+            and not ast[2][0][3] and ast[2][1][0] == "destructure"
+            and any(sub and sub[0][0] == "aliased"
+                    and sub[0][1][0] == "path"
+                    and sub[0][1][2] and sub[0][1][2][-1] == ("repeat",)
+                    for _n, sub in ast[2][1][1])):
+        # `rid.{..max}.{f, kids: ->e->t.@}` — recursive destructure tree
+        # (recursion.rs RepeatRecurse); recursively-typed result → the
+        # driver-side OLTP assembly in operators/lookup.py
+        from surrealdb_spark.operators.lookup import (
+            recursive_destructure_value)
+
+        return recursive_destructure_value(
+            spark, cat, str(ast[1][1]), ast[2][0][1], ast[2][1][1])
     specs: list = []
     new = _extract_lookups(ast, specs)
     df = spark.range(1).select(F.lit("__scalar__").alias("id"))

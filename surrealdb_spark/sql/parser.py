@@ -481,11 +481,17 @@ class Parser:
                 return self.postfix(("setlit", []))
             if not is_obj:
                 elems = [self.expr(0)]
+                saw_comma = False
                 while self.eat("op", ","):
+                    saw_comma = True
                     if self.peek().kind == "op" and self.peek().text == "}":
                         break  # trailing comma: `{1,}`
                     elems.append(self.expr(0))
                 self.expect("op", "}")
+                if len(elems) == 1 and not saw_comma:
+                    # `{ expr }` — a value BLOCK (expr/block.rs), not a set;
+                    # set literals need a comma: `{1, 2}` / `{1,}` / `{,}`
+                    return self.postfix(("block1", elems[0]))
                 return self.postfix(("setlit", elems))
             # object literal {key: expr, ...} (expr/object.rs)
             pairs = []
@@ -847,6 +853,34 @@ class Parser:
         nt = self.next()
         if nt.kind not in ("name", "kw"):
             raise SyntaxError(f"bad lookup segment {nt.text!r} at {nt.pos}")
+        if self.peek().kind == "op" and self.peek().text == ":":
+            # `->edge:lo..=hi` / `->edge:[a]..=[b]` — edge-id range bounds
+            # on the segment (scan/graph.rs EdgeTableSpec range_start/end;
+            # graph/edge_range_syntax.surql)
+            self.next()
+
+            def _ekey():
+                if self.peek().kind == "num":
+                    return int(self.next().text)
+                if self.peek().kind == "op" and self.peek().text == "[":
+                    return ("karr", self.prefix())
+                if self.peek().kind in ("name", "str", "kw"):
+                    t_ = self.next()
+                    if t_.kind == "str":
+                        return t_.text[1:-1]
+                    return t_.orig or t_.text.lower()
+                return None
+
+            lo = None
+            if not (self.peek().kind == "op"
+                    and self.peek().text in ("..", "..=")):
+                lo = _ekey()
+            if self.peek().kind == "op" and self.peek().text in ("..", "..="):
+                incl = self.next().text == "..="
+                hi = _ekey()
+                opts["range"] = (lo, hi, incl)
+            else:
+                opts["range"] = (lo, lo, True)
         return (dirn, [nt.orig or nt.text.lower()], opts)
 
     def postfix(self, base):
@@ -898,6 +932,10 @@ class Parser:
                     continue
                 if nt.kind == "op" and nt.text == "*":
                     parts.append(("all",))
+                elif nt.kind == "op" and nt.text == "@":
+                    # `.@` RepeatRecurse marker (part.rs Part::RepeatRecurse)
+                    # — recursion point inside a recursive destructure
+                    parts.append(("repeat",))
                 elif nt.kind == "op" and nt.text == "{":
                     parts.append(self._curly_part())
                 elif nt.kind == "name" or (
@@ -1038,9 +1076,11 @@ def _parse_select_body(p: Parser) -> Select:
                     # keywords are soft in alias position (`AS content`)
                     alias = at.orig or at.text.lower()
                 # verbatim field text: the reference names unaliased
-                # lookup projections by their printed form
-                fields.append(Field(e, alias,
-                                    p.src[t0.pos:t1.pos].strip()))
+                # lookup projections by their PRINTED form — strings
+                # render single-quoted regardless of source quoting
+                txt = re.sub(r'"([^"\']*)"', r"'\1'",
+                                  p.src[t0.pos:t1.pos].strip())
+                fields.append(Field(e, alias, txt))
                 if not p.eat("op", ","):
                     break
         # star + extras: keep both — the compiler emits select('*', *extras)
@@ -1090,6 +1130,7 @@ def _parse_select_body(p: Parser) -> Select:
         else:
             # source names may collide with NON-STRUCTURAL keywords
             # (`group`, `order` are fine table names; clause words are not)
+            start_i = p.i
             st_ = p.next()
             if st_.kind not in ("name", "kw") or (
                 st_.kind == "kw" and st_.text in _NON_SOURCE_KWS
@@ -1125,6 +1166,15 @@ def _parse_select_body(p: Parser) -> Select:
                     sel.sources.append(("idrange", tb, lo, hi, incl))
                 else:
                     sel.sources.append(("idpoint", tb, lo))
+                if p.peek().kind == "op" and p.peek().text in (
+                        "->", "<-", "<->"):
+                    # FROM tb:key->edge... — a graph-walk source: the rows
+                    # are the walked edge/target records (SourceExpr over a
+                    # lookup; graph/edge_range_syntax.surql) — reparse the
+                    # whole segment as one path expression
+                    p.i = start_i
+                    sel.sources.pop()
+                    sel.sources.append(("pathsrc", p.expr(0)))
             else:
                 sel.sources.append(tb)
         if not p.eat("op", ","):

@@ -2391,9 +2391,10 @@ class StatementRunner:
                 # generic COMPUTED <expr>: evaluated at read, always
                 # present on every record (define/field.rs Computed)
                 cast = stmt.computed
-                if cast[0] == "setlit" and len(cast[1]) == 1:
+                if cast[0] == "block1" or (
+                        cast[0] == "setlit" and len(cast[1]) == 1):
                     # `COMPUTED { expr }` — a value block, not a set
-                    cast = cast[1][0]
+                    cast = cast[1] if cast[0] == "block1" else cast[1][0]
                 self.computed_fields.setdefault(stmt.table, {})[
                     stmt.name] = ("expr", cast)
                 if stmt.table not in self.db.tables:

@@ -178,6 +178,117 @@ def strip_absent(d):
     return out
 
 
+# -- record-id key ordering (types/src/value/record_id/key.rs Ord) -----------
+#
+# Array-keyed record ids (`knows:[person:tobie, NONE]`) need VALUE-order
+# range scans.  Keys are stored as canonical text; ordering is element-wise
+# over the parsed values.  `key_sort_text` maps a key's text to an
+# order-preserving string (tag char + order-faithful payload, recursive for
+# arrays), so any range filter lowers to plain string comparison — encoded
+# distributed via an Arrow-batched pandas UDF, bounds encoded driver-side
+# with the same function.  No driver loops; the UDF touches only the id
+# column of the scanned table.
+
+_KEYTAG = {  # offset keeps every tag printable and above the terminators
+    "none": chr(0x20 + TAG_NONE), "null": chr(0x20 + TAG_NULL),
+    "bool": chr(0x20 + TAG_BOOL), "number": chr(0x20 + TAG_NUMBER),
+    "string": chr(0x20 + TAG_STRING), "uuid": chr(0x20 + TAG_UUID),
+    "array": chr(0x20 + TAG_ARRAY), "object": chr(0x20 + TAG_OBJECT),
+    "rid": chr(0x20 + TAG_RECORD_ID),
+}
+_END = "\x01"  # closes variable-length payloads: prefix sorts first
+
+
+def _enc_num(x) -> str:
+    """Order-preserving hex of a float's IEEE bits (sign-folded)."""
+    import struct as _struct
+
+    bits = _struct.unpack(">Q", _struct.pack(">d", float(x)))[0]
+    bits = (bits ^ 0xFFFFFFFFFFFFFFFF) if bits >> 63 else (bits | 1 << 63)
+    return f"{bits:016x}"
+
+
+def encode_key_value(v) -> str:
+    """Python value → order-preserving string (reference Value Ord)."""
+    import re as _re
+
+    if v is None:
+        return _KEYTAG["none"]
+    if isinstance(v, bool):
+        return _KEYTAG["bool"] + ("1" if v else "0")
+    if isinstance(v, (int, float)):
+        return _KEYTAG["number"] + _enc_num(v)
+    if isinstance(v, (list, tuple)):
+        return _KEYTAG["array"] + "".join(encode_key_value(x) for x in v) + _END
+    if isinstance(v, dict):
+        return (_KEYTAG["object"]
+                + "".join(k + _END + encode_key_value(v[k]) for k in sorted(v))
+                + _END)
+    s = str(v)
+    m = _re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*):(.+)", s, _re.S)
+    if m:
+        return (_KEYTAG["rid"] + m.group(1) + _END
+                + key_sort_text(m.group(2)) + _END)
+    return _KEYTAG["string"] + s + _END
+
+
+def key_sort_text(key_text: str) -> str:
+    """Record-id KEY text → order-preserving string.  Array/object keys
+    parse through the expression grammar (literal-only); bare words and
+    anything unparseable order as plain strings."""
+    t = key_text.strip()
+    if t.startswith("[") or t.startswith("{"):
+        try:
+            from surrealdb_spark.sql.parser import parse_expr
+
+            return encode_key_value(_key_literal(parse_expr(t)))
+        except Exception:
+            return _KEYTAG["string"] + t + _END
+    if t in ("NONE", "none"):
+        return _KEYTAG["none"]
+    if t in ("NULL", "null"):
+        return _KEYTAG["null"]
+    if t in ("true", "false"):
+        return _KEYTAG["bool"] + ("1" if t == "true" else "0")
+    try:
+        return _KEYTAG["number"] + _enc_num(float(t))
+    except ValueError:
+        pass
+    if len(t) >= 2 and t[0] in "'\"" and t[-1] == t[0]:
+        t = t[1:-1]
+    return _KEYTAG["string"] + t + _END
+
+
+def _key_literal(ast):
+    """Literal-only AST → python value (key grammar subset)."""
+    k = ast[0]
+    if k in ("lit", "ulit"):
+        return ast[1]
+    if k == "nulllit":
+        return None
+    if k == "array":
+        return [_key_literal(e) for e in ast[1]]
+    if k == "object":
+        return {key: _key_literal(v) for key, v in ast[1]}
+    if k == "un" and ast[1] == "-":
+        return -_key_literal(ast[2])
+    raise ValueError(f"not a key literal: {k}")
+
+
+def key_sort_udf():
+    """Arrow-batched `id` → order key for the key part after `tb:`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(ids):
+        return ids.map(
+            lambda s: key_sort_text(s.split(":", 1)[1])
+            if isinstance(s, str) and ":" in s else None)
+
+    _enc.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "string")
+
+
 def render_rid_key(arr_ast) -> str:
     """Canonical text of an array record-id key (`tb:[1, 'a', b:2]` —
     types/src/value/record_id/key.rs RecordIdKey::Array ToSql): numbers
