@@ -208,6 +208,7 @@ class FileResult:
 
 
 _ERR = object()  # sentinel: statement evaluation raised
+_LAST_ERR = ""  # last engine exception text (report bucketing aid)
 
 
 def _py_literal(ast):
@@ -256,6 +257,51 @@ def _try_py_literal(text: str):
         return True, _py_literal(parse_expr(text))
     except Exception:
         return False, None
+
+
+def _closure_rhs(rhs: str, bindings: dict):
+    """LET $f = |$x| ... — a closure VALUE binding (closure.rs): store the
+    AST + captured bindings instead of evaluating.  Also: object literals
+    with closure members (`{ func: (|$a| $a), n: 1 }`) become Python dicts
+    holding ClosureValues (closure/field_as_method.surql)."""
+    s = rhs.lstrip()
+    if not (s.startswith("|") or (s.startswith("{") and "|" in s)):
+        return None
+    try:
+        from surrealdb_spark.sql.parser import parse_expr
+
+        ast = parse_expr(rhs)
+    except Exception:
+        return None
+    return _closure_of_ast(ast, bindings)
+
+
+def _closure_of_ast(ast, bindings: dict):
+    from surrealdb_spark.values import ClosureValue
+
+    if not isinstance(ast, tuple):
+        return None
+    if ast[0] == "closure":
+        return ClosureValue(ast[1], ast[3] if len(ast) > 3 else None,
+                            ast[4] if len(ast) > 4 else None, ast[2],
+                            bindings)
+    if ast[0] == "object":
+        members = {}
+        any_closure = False
+        for k, v in ast[1]:
+            while isinstance(v, tuple) and v[0] in ("block1", "paren"):
+                v = v[1]
+            cv = _closure_of_ast(v, bindings)
+            if cv is not None and not isinstance(cv, dict):
+                members[k] = cv
+                any_closure = True
+            else:
+                try:
+                    members[k] = _py_literal(v)
+                except Exception:
+                    return None
+        return members if any_closure else None
+    return None
 
 
 def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> list:
@@ -566,10 +612,14 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         (out[0] if out else None) if take_first else out
                     )
                 else:
-                    v = _eval_statements(spark, [rhs], bindings)[0]
-                    if v is _ERR:
-                        raise ValueError("LET binding failed")
-                    bindings[m.group(1)] = v
+                    cv = _closure_rhs(rhs, bindings)
+                    if cv is not None:
+                        bindings[m.group(1)] = cv
+                    else:
+                        v = _eval_statements(spark, [rhs], bindings)[0]
+                        if v is _ERR:
+                            raise ValueError("LET binding failed")
+                        bindings[m.group(1)] = v
                 a = None
             elif word in ("FOR", "THROW") or (word == "IF" and "{" in s):
                 # control-flow statements run through the script engine
@@ -595,8 +645,10 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 except Exception:
                     v = _eval_statements(spark, [body], bindings)[0]
                     a = _ERR if v is _ERR else v
-        except Exception:
+        except Exception as exc:
             a = _ERR
+            global _LAST_ERR
+            _LAST_ERR = f"{type(exc).__name__}: {exc}"
         _record_case(fr, s, e, a, spark)
     return fr
 
@@ -669,7 +721,10 @@ def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
         fr.cases.append(CaseResult(s, e, a, False,
                                    f"expected literal unsupported: {e[1]!r}"))
     elif a is _ERR:
-        fr.cases.append(CaseResult(s, e, "ERROR", False, "engine errored"))
+        fr.cases.append(CaseResult(
+            s, e, "ERROR", False,
+            f"engine errored: {_LAST_ERR[:160]}" if _LAST_ERR
+            else "engine errored"))
     else:
         if len(e) > 2 and e[2].get("skip-record-id-key"):
             want, a = _strip_rid_keys(want), _strip_rid_keys(a)
@@ -759,10 +814,18 @@ def _multiset_equal(want, got) -> bool:
 
 def run_file(spark: SparkSession, path: str) -> FileResult:
     """Run one reference language-test file against this engine."""
+    # the reference harness runs every file as ns=test db=test unless
+    # `[env] namespace/database = false` opts out
+    # (language-tests/src/runner) — session fns and USE report against that
+    from surrealdb_spark.functions.extra_fns import SessionContext
+
     text = open(path).read()
     config, stmts = parse_test_file(text)
     test = config.get("test", {})
     env = config.get("env", {})
+    SessionContext.configure(
+        ns=None if env.get("namespace") is False else "test",
+        db=None if env.get("database") is False else "test")
     fr = FileResult(path=path)
     if test.get("run") is False:
         fr.skipped = "run=false"
@@ -803,6 +866,11 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     for i, s in enumerate(stmts):
         m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
         if m:
+            cv = _closure_rhs(m.group(2).strip(), bindings)
+            if cv is not None:
+                bindings[m.group(1)] = cv
+                pre_resolved[i] = None
+                continue
             vals = _eval_statements(spark, [m.group(2)], bindings)
             if vals[0] is not _ERR:
                 bindings[m.group(1)] = vals[0]

@@ -553,6 +553,15 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 # $parent inside projections / idiom filters: the
                 # enclosing row (exec CurrentValueSource $parent binding)
                 return F.struct("*")
+            if name == "session":
+                # builtin $session object (fnc/session.rs; the reference
+                # binds it from the live connection)
+                from surrealdb_spark.functions.extra_fns import (
+                    SessionContext as _SC)
+
+                return F.struct(
+                    *[F.lit(_SC.get(k)).cast("string").alias(k)
+                      for k in ("ns", "db", "id", "ip", "ac", "rd")])
             raise KeyError(f"unbound parameter ${name}")
         v = params[name]
         if isinstance(v, Column):
@@ -837,6 +846,9 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             return O.matches(lc, rc)  # @N@/@AND@ variants outside the runner
         return _BINOPS[op](lc, rc)
     if kind == "method":
+        cm = _closure_method(ast, params, types)
+        if cm is not None:
+            return cm
         return compile_expr(_resolve_method(ast, types, params), params, types)
     if kind == "call":
         name, args = ast[1], ast[2]
@@ -933,7 +945,157 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         raise KeyError(f"unknown function {name}")
     if kind == "closure":
         return _compile_closure(ast, params, types)
+    if kind == "pcall":
+        return _invoke_closure(ast, params, types)
+    if kind == "ccall":
+        # `(||1)()` / `{||2}()` — call an inline closure expression
+        from surrealdb_spark.values import ClosureValue
+
+        tgt = ast[1]
+        while isinstance(tgt, tuple) and tgt[0] == "block1":
+            tgt = tgt[1]
+        if not (isinstance(tgt, tuple) and tgt[0] == "closure"):
+            raise ValueError("call target is not a closure")
+        cv = ClosureValue(tgt[1], tgt[3] if len(tgt) > 3 else None,
+                          tgt[4] if len(tgt) > 4 else None, tgt[2], params)
+        return _invoke_closure_value(cv, ast[2], params, types)
     raise ValueError(f"bad AST node {ast!r}")
+
+
+def _closure_method(ast, params: dict, types: dict | None):
+    """`obj.f(args)` where the field holds a closure — object-literal
+    receivers and param-bound dicts with ClosureValue members dispatch to
+    the closure; a non-closure member raises (closure.rs as object
+    methods — closure/field_as_method.surql)."""
+    from surrealdb_spark.values import ClosureValue
+
+    _, name, recv, margs = ast
+    if isinstance(recv, tuple) and recv[0] == "object":
+        for k, v in recv[1]:
+            if k != name:
+                continue
+            while isinstance(v, tuple) and v[0] in ("block1", "paren"):
+                v = v[1]
+            if isinstance(v, tuple) and v[0] == "closure":
+                cv = ClosureValue(v[1], v[3] if len(v) > 3 else None,
+                                  v[4] if len(v) > 4 else None, v[2], params)
+                return _invoke_closure_value(cv, margs, params, types)
+            raise ValueError(
+                f"There was a problem running the {name}() function: "
+                "no such method found for the object type")
+    if isinstance(recv, tuple) and recv[0] == "param":
+        v = (params or {}).get(recv[1])
+        if isinstance(v, dict) and name in v:
+            m = v[name]
+            if isinstance(m, ClosureValue):
+                return _invoke_closure_value(m, margs, params, types)
+            raise ValueError(
+                f"There was a problem running the {name}() function: "
+                "no such method found for the object type")
+    return None
+
+
+def _invoke_closure(ast, params: dict, types: dict | None) -> Column:
+    """`$f(args)` — invoke a ClosureValue bound to a param: inline the body
+    with arguments bound (closure.rs invocation).  Declared argument /
+    return kinds check statically where the arg is a literal — a mismatch
+    raises, matching the reference's ANONYMOUS() coercion errors."""
+    from surrealdb_spark.values import ClosureValue
+
+    _, name, args = ast
+    cv = (params or {}).get(name)
+    if not isinstance(cv, ClosureValue):
+        raise ValueError(f"${name} is not a function")
+    return _invoke_closure_value(cv, args, params, types)
+
+
+def _invoke_closure_value(cv, args, params: dict, types: dict | None) -> Column:
+    env = dict(cv.captured)
+    subst = {}
+    for i, pname in enumerate(cv.names):
+        a = args[i] if i < len(args) else ("lit", None)
+        k = cv.kinds[i] if i < len(cv.kinds) else None
+        if k is not None:
+            got = _static_of_kind(a, params or {}, types or {})
+            ok = _kind_accepts(k, got)
+            if ok is False:
+                raise ValueError(
+                    f"Incorrect arguments for function ANONYMOUS(): "
+                    f"argument ${pname} expects {k!r}, got {got}")
+        env[pname] = compile_expr(a, params, types)
+        subst[pname] = a
+    if cv.ret is not None:
+        got = _static_of_kind(_subst_params(cv.body, subst),
+                              params or {}, types or {})
+        if _kind_accepts(cv.ret, got) is False:
+            raise ValueError(
+                f"Couldn't coerce return value from function ANONYMOUS: "
+                f"expected {cv.ret!r}, found {got}")
+    return compile_expr(cv.body, env, types)
+
+
+def _subst_params(ast, subst: dict):
+    """Substitute ("param", name) nodes by their argument ASTs (static
+    kind propagation through a closure body)."""
+    if isinstance(ast, tuple):
+        if ast[0] == "param" and ast[1] in subst:
+            return subst[ast[1]]
+        return tuple(_subst_params(x, subst) for x in ast)
+    if isinstance(ast, list):
+        return [_subst_params(x, subst) for x in ast]
+    return ast
+
+
+# static kind name → kind-AST families it satisfies (types/src/kind.rs
+# coercion; numbers inter-coerce, set≈array)
+_KIND_FAMILY = {
+    "number": {"number", "int", "float", "decimal", "any"},
+    "int": {"number", "int", "any"},
+    "float": {"number", "float", "any"},
+    "decimal": {"number", "decimal", "any"},
+    "string": {"string", "any"},
+    "bool": {"bool", "any"},
+    "array": {"array", "set", "any"},
+    "set": {"set", "array", "any"},
+    "object": {"object", "any"},
+    "record": {"record", "any"},
+    "datetime": {"datetime", "any"},
+    "duration": {"duration", "any"},
+    "uuid": {"uuid", "any"},
+    "bytes": {"bytes", "any"},
+    "function": {"function", "any"},
+    "range": {"range", "any"},
+    "none": {"none", "any"},
+    "null": {"null", "any"},
+}
+
+
+def _kind_accepts(kind_ast, static: str | None):
+    """Does a value of statically-known kind satisfy a declared kind AST?
+    True/False when decidable, None (no check) when not."""
+    if static is None or static.startswith("geometry"):
+        return None
+    k = kind_ast[0]
+    if k in ("any",):
+        return True
+    if k == "option":
+        if static in ("none", "null"):
+            return True
+        inner = kind_ast[1]
+        return _kind_accepts(inner[0], static) if inner else None
+    if k == "union":
+        results = [_kind_accepts(m, static) for m in kind_ast[1]]
+        if any(r is True for r in results):
+            return True
+        if all(r is False for r in results):
+            return False
+        return None
+    if k == "lit":
+        return None
+    fam = _KIND_FAMILY.get(static)
+    if fam is None:
+        return None
+    return k in fam
 
 
 _RID_RE = __import__("re").compile(r"^[A-Za-z_]\w*:(?!//)[^\s]+$")
@@ -1082,7 +1244,7 @@ def _compile_closure(ast, params: dict, types: dict | None = None):
     """Closure literal → Python lambda over Columns (the reference compiles
     closure bodies to expressions the same way — closure.rs + HOF usage in
     array::map/filter/fold, SURVEY §2.11)."""
-    _, cparams, body = ast
+    _, cparams, body = ast[0], ast[1], ast[2]
 
     def apply(cols: tuple[Column, ...]) -> Column:
         bound = dict(params)

@@ -301,10 +301,11 @@ class Parser:
             lhs = ("bin", op, lhs, rhs)
         return lhs
 
-    def _parse_kind(self):
+    def _parse_kind(self, no_union: bool = False):
         """Type in a `<kind>` cast: name with optional `<...>` args, literal
         kinds (`<123>`, `<"a">`, `<true>`), and `|` unions
-        (types/src/kind.rs; syn kind parser)."""
+        (types/src/kind.rs; syn kind parser).  `no_union` disables `|`
+        unions where `|` is structural (closure param/return kinds)."""
         t = self.next()
         if t.kind == "num":
             txt = t.text
@@ -326,7 +327,8 @@ class Parser:
             k = (name, args)
         else:
             raise SyntaxError(f"expected type name, got {t.text!r} at {t.pos}")
-        if self.peek().kind == "op" and self.peek().text == "|":
+        if not no_union and self.peek().kind == "op" \
+                and self.peek().text == "|":
             members = [k]
             while self.eat("op", "|"):
                 members.append(self._parse_kind())
@@ -424,17 +426,30 @@ class Parser:
         if t.kind == "op" and t.text in ("!", "-", "+"):
             self.next()
             return ("un", t.text, self.expr(15))
+        if t.kind == "op" and t.text == "||":
+            # `||body` — zero-arg closure (the lexer fuses the empty
+            # param-list bars into one OR token)
+            self.next()
+            ret = self._parse_kind(no_union=True) \
+                if self.eat("op", "->") else None
+            return ("closure", [], self.expr(0), [], ret)
         if t.kind == "op" and t.text == "|":
-            # closure |$x[, $i]| body (core/src/expr/closure.rs:12)
+            # closure |$x[: kind][, $i]| [-> kind] body
+            # (core/src/expr/closure.rs:12 — args carry optional kinds,
+            # optional returns kind; body is an expr or { block })
             self.next()
             cparams = []
+            ckinds = []
             while self.peek().kind == "param":
                 cparams.append(self.next().text[1:])
+                ckinds.append(self._parse_kind(no_union=True)
+                              if self.eat("op", ":") else None)
                 if not self.eat("op", ","):
                     break
             self.expect("op", "|")
+            ret = self._parse_kind() if self.eat("op", "->") else None
             body = self.expr(0)
-            return ("closure", cparams, body)
+            return ("closure", cparams, body, ckinds, ret)
         if t.kind == "op" and t.text == "(":
             self.next()
             if self.peek().kind == "kw" and self.peek().text == "SELECT":
@@ -885,6 +900,29 @@ class Parser:
 
     def postfix(self, base):
         parts = []
+        if (isinstance(base, tuple) and base[0] == "param"
+                and self.peek().kind == "op" and self.peek().text == "("):
+            # `$f(args)` — invoke a closure VALUE bound to a param
+            # (expr/closure.rs invocation; part.rs Part::Method on params)
+            self.next()
+            cargs = []
+            while not self.eat("op", ")"):
+                cargs.append(self.expr(0))
+                if not self.eat("op", ","):
+                    self.expect("op", ")")
+                    break
+            base = ("pcall", base[1], cargs)
+        elif (isinstance(base, tuple) and base[0] in ("closure", "block1")
+                and self.peek().kind == "op" and self.peek().text == "("):
+            # `(||1)()` / `{||2}()` — immediate closure invocation
+            self.next()
+            cargs = []
+            while not self.eat("op", ")"):
+                cargs.append(self.expr(0))
+                if not self.eat("op", ","):
+                    self.expect("op", ")")
+                    break
+            base = ("ccall", base, cargs)
         while True:
             nt = self.peek()
             if nt.kind == "op" and nt.text in ("->", "<-", "<->") \
@@ -1100,8 +1138,14 @@ def _parse_select_body(p: Parser) -> Select:
             p.expect("op", ")")
         elif p.peek().kind == "param":
             # FROM $source — DynamicScan: the target resolves at execution
-            # from the bound parameter (exec/operators/scan/dynamic.rs:53)
-            sel.sources.append(("paramsrc", p.next().text[1:]))
+            # from the bound parameter (exec/operators/scan/dynamic.rs:53).
+            # A trailing idiom path ($session.ns) makes it a value source.
+            pname = p.next().text[1:]
+            if p.peek().kind == "op" and p.peek().text in (".", "["):
+                sel.sources.append(("exprsrc",
+                                    p.postfix(("param", pname))))
+            else:
+                sel.sources.append(("paramsrc", pname))
         elif p.peek().kind == "kw" and p.peek().text in ("NONE", "NULL"):
             # FROM NONE/NULL — empty source (planner yields no iterations)
             p.next()
@@ -1136,6 +1180,14 @@ def _parse_select_body(p: Parser) -> Select:
                 st_.kind == "kw" and st_.text in _NON_SOURCE_KWS
             ):
                 raise SyntaxError(f"expected a source, got {st_.text!r} at {st_.pos}")
+            if p.peek().kind == "op" and p.peek().text == "(":
+                # FROM fn(...) — function-call value source
+                # (session::ns(), rand::uuid(); statements/use corpus)
+                p.i = start_i
+                sel.sources.append(("exprsrc", p.prefix()))
+                if not p.eat("op", ","):
+                    break
+                continue
             tb = st_.orig or st_.text
             if p.peek().kind == "op" and p.peek().text == ":":
                 # record-id source: tb:key, tb:lo..hi, tb:lo..=hi, tb:..hi

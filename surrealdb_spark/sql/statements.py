@@ -270,7 +270,20 @@ class UseStmt:
 
 @dataclass
 class NoopStmt:
-    """Accepted-but-structural statements (BEGIN/COMMIT, DEFINE NS/DB)."""
+    """Accepted-but-structural statements (BEGIN/COMMIT)."""
+
+
+@dataclass
+class DefineDbStmt:
+    """DEFINE NAMESPACE/DATABASE name [STRICT] [COMMENT c] (define/
+    {namespace,database}.rs) — registered so USE can flip strict-mode
+    table checks and INFO FOR NS/ROOT can render the catalog."""
+
+    kind: str  # "ns" | "db"
+    name: str
+    strict: bool = False
+    comment: object = None  # str | ("param", name) | None
+    mode: str | None = None  # None | "overwrite" | "ine"
 
 
 @dataclass
@@ -291,17 +304,19 @@ class KillStmt:
 
 
 
-def _eat_define_mods(p: Parser) -> None:
+def _eat_define_mods(p: Parser) -> str | None:
     """`OVERWRITE` / `IF NOT EXISTS` after DEFINE <kind> (define/mod.rs);
-    both lower to plain redefinition here — catalog writes are idempotent
-    upserts."""
+    both lower to plain redefinition for most kinds — catalog writes are
+    idempotent upserts — but NS/DB creation checks the returned mode."""
     for kind in ("kw", "name"):
         if p.eat(kind, "OVERWRITE"):
-            return
+            return "overwrite"
     if p.peek().text == "IF" and p.toks[p.i + 1].text.upper() == "NOT":
         p.next()
         p.next()
         p.next()  # EXISTS
+        return "ine"
+    return None
 
 
 def _field_path(p: Parser) -> str:
@@ -705,14 +720,33 @@ def _parse_statement_body(p: Parser):
     if t.text == "DEFINE":
         p.next()
         what = p.next()
-        _eat_define_mods(p)
+        mode = _eat_define_mods(p)
         if what.text in ("NAMESPACE", "NS", "DATABASE", "DB"):
             # catalog levels above the engine's single-database scope —
-            # recorded for INFO, otherwise structural no-ops
-            _name(p)
-            while p.eat_word("COMMENT") and p.next():
-                pass
-            return NoopStmt()
+            # recorded for USE/STRICT checks and INFO
+            # (statements/define/{namespace,database}.rs)
+            nm = _name(p)
+            strict = False
+            comment = None
+            while True:
+                if p.eat_word("STRICT"):
+                    strict = True
+                elif p.eat_word("COMMENT"):
+                    ct = p.next()
+                    if ct.kind == "param":
+                        comment = ("param", ct.text[1:])
+                    elif ct.kind == "str":
+                        comment = ct.text[1:-1]
+                    elif ct.text.upper() in ("NONE", "NULL"):
+                        comment = None
+                    else:
+                        comment = ct.text
+                elif p.eat_word("CHANGEFEED"):
+                    _duration_text(p)
+                else:
+                    break
+            kind = "ns" if what.text in ("NAMESPACE", "NS") else "db"
+            return DefineDbStmt(kind, nm, strict, comment, mode)
         if what.text == "TABLE":
             name = _name(p)
             st = DefineTableStmt(name)
@@ -1207,6 +1241,10 @@ def _parse_statement_body(p: Parser):
             p.expect("kw", "ON")
             p.eat("kw", "TABLE")
             return InfoStmt("index", name=name, table=_name(p))
+        if lvl.text.upper() in ("NS", "NAMESPACE"):
+            return InfoStmt("ns")
+        if lvl.text.upper() == "ROOT":
+            return InfoStmt("root")
         raise SyntaxError(f"INFO FOR {lvl.text} not supported")
     if word == "LIVE":
         # LIVE SELECT [DIFF | f1, f2 | *] FROM tbl [WHERE cond] (live.rs)
@@ -1431,6 +1469,24 @@ class StatementRunner:
         # (define/field.rs reference tracking; scan/reference.rs)
         self.ref_fields: dict[str, list] = {}
         self.computed_fields: dict[str, dict] = {}
+        # DEFINE NAMESPACE/DATABASE registry + STRICT mode: when the active
+        # database was DEFINEd STRICT, tables must be DEFINEd before use
+        # (core strict-mode checks in doc/{create,select}.rs).
+        # databases is ns-scoped: ns → name → {strict, text}
+        self.databases: dict[str, dict[str, dict]] = {}
+        self.namespaces: dict[str, dict] = {}
+        self.strict = False
+        # connecting with a ns/db selected auto-defines both (the
+        # reference creates them lazily on first use in non-strict mode)
+        from surrealdb_spark.functions.extra_fns import SessionContext
+
+        _ns, _db = SessionContext.get("ns"), SessionContext.get("db")
+        if _ns:
+            self.namespaces[_ns] = {
+                "strict": False, "text": f"DEFINE NAMESPACE {_ns}"}
+            if _db:
+                self.databases[_ns] = {_db: {
+                    "strict": False, "text": f"DEFINE DATABASE {_db}"}}
         # record::is_edge / record::exists resolve ids through this runner's
         # database (driver-side point read, fnc/record.rs)
         from surrealdb_spark.functions.misc_fns import set_record_provider
@@ -1553,6 +1609,9 @@ class StatementRunner:
     def run_select(self, stmt, params: dict):
         from surrealdb_spark.sql.compiler import compile_select
 
+        if self.strict:
+            for src in stmt.sources or []:
+                self._check_strict(src if isinstance(src, str) else None)
         self._refresh_catalog()
         stmt, params = self._rewrite_search(stmt, params)
         if stmt.version is not None:
@@ -2245,8 +2304,22 @@ class StatementRunner:
         raise ValueError(f"REMOVE {k} not supported")
 
     def _info(self, stmt: InfoStmt):
-        """INFO FOR DB/TABLE/INDEX → the reference-shaped catalog object
-        (info.rs renders category → name → canonical DEFINE text)."""
+        """INFO FOR DB/TABLE/INDEX/NS/ROOT → the reference-shaped catalog
+        object (info.rs renders category → name → canonical DEFINE text)."""
+        if stmt.level == "ns":
+            from surrealdb_spark.functions.extra_fns import SessionContext
+
+            dbs = self.databases.get(SessionContext.get("ns") or "", {})
+            return {"accesses": {}, "users": {},
+                    "databases": {n: d["text"] for n, d in dbs.items()}}
+        if stmt.level == "root":
+            return {"accesses": {}, "nodes": {}, "users": {},
+                    "system": {"available_parallelism": 0,
+                               "cpu_usage": 0.0, "load_average": [],
+                               "memory_allocated": 0, "memory_usage": 0,
+                               "physical_cores": 0, "threads": 0},
+                    "namespaces": {n: d["text"]
+                                   for n, d in self.namespaces.items()}}
         if stmt.level == "db":
             out = {c: dict(self.meta[c]) for c in _INFO_DB_CATS}
             for n in self.db.tables:
@@ -2321,8 +2394,20 @@ class StatementRunner:
                 )
         self.catalog.edge_names = edge_names
 
+    def _check_strict(self, table) -> None:
+        """STRICT databases reject reads/writes on undefined tables
+        (doc strict-mode checks; closure/readonly.surql)."""
+        if (self.strict and isinstance(table, str)
+                and table not in self.db.tables
+                and table not in self.meta["tables"]):
+            raise ValueError(f"The table '{table}' does not exist")
+
     def _execute(self, stmt, params: dict) -> DataFrame | None:
         tgt = getattr(stmt, "target", None)
+        if tgt is not None:
+            self._check_strict(getattr(tgt, "table", None))
+        for attr in ("table",):
+            self._check_strict(getattr(stmt, attr, None))
         if (tgt is not None and tgt.table is None
                 and isinstance(tgt.key, tuple) and tgt.key[0] == "param"):
             # $record target → table/key from the bound record id
@@ -2578,6 +2663,27 @@ class StatementRunner:
                         "as atomic batch jobs)")
                 self._tx_open = False
             return None
+        if isinstance(stmt, DefineDbStmt):
+            from surrealdb_spark.functions.extra_fns import SessionContext
+
+            word = "NAMESPACE" if stmt.kind == "ns" else "DATABASE"
+            reg = (self.namespaces if stmt.kind == "ns"
+                   else self.databases.setdefault(
+                       SessionContext.get("ns") or "", {}))
+            if stmt.name in reg:
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The {word.lower()} '{stmt.name}' already exists")
+            comment = stmt.comment
+            if isinstance(comment, tuple) and comment[0] == "param":
+                comment = params.get(comment[1])
+            txt = f"DEFINE {word} {stmt.name}"
+            if comment is not None:
+                txt += f" COMMENT {_surql_literal(comment)}"
+            reg[stmt.name] = {"strict": stmt.strict, "text": txt}
+            return None
         if isinstance(stmt, UseStmt):
             from surrealdb_spark.functions.extra_fns import SessionContext
 
@@ -2585,7 +2691,12 @@ class StatementRunner:
                 SessionContext.configure(ns=stmt.ns)
             if stmt.db is not None:
                 SessionContext.configure(db=stmt.db)
-            return None
+                self.strict = (self.databases
+                               .get(SessionContext.get("ns") or "", {})
+                               .get(stmt.db, {}).get("strict", False))
+            # USE returns the resulting session scope (statements/use.rs)
+            return {"database": SessionContext.get("db"),
+                    "namespace": SessionContext.get("ns")}
         if isinstance(stmt, DefineBucketStmt):
             import tempfile
 

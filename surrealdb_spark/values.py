@@ -152,6 +152,26 @@ def duration(months: Column | int = 0, nanos: Column | int = 0) -> Column:
     return F.struct(m.cast("long").alias("months"), n.cast("long").alias("nanos"))
 
 
+class ClosureValue:
+    """A closure stored in a parameter (`LET $f = |$x: kind| -> kind body`):
+    the AST plus captured bindings, invoked via `$f(args)` (expr/closure.rs
+    — the reference stores the closure AST as a Value too).  Compilation
+    happens at the call site (sql/compiler.py "pcall"): the body inlines as
+    a column expression with the arguments bound, like fn:: macros."""
+
+    __slots__ = ("names", "kinds", "ret", "body", "captured")
+
+    def __init__(self, names, kinds, ret, body, captured=None):
+        self.names = list(names)
+        self.kinds = list(kinds) if kinds else [None] * len(self.names)
+        self.ret = ret
+        self.body = body
+        self.captured = dict(captured or {})
+
+    def __repr__(self) -> str:  # surfaced if a closure leaks into output
+        return f"<closure({', '.join('$' + n for n in self.names)})>"
+
+
 def strip_absent(d):
     """Reference-shaped object from a stored row dict: fields NOT present
     on the record are omitted (types/src/value/mod.rs — objects have no
