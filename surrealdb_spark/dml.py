@@ -139,6 +139,32 @@ class Database:
     def _apply_fields(self, tbl: str, df: DataFrame, existing: bool) -> DataFrame:
         td = self.tables[tbl]
         for fd in td.fields:
+            if fd.name.endswith(".*"):
+                # wildcard member kind (`DEFINE FIELD obj.* TYPE number`,
+                # define/field.rs): every member of the base struct must
+                # coerce — a static check on the typed engine
+                base = fd.name[:-2]
+                if fd.dtype and base in df.columns:
+                    from pyspark.sql import types as T
+
+                    bt = df.schema[base].dataType
+                    num = fd.dtype in ("bigint", "double", "decimal(38,10)")
+                    bad_ts = (T.StringType, T.BooleanType, T.ArrayType,
+                              T.StructType, T.MapType)
+                    members = (bt.fields if isinstance(bt, T.StructType)
+                               else [])
+                    if isinstance(bt, T.MapType) and num \
+                            and isinstance(bt.valueType, bad_ts):
+                        raise MutationError(
+                            f"Couldn't coerce value for field `{fd.name}`: "
+                            f"Expected `{fd.dtype}` member values")
+                    for m in members:
+                        if num and isinstance(m.dataType, bad_ts):
+                            raise MutationError(
+                                f"Couldn't coerce value for field "
+                                f"`{fd.name}`: Expected `{fd.dtype}` "
+                                f"but found `{m.name}`")
+                continue
             col = F.col(fd.name) if fd.name in df.columns else F.lit(None)
             if fd.default is not None:
                 col = F.coalesce(col, fd.default())

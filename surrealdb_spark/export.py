@@ -124,20 +124,21 @@ _SEQUENCES: dict[str, "Sequence"] = {}
 
 
 def define_sequence(name: str, root: str | None = None, start: int = 1) -> "Sequence":
-    """DEFINE SEQUENCE analogue — register a named counter (temp-rooted if
-    no directory is given)."""
+    """DEFINE SEQUENCE analogue — register a named counter, RESET to
+    `start` (a fresh DEFINE is a new sequence, define/sequence.rs)."""
     if root is None:
         import tempfile
 
         root = os.path.join(tempfile.gettempdir(), "surrealdb_spark_seq")
-    _SEQUENCES[name] = Sequence(root, name, start)
+    _SEQUENCES[name] = Sequence(root, name, start, reset=True)
     return _SEQUENCES[name]
 
 
 def next_sequence_value(name: str) -> int:
-    """sequence::nextval('name') — auto-defines on first use."""
+    """sequence::nextval('name') — errors on undefined sequences
+    (fnc/sequence.rs)."""
     if name not in _SEQUENCES:
-        define_sequence(name)
+        raise KeyError(f"The sequence '{name}' does not exist")
     return _SEQUENCES[name].nextval()
 
 
@@ -145,9 +146,10 @@ class Sequence:
     """DEFINE SEQUENCE + sequence::nextval — file-backed counter with
     block allocation."""
 
-    def __init__(self, root: str, name: str, start: int = 1):
+    def __init__(self, root: str, name: str, start: int = 1,
+                 reset: bool = False):
         self.path = os.path.join(root, f"_seq_{name}.json")
-        if not os.path.exists(self.path):
+        if reset or not os.path.exists(self.path):
             os.makedirs(root, exist_ok=True)
             with open(self.path, "w") as f:
                 json.dump({"next": start}, f)

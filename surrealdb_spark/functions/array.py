@@ -46,9 +46,10 @@ def push(arr, v) -> Column:
 
 
 def pop(arr) -> Column:
-    """array::pop — array minus its last element."""
+    """array::pop — the last element (Vec::pop semantics, fnc/array.rs:603);
+    NONE on empty."""
     a = _c(arr)
-    return F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0)))
+    return F.when(F.size(a) > 0, F.element_at(a, -1))
 
 
 def _int_idx(idx, name: str = "index") -> int:
@@ -172,7 +173,13 @@ def fill(arr, v, start: int | None = None, end: int | None = None) -> Column:
 
 
 def repeat(v, n: int) -> Column:
-    return F.array_repeat(_c(v), _int_idx(n, "count"))
+    n = _int_idx(n, "count")
+    if n < 0:
+        raise ValueError("Incorrect arguments for function array::repeat():"
+                         " count must be a non-negative integer")
+    if n > _RANGE_LIMIT:
+        raise ValueError("array::repeat output must not exceed 1048576 bytes")
+    return F.array_repeat(_c(v), n)
 
 
 # Reference output cap: 1 MiB of Value slots (fnc/array.rs `limit`); beyond
@@ -209,11 +216,28 @@ def sequence(offset_len: int, length: int | None = None) -> Column:
 
 
 def swap(arr, i: int, j: int) -> Column:
+    """array::swap — negative indices count from the end; out-of-range
+    raises (fnc/array.rs:895 range checks)."""
     a = _c(arr)
+    i, j = _int_idx(i, "from"), _int_idx(j, "to")
+    n = F.size(a)
+
+    def _resolve(k: int, argno: int) -> Column:
+        pos = F.lit(k) + F.when(F.lit(k < 0), n).otherwise(F.lit(0))
+        return F.when(
+            (pos < 0) | (pos >= n),
+            F.raise_error(F.concat(
+                F.lit(f"Incorrect arguments for function array::swap(). "
+                      f"Argument {argno} is out of range. Expected a number "
+                      f"between -"), n.cast("string"), F.lit(" and "),
+                n.cast("string"))).cast("int"),
+        ).otherwise(pos)
+
+    pi, pj = _resolve(i, 1), _resolve(j, 2)
     return F.transform(
         a,
-        lambda x, pos: F.when(pos == i, F.element_at(a, j + 1))
-        .when(pos == j, F.element_at(a, i + 1))
+        lambda x, pos: F.when(pos == pi, F.element_at(a, pj + 1))
+        .when(pos == pj, F.element_at(a, pi + 1))
         .otherwise(x),
     )
 
@@ -268,16 +292,23 @@ def any_(arr) -> Column:
     return F.coalesce(F.exists(_c(arr), lambda x: x.cast("boolean")), F.lit(False))
 
 
+def _tf(x: Column) -> Column:
+    """Truthiness with missing (shorter array → NULL) as false — the
+    reference pads with Value::None, which is falsy (fnc/array.rs
+    boolean_and/or/xor)."""
+    return F.coalesce(x.cast("boolean"), F.lit(False))
+
+
 def boolean_and(a, b) -> Column:
-    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("boolean") & y.cast("boolean"))
+    return F.zip_with(_c(a), _c(b), lambda x, y: _tf(x) & _tf(y))
 
 
 def boolean_or(a, b) -> Column:
-    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("boolean") | y.cast("boolean"))
+    return F.zip_with(_c(a), _c(b), lambda x, y: _tf(x) | _tf(y))
 
 
 def boolean_xor(a, b) -> Column:
-    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("boolean") != y.cast("boolean"))
+    return F.zip_with(_c(a), _c(b), lambda x, y: _tf(x) != _tf(y))
 
 
 def boolean_not(arr) -> Column:
@@ -418,20 +449,72 @@ def sort_desc(arr) -> Column:
     return sort(arr, False)
 
 
+def _lexical_fold(s: str) -> str:
+    """lexical-sort crate semantics: transliterate to ASCII-ish
+    (NFKD, strip combining marks) then casefold."""
+    import unicodedata
+
+    return "".join(c for c in unicodedata.normalize("NFKD", s)
+                   if not unicodedata.combining(c)).casefold()
+
+
+def _natural_key(s: str, lexical: bool):
+    """Digit runs compare numerically (and before text chunks); text
+    chunks compare by code point — or lexically-folded when `lexical`
+    (fnc/array.rs:863-893 natural_cmp / natural_lexical_cmp)."""
+    import re as _re
+
+    if lexical:
+        s = _lexical_fold(s)
+    key = []
+    for p in _re.split(r"(\d+)", s):
+        if not p:
+            continue
+        key.append((0, int(p), "") if p.isdigit() else (1, 0, p))
+    return key
+
+
+def _sort_udf(lexical: bool, natural: bool):
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _u(col):
+        import pandas as pd
+
+        def one(v):
+            if v is None:
+                return None
+            items = ["" if x is None else str(x) for x in v]
+            if natural:
+                return sorted(items, key=lambda s: _natural_key(s, lexical))
+            return sorted(items, key=_lexical_fold)
+
+        return pd.Series([one(v) for v in col])
+
+    return _u
+
+
 def sort_lexical(arr, direction: bool | str = True) -> Column:
-    a = F.array_sort(F.transform(_c(arr), lambda x: x.cast("string")))
+    """array::sort_lexical — locale-folded string ordering (the reference
+    uses the lexical-sort crate's lexical_cmp)."""
+    a = _sort_udf(lexical=True, natural=False)(
+        _c(arr).cast("array<string>"))
     return a if _asc(direction) else F.reverse(a)
 
 
 def sort_natural(arr, direction: bool | str = True) -> Column:
-    """Natural sort: order by (embedded-number-aware key)."""
-    key = lambda x: F.struct(  # noqa: E731
-        F.lpad(F.regexp_extract(x.cast("string"), r"(\d+)", 1), 20, "0").alias("num"),
-        x.cast("string").alias("s"),
-    )
-    pairs = F.transform(_c(arr), lambda x: F.struct(key(x).alias("k"), x.alias("v")))
-    out = F.transform(F.array_sort(pairs), lambda s: s.getField("v"))
-    return out if _asc(direction) else F.reverse(out)
+    """array::sort_natural — embedded digit runs compare numerically,
+    text by code point."""
+    a = _sort_udf(lexical=False, natural=True)(
+        _c(arr).cast("array<string>"))
+    return a if _asc(direction) else F.reverse(a)
+
+
+def sort_natural_lexical(arr, direction: bool | str = True) -> Column:
+    """array::sort_natural_lexical — numeric digit runs + folded text."""
+    a = _sort_udf(lexical=True, natural=True)(
+        _c(arr).cast("array<string>"))
+    return a if _asc(direction) else F.reverse(a)
 
 
 def shuffle(arr, seed: int = 42) -> Column:
@@ -460,7 +543,11 @@ def clump(arr, n: int) -> Column:
 
 
 def windows(arr, n: int) -> Column:
-    """array::windows — sliding windows of size n (empty when len < n)."""
+    """array::windows — sliding windows of size n (empty when len < n);
+    n < 1 errors (fnc/array.rs windows)."""
+    if isinstance(n, (int, float)) and n < 1:
+        raise ValueError("Incorrect arguments for function array::windows():"
+                         " window size must be a positive integer")
     a = _c(arr)
     cnt = F.size(a) - (n - 1)
     idx = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
@@ -470,10 +557,11 @@ def windows(arr, n: int) -> Column:
 
 
 def transpose(arr) -> Column:
-    """array::transpose — rows↔columns for rectangular array-of-arrays."""
+    """array::transpose — rows↔columns; ragged rows pad with NONE to the
+    tallest column (val/array.rs:178-203 pads with Value::None)."""
     a = _c(arr)
-    width = F.size(F.element_at(a, 1))
-    return F.transform(
+    width = F.array_max(F.transform(a, F.size))
+    return F.when(F.size(a) == 0, a).otherwise(F.transform(
         F.sequence(F.lit(1), width),
-        lambda j: F.transform(a, lambda row: F.element_at(row, j)),
-    )
+        lambda j: F.transform(a, lambda row: F.get(row, j - 1)),
+    ))

@@ -433,12 +433,12 @@ def rand_uuid_v7(ts=None) -> Column:
     )
 
 
-def rand_id(table=None) -> Column:
-    rid = F.substring(F.md5(F.rand().cast("string")), 1, 20)
-    if table is None:
-        return rid
-    t = table if isinstance(table, Column) else F.lit(table)
-    return F.concat(t, F.lit(":"), rid)
+def rand_id(lo=None, hi=None) -> Column:
+    """rand::id([lo, hi]) — random lowercase-alnum id chars, default 20,
+    LIMIT 64 (fnc/rand.rs:85-127)."""
+    from surrealdb_spark.functions.misc_fns import _ID_CHARS, _rand_chars
+
+    return _rand_chars(_ID_CHARS, lo, hi, "rand::id", 64, 20)
 
 
 def rand_time(lo=None, hi=None) -> Column:
@@ -448,27 +448,35 @@ def rand_time(lo=None, hi=None) -> Column:
 
     def secs(v, default):
         if v is None:
-            return default
+            return F.lit(default)
+        if isinstance(v, Column):
+            return F.unix_timestamp(v.cast("timestamp"))
         if isinstance(v, _dt.datetime):
-            return int(v.timestamp())
-        return int(v)
+            return F.lit(int(v.timestamp()))
+        return F.lit(int(v))
 
-    lo_s, hi_s = secs(lo, 0), secs(hi, 2_000_000_000)
-    if hi_s < lo_s:
-        lo_s, hi_s = hi_s, lo_s
+    lo_c, hi_c = secs(lo, 0), secs(hi, 2_000_000_000)
+    lo_s = F.least(lo_c, hi_c).cast("double")
+    hi_s = F.greatest(lo_c, hi_c).cast("double")
     return F.timestamp_seconds(
-        (F.rand() * (hi_s - lo_s + 1)).cast("bigint") + lo_s
-    )
+        (lo_s + F.rand() * (hi_s - lo_s + 1)).cast("bigint"))
 
 
-def rand_duration(lo_ns: int = 0, hi_ns: int = 10**12) -> Column:
+def rand_duration(lo_ns=0, hi_ns=10**12) -> Column:
     """rand::duration(d1, d2) — uniform duration between the two bounds
-    (inclusive; fnc/rand.rs:184-200).  Returns the engine duration struct."""
+    (inclusive; fnc/rand.rs:184-200).  Bounds are nanosecond ints or
+    duration struct Columns."""
     from surrealdb_spark.values import duration as _mk_dur
 
-    if hi_ns < lo_ns:
-        lo_ns, hi_ns = hi_ns, lo_ns
-    ns = (F.rand() * (hi_ns - lo_ns + 1)).cast("bigint") + F.lit(lo_ns)
+    def ns_of(v):
+        if isinstance(v, Column):
+            return v.getField("nanos")
+        return F.lit(int(v))
+
+    lo_c, hi_c = ns_of(lo_ns), ns_of(hi_ns)
+    lo = F.least(lo_c, hi_c).cast("double")
+    hi = F.greatest(lo_c, hi_c).cast("double")
+    ns = (lo + F.rand() * (hi - lo)).cast("bigint")
     return _mk_dur(0, ns)
 
 

@@ -49,7 +49,9 @@ def bearing(a, b) -> Column:
     dlon = F.radians(b.getField("lon")) - F.radians(a.getField("lon"))
     y = F.sin(dlon) * F.cos(lat2)
     x = F.cos(lat1) * F.sin(lat2) - F.sin(lat1) * F.cos(lat2) * F.cos(dlon)
-    return (F.degrees(F.atan2(y, x)) + 360) % 360
+    # raw atan2 degrees in [-180, 180] — the reference's geo crate
+    # bearing() does not normalize to [0, 360)
+    return F.degrees(F.atan2(y, x))
 
 
 def centroid(ring) -> Column:

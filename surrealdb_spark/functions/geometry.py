@@ -347,3 +347,96 @@ def collection_from_geojson(members: list) -> Column:
     return F.array(*[
         from_coords(m["type"], m["coordinates"]) for m in members
     ])
+
+
+# -- geo:: scalar namespace over GEOM_T values --------------------------------
+#
+# fnc/geo.rs operates on Geometry values; these take the engine's GEOM_T
+# struct ({kind, polys}) directly.  Distances/bearings use the first point;
+# area/centroid the first polygon's exterior ring.
+
+_WGS84_R = 6378137.0  # geo crate chamberlain_duquette uses the equatorial radius
+
+
+def _ring0(g) -> Column:
+    return F.element_at(F.element_at(_c(g).getField("polys"), 1), 1)
+
+
+def _all_points(g) -> Column:
+    return F.flatten(F.flatten(_c(g).getField("polys")))
+
+
+def geo_distance(a, b) -> Column:
+    """geo::distance — haversine over the geometries' first points."""
+    from surrealdb_spark.functions import geo_fns as _GF
+
+    return _GF.distance(as_point(a), as_point(b))
+
+
+def geo_bearing(a, b) -> Column:
+    from surrealdb_spark.functions import geo_fns as _GF
+
+    return _GF.bearing(as_point(a), as_point(b))
+
+
+def geo_is_valid(g) -> Column:
+    """geo::is::valid — every vertex within lon/lat bounds."""
+    return F.forall(_all_points(_c(g)), lambda p: (
+        (p.getField("lon") >= -180) & (p.getField("lon") <= 180)
+        & (p.getField("lat") >= -90) & (p.getField("lat") <= 90)))
+
+
+def geo_area(g) -> Column:
+    """geo::area — Chamberlain–Duquette unsigned spherical area of the
+    first polygon's exterior ring (geo crate chamberlain_duquette_area;
+    points/lines are 0)."""
+    g = _c(g)
+    ring = _close_ring(_ring0(g))
+    n = F.size(ring)
+    idx = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>"))
+    terms = F.transform(idx, lambda i: (
+        F.radians(F.element_at(ring, i + 1).getField("lon")
+                  - F.element_at(ring, i).getField("lon"))
+        * (F.lit(2.0)
+           + F.sin(F.radians(F.element_at(ring, i).getField("lat")))
+           + F.sin(F.radians(F.element_at(ring, i + 1).getField("lat"))))))
+    cd = F.abs(F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)) \
+        * F.lit(_WGS84_R * _WGS84_R / 2.0)
+    return F.when(g.getField("kind").isin("point", "multipoint", "line"),
+                  F.lit(0.0)).otherwise(cd)
+
+
+def geo_centroid(g) -> Column:
+    """geo::centroid — points return themselves; rings the vertex mean of
+    the exterior ring (closing vertex dropped)."""
+    g = _c(g)
+    ring = _ring0(g)
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    open_ring = F.when((F.size(ring) > 1) & (first == last),
+                       F.slice(ring, 1, F.size(ring) - 1)).otherwise(ring)
+    n = F.size(open_ring).cast("double")
+    lon = F.aggregate(open_ring, F.lit(0.0),
+                      lambda a, p: a + p.getField("lon")) / n
+    lat = F.aggregate(open_ring, F.lit(0.0),
+                      lambda a, p: a + p.getField("lat")) / n
+    return F.when(g.getField("kind") == "point", g) \
+        .otherwise(point(lon, lat))
+
+
+def geo_hash_encode(g, precision=12) -> Column:
+    """geo::hash::encode — default precision 12; only points encode
+    (fnc/geo.rs hash::encode matches Geometry::Point)."""
+    from surrealdb_spark.functions import geo_fns as _GF
+
+    g = _c(g)
+    return F.when(g.getField("kind") == "point",
+                  _GF.hash_encode(as_point(g), precision))
+
+
+def geo_hash_decode(h) -> Column:
+    """geo::hash::decode — geohash cell center as a point geometry."""
+    from surrealdb_spark.functions import geo_fns as _GF
+
+    d = _GF.hash_decode(h)
+    return point(d.getField("lon"), d.getField("lat"))

@@ -58,6 +58,12 @@ def _nanfix(res: Column, x) -> Column:
     return F.when(_c(x).isNotNull(), F.coalesce(res, F.lit(float("nan"))))
 
 
+def _logfix(res: Column, x) -> Column:
+    """Rust f64 log of 0 is -inf (Spark: NULL), of negatives NaN."""
+    return F.when(_c(x).cast("double") == 0.0, F.lit(float("-inf"))) \
+        .otherwise(_nanfix(res, x))
+
+
 
 # -- scalar ------------------------------------------------------------------
 
@@ -97,25 +103,30 @@ def sqrt(x) -> Column:
 
 
 def pow_(x, p) -> Column:
+    if isinstance(x, int) and isinstance(p, int) and not isinstance(
+            x, bool) and p >= 0 and abs(x) > 1 and abs(x ** p) >= 2 ** 63:
+        # Int ** Int overflow errors in the reference (number.rs try_pow)
+        raise ValueError("Cannot raise the value " + str(x) + " with " +
+                         str(p) + ": integer overflow")
     return F.pow(_c(x), _c(p))
 
 
 def ln(x) -> Column:
-    return _nanfix(F.log(_c(x)), x)
+    return _logfix(F.log(_c(x)), x)
 
 
 def log(x, base) -> Column:
     if isinstance(base, (int, float)):
-        return _nanfix(F.log(float(base), _c(x).cast("double")), x)
-    return _nanfix(F.log(_c(x)) / F.log(_c(base)), x)
+        return _logfix(F.log(float(base), _c(x).cast("double")), x)
+    return _logfix(F.log(_c(x)) / F.log(_c(base)), x)
 
 
 def log2(x) -> Column:
-    return _nanfix(F.log2(_c(x)), x)
+    return _logfix(F.log2(_c(x)), x)
 
 
 def log10(x) -> Column:
-    return _nanfix(F.log10(_c(x)), x)
+    return _logfix(F.log10(_c(x)), x)
 
 
 def exp(x) -> Column:
@@ -123,6 +134,10 @@ def exp(x) -> Column:
 
 
 def clamp(x, lo, hi) -> Column:
+    if isinstance(lo, (int, float)) and isinstance(hi, (int, float)) \
+            and lo > hi:
+        raise ValueError("Incorrect arguments for function math::clamp(): "
+                         "min must not exceed max")
     return F.least(F.greatest(_c(x), _c(lo)), _c(hi))
 
 
@@ -132,10 +147,14 @@ def lerp(a, b, t) -> Column:
 
 
 def lerpangle(a, b, t) -> Column:
-    """math::lerpangle — shortest-path angular interpolation (degrees)."""
+    """math::lerpangle — angular interpolation matching the reference's
+    repeat+flip formula (val/number.rs:531-553): dt in [0,360); when
+    dt > 180 interpolate toward from+(360-dt) (the reference keeps the
+    positive direction)."""
     a, b, t = _c(a), _c(b), _c(t)
-    diff = ((b - a) % 360 + 540) % 360 - 180
-    return a + diff * t
+    dt0 = ((b - a) % 360 + 360) % 360
+    dt = F.when(dt0 > 180, F.lit(360) - dt0).otherwise(dt0)
+    return a + dt * t
 
 
 def deg2rad(x) -> Column:
@@ -291,10 +310,16 @@ def mode(arr) -> Column:
             F.size(F.filter(a, lambda x: x == v)).alias("n"), v.alias("v")
         ),
     )
-    return F.try_element_at(F.array_sort(counts), F.lit(-1)).getField("v")
+    return F.when(F.size(a) > 0, F.try_element_at(
+        F.array_sort(counts), F.lit(-1)).getField("v")) \
+        .otherwise(F.lit(_NAN))  # mode([]) is NaN (fnc/util/math/mode.rs)
 
 
 def top(arr, k: int) -> Column:
+    if isinstance(k, (int, float)) and k <= 0:
+        raise ValueError(
+            "Incorrect arguments for function math::top(). The second "
+            "argument must be an integer greater than 0.")
     """k largest values, ascending (reference top.rs returns arbitrary heap
     order; we canonicalize ascending). k > n → the whole array."""
     a = F.array_sort(_c(arr))
@@ -304,6 +329,10 @@ def top(arr, k: int) -> Column:
 
 
 def bottom(arr, k: int) -> Column:
+    if isinstance(k, (int, float)) and k <= 0:
+        raise ValueError(
+            "Incorrect arguments for function math::bottom(). The second "
+            "argument must be an integer greater than 0.")
     """k smallest values, ascending (bottom.rs, canonicalized)."""
     a = F.array_sort(_c(arr))
     return F.slice(a, 1, F.least(F.lit(k).cast("int"), F.size(a)))

@@ -292,12 +292,26 @@ def crypto_bcrypt_generate(_s) -> Column:
 # -- rand:: (10) — nondeterministic by nature --------------------------------
 
 
-def rand_float() -> Column:
-    return F.rand()
+def rand_float(lo=None, hi=None) -> Column:
+    """rand::float([min, max]) — no args: [0,1) (fnc/rand.rs:72)."""
+    if lo is not None and hi is None:
+        raise ValueError("Incorrect arguments for function rand::float(): "
+                         "expected no arguments or a min and max")
+    if lo is None:
+        return F.rand()
+    return F.rand() * (_c(hi) - _c(lo)) + _c(lo)
 
 
-def rand_int(lo: int, hi: int) -> Column:
-    return (F.rand() * (hi - lo + 1)).cast("long") + lo
+def rand_int(lo=None, hi=None) -> Column:
+    """rand::int([min, max]) — no args: full-range i64 (fnc/rand.rs:130;
+    NoneOrRange: exactly 0 or 2 arguments)."""
+    if lo is not None and hi is None:
+        raise ValueError("Incorrect arguments for function rand::int(): "
+                         "expected no arguments or a min and max")
+    if lo is None:
+        return (F.rand() * F.lit(float(2 ** 63 - 1)) * 2
+                - F.lit(float(2 ** 63 - 1))).cast("long")
+    return (F.rand() * (_c(hi) - _c(lo) + 1)).cast("long") + _c(lo)
 
 
 def rand_bool() -> Column:
@@ -305,7 +319,7 @@ def rand_bool() -> Column:
 
 
 def rand_enum(*vals) -> Column:
-    arr = F.array(*[F.lit(v) for v in vals])
+    arr = F.array(*[_c(v) for v in vals])
     return F.element_at(arr, (F.rand() * len(vals)).cast("int") + 1)
 
 
@@ -313,17 +327,56 @@ def rand_uuid() -> Column:
     return F.uuid()
 
 
-def rand_string(length: int = 10) -> Column:
-    return F.substring(F.md5(F.rand().cast("string")), 1, length)
+_ALNUM = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+_ID_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _rand_chars(charset: str, lo, hi, name: str, limit: int,
+                default: int) -> Column:
+    """Random string of charset chars, length lo (or uniform in lo..=hi)
+    (fnc/rand.rs:85-175 — bounds validated against the LIMIT)."""
+    if lo is None:
+        lo = default
+    for b in (lo, hi):
+        if isinstance(b, (int, float)) and b > limit:
+            raise ValueError(
+                f"Incorrect arguments for function {name}(). To generate a "
+                f"string of X characters in length, the argument must be a "
+                f"positive number and no higher than {limit}.")
+    if isinstance(lo, (int, float)) and isinstance(hi, (int, float)) \
+            and lo > hi:
+        raise ValueError(
+            f"Incorrect arguments for function {name}(). Lowerbound of "
+            "number of characters must be less then the upperbound.")
+    n = _c(lo).cast("int") if hi is None else (
+        _c(lo).cast("int")
+        + (F.rand() * (_c(hi).cast("int") - _c(lo).cast("int") + 1))
+        .cast("int"))
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda _: F.substring(
+                F.lit(charset),
+                (F.rand() * len(charset)).cast("int") + 1, 1)), "")
+
+
+def rand_string(lo=None, hi=None) -> Column:
+    return _rand_chars(_ALNUM, lo, hi, "rand::string", 65536, 32)
 
 
 # -- encoding:: (4) ----------------------------------------------------------
 
 
-def base64_encode(s) -> Column:
-    """encoding::base64::encode — padless alphabet (fnc/encoding.rs uses
-    STANDARD_NO_PAD)."""
-    return F.regexp_replace(F.base64(_c(s).cast("binary")), "=+$", "")
+def base64_encode(s, padded=None) -> Column:
+    """encoding::base64::encode(bytes, [padded]) — padless by default
+    (fnc/encoding.rs STANDARD_NO_PAD; padded=true keeps '=')."""
+    enc = F.base64(_c(s).cast("binary"))
+    if padded is not None and not isinstance(padded, Column) and padded:
+        return enc
+    if isinstance(padded, Column):
+        return F.when(padded.cast("boolean"), enc).otherwise(
+            F.regexp_replace(enc, "=+$", ""))
+    return F.regexp_replace(enc, "=+$", "")
 
 
 def base64_decode(s) -> Column:

@@ -55,7 +55,7 @@ _ns(
         "some": A.some, "sort": A.sort, "sort::asc": A.sort_asc,
         "sort::desc": A.sort_desc, "sort_lexical": A.sort_lexical,
         "sort_natural": A.sort_natural,
-        "sort_natural_lexical": E.sort_natural_lexical,
+        "sort_natural_lexical": A.sort_natural_lexical,
         "swap": A.swap, "transpose": A.transpose,
         "union": A.union, "windows": A.windows,
     },
@@ -320,12 +320,18 @@ _ns(
 
 _ns("schema", {"table::exists": E.schema_table_exists})
 
+# geo:: operates on GEOM_T geometry structs (fnc/geo.rs takes Geometry
+# values); the bare {lon,lat} variants in geo_fns stay for library callers
+from surrealdb_spark.functions import geometry as GEOM  # noqa: E402
+
 _ns(
     "geo",
     {
-        "distance": G.distance, "bearing": G.bearing, "centroid": G.centroid,
-        "area": G.area, "is::valid": G.is_valid, "is_valid": G.is_valid,
-        "hash::encode": G.hash_encode, "hash::decode": G.hash_decode,
+        "distance": GEOM.geo_distance, "bearing": GEOM.geo_bearing,
+        "centroid": GEOM.geo_centroid, "area": GEOM.geo_area,
+        "is::valid": GEOM.geo_is_valid, "is_valid": GEOM.geo_is_valid,
+        "hash::encode": GEOM.geo_hash_encode,
+        "hash::decode": GEOM.geo_hash_decode,
     },
 )
 

@@ -203,7 +203,7 @@ IS_KIND_CATS: dict[str, tuple[str, ...]] = {
     "is_line": (), "is_multiline": (), "is_multipoint": (),
     "is_multipolygon": (), "is_number": ("int", "float", "decimal"),
     "is_object": ("object",), "is_point": ("object",), "is_polygon": (),
-    "is_range": ("object",), "is_record": ("string",), "is_set": ("array",),
+    "is_range": ("object",), "is_record": ("string",), "is_set": (),
     "is_string": ("string",), "is_uuid": ("string",),
 }
 
@@ -220,13 +220,54 @@ _RUNTIME_IS = {
 }
 
 
+# Spark typeof() families for type::is_* when the AST kind isn't statically
+# inferable (closure params, dynamic columns): the SQL typeof() builtin
+# resolves to the column's analyzed type, so the check folds to a constant.
+_TYPEOF_FAMILY = {
+    "is_int": ("tinyint", "smallint", "int", "bigint"),
+    "is_float": ("float", "double"),
+    "is_bool": ("boolean",),
+    "is_bytes": ("binary",),
+    "is_datetime": ("timestamp", "timestamp_ntz", "date"),
+}
+_TYPEOF_PREFIX = {
+    "is_decimal": "decimal", "is_array": "array", "is_set": "array",
+    "is_object": "struct",
+}
+
+
 def is_kind(kind: str):
-    """Registry builder for type::is_* — runtime-heuristic fallback."""
+    """Registry builder for type::is_* — typeof()-based family check with
+    string-shape heuristics for record/uuid/number-in-string refinement."""
 
     def fn(x) -> Column:
-        if kind in _RUNTIME_IS:
+        c = x if isinstance(x, Column) else F.col(x)
+        if kind == "is_set":
+            return F.lit(False)  # sets are tracked statically
+        if kind in ("is_none", "is_null", "is_uuid", "is_record"):
             return _RUNTIME_IS[kind](x)
-        return F.lit(False)
+        t = F.call_function("typeof", c)
+        if kind == "is_string":
+            res = t == "string"
+        elif kind == "is_number":
+            res = (t.isin("tinyint", "smallint", "int", "bigint",
+                          "float", "double")
+                   | t.startswith("decimal"))
+        elif kind in _TYPEOF_FAMILY:
+            fam = _TYPEOF_FAMILY[kind]
+            res = t.isin(*fam) if len(fam) > 1 else t == fam[0]
+        elif kind == "is_duration":
+            res = t.startswith("struct") & t.contains("months") \
+                & t.contains("nanos")
+        elif kind in _TYPEOF_PREFIX:
+            res = t.startswith(_TYPEOF_PREFIX[kind])
+            if kind == "is_object":
+                res = res & ~(t.contains("months") & t.contains("nanos"))
+        else:
+            return F.lit(False)
+        # NONE/NULL values match no kind
+        return F.coalesce((c.isNotNull() & res).cast("boolean"),
+                          F.lit(False))
 
     return fn
 

@@ -311,18 +311,21 @@ def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> l
     from surrealdb_spark.sql.compiler import compile_expr
     from surrealdb_spark.sql.parser import parse_expr
 
+    bodies = [re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
+              for s in stmts]
     cols = []
-    for s in stmts:
-        body = re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
+    for body in bodies:
         try:
             cols.append(compile_expr(parse_expr(body), bindings))
-        except Exception:
+        except Exception as exc:
+            global _LAST_ERR
+            _LAST_ERR = f"{type(exc).__name__}: {exc}"
             cols.append(None)
     results: list = [None] * len(stmts)
     live = [i for i, c in enumerate(cols) if c is not None]
     for i, c in enumerate(cols):
         if c is None:
-            results[i] = _ERR
+            results[i] = _py_fallback(bodies[i], bindings)
     if live:
         try:
             row = (
@@ -338,15 +341,57 @@ def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> l
         for i in live:
             try:
                 results[i] = spark.range(1).select(cols[i].alias("v")).first()["v"]
-            except Exception:
-                results[i] = _ERR
+            except Exception as exc:
+                _LAST_ERR = f"{type(exc).__name__}: {exc}"
+                results[i] = _py_fallback(bodies[i], bindings)
     return results
+
+
+def _set_tag(rhs: str, v):
+    """LET $s = {1,2} / type::set(...): tag the bound list as a SetVal so
+    method dispatch picks the set:: namespace (val/set.rs BTreeSet)."""
+    if not isinstance(v, list):
+        return v
+    from surrealdb_spark.pyeval import SetVal
+
+    if isinstance(v, SetVal):
+        return v
+    try:
+        from surrealdb_spark.sql.parser import parse_expr
+
+        ast = parse_expr(rhs)
+        while isinstance(ast, tuple) and ast[0] in ("paren", "block1"):
+            ast = ast[1]
+        if ast[0] == "setlit" or (ast[0] == "cast" and ast[1][0] == "set") \
+                or (ast[0] == "call" and ast[1] == "type::set"):
+            return SetVal(v)
+    except Exception:
+        pass
+    return v
+
+
+def _py_fallback(body: str, bindings: dict):
+    """Spark compile/analyze failed: try the driver-side variant
+    evaluator (pyeval) — heterogeneous literals, closures over mixed
+    values.  Unfoldable keeps the original _ERR."""
+    from surrealdb_spark import pyeval
+
+    try:
+        return pyeval.eval_text(body, bindings)
+    except pyeval.Unfoldable:
+        return _ERR
+    except pyeval.EvalError as exc:
+        global _LAST_ERR
+        _LAST_ERR = f"EvalError: {exc}"
+        return _ERR
+    except Exception:
+        return _ERR
 
 
 _STMT_WORDS = {
     "CREATE", "INSERT", "UPDATE", "UPSERT", "DELETE", "RELATE", "DEFINE",
     "REMOVE", "ALTER", "REBUILD", "INFO", "SELECT", "LIVE", "SHOW", "KILL",
-    "SLEEP", "USE", "BEGIN", "COMMIT", "EXPLAIN",
+    "SLEEP", "USE", "BEGIN", "COMMIT", "CANCEL", "EXPLAIN",
 }
 
 
@@ -619,7 +664,7 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         v = _eval_statements(spark, [rhs], bindings)[0]
                         if v is _ERR:
                             raise ValueError("LET binding failed")
-                        bindings[m.group(1)] = v
+                        bindings[m.group(1)] = _set_tag(rhs, v)
                 a = None
             elif word in ("FOR", "THROW") or (word == "IF" and "{" in s):
                 # control-flow statements run through the script engine
@@ -863,6 +908,27 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     bindings: dict = {}
     eval_idx, eval_stmts = [], []
     pre_resolved: dict[int, object] = {}
+    let_names = [m.group(1) for s in stmts
+                 for m in [re.match(r"LET\s+\$(\w+)", s, flags=re.I)] if m]
+    if len(let_names) != len(set(let_names)):
+        # a param is REBOUND mid-file: batch evaluation would use the
+        # final binding everywhere — evaluate strictly in order instead
+        actuals: dict[int, object] = {}
+        for i, s in enumerate(stmts):
+            m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
+            if m:
+                cv = _closure_rhs(m.group(2).strip(), bindings)
+                if cv is not None:
+                    bindings[m.group(1)] = cv
+                    actuals[i] = None
+                    continue
+                v = _eval_statements(spark, [m.group(2)], bindings)[0]
+                bindings[m.group(1)] = None if v is _ERR else _set_tag(
+                    m.group(2), v)
+                actuals[i] = _ERR if v is _ERR else None
+            else:
+                actuals[i] = _eval_statements(spark, [s], bindings)[0]
+        return _finish_expr_file(spark, stmts, expected, actuals, fr)
     for i, s in enumerate(stmts):
         m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
         if m:
@@ -873,7 +939,7 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
                 continue
             vals = _eval_statements(spark, [m.group(2)], bindings)
             if vals[0] is not _ERR:
-                bindings[m.group(1)] = vals[0]
+                bindings[m.group(1)] = _set_tag(m.group(2), vals[0])
                 pre_resolved[i] = None
             else:
                 pre_resolved[i] = _ERR
@@ -881,9 +947,14 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
             eval_idx.append(i)
             eval_stmts.append(s)
     got = _eval_statements(spark, eval_stmts, bindings)
-    actuals: dict[int, object] = dict(pre_resolved)
+    actuals = dict(pre_resolved)
     for i, v in zip(eval_idx, got):
         actuals[i] = v
+    return _finish_expr_file(spark, stmts, expected, actuals, fr)
+
+
+def _finish_expr_file(spark, stmts, expected, actuals: dict,
+                      fr: "FileResult") -> "FileResult":
     # expected values evaluate through the same compiler (batched too)
     exp_literals = [e[1] for e in expected if e[0] == "value"]
     exp_vals = _eval_statements(spark, exp_literals, {})

@@ -1,0 +1,1128 @@
+"""Driver-side scalar evaluator for variant (mixed-type) expressions.
+
+Spark columns are statically typed, so literal-only expressions over
+heterogeneous values — `array::slice([1, 2, "text"], 1)`, objects holding
+closures, CBOR round-trips — cannot always be expressed as one typed
+Column.  The reference evaluates such scalar statements on a single Value
+tree (core/src/expr/expression.rs); this module is the equivalent: a small
+interpreter over the same parser AST, used ONLY as the fallback when the
+Spark compile/analyze path fails.  Table-scale evaluation always stays on
+DataFrames — nothing here touches a DataFrame.
+
+Value model mirrors golden._norm's normalized shapes so both evaluation
+paths compare identically: dict objects, list arrays, SetVal (a list
+subclass) for sets, {'months','nanos'} dicts for durations, datetime,
+bytes, Decimal / int / float numbers, strings for record ids.
+
+Cross-type total order: types/src/value/mod.rs:126-210 (tag order
+None < Bool < Number < String < Duration < Datetime < Uuid < Array < Set
+< Object < Bytes < RecordId ...).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math as _math
+import re as _re
+from decimal import Decimal
+
+from surrealdb_spark.sql.parser import parse_expr
+
+
+class Unfoldable(Exception):
+    """Raised when an AST node / function has no driver-side evaluation."""
+
+
+class EvalError(Exception):
+    """A genuine SurrealQL runtime error (type check, range, ...)."""
+
+
+class SetVal(list):
+    """A set value: sorted, deduplicated list with its own type tag."""
+
+
+class RegexVal:
+    __slots__ = ("pattern",)
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+
+    def __eq__(self, other):
+        return isinstance(other, RegexVal) and self.pattern == other.pattern
+
+    def __repr__(self):
+        return f"/{self.pattern}/"
+
+
+class PyClosure:
+    __slots__ = ("names", "body", "env")
+
+    def __init__(self, names, body, env):
+        self.names, self.body, self.env = list(names), body, dict(env)
+
+    def __call__(self, *args):
+        env = dict(self.env)
+        for i, n in enumerate(self.names):
+            env[n] = args[i] if i < len(args) else None
+        return peval(self.body, env)
+
+
+def is_duration(v) -> bool:
+    return isinstance(v, dict) and set(v) == {"months", "nanos"}
+
+
+_TAGS = [
+    (type(None), 0), (bool, 2), ((int, float, Decimal), 3), (str, 4),
+    (_dt.datetime, 6), (SetVal, 9), (list, 8), (dict, 10),
+    ((bytes, bytearray), 12),
+]
+
+
+def _tag(v) -> int:
+    if is_duration(v):
+        return 5
+    if isinstance(v, RegexVal):
+        return 17
+    for ty, t in _TAGS:
+        if isinstance(v, ty):
+            return t
+    raise Unfoldable(f"untaggable {type(v)}")
+
+
+def order_key(v):
+    """Total-order sort key matching the reference's cross-type Ord."""
+    t = _tag(v)
+    if t == 3:
+        return (t, float(v))
+    if t == 5:
+        return (t, v["months"] * 2630016 * 10**9 + v["nanos"])
+    if t in (8, 9):
+        return (t, [order_key(x) for x in v])
+    if t == 10:
+        return (t, sorted((k, order_key(x)) for k, x in v.items()))
+    if t == 0:
+        return (t, 0)
+    if t == 17:
+        return (t, v.pattern)
+    return (t, v)
+
+
+def _cmp(a, b) -> int:
+    ka, kb = order_key(a), order_key(b)
+    try:
+        return -1 if ka < kb else (1 if ka > kb else 0)
+    except TypeError:
+        sa, sb = repr(ka), repr(kb)
+        return -1 if sa < sb else (1 if sa > sb else 0)
+
+
+def truthy(v) -> bool:
+    """Value::is_truthy (val/mod.rs:141-157): bool itself; non-zero
+    numbers/durations; non-empty strings/bytes/collections; datetimes,
+    uuids, record ids, geometries true; everything else (regex, ranges,
+    closures, NONE/NULL) false."""
+    if v is None or v is False:
+        return False
+    if v is True:
+        return True
+    if isinstance(v, (int, float, Decimal)):
+        return v != 0
+    if isinstance(v, str):
+        return len(v) > 0
+    if is_duration(v):
+        return v["months"] > 0 or v["nanos"] > 0
+    if isinstance(v, (RegexVal, PyClosure)):
+        return False
+    if _is_range(v):
+        return False
+    if isinstance(v, (list, dict, bytes, bytearray)):
+        return len(v) > 0
+    return True  # datetimes, uuids, record ids, geometries
+
+
+def _num(v, ctx="operation"):
+    if isinstance(v, bool) or not isinstance(v, (int, float, Decimal)):
+        raise EvalError(f"non-numeric operand in {ctx}: {v!r}")
+    return v
+
+
+def _arith(op: str, a, b):
+    """Number arithmetic with the reference's promotion (val/number.rs):
+    Decimal wins, then Float, else Int; `+` also concatenates strings and
+    arrays like the reference's Value::add."""
+    if op == "+":
+        if isinstance(a, str) and isinstance(b, str):
+            return a + b
+        if isinstance(a, list) and isinstance(b, list):
+            return list(a) + list(b)
+        if is_duration(a) and is_duration(b):
+            return {"months": a["months"] + b["months"],
+                    "nanos": a["nanos"] + b["nanos"]}
+    if op == "-" and is_duration(a) and is_duration(b):
+        return {"months": a["months"] - b["months"],
+                "nanos": a["nanos"] - b["nanos"]}
+    a, b = _num(a, op), _num(b, op)
+    dec = isinstance(a, Decimal) or isinstance(b, Decimal)
+    if dec:
+        a, b = Decimal(str(a)), Decimal(str(b))
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "%":
+        if b == 0:
+            raise EvalError("remainder by zero")
+        return _math.fmod(a, b) if isinstance(a, float) or isinstance(
+            b, float) else a - (int(a / b) if (a < 0) != (b < 0) else a // b) * b
+    if op == "/":
+        # try_float_div (number.rs:908-920): Int/Int yields Float when
+        # fractional, Int otherwise; division by int zero errors
+        if isinstance(a, int) and isinstance(b, int) and not dec:
+            if b == 0:
+                raise EvalError("division by zero")
+            q = a / b
+            return q if q != int(q) else a // b if (a < 0) == (b < 0) \
+                else -((-a) // b) if a % b == 0 else q
+        if dec:
+            if b == 0:
+                raise EvalError("division by zero")
+            return a / b
+        try:
+            return a / b
+        except ZeroDivisionError:
+            return _math.nan if a == 0 else _math.copysign(_math.inf, a)
+    if op == "**":
+        return a ** b
+    raise Unfoldable(op)
+
+
+def _contains(a, b) -> bool:
+    if isinstance(a, (list, SetVal)):
+        return any(_cmp(x, b) == 0 for x in a)
+    if isinstance(a, str) and isinstance(b, str):
+        return b in a
+    if isinstance(a, dict):
+        return isinstance(b, str) and b in a
+    return False
+
+
+def _eq(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b
+    if isinstance(a, RegexVal) and isinstance(b, str):
+        return _re.search(a.pattern, b) is not None
+    if isinstance(b, RegexVal) and isinstance(a, str):
+        return _re.fullmatch(b.pattern, a) is not None
+    if isinstance(a, (int, float, Decimal)) and isinstance(
+            b, (int, float, Decimal)):
+        return float(a) == float(b)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return set(a) == set(b) and all(_eq(a[k], b[k]) for k in a)
+    return a == b
+
+
+def _binop(op: str, a, b):
+    if op in ("=", "=="):
+        return _eq(a, b)
+    if op == "!=":
+        return not _eq(a, b)
+    if op in ("<", "<=", ">", ">="):
+        c = _cmp(a, b)
+        return {"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[op]
+    if op in ("+", "-", "*", "/", "%", "**"):
+        return _arith(op, a, b)
+    if op in ("AND", "&&"):
+        return b if truthy(a) else a
+    if op in ("OR", "||"):
+        return a if truthy(a) else b
+    if op == "??":
+        return a if a is not None else b
+    if op == "?:":
+        return a if truthy(a) else b
+    if op in ("IN", "INSIDE"):
+        return _contains(b, a)
+    if op == "NOTINSIDE":
+        return not _contains(b, a)
+    if op == "CONTAINS":
+        return _contains(a, b)
+    if op == "CONTAINSNOT":
+        return not _contains(a, b)
+    if op == "CONTAINSALL":
+        return all(_contains(a, x) for x in b)
+    if op == "CONTAINSANY":
+        return any(_contains(a, x) for x in b)
+    if op == "CONTAINSNONE":
+        return not any(_contains(a, x) for x in b)
+    if op == "ALLINSIDE":
+        return all(_contains(b, x) for x in a)
+    if op == "ANYINSIDE":
+        return any(_contains(b, x) for x in a)
+    if op == "NONEINSIDE":
+        return not any(_contains(b, x) for x in a)
+    if op == "*=":
+        return isinstance(a, list) and all(_eq(x, b) for x in a)
+    if op == "?=":
+        return isinstance(a, list) and any(_eq(x, b) for x in a)
+    if op in ("..", "..=", ">..", ">..="):
+        return {"lo": a, "hi": b, "inc_lo": not op.startswith(">"),
+                "inc_hi": op.endswith("=")}
+    raise Unfoldable(f"binop {op}")
+
+
+def _is_range(v) -> bool:
+    return isinstance(v, dict) and set(v) == {"lo", "hi", "inc_lo", "inc_hi"}
+
+
+def _range_list(v) -> list:
+    if not (_is_range(v) and isinstance(v.get("lo"), int)
+            and isinstance(v.get("hi"), int)):
+        raise EvalError("range bounds must be integers")
+    lo = v["lo"] + (0 if v["inc_lo"] else 1)
+    hi = v["hi"] + (1 if v["inc_hi"] else 0)
+    if hi - lo > 1_048_576:
+        raise EvalError("range output too large")
+    return list(range(lo, hi))
+
+
+def _index(base, i):
+    if isinstance(base, (list, SetVal)):
+        if not isinstance(i, int):
+            raise EvalError(f"non-integer index {i!r}")
+        if -len(base) <= i < len(base):
+            return base[i]
+        return None
+    if isinstance(base, dict):
+        return base.get(i)
+    if isinstance(base, str):
+        return base[i] if -len(base) <= i < len(base) else None
+    return None
+
+
+def _walk_path(base, parts, env):
+    for p in parts:
+        kind = p[0]
+        if base is None:
+            return None
+        if kind == "field":
+            if isinstance(base, list):
+                base = [_index(x, p[1]) for x in base]
+            elif isinstance(base, dict):
+                base = base.get(p[1])
+            else:
+                return None
+        elif kind == "index":
+            idx = p[1] if isinstance(p[1], int) else peval(p[1], env)
+            base = _index(base, idx)
+        elif kind == "iexpr":
+            base = _index(base, peval(p[1], env))
+        elif kind == "all":
+            if not isinstance(base, list):
+                base = [base]
+        elif kind == "flatten":
+            if isinstance(base, list):
+                out = []
+                for x in base:
+                    out.extend(x if isinstance(x, list) else [x])
+                base = out
+        elif kind == "first":
+            base = base[0] if isinstance(base, list) and base else None
+        elif kind == "last":
+            base = base[-1] if isinstance(base, list) and base else None
+        elif kind == "where":
+            if isinstance(base, list):
+                base = [x for x in base
+                        if truthy(peval(p[1], {**env, "this": x}))]
+        elif kind == "optional":
+            if base is None:
+                return None
+        elif kind == "slice":
+            lo = peval(p[1], env) if p[1] is not None else None
+            hi = peval(p[2], env) if p[2] is not None else None
+            if isinstance(base, (list, str)):
+                base = base[lo:hi]
+        elif kind == "destructure":
+            if isinstance(base, dict):
+                base = {k: _walk_path(base, sub, env) if sub else base.get(k)
+                        for k, sub in p[1]}
+            else:
+                raise Unfoldable("destructure on non-object")
+        elif kind == "method":
+            base = _call_method(p[1], base, p[2], env)
+        else:
+            raise Unfoldable(f"path part {kind}")
+    return base
+
+
+def peval(ast, env: dict | None = None):
+    """Evaluate a parser AST to a Python value; Unfoldable when the node
+    needs the Spark engine (table access, aggregates, ...)."""
+    env = env or {}
+    if not isinstance(ast, tuple):
+        raise Unfoldable(f"node {ast!r}")
+    kind = ast[0]
+    if kind == "lit":
+        return ast[1]
+    if kind == "nulllit":
+        return None
+    if kind == "dur":
+        n = ast[1]
+        if isinstance(n, tuple):
+            return {"months": n[0], "nanos": n[1]}
+        return {"months": 0, "nanos": n}
+    if kind == "ulit":
+        return ast[1]
+    if kind == "regex":
+        return RegexVal(ast[1])
+    if kind == "array":
+        return [peval(x, env) for x in ast[1]]
+    if kind == "setlit":
+        return _mkset([peval(x, env) for x in ast[1]])
+    if kind == "object":
+        return {k: peval(v, env) for k, v in ast[1]}
+    if kind == "param":
+        name = ast[1]
+        if name in env:
+            return env[name]
+        if name in ("this", "parent", "input", "value", "before", "after"):
+            raise Unfoldable(f"contextual param ${name}")
+        raise EvalError(f"unbound parameter ${name}")
+    if kind == "bin":
+        op = ast[1]
+        if op in ("AND", "&&"):
+            a = peval(ast[2], env)
+            return peval(ast[3], env) if truthy(a) else a
+        if op in ("OR", "||"):
+            a = peval(ast[2], env)
+            return a if truthy(a) else peval(ast[3], env)
+        if op == "??":
+            a = peval(ast[2], env)
+            return a if a is not None else peval(ast[3], env)
+        return _binop(op, peval(ast[2], env), peval(ast[3], env))
+    if kind == "un":
+        v = peval(ast[2], env)
+        if ast[1] == "!":
+            return not truthy(v)
+        if ast[1] == "-":
+            return -_num(v, "negation")
+        return v
+    if kind in ("paren", "block1"):
+        return peval(ast[1], env)
+    if kind == "path":
+        return _walk_path(peval(ast[1], env), ast[2], env)
+    if kind == "closure":
+        return PyClosure(ast[1], ast[2], env)
+    if kind == "pcall":
+        f = env.get(ast[1])
+        args = [peval(a, env) for a in ast[2]]
+        if isinstance(f, PyClosure):
+            return f(*args)
+        if hasattr(f, "body"):  # engine ClosureValue — honor declared kinds
+            from surrealdb_spark.sql.compiler import _kind_accepts
+
+            for i, pname in enumerate(f.names):
+                k = f.kinds[i] if i < len(f.kinds) else None
+                if k is not None and _kind_accepts(
+                        k, typeof(args[i] if i < len(args) else None)
+                ) is False:
+                    raise EvalError(
+                        "Incorrect arguments for function ANONYMOUS(): "
+                        f"argument ${pname} expects {k!r}")
+            out = PyClosure(f.names, f.body, {**env, **f.captured})(*args)
+            if f.ret is not None and _kind_accepts(
+                    f.ret, typeof(out)) is False:
+                raise EvalError(
+                    "Couldn't coerce return value from function ANONYMOUS")
+            return out
+        raise EvalError(f"${ast[1]} is not a function")
+    if kind == "ccall":
+        f = peval(ast[1], env)
+        if not isinstance(f, PyClosure):
+            raise EvalError("call target is not a closure")
+        return f(*[peval(a, env) for a in ast[2]])
+    if kind == "method":
+        return _call_method(ast[1], peval(ast[2], env), ast[3], env)
+    if kind == "call":
+        return _call(ast[1], ast[2], env)
+    if kind == "cast":
+        return _cast(ast[1], peval(ast[2], env))
+    if kind == "mockv":
+        from surrealdb_spark.sql.compiler import _mock_ids
+
+        if ast[2][0] == "count":
+            raise Unfoldable("count-form mock")
+        try:
+            return [f"{ast[1]}:{k}" for k in _mock_ids(ast[2])]
+        except ValueError as exc:
+            raise EvalError(str(exc))
+    if kind == "geom_point":
+        return {"type": "Point",
+                "coordinates": [peval(ast[1], env), peval(ast[2], env)]}
+    if kind == "ident":
+        return None  # scalar context: bare idents are NONE (no row)
+    if kind == "ifexpr":
+        for cond, then in ast[1]:
+            if truthy(peval(cond, env)):
+                return peval(then, env)
+        return peval(ast[2], env) if ast[2] is not None else None
+    raise Unfoldable(f"node kind {kind}")
+
+
+def _mkset(items: list) -> SetVal:
+    out: list = []
+    for x in items:
+        if not any(_cmp(x, y) == 0 for y in out):
+            out.append(x)
+    return SetVal(sorted(out, key=order_key))
+
+
+def _cast(kind_ast, v):
+    k = kind_ast[0]
+    if k == "array":
+        if _is_range(v):
+            return _range_list(v)
+        if isinstance(v, list):
+            return list(v)
+        return [v]
+    if k == "set":
+        return _mkset(v if isinstance(v, list) else [v])
+    if k == "string":
+        return render(v)
+    if k == "int":
+        return int(v)
+    if k == "float":
+        return float(v)
+    if k == "decimal":
+        return Decimal(str(v))
+    if k == "bool":
+        return truthy(v)
+    raise Unfoldable(f"cast <{k}>")
+
+
+def _call_method(name: str, recv, arg_asts, env):
+    args = [peval(a, env) if not (isinstance(a, tuple) and a[0] == "closure")
+            else PyClosure(a[1], a[2], env) for a in arg_asts]
+    if isinstance(recv, dict) and name in recv and isinstance(
+            recv[name], PyClosure):
+        return recv[name](*args)
+    if name == "type_of":
+        return typeof(recv)
+    if isinstance(recv, SetVal):
+        for ns in ("set", "array"):
+            f = PY_FNS.get(f"{ns}::{name}")
+            if f:
+                return f(recv, *args)
+    if isinstance(recv, list):
+        f = PY_FNS.get(f"array::{name}")
+        if f:
+            return f(recv, *args)
+    if isinstance(recv, dict):
+        f = PY_FNS.get(f"object::{name}")
+        if f:
+            return f(recv, *args)
+    if isinstance(recv, str):
+        f = PY_FNS.get(f"string::{name}")
+        if f:
+            return f(recv, *args)
+    f = PY_FNS.get(f"type::{name}")
+    if f:
+        return f(recv, *args)
+    raise Unfoldable(f"method {name} on {type(recv).__name__}")
+
+
+def _call(name: str, arg_asts, env):
+    fn = PY_FNS.get(name)
+    wrap_set = False
+    if fn is None and name.startswith("set::"):
+        # set:: shares the array:: algebra with sorted-set output
+        # (fnc/set.rs delegates to the same impls)
+        fn = PY_FNS.get("array::" + name[5:])
+        wrap_set = True
+    if fn is None:
+        raise Unfoldable(f"function {name}")
+    args = [peval(a, env) if not (isinstance(a, tuple) and a[0] == "closure")
+            else PyClosure(a[1], a[2], env) for a in arg_asts]
+    out = fn(*args)
+    if wrap_set and isinstance(out, list) and not isinstance(out, SetVal):
+        return _mkset(out)
+    return out
+
+
+def render(v) -> str:
+    """<string> cast / join stringification (Value Display)."""
+    if v is None:
+        return "NONE"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (int, Decimal)):
+        return str(v)
+    if isinstance(v, float):
+        return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+    if is_duration(v):
+        return _render_duration(v)
+    if isinstance(v, SetVal):
+        return "{" + ", ".join(_render_inner(x) for x in v) + "}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_render_inner(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{ " + ", ".join(f"{k}: {_render_inner(x)}"
+                                for k, x in v.items()) + " }"
+    return str(v)
+
+
+def _render_inner(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "\\'") + "'"
+    return render(v)
+
+
+def typeof(v) -> str:
+    if v is None:
+        return "none"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, SetVal):
+        return "set"
+    if isinstance(v, list):
+        return "array"
+    if is_duration(v):
+        return "duration"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, _dt.datetime):
+        return "datetime"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, RegexVal):
+        return "regex"
+    return "object"
+
+
+# -- function registry --------------------------------------------------------
+
+
+def _arr(v, fname):
+    if isinstance(v, list):
+        return v
+    raise EvalError(f"Incorrect arguments for function {fname}(): "
+                    f"expected an array, got {typeof(v)}")
+
+
+def _f_slice(a, start=None, end=None):
+    """fnc/array.rs:742-830 — inclusive/exclusive bound resolution with
+    negative offsets counting from the tail."""
+    a = _arr(a, "array::slice")
+    n = len(a)
+    if start is None:
+        return list(a)
+    inc_start, e_bound, inc_end = True, end, end is not None
+    if _is_range(start):
+        inc_start = start["inc_lo"]
+        e_bound = start["hi"]
+        inc_end = start["inc_hi"]
+        has_end = e_bound is not None
+        start = start["lo"] or 0
+    else:
+        has_end = end is not None
+        inc_end = False  # explicit (start, end) args: end exclusive
+    start = int(start)
+    if inc_start:
+        s = max(n + start, 0) if start < 0 else start
+    else:
+        s = max(n + start + 1, 0) if start < 0 else start + 1
+    if s >= n:
+        return []
+    if not has_end:
+        return a[s:]
+    e = int(e_bound)
+    if inc_end:
+        ei = (max(n + e, 0)) if e < 0 else e  # inclusive end index
+    else:
+        if e < 0:
+            ei = n + e - 1
+            if ei < s:
+                return []
+        else:
+            if e <= s:
+                return []
+            ei = e - 1
+    if ei < s:
+        return []
+    return a[s:min(ei + 1, n)]
+
+
+def _f_reduce(a, f):
+    a = _arr(a, "array::reduce")
+    if not a:
+        return None
+    acc = a[0]
+    for i, x in enumerate(a[1:]):
+        acc = f(acc, x, i)
+    return acc
+
+
+def _f_fold(a, init, f):
+    acc = init
+    for i, x in enumerate(_arr(a, "array::fold")):
+        acc = f(acc, x, i)
+    return acc
+
+
+def _f_transpose(a):
+    a = _arr(a, "array::transpose")
+    if not a:
+        return []
+    height = max(len(x) if isinstance(x, list) else 1 for x in a)
+    out = [[None] * len(a) for _ in range(height)]
+    for idx, row in enumerate(a):
+        if isinstance(row, list):
+            for jdx, x in enumerate(row):
+                out[jdx][idx] = x
+        else:
+            out[0][idx] = row
+    return out
+
+
+def _f_join(a, sep):
+    return str(sep).join(render(x) for x in _arr(a, "array::join"))
+
+
+_NS_UNITS = [("y", 31_536_000 * 10**9), ("w", 604_800 * 10**9),
+             ("d", 86_400 * 10**9), ("h", 3_600 * 10**9),
+             ("m", 60 * 10**9), ("s", 10**9), ("ms", 10**6),
+             ("µs", 10**3), ("ns", 1)]
+
+
+def _render_duration(d: dict) -> str:
+    """Duration Display (types duration fmt): greedy unit decomposition."""
+    n = d["nanos"] + d["months"] * 2_630_016 * 10**9
+    if n == 0:
+        return "0ns"
+    out = []
+    for u, size in _NS_UNITS:
+        if n >= size:
+            out.append(f"{n // size}{u}")
+            n %= size
+    return "".join(out)
+
+
+def _f_entries(o):
+    if not isinstance(o, dict):
+        raise EvalError("object::entries expects an object")
+    return [[k, v] for k, v in o.items()]
+
+
+def _closure_pred(f):
+    def p(*args):
+        return truthy(f(*args))
+    return p
+
+
+PY_FNS = {
+    "array::len": lambda a: len(_arr(a, "array::len")),
+    "array::at": lambda a, i: _index(_arr(a, "array::at"), int(i)),
+    "array::first": lambda a: a[0] if a else None,
+    "array::last": lambda a: a[-1] if a else None,
+    "array::is_empty": lambda a: len(_arr(a, "array::is_empty")) == 0,
+    "array::reverse": lambda a: list(reversed(_arr(a, "array::reverse"))),
+    "array::slice": _f_slice,
+    "array::concat": lambda *arrs: sum((list(_arr(a, "array::concat"))
+                                        for a in arrs), []),
+    "array::append": lambda a, v: list(a) + [v],
+    "array::push": lambda a, v: list(a) + [v],
+    "array::prepend": lambda a, v: [v] + list(a),
+    "array::pop": lambda a: a[-1] if a else None,
+    "array::add": lambda a, v: _f_add(a, v),
+    "array::remove": lambda a, i: [x for j, x in enumerate(a)
+                                   if j != (i if i >= 0 else len(a) + i)],
+    "array::distinct": lambda a: _dedup(_arr(a, "array::distinct")),
+    "array::group": lambda a: _dedup(
+        [y for x in a for y in (x if isinstance(x, list) else [x])]),
+    "array::flatten": lambda a: [y for x in _arr(a, "array::flatten")
+                                 for y in (x if isinstance(x, list) else [x])],
+    "array::join": _f_join,
+    "array::reduce": _f_reduce,
+    "array::fold": _f_fold,
+    "array::map": lambda a, f: [f(x, i) for i, x in enumerate(a)],
+    "array::filter": lambda a, f: [x for i, x in enumerate(a)
+                                   if truthy(f(x, i))],
+    "array::filter_index": lambda a, f: [i for i, x in enumerate(a)
+                                         if truthy(f(x, i) if isinstance(
+                                             f, PyClosure) else _eq(x, f))],
+    "array::find": lambda a, f: next(
+        (x for i, x in enumerate(a) if truthy(f(x, i))), None),
+    "array::find_index": lambda a, f: next(
+        (i for i, x in enumerate(a)
+         if truthy(f(x, i) if isinstance(f, PyClosure) else _eq(x, f))),
+        None),
+    "array::index_of": lambda a, v: next(
+        (i for i, x in enumerate(a) if _eq(x, v)), None),
+    "array::includes": lambda a, v: _contains(_arr(a, "array::includes"), v),
+    "array::contains": lambda a, v: _contains(_arr(a, "array::contains"), v),
+    "array::all": lambda a, f=None: all(
+        truthy(f(x, i)) if f else truthy(x)
+        for i, x in enumerate(_arr(a, "array::all"))),
+    "array::any": lambda a, f=None: any(
+        truthy(f(x, i)) if f else truthy(x)
+        for i, x in enumerate(_arr(a, "array::any"))),
+    "array::every": lambda a, f: all(truthy(f(x, i))
+                                     for i, x in enumerate(a)),
+    "array::some": lambda a, f: any(truthy(f(x, i))
+                                    for i, x in enumerate(a)),
+    "array::transpose": _f_transpose,
+    "array::max": lambda a: max(a, key=order_key) if a else None,
+    "array::min": lambda a: min(a, key=order_key) if a else None,
+    "array::sort": lambda a, d=True: _sorted(a, d),
+    "array::sort::asc": lambda a: _sorted(a, True),
+    "array::sort::desc": lambda a: _sorted(a, False),
+    "array::boolean_and": lambda a, b: _boolzip(a, b, lambda x, y: x and y),
+    "array::boolean_or": lambda a, b: _boolzip(a, b, lambda x, y: x or y),
+    "array::boolean_xor": lambda a, b: _boolzip(a, b, lambda x, y: x != y),
+    "array::boolean_not": lambda a: [not truthy(x)
+                                     for x in _arr(a, "array::boolean_not")],
+    "array::logical_and": lambda a, b: _logical(a, b, "and"),
+    "array::logical_or": lambda a, b: _logical(a, b, "or"),
+    "array::logical_xor": lambda a, b: _logical(a, b, "xor"),
+    "array::union": lambda a, b: _dedup(list(a) + list(b)),
+    "array::intersect": lambda a, b: [x for x in _dedup(a)
+                                      if any(_cmp(x, y) == 0 for y in b)],
+    "array::difference": lambda a, b: (
+        [x for x in _dedup(a) if not any(_cmp(x, y) == 0 for y in b)]
+        + [y for y in _dedup(b) if not any(_cmp(y, x) == 0 for x in a)]),
+    "array::complement": lambda a, b: [
+        x for x in a if not any(_cmp(x, y) == 0 for y in b)],
+    "array::combine": lambda a, b: [[x, y] for x in a for y in b],
+    "array::matches": lambda a, v: [_eq(x, v) for x in a],
+    "array::repeat": lambda v, n: _f_repeat(v, n),
+    "array::windows": lambda a, n: _f_windows(a, n),
+    "object::entries": _f_entries,
+    "object::remove": lambda o, k: {
+        kk: v for kk, v in o.items()
+        if kk != k and not (isinstance(k, list) and kk in k)},
+    "object::keys": lambda o: list(o.keys()),
+    "object::values": lambda o: list(o.values()),
+    "object::len": lambda o: len(o),
+    "object::is_empty": lambda o: len(o) == 0,
+    "object::from_entries": lambda e: {p[0]: p[1] for p in e},
+    "object::extend": lambda a, b: {**a, **b},
+    "set::add": lambda s, v: _mkset(list(s) + (v if isinstance(v, list)
+                                               else [v])),
+    "set::remove": lambda s, v: _mkset(
+        [x for x in s
+         if not any(_cmp(x, y) == 0
+                    for y in (v if isinstance(v, list) else [v]))]),
+    "set::contains": lambda s, v: _contains(_arr(s, "set::contains"), v),
+    "set::len": lambda s: len(_arr(s, "set::len")),
+    "set::is_empty": lambda s: len(_arr(s, "set::is_empty")) == 0,
+    "type::of": typeof,
+    "typeof": typeof,
+    "type::string": render,
+    "type::int": lambda v: int(v),
+    "type::float": lambda v: float(v),
+    "type::decimal": lambda v: Decimal(str(v)),
+    "type::bool": lambda v: truthy(v),
+    "type::array": lambda v: _range_list(v) if _is_range(v)
+    else (list(v) if isinstance(v, list) else [v]),
+    "type::set": lambda v: _mkset(_arr(v, "type::set")),
+    "type::is_array": lambda v: isinstance(v, list)
+    and not isinstance(v, SetVal),
+    "type::is_set": lambda v: isinstance(v, SetVal),
+    "type::is_bool": lambda v: isinstance(v, bool),
+    "type::is_bytes": lambda v: isinstance(v, (bytes, bytearray)),
+    "type::is_datetime": lambda v: isinstance(v, _dt.datetime),
+    "type::is_decimal": lambda v: isinstance(v, Decimal),
+    "type::is_duration": is_duration,
+    "type::is_float": lambda v: isinstance(v, float),
+    "type::is_int": lambda v: isinstance(v, int)
+    and not isinstance(v, bool),
+    "type::is_none": lambda v: v is None,
+    "type::is_null": lambda v: v is None,
+    "type::is_number": lambda v: isinstance(v, (int, float, Decimal))
+    and not isinstance(v, bool),
+    "type::is_object": lambda v: isinstance(v, dict) and not is_duration(v),
+    "type::is_string": lambda v: isinstance(v, str),
+    "count": lambda v=True: (sum(1 for x in v if truthy(x))
+                             if isinstance(v, list) else int(truthy(v))),
+    "string::len": lambda s: len(s),
+    "string::lowercase": lambda s: s.lower(),
+    "string::uppercase": lambda s: s.upper(),
+    "string::reverse": lambda s: s[::-1],
+    "string::trim": lambda s: s.strip(),
+    "string::split": lambda s, sep: (list(s) if sep == ""
+                                     else s.split(sep)),
+    "string::concat": lambda *xs: "".join(render(x) for x in xs),
+    "string::contains": lambda s, sub: sub in s,
+    "string::matches": lambda s, p: _re.search(
+        p.pattern if isinstance(p, RegexVal) else p, s) is not None,
+}
+
+
+def _boolzip(a, b, f):
+    a, b = _arr(a, "array::boolean_op"), _arr(b, "array::boolean_op")
+    n = max(len(a), len(b))
+    return [f(truthy(a[i]) if i < len(a) else False,
+              truthy(b[i]) if i < len(b) else False) for i in range(n)]
+
+
+def _logical(a, b, op: str):
+    """fnc/array.rs logical_and/or/xor — keeps the deciding VALUE, the
+    longer side's tail Null-ing truthy (and) / falsy (or) leftovers."""
+    a, b = list(_arr(a, "al")), list(_arr(b, "al"))
+    swapped = len(a) < len(b)
+    lh, rh = (b, a) if swapped else (a, b)
+    out = list(lh)
+    for i in range(len(rh)):
+        x, y = (rh[i], lh[i]) if swapped else (lh[i], rh[i])
+        tx, ty = truthy(x), truthy(y)
+        if op == "and":
+            out[i] = y if tx else x
+        elif op == "or":
+            out[i] = x if tx else y
+        else:
+            v = tx != ty
+            out[i] = x if tx == v else (y if ty == v else v)
+    for i in range(len(rh), len(lh)):
+        t = truthy(out[i])
+        if op == "and" and t:
+            out[i] = None
+        elif op == "or" and not t:
+            out[i] = None
+        elif op == "xor" and swapped and not t:
+            out[i] = None
+    return out
+
+
+def _f_repeat(v, n):
+    if not isinstance(n, int) or n < 0:
+        raise EvalError("Incorrect arguments for function array::repeat(): "
+                        "count must be a non-negative integer")
+    if n > 1_048_576:
+        raise EvalError("array::repeat output too large")
+    return [v] * n
+
+
+def _f_windows(a, n):
+    a = _arr(a, "array::windows")
+    if not isinstance(n, int) or n < 1:
+        raise EvalError("Incorrect arguments for function array::windows():"
+                        " window size must be a positive integer")
+    return [a[i:i + n] for i in range(len(a) - n + 1)]
+
+
+def _f_add(a, v):
+    a = _arr(a, "array::add")
+    out = list(a)
+    for x in (v if isinstance(v, list) else [v]):
+        if not any(_cmp(x, y) == 0 for y in out):
+            out.append(x)
+    return out
+
+
+_U64 = 2 ** 64
+
+
+def _as_i64(n: int) -> int:
+    """`as i64` wrap of an unsigned/unbounded int (Rust cast semantics)."""
+    return ((n % _U64) + 2 ** 63) % _U64 - 2 ** 63
+
+
+def _dur_total_ns(d) -> int:
+    if not is_duration(d):
+        raise EvalError("expected a duration")
+    return d["nanos"] + d["months"] * 2_630_016 * 10 ** 9
+
+
+def _dur_from_unit(n, mul_secs: int | None, mul_ns: int = 1):
+    """duration::from_* — std::time::Duration construction: the count is
+    `as u64` (negatives wrap); second-multiplied units error on u64
+    overflow (fnc/duration.rs checked_mul)."""
+    if isinstance(n, float):
+        n = int(n)
+    if not isinstance(n, int) or isinstance(n, bool):
+        raise EvalError("duration::from_* expects a number")
+    u = n % _U64
+    if mul_secs is not None:
+        if u * mul_secs >= _U64:
+            raise EvalError("Incorrect arguments for function "
+                            "duration::from_*(): unit overflow")
+        return {"months": 0, "nanos": u * mul_secs * 10 ** 9}
+    return {"months": 0, "nanos": u * mul_ns}
+
+
+def _dur_accessor(div_ns: int, wrap: bool):
+    def f(d):
+        total = _dur_total_ns(d) // div_ns
+        return _as_i64(total) if wrap else _as_i64(total % _U64)
+    return f
+
+
+PY_FNS_DURATION = {
+    # second-based accessors truncate then `as i64`-wrap
+    # (fnc/duration.rs: d.secs() as i64 etc.)
+    "duration::nanos": _dur_accessor(1, True),
+    "duration::micros": _dur_accessor(10 ** 3, True),
+    "duration::millis": _dur_accessor(10 ** 6, True),
+    "duration::secs": _dur_accessor(10 ** 9, True),
+    "duration::mins": _dur_accessor(60 * 10 ** 9, True),
+    "duration::hours": _dur_accessor(3_600 * 10 ** 9, True),
+    "duration::days": _dur_accessor(86_400 * 10 ** 9, True),
+    "duration::weeks": _dur_accessor(604_800 * 10 ** 9, True),
+    "duration::years": _dur_accessor(365 * 86_400 * 10 ** 9, True),
+    "duration::from_nanos": lambda n: _dur_from_unit(n, None, 1),
+    "duration::from_micros": lambda n: _dur_from_unit(n, None, 10 ** 3),
+    "duration::from_millis": lambda n: _dur_from_unit(n, None, 10 ** 6),
+    "duration::from_secs": lambda n: _dur_from_unit(n, 1),
+    "duration::from_mins": lambda n: _dur_from_unit(n, 60),
+    "duration::from_hours": lambda n: _dur_from_unit(n, 3_600),
+    "duration::from_days": lambda n: _dur_from_unit(n, 86_400),
+    "duration::from_weeks": lambda n: _dur_from_unit(n, 604_800),
+}
+
+
+def _rust_heap_push(h: list, elem, lt) -> None:
+    """std BinaryHeap::push sift-up (alloc/collections/binary_heap.rs)."""
+    h.append(elem)
+    hole = len(h) - 1
+    while hole > 0:
+        parent = (hole - 1) // 2
+        if not lt(h[parent], elem):
+            break
+        h[hole] = h[parent]
+        hole = parent
+    h[hole] = elem
+
+
+def _rust_heap_pop(h: list, lt):
+    """std BinaryHeap::pop — swap-remove root, sift_down_to_bottom then
+    sift-up; the array layout (and thus into_iter order) matches Rust."""
+    last = h.pop()
+    if not h:
+        return last
+    top = h[0]
+    hole, elem, n = 0, last, len(h)
+    child = 1
+    while child + 1 < n:
+        if lt(h[child], h[child + 1]):
+            child += 1
+        h[hole] = h[child]
+        hole, child = child, 2 * child + 1
+    if child < n:
+        h[hole] = h[child]
+        hole = child
+    while hole > 0:
+        parent = (hole - 1) // 2
+        if not lt(h[parent], elem):
+            break
+        h[hole] = h[parent]
+        hole = parent
+    h[hole] = elem
+    return top
+
+
+def _heap_select(a, k, name: str, reverse: bool):
+    """math::top / math::bottom — k extremes in the reference's
+    BinaryHeap array order (fnc/util/math/{top,bottom}.rs)."""
+    if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
+        raise EvalError(
+            f"Incorrect arguments for function math::{name}(). The second "
+            "argument must be an integer greater than 0.")
+    lt = (lambda x, y: x > y) if reverse else (lambda x, y: x < y)
+    h: list = []
+    for i, v in enumerate(_arr(a, f"math::{name}")):
+        _rust_heap_push(h, v, lt)
+        if i >= k:
+            _rust_heap_pop(h, lt)
+    return h
+
+
+PY_FNS["math::top"] = lambda a, k: _heap_select(a, k, "top", True)
+PY_FNS["math::bottom"] = lambda a, k: _heap_select(a, k, "bottom", False)
+PY_FNS.update(PY_FNS_DURATION)
+
+
+def _cbor_encode(v):
+    from surrealdb_spark.functions.extra_fns import _cbor_enc
+
+    return _cbor_enc(v)
+
+
+def _cbor_decode(b):
+    from surrealdb_spark.functions.extra_fns import _cbor_dec
+
+    if not isinstance(b, (bytes, bytearray)):
+        raise EvalError("encoding::cbor::decode expects bytes")
+    v, _ = _cbor_dec(bytes(b))
+    return v
+
+
+def _b64_encode(b, padded=False):
+    import base64
+
+    if isinstance(b, str):
+        raise EvalError("encoding::base64::encode expects bytes")
+    out = base64.b64encode(bytes(b)).decode()
+    return out if padded else out.rstrip("=")
+
+
+def _b64_decode(s):
+    import base64
+
+    pad = "=" * (-len(s) % 4)
+    return base64.b64decode(s + pad)
+
+
+def _json_encode(v):
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"), default=render)
+
+
+def _json_decode(s):
+    import json as _json
+
+    if isinstance(s, (bytes, bytearray)):
+        s = bytes(s).decode()
+    return _json.loads(s)
+
+
+PY_FNS.update({
+    "encoding::cbor::encode": _cbor_encode,
+    "encoding::cbor::decode": _cbor_decode,
+    "encoding::base64::encode": _b64_encode,
+    "encoding::base64::decode": _b64_decode,
+    "encoding::json::encode": _json_encode,
+    "encoding::json::decode": _json_decode,
+})
+
+
+def _dedup(a):
+    out = []
+    for x in a:
+        if not any(_cmp(x, y) == 0 for y in out):
+            out.append(x)
+    return out
+
+
+def _sorted(a, d=True):
+    asc = d is True or (isinstance(d, str) and d.lower() in ("asc", "true"))
+    return sorted(a, key=order_key, reverse=not asc)
+
+
+def eval_text(text: str, env: dict | None = None):
+    """Parse + evaluate one scalar expression statement."""
+    return peval(parse_expr(text), env or {})

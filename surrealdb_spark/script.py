@@ -193,7 +193,8 @@ class ScriptRunner:
         except Exception:
             return False
         if not isinstance(st, CreateStmt) or st.target.mock or \
-                (st.data is not None and st.data[0] != "set"):
+                (st.data is not None and st.data[0] not in
+                 ("set", "content")):
             return False
 
         def ev(ast, env):
@@ -221,10 +222,22 @@ class ScriptRunner:
             for it in items:
                 env = {**bindings, var: it}
                 d = {}
-                for f_, op, ast in (st.data[1] if st.data else []):
-                    if op != "=":
+                if st.data and st.data[0] == "content":
+                    # CONTENT {obj} body — the driver evaluator builds the
+                    # row dict per item (pipeline stays one bulk insert)
+                    from surrealdb_spark import pyeval
+
+                    v = pyeval.peval(st.data[1], env)
+                    if not isinstance(v, dict):
                         return False
-                    d[f_] = ev(ast, env)
+                    d = dict(v)
+                else:
+                    for f_, op, ast in (st.data[1] if st.data else []):
+                        if op != "=":
+                            return False
+                        if isinstance(f_, tuple):
+                            return False  # nested path targets: slow path
+                        d[f_] = ev(ast, env)
                 key = st.target.key
                 if isinstance(key, tuple) and key[0] == "kexpr":
                     ka = key[1]

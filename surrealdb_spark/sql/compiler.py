@@ -26,7 +26,15 @@ from surrealdb_spark.sql.parser import Select, parse_select
 
 
 def _ast_const(ast):
-    """Python value of a constant AST (lit/array/neg), else None."""
+    """Python value of a constant AST (lit/array/object/neg), else None."""
+    if ast[0] == "object":
+        out = {}
+        for k, v in ast[1]:
+            pv = _ast_const(v)
+            if pv is None:
+                return None
+            out[k] = pv
+        return out
     if ast[0] == "lit":
         return ast[1]
     if ast[0] == "un" and ast[1] == "-":
@@ -54,6 +62,11 @@ def _geom_literal_kind(ast):
     ({type: "...", coordinates: [...]}); the reference auto-converts such
     objects to Geometry values (types/src/value/geometry.rs)."""
     pairs = dict(ast[1])
+    if set(pairs) == {"type", "geometries"}:
+        tk = pairs["type"]
+        if tk[0] == "lit" and str(tk[1]).lower() == "geometrycollection":
+            return tk[1], None  # member kinds resolve at compile
+        return None
     if set(pairs) != {"type", "coordinates"}:
         return None
     tk = pairs["type"]
@@ -260,6 +273,14 @@ def _resolve_method(ast, types, params):
     from surrealdb_spark.functions.registry import REGISTRY
 
     cat = _infer(recv, types, params)
+    if isinstance(recv, tuple) and (
+            recv[0] == "setlit"
+            or (recv[0] == "call" and recv[1] == "type::set")
+            or (recv[0] == "param" and type(
+                (params or {}).get(recv[1])).__name__ == "SetVal")):
+        # set receivers dispatch to the set:: namespace first (val/set.rs)
+        if f"set::{mname}" in REGISTRY:
+            return ("call", f"set::{mname}", [recv] + list(margs))
     order = [
         _METHOD_NS[cat]
     ] if cat in _METHOD_NS else ["string", "array", "math", "time", "object",
@@ -585,6 +606,12 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 "time::max": _dt.datetime(9999, 12, 31, 23, 59, 59, tzinfo=_dt.timezone.utc),
             }[ast[1].lower()]
             return F.lit(v)
+        if ast[1].lower() == "duration::max":
+            # DurationMax (constant.rs:32) — int64-nanos ceiling here
+            # (the reference's u64-seconds MAX exceeds Spark's long)
+            from surrealdb_spark.values import duration as _mkd
+
+            return _mkd(0, 2 ** 63 - 1)
         return F.col(ast[1])
     if kind == "all":
         raise ValueError("* only valid as a projection")
@@ -616,7 +643,12 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             # GeoJSON-shaped object literal → geometry value (the reference
             # auto-detects {type, coordinates} objects; expr/geometry.rs)
             kind_name, coords = gk
-            return GEO.from_coords(kind_name, coords)
+            if coords is None:  # GeometryCollection: members array
+                members = _ast_const(dict(ast[1])["geometries"])
+                if members is not None:
+                    return GEO.collection_from_geojson(members)
+            else:
+                return GEO.from_coords(kind_name, coords)
         # object literal → struct (expr/object.rs; typed-engine mapping)
         return F.struct(
             *[compile_expr(v, params, types).alias(k) for k, v in ast[1]]
@@ -875,6 +907,12 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 return F.lit(0).cast("bigint")  # unbound params are NONE
             if a[0] == "bin" and a[1] in _RANGE_OPS:
                 return F.lit(0).cast("bigint")  # ranges aren't truthy
+            if a[0] == "mockv":
+                # count(|t:n|) / count(|t:lo..hi|) — the mock's record
+                # count (expr/mock.rs: ranges are lo..hi exclusive)
+                spec = a[2]
+                n = spec[1] if spec[0] == "count" else len(_mock_ids(spec))
+                return F.lit(n).cast("bigint")
             cat = _infer(a, types, params)
             c = compile_expr(a, params, types)
             if cat == "array":
@@ -905,6 +943,18 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             # fnc/parse.rs coerces to String strictly — numbers error
             raise ValueError(f"{name} argument 1 must be a string")
         if (
+            name == "array::add"
+            and len(args) == 2
+            and _infer(args[1], types, params) == "array"
+        ):
+            # array::add with an array argument adds each missing element
+            # (fnc/array.rs:33-44 Value::Array arm)
+            a = compile_expr(args[0], params, types)
+            v = compile_expr(args[1], params, types)
+            return F.concat(
+                a, F.filter(F.array_distinct(v), lambda x: ~F.exists(
+                    a, lambda y: y.eqNullSafe(x))))
+        if (
             name in ("set::add", "set::remove")
             and len(args) == 2
             and _infer(args[1], types, params) == "array"
@@ -918,6 +968,69 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if name == "set::add":
                 return F.array_sort(F.array_distinct(F.concat(s, v)))
             return F.array_except(s, v)
+        _validate_fn_args(name, args, params, types)
+        if name in ("math::top", "math::bottom") and _pure_literal(args[0]):
+            # the reference returns BinaryHeap array order — replicated
+            # driver-side and folded (fnc/util/math/{top,bottom}.rs)
+            from surrealdb_spark import pyeval
+
+            try:
+                k = _py_const(args[1], params)
+                return F.lit(pyeval.PY_FNS[name](
+                    _py_const(args[0], params), k))
+            except pyeval.EvalError as exc:
+                raise ValueError(str(exc))
+            except Exception:
+                pass
+        if name.startswith("duration::") and args and all(
+                _pure_literal(a) for a in args):
+            # u64-wrap construction/accessor semantics fold driver-side
+            # (fnc/duration.rs `as u64`/`as i64` casts); out-of-int64
+            # results can't be Spark values — raising routes the statement
+            # to the driver-side evaluator
+            from surrealdb_spark import pyeval
+
+            fn = pyeval.PY_FNS_DURATION.get(name)
+            if fn is not None:
+                try:
+                    vals = [_py_const(a, params) for a in args]
+                except Exception:
+                    vals = None
+                if vals is not None:
+                    try:
+                        out = fn(*vals)
+                    except pyeval.EvalError as exc:
+                        raise ValueError(str(exc))
+                    if isinstance(out, dict):
+                        if out["nanos"] < 2 ** 63:
+                            from surrealdb_spark.values import duration as _mkd
+
+                            return _mkd(out["months"], out["nanos"])
+                        raise ValueError("duration exceeds int64 nanos")
+                    if isinstance(out, int):
+                        return F.lit(out)
+        if name in ("encoding::cbor::encode", "encoding::cbor::decode",
+                    "encoding::json::decode") and args and all(
+                _pure_literal(a) for a in args):
+            # heterogeneous output values — fold driver-side: encode's
+            # bytes stay a Spark literal; decode results route to the
+            # driver evaluator (fnc/encoding.rs works on Value trees)
+            from surrealdb_spark import pyeval
+
+            folded = False
+            out = None
+            try:
+                vals = [_py_const(a, params) for a in args]
+                out = pyeval.PY_FNS[name](*vals)
+                folded = True
+            except pyeval.EvalError as exc:
+                raise ValueError(str(exc))
+            except pyeval.Unfoldable:
+                pass  # not driver-computable: continue to the Spark path
+            if folded:
+                if isinstance(out, (bytes, bytearray)):
+                    return F.lit(bytes(out))
+                raise ValueError("decode result is a dynamic value")
         special = _compile_type_call(name, args, params, types)
         if special is not None:
             return special
@@ -945,6 +1058,23 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         raise KeyError(f"unknown function {name}")
     if kind == "closure":
         return _compile_closure(ast, params, types)
+    if kind == "ifexpr":
+        # IF/THEN/ELSE expression → CASE WHEN chain (truthiness per branch)
+        out = None
+        for cond, then in ast[1]:
+            cc = _truthy_col(compile_expr(cond, params, types),
+                             _infer(cond, types, params))
+            tc = compile_expr(then, params, types)
+            out = F.when(cc, tc) if out is None else out.when(cc, tc)
+        if ast[2] is not None:
+            out = out.otherwise(compile_expr(ast[2], params, types))
+        return out
+    if kind == "mockv":
+        # mock value = its record-id list (expr/mock.rs IntoIter)
+        spec = ast[2]
+        if spec[0] == "count":
+            raise ValueError("count-form mock has no literal id list")
+        return F.lit([f"{ast[1]}:{k}" for k in _mock_ids(spec)])
     if kind == "pcall":
         return _invoke_closure(ast, params, types)
     if kind == "ccall":
@@ -1155,6 +1285,8 @@ def _static_of_kind(ast, params: dict, types: dict) -> str | None:
         return "object"
     if k == "bin" and ast[1] in _RANGE_OPS:
         return "range"
+    if k == "regex":
+        return "regex"
     if k == "cast":
         n = ast[1][0]
         if n == "bytes":
@@ -1173,6 +1305,136 @@ def _static_of_kind(ast, params: dict, types: dict) -> str | None:
     return None
 
 
+# argument-kind contracts the reference enforces with coerce_to errors
+# (fnc/args.rs); checked statically when the kind is inferable.  "arrayish"
+# accepts arrays/sets; "number" the numeric family.
+_FN_ARG_KINDS: dict[str, dict[int, str]] = {
+    "array::any": {0: "arrayish"}, "array::all": {0: "arrayish"},
+    "array::distinct": {0: "arrayish"}, "array::flatten": {0: "arrayish"},
+    "array::reverse": {0: "arrayish"}, "array::slice": {0: "arrayish"},
+    "array::join": {0: "arrayish"}, "array::pop": {0: "arrayish"},
+    "array::transpose": {0: "arrayish"}, "array::add": {0: "arrayish"},
+    "array::concat": {0: "arrayish", 1: "arrayish", 2: "arrayish",
+                      3: "arrayish"},
+    "array::combine": {0: "arrayish", 1: "arrayish"},
+    "array::union": {0: "arrayish", 1: "arrayish"},
+    "array::intersect": {0: "arrayish", 1: "arrayish"},
+    "array::difference": {0: "arrayish", 1: "arrayish"},
+    "array::complement": {0: "arrayish", 1: "arrayish"},
+    "set::contains": {0: "arrayish"}, "set::len": {0: "arrayish"},
+    "set::all": {0: "arrayish"}, "set::any": {0: "arrayish"},
+    "rand::int": {0: "number", 1: "number"},
+    "rand::float": {0: "number", 1: "number"},
+    "math::top": {0: "arrayish", 1: "number"},
+    "math::bottom": {0: "arrayish", 1: "number"},
+    "geo::area": {0: "geometry"}, "geo::centroid": {0: "geometry"},
+    "geo::bearing": {0: "geometry", 1: "geometry"},
+    "geo::distance": {0: "geometry", 1: "geometry"},
+    "geo::is::valid": {0: "geometry"}, "geo::is_valid": {0: "geometry"},
+    "geo::hash::encode": {0: "geometry"},
+    "geo::hash::decode": {0: "string"},
+    "rand::string": {0: "number", 1: "number"},
+    "rand::id": {0: "number", 1: "number"},
+    "type::set": {0: "arrayish"},
+}
+
+_KIND_SETS = {"arrayish": {"array", "set"},
+              "number": {"int", "float", "decimal", "number"},
+              "string": {"string"}}
+
+
+def _lit_num(a, params):
+    if a[0] == "lit" and isinstance(a[1], (int, float)) \
+            and not isinstance(a[1], bool):
+        return a[1]
+    if a[0] == "un" and a[1] == "-":
+        v = _lit_num(a[2], params)
+        return None if v is None else -v
+    if a[0] == "param":
+        v = (params or {}).get(a[1])
+        return v if isinstance(v, (int, float)) \
+            and not isinstance(v, bool) else None
+    return None
+
+
+def _validate_fn_args(name: str, args, params: dict, types: dict) -> None:
+    if name == "math::clamp" and len(args) == 3:
+        lo, hi = _lit_num(args[1], params), _lit_num(args[2], params)
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError("Incorrect arguments for function "
+                             "math::clamp(): min must not exceed max")
+    if name == "math::pow" and len(args) == 2:
+        x, p = _lit_num(args[0], params), _lit_num(args[1], params)
+        if (isinstance(x, int) and isinstance(p, int) and p >= 0
+                and abs(x) > 1 and abs(x ** p) >= 2 ** 63):
+            # Int ** Int overflow errors (number.rs try_pow)
+            raise ValueError(f"Cannot raise the value {x} with {p}: "
+                             "integer overflow")
+    rules = _FN_ARG_KINDS.get(name)
+    if not rules:
+        return
+    for i, want in rules.items():
+        if i >= len(args):
+            continue
+        a = args[i]
+        if a[0] == "nulllit":
+            raise ValueError(
+                f"Incorrect arguments for function {name}(): argument "
+                f"{i + 1} must be a {want}, got NULL")
+        got = _infer(a, types, params)
+        if got is None and a[0] == "lit" and a[1] is None:
+            got = "none"
+        if got is None:
+            continue
+        if want == "geometry":
+            if not str(got).startswith("geometry") and got != "object":
+                raise ValueError(
+                    f"Incorrect arguments for function {name}(). Argument "
+                    f"{i + 1} was the wrong type. Expected `geometry` "
+                    f"but found `{got}`")
+            continue
+        if got not in _KIND_SETS[want]:
+            raise ValueError(
+                f"Incorrect arguments for function {name}(): argument "
+                f"{i + 1} must be a {want}, got {got}")
+
+
+_I64_MIN, _I64_MAX = -2 ** 63, 2 ** 63 - 1
+_MOCK_LIMIT = 1_048_576
+
+
+def _mock_ids(spec) -> list[int]:
+    """Resolve a mock range spec to its integer keys (expr/mock.rs:
+    lo..hi end-exclusive, `..=` inclusive, `>..` start-exclusive; open
+    bounds clamp to i64 and must stay under the allocation limit)."""
+    _, lo, hi, lo_excl, hi_incl = spec
+    lo_i = (_I64_MIN if lo is None else lo + (1 if lo_excl else 0))
+    hi_i = (_I64_MAX if hi is None else (hi if hi_incl else hi - 1))
+    n = hi_i - lo_i + 1
+    if n > _MOCK_LIMIT:
+        raise ValueError("Mock range exceeds allocation limit")
+    return list(range(lo_i, hi_i + 1)) if n > 0 else []
+
+
+def _pure_literal(ast) -> bool:
+    """True when the AST references no row/param context — safe to
+    const-fold driver-side.  Nested calls are allowed (the evaluator
+    raises Unfoldable for anything it can't compute)."""
+    if isinstance(ast, tuple):
+        if ast[0] in ("ident", "param", "path", "curr"):
+            return False
+        return all(_pure_literal(x) for x in ast[1:])
+    if isinstance(ast, list):
+        return all(_pure_literal(x) for x in ast)
+    return True
+
+
+def _py_const(ast, params):
+    from surrealdb_spark import pyeval
+
+    return pyeval.peval(ast, params or {})
+
+
 def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | None:
     """Static dispatch for the type:: calls that are compile-time facts on a
     typed engine (fnc/type.rs evaluates them against runtime Value variants;
@@ -1185,6 +1447,17 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
     short = name[6:]
     if short in ("is_none", "is_null"):
         return compile_expr(args[0], params, types).isNull()
+    if short in ("is_set", "is_array"):
+        # sets and arrays share the Spark array type; the set-ness of a
+        # value is a static fact of its constructor (setlit / <set> cast /
+        # type::set) — types/src/value/mod.rs Set vs Array variants
+        a = args[0]
+        while isinstance(a, tuple) and a[0] in ("paren", "block1"):
+            a = a[1]
+        if (a[0] == "setlit" or (a[0] == "cast" and a[1][0] == "set")
+                or (a[0] == "call" and a[1] == "type::set")
+                or (a[0] == "method" and a[1] == "to_set")):
+            return F.lit(short == "is_set")
     if short.startswith("is_") and short in TY.IS_KIND_CATS:
         col = compile_expr(args[0], params, types)
         cat = _infer(args[0], types, params)
@@ -1198,6 +1471,20 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
         if short in refine:
             return refine[short](col)
         return col.isNotNull()
+    if short == "record" and len(args) == 2:
+        # type::record(tb, key) — construct tb:key (fnc/type.rs:139-168:
+        # the second argument is the record KEY: uuid/number/string, or
+        # another record id contributing its key)
+        tb = compile_expr(args[0], params, types).cast("string")
+        a2 = args[1]
+        if a2[0] == "ulit":
+            key = F.lit(a2[1])
+        elif a2[0] == "lit" and isinstance(a2[1], str) \
+                and _RID_RE.match(a2[1]):
+            key = F.lit(a2[1].partition(":")[2])
+        else:
+            key = compile_expr(a2, params, types).cast("string")
+        return F.concat(tb, F.lit(":"), key)
     if short == "of":
         k = _static_of_kind(args[0], params, types)
         if k is not None:
@@ -1352,6 +1639,41 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                    catalog: Catalog | None = None, params: dict | None = None) -> DataFrame:
     cat = catalog or Catalog(spark, sf_dir)
     params = params or {}
+
+    if sel.fields and any(
+            f.expr[0] == "call" and f.expr[1] in ("type::field",
+                                                  "type::fields")
+            for f in sel.fields):
+        # type::field('a.b') / type::fields([...]) projections rewrite to
+        # the named idiom paths (fnc/type.rs field/fields are projection
+        # macros in SELECT context)
+        from dataclasses import replace as _repl
+
+        from surrealdb_spark.sql.parser import Field as _Fld
+        from surrealdb_spark.sql.parser import parse_expr as _pe
+
+        newf = []
+        for f in sel.fields:
+            e = f.expr
+            if e[0] == "call" and e[1] in ("type::field", "type::fields"):
+                arg = e[2][0] if e[2] else None
+                val = None
+                if arg is not None and arg[0] == "lit":
+                    val = arg[1]
+                elif arg is not None and arg[0] == "param":
+                    val = params.get(arg[1])
+                elif arg is not None and arg[0] == "array" and all(
+                        x[0] == "lit" for x in arg[1]):
+                    val = [x[1] for x in arg[1]]
+                if val is None:
+                    raise ValueError(f"{e[1]} requires a literal/parameter "
+                                     "field name")
+                paths = val if isinstance(val, list) else [val]
+                for pth in paths:
+                    newf.append(_Fld(_pe(str(pth)), f.alias, str(pth)))
+                continue
+            newf.append(f)
+        sel = _repl(sel, fields=newf)
 
     # source (multi-source FROM = Union, exec/operators/union.rs:19;
     # FROM-subquery = nested plan, SourceExpr/DynamicScan analogue)
@@ -1827,18 +2149,51 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 spark, df, cat, f, f.alias or _default_name(f.expr),
                 params, sf_dir
             )
-        names = [fld.alias or _default_name(fld.expr) for fld in sel.fields]
+        # unaliased dotted field paths re-nest and merge by base object:
+        # SELECT name.first, name.last → { name: { first, last } }
+        # (the reference preserves idiom structure in output — see
+        # statements/select/version_field_dereference_schema.surql)
+        nested: dict[str, list] = {}
+        plain_fields = []
+        for fld in sel.fields:
+            e = fld.expr
+            if (fld.alias is None and isinstance(e, tuple)
+                    and e[0] == "path" and e[1][0] == "ident" and e[2]
+                    and all(p[0] == "field" for p in e[2])
+                    and not _is_recurse_path(e)
+                    and not _is_corr_subquery(e)):
+                nested.setdefault(e[1][1], []).append(
+                    ([p[1] for p in e[2]],
+                     compile_expr(e, params, types)))
+            else:
+                plain_fields.append(fld)
+        names = [fld.alias or _default_name(fld.expr)
+                 for fld in plain_fields] + list(nested)
         if sel.star:
             # explicit projections SHADOW the star's same-named columns
             # (Document::set overwrites the field — `SELECT *, brother.name`)
             cols = [F.col(c) for c in df.columns if c not in set(names)]
         else:
             cols = []
-        for fld, name in zip(sel.fields, names):
+        for fld, name in zip(plain_fields, names):
             if _is_recurse_path(fld.expr) or _is_corr_subquery(fld.expr):
                 cols.append(F.col(name))
             else:
                 cols.append(compile_expr(fld.expr, params, types).alias(name))
+        for base, entries in nested.items():
+            tree: dict = {}
+            for segs, col in entries:
+                node = tree
+                for s in segs[:-1]:
+                    node = node.setdefault(s, {})
+                node[segs[-1]] = col
+
+            def _build(n):
+                return F.struct(*[
+                    (_build(v) if isinstance(v, dict) else v).alias(k)
+                    for k, v in n.items()])
+
+            cols.append(_build(tree).alias(base))
         df = df.select(*cols)
         if sel.star and lookup_slots:
             df = df.drop(*lookup_slots)

@@ -24,6 +24,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d[\d_]*(\.\d[\d_]*)?([eE][+-]?\d+)?(dec|f)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<bname>`[^`]*`|⟨[^⟩]*⟩)
   | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
   | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\])
     """,
@@ -93,7 +94,11 @@ def tokenize(src: str) -> list[Tok]:
         if kind == "ws":
             continue
         text = m.group()
-        if kind == "name" and text.upper() in KEYWORDS:
+        if kind == "bname":
+            # `quoted` / ⟨angle⟩ identifier (syn lexer escaped idents):
+            # always a plain name token, never a keyword
+            out.append(Tok("name", text[1:-1], m.start(), text[1:-1]))
+        elif kind == "name" and text.upper() in KEYWORDS:
             out.append(Tok("kw", text.upper(), m.start(), text))
         else:
             out.append(Tok(kind, text, m.start(), text))
@@ -341,6 +346,39 @@ class Parser:
 
     def prefix(self):
         t = self.peek()
+        if t.kind in ("kw", "name") and t.text.upper() == "IF":
+            # IF cond THEN a [ELSE IF ...] [ELSE b] END — expression form
+            # (expr/statements/ifelse.rs); on parse failure rewind — `IF`
+            # may be a field name, and `IF cond { }` belongs to the script
+            # engine
+            mark = self.i
+            try:
+                self.next()
+                branches = []
+                els = None
+                def _branch_body():
+                    if self.peek().kind == "op" and self.peek().text == "{":
+                        return self.prefix()  # `{ expr }` block form
+                    if not self.eat_word("THEN"):
+                        raise SyntaxError("no THEN")
+                    return self.expr(0)
+
+                while True:
+                    cond = self.expr(0)
+                    branches.append((cond, _branch_body()))
+                    if self.eat_word("ELSE"):
+                        if self.peek_word("IF"):
+                            self.next()
+                            continue
+                        els = (self.prefix()
+                               if self.peek().kind == "op"
+                               and self.peek().text == "{"
+                               else self.expr(0))
+                    self.eat_word("END")
+                    break
+                return self.postfix(("ifexpr", branches, els))
+            except SyntaxError:
+                self.i = mark
         if t.kind == "op" and t.text in ("->", "<-", "<->"):
             # leading lookup: `->knows->person` — traverses from the
             # current record (expr/lookup.rs; exec GraphEdgeScan chains)
@@ -433,6 +471,42 @@ class Parser:
             ret = self._parse_kind(no_union=True) \
                 if self.eat("op", "->") else None
             return ("closure", [], self.expr(0), [], ret)
+        if t.kind == "op" and t.text == "|" and \
+                self.toks[self.i + 1].kind in ("name", "kw") and \
+                self.toks[self.i + 2].kind == "op" and \
+                self.toks[self.i + 2].text == ":":
+            # `|tb:n|` / `|tb:lo..hi|` (+ `>..`, `..=`, open bounds) —
+            # mock in expression position: its value is the id list
+            # (expr/mock.rs; mock/range_bounds.surql)
+            self.next()
+            mtb = self.next().text
+            self.expect("op", ":")
+
+            def _num():
+                neg = bool(self.eat("op", "-"))
+                v = int(self.expect("num").text)
+                return -v if neg else v
+
+            lo = hi = None
+            lo_excl = hi_incl = False
+            is_range = True
+            if not (self.peek().kind == "op"
+                    and self.peek().text in ("..", "..=", ">")):
+                lo = _num()
+            if self.eat("op", ">"):
+                lo_excl = True
+            if self.eat("op", "..="):
+                hi_incl = True
+                hi = _num()
+            elif self.eat("op", ".."):
+                if not (self.peek().kind == "op" and self.peek().text == "|"):
+                    hi = _num()
+            else:
+                is_range = False  # `|tb:n|` count form
+            self.expect("op", "|")
+            if not is_range:
+                return ("mockv", mtb, ("count", lo))
+            return ("mockv", mtb, ("range", lo, hi, lo_excl, hi_incl))
         if t.kind == "op" and t.text == "|":
             # closure |$x[: kind][, $i]| [-> kind] body
             # (core/src/expr/closure.rs:12 — args carry optional kinds,
@@ -494,6 +568,21 @@ class Parser:
                 self.next()
                 self.expect("op", "}")
                 return self.postfix(("setlit", []))
+            if self.peek_word("BREAK") or self.peek_word("CONTINUE"):
+                # `{ break; }` closure body — control-flow node, only
+                # meaningful inside FOR loops (expr/statements/break.rs)
+                word = self.next().text.lower()
+                self.eat("op", ";")
+                self.expect("op", "}")
+                return ("ctrl", word)
+            if self.peek_word("RETURN"):
+                # `{ RETURN expr }` — a value block whose value is the
+                # RETURN payload (expr/block.rs; closure bodies)
+                self.next()
+                be = self.expr(0)
+                self.eat("op", ";")
+                self.expect("op", "}")
+                return self.postfix(("block1", be))
             if not is_obj:
                 elems = [self.expr(0)]
                 saw_comma = False
@@ -551,8 +640,12 @@ class Parser:
                 return self.postfix(("lit", float("nan")))
             # typed string literals (syn lexer): d'…' datetime, u'…' uuid,
             # f'bucket:/key' file pointer, b'hex' bytes
-            if t.text in ("d", "u", "f", "b") and self.peek().kind == "str":
+            if t.text in ("d", "u", "f", "b", "r") and \
+                    self.peek().kind == "str":
                 body = _unescape(self.next().text[1:-1])
+                if t.text == "r":
+                    # r'tb:key' — record-id-typed string (syn lexer)
+                    return self.postfix(("lit", body))
                 if t.text == "f":
                     bkt, _, key = body.partition(":/")
                     return self.postfix(("lit", f"file:/{bkt}/{key.lstrip('/')}"))
@@ -607,6 +700,14 @@ class Parser:
                         return self.postfix(
                             ("lit", f"{t.text}:{render_rid_key(arr)}"))
                     return self.postfix(("ridexpr", t.text, arr))
+                if nxt.kind == "op" and nxt.text == "-" and \
+                        self.toks[self.i + 2].kind == "num" and \
+                        nxt.pos == colon.pos + 1:
+                    # negative integer key: tb:-42 (record_id/key.rs Number)
+                    self.next()
+                    self.next()
+                    return self.postfix(
+                        ("lit", f"{t.text}:-{self.next().text}"))
                 if nxt.kind in ("name", "num") and nxt.pos == colon.pos + 1:
                     self.next()
                     parts = [self.next()]
@@ -977,7 +1078,12 @@ class Parser:
                 elif nt.kind == "op" and nt.text == "{":
                     parts.append(self._curly_part())
                 elif nt.kind == "name" or (
-                    nt.kind == "kw" and nt.text not in _STRUCTURAL_KWS
+                    nt.kind == "kw" and (
+                        nt.text not in _STRUCTURAL_KWS
+                        # a structural keyword followed by `(` is a method
+                        # name after `.` (`"a b".split(" ")`)
+                        or (self.peek().kind == "op"
+                            and self.peek().text == "("))
                 ):
                     nt_text = nt.orig or nt.text.lower()
                     if self.peek().kind == "op" and self.peek().text == "(":

@@ -34,6 +34,7 @@ class Target:
     table: str
     key: object | None = None  # record-id target tb:key
     mock: int | None = None    # CREATE |tb:n| bulk-mock target (mock.rs)
+    mock_keys: list | None = None  # |tb:lo..hi| range form — explicit keys
 
 
 @dataclass
@@ -1330,13 +1331,18 @@ def _raw_block_statements(p: Parser) -> list[str]:
 
 def _target(p: Parser) -> Target:
     if p.peek().kind == "op" and p.peek().text == "|":
-        # |tb:n| mock target — n generated records (expr/mock.rs)
-        p.next()
-        tb = _name(p)
-        p.expect("op", ":")
-        n = int(p.expect("num").text)
-        p.expect("op", "|")
-        return Target(tb, mock=n)
+        # |tb:n| / |tb:lo..hi| mock target (expr/mock.rs) — reuse the
+        # expression-mock parser for the bound forms
+        mv = p.prefix()
+        if mv[0] != "mockv":
+            raise SyntaxError("expected a mock target")
+        _, tb, spec = mv
+        if spec[0] == "count":
+            return Target(tb, mock=spec[1])
+        from surrealdb_spark.sql.compiler import _mock_ids
+
+        keys = _mock_ids(spec)
+        return Target(tb, mock=len(keys), mock_keys=keys)
     if p.peek().kind == "param":
         # UPDATE $record / DELETE $record — resolved at execution from the
         # bound record (or record-id string)
@@ -1356,13 +1362,26 @@ def _target(p: Parser) -> Target:
 
 
 def _assignments(p: Parser) -> list:
+    """SET targets are idiom paths: `f`, `f.g`, `f[$key]`
+    (expr/data.rs Data::SetExpression carries Idioms)."""
     out = []
     while True:
         f_ = _name(p)
+        segs: list = []
+        while True:
+            if p.eat("op", "."):
+                segs.append(("f", _name(p)))
+            elif p.peek().kind == "op" and p.peek().text == "[":
+                p.next()
+                segs.append(("i", p.expr(0)))
+                p.expect("op", "]")
+            else:
+                break
         opt = p.next()
         if opt.text not in ("=", "+=", "-="):
             raise SyntaxError(f"expected assignment op, got {opt.text!r}")
-        out.append((f_, opt.text, p.expr(0)))
+        target = f_ if not segs else ("fpath", f_, segs)
+        out.append((target, opt.text, p.expr(0)))
         if not p.eat("op", ","):
             break
     return out
@@ -1501,6 +1520,10 @@ class StatementRunner:
             return rows[0].asDict() if rows else None
 
         set_record_provider(_lookup_record)
+        from surrealdb_spark.functions.extra_fns import set_schema_provider
+
+        set_schema_provider(
+            lambda tb: tb in self.db.tables or tb in self.meta["tables"])
         self.live_queries: dict[str, object] = {}  # uuid → StreamingQuery
 
     # public --------------------------------------------------------------
@@ -1662,6 +1685,7 @@ class StatementRunner:
         """Evaluate an expression (or parenthesized DML) to a Python value."""
         import re as _re2
 
+        binds = {**self.params_defined, **(binds or {})}
         src = src.strip().rstrip(";").strip()
         take_idx = None
         m_idx = _re2.fullmatch(r"\((.*)\)\s*\[\s*(\d+)\s*\]", src, _re2.S)
@@ -2948,10 +2972,12 @@ class StatementRunner:
                 # schemaless-by-default: first write defines the table
                 self.db.define_table(TableDef(stmt.target.table))
             n = stmt.target.mock or 1
-            rows = self._literal_rows(
-                [dict(self._data_obj(stmt.data, params)) for _ in range(n)],
-                stmt.target, params,
-            )
+            dicts = [dict(self._data_obj(stmt.data, params))
+                     for _ in range(n)]
+            if stmt.target.mock_keys is not None:
+                for d, k in zip(dicts, stmt.target.mock_keys):
+                    d["id"] = f"{stmt.target.table}:{k}"
+            rows = self._literal_rows(dicts, stmt.target, params)
             out = self.db.create(stmt.target.table, rows)
             if stmt.target.table in self.computed_fields:
                 out = self._with_computed(stmt.target.table, out)
@@ -3095,6 +3121,14 @@ class StatementRunner:
             out = {}
             for f_, op, ast in payload:
                 v = self._scalar(ast, params)
+                if isinstance(f_, tuple) and f_[0] == "fpath":
+                    # nested path target: build the nested object
+                    base, segs = f_[1], self._fpath_segs(f_[2], params)
+                    node = out.setdefault(base, {})
+                    for s in segs[:-1]:
+                        node = node.setdefault(s, {})
+                    node[segs[-1]] = v
+                    continue
                 if v is None and ast != ("nulllit",) and op == "=":
                     out.pop(f_, None)  # SET x = NONE on create → absent
                     continue
@@ -3105,6 +3139,20 @@ class StatementRunner:
                 out[f_] = v
             return out
         raise ValueError(f"{kind.upper()} not valid here")
+
+    def _fpath_segs(self, segs, params) -> list[str]:
+        """Resolve a nested assignment path's segments to field names."""
+        out = []
+        for k, v in segs:
+            if k == "f":
+                out.append(v)
+            else:
+                val = self._scalar(v, params)
+                if not isinstance(val, str):
+                    raise ValueError(
+                        "nested assignment keys must be field names")
+                out.append(val)
+        return out
 
     def _literal_rows(self, dicts: list[dict], tgt: Target, params: dict) -> DataFrame:
         rows = []
@@ -3252,6 +3300,23 @@ class StatementRunner:
             out = {}
             for f_, op, ast in payload:
                 rhs = compile_expr(ast, params, types)
+                if isinstance(f_, tuple) and f_[0] == "fpath":
+                    # nested path: withField chain over the struct column
+                    base, segs = f_[1], self._fpath_segs(f_[2], params)
+                    cur = out.get(base)
+                    if cur is None:
+                        cur = (F.col(base)
+                               if dtypes.get(base, "").startswith("struct")
+                               else None)
+                    if cur is None:
+                        inner = rhs
+                        for s in reversed(segs):
+                            inner = F.struct(inner.alias(s))
+                        out[base] = inner
+                    else:
+                        out[base] = cur.withField(".".join(
+                            f"`{s}`" for s in segs), rhs)
+                    continue
                 dt = dtypes.get(f_, "")
                 if op in ("+=", "-=") and dt.startswith("array"):
                     # array fields: += appends, -= removes by value
@@ -3273,9 +3338,14 @@ class StatementRunner:
                 elif op == "-=":
                     rhs = F.coalesce(F.col(f_), F.lit(0)) - rhs
                 out[f_] = rhs
-            removed = [f_ for f_, op, ast in payload
-                       if op == "=" and ast == ("lit", None)]
-            added = [f_ for f_, op, ast in payload if f_ not in removed]
+            def _base(f):
+                return f[1] if isinstance(f, tuple) else f
+
+            removed = [_base(f_) for f_, op, ast in payload
+                       if op == "=" and ast == ("lit", None)
+                       and not isinstance(f_, tuple)]
+            added = [_base(f_) for f_, op, ast in payload
+                     if _base(f_) not in removed]
             out["__present"] = self._present_expr(tbl, removed, added)
             return out
         if kind in ("content", "merge"):

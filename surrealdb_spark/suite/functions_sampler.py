@@ -167,7 +167,7 @@ def type_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type::of(c_acctbal) AS ty_bal, "
         "type::of(c_name) AS ty_name, "
         "type::thing('customer', c_custkey) AS rid, "
-        "type::record(type::thing('customer', c_custkey), 'customer') AS rid_ok, "
+        "type::record('customer', c_custkey) AS rid_ok, "
         "type::is_record(type::thing('customer', c_custkey)) AS isr, "
         "type::uuid('6B29FC40-CA47-1067-B31D-00DD010662DA') AS uid, "
         "type::table('customer') AS tbl, "

@@ -56,7 +56,7 @@ ARRAY_CASES = [
     (lambda: A.distinct(ARR()), [3, 1, 4, 5]),
     (lambda: A.sort_asc(ARR()), [1, 1, 3, 4, 5]),
     (lambda: A.sort_desc(ARR()), [5, 4, 3, 1, 1]),
-    (lambda: A.pop(ARR()), [3, 1, 4, 1]),
+    (lambda: A.pop(ARR()), 5),  # pop returns the last VALUE (array.rs:603)
     (lambda: A.prepend(ARR(), F.lit(9)), [9, 3, 1, 4, 1, 5]),
     (lambda: A.append(ARR(), F.lit(9)), [3, 1, 4, 1, 5, 9]),
     (lambda: A.add(ARR(), F.lit(4)), [3, 1, 4, 1, 5]),
@@ -283,7 +283,8 @@ def test_geo_fns(spark):
     d = one(spark, G.distance(paris, london))
     assert abs(d - 343_940) < 2_000  # ~344 km
     b = one(spark, G.bearing(paris, london))
-    assert 300 < b < 340
+    # raw atan2 degrees in [-180, 180] (reference geo crate bearing)
+    assert -60 < b < -20
     assert one(spark, G.hash_encode(paris, 6)) == "u09tvw"
     back = one(spark, G.hash_decode(F.lit("u09tvw")))
     assert abs(back.lon - 2.3522) < 0.01 and abs(back.lat - 48.8566) < 0.01
@@ -374,7 +375,7 @@ def test_rand_shapes(spark):
     row = spark.range(1).select(
         REGISTRY["rand::ulid"]().alias("ulid"),
         REGISTRY["rand::uuid::v7"]().alias("u7"),
-        REGISTRY["rand::id"]("person").alias("rid"),
+        REGISTRY["rand::id"]().alias("rid"),
         REGISTRY["rand::time"]().alias("rt"),
         REGISTRY["rand::duration"]().alias("rd"),
     ).first()
@@ -383,7 +384,8 @@ def test_rand_shapes(spark):
     assert re.fullmatch(
         r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}",
         row["u7"])
-    assert row["rid"].startswith("person:")
+    import re as _re
+    assert _re.fullmatch(r"[a-z0-9]{20}", row["rid"])
     assert row["rd"]["nanos"] >= 0  # duration struct (values.py)
 
 
@@ -414,7 +416,10 @@ def test_filebucket(tmp_path):
 def test_sequence_nextval(spark):
     import uuid as _uuid
 
+    from surrealdb_spark.export import define_sequence
+
     name = f"t_{_uuid.uuid4().hex[:8]}"
+    define_sequence(name)  # nextval on an undefined sequence errors
     v1 = one(spark, REGISTRY["sequence::nextval"](name))
     v2 = one(spark, REGISTRY["sequence::nextval"](name))
     assert (v1, v2) == (1, 2)
