@@ -57,6 +57,11 @@ def _walk(col: Column, parts: list[Part], mapped: bool) -> Column:
         pos = i + 1 if i >= 0 else i
         return _walk(F.try_element_at(col, F.lit(pos)), rest, mapped=False)
 
+    if kind == "index_col":
+        (c,) = args
+        pos = F.when(c >= 0, c + 1).otherwise(c).cast("int")
+        return _walk(F.try_element_at(col, pos), rest, mapped=False)
+
     if kind == "first":
         return _walk(F.try_element_at(col, F.lit(1)), rest, mapped=False)
 

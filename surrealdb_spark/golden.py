@@ -375,7 +375,10 @@ def _py_fallback(body: str, bindings: dict):
     evaluator (pyeval) — heterogeneous literals, closures over mixed
     values.  Unfoldable keeps the original _ERR."""
     from surrealdb_spark import pyeval
+    from surrealdb_spark.functions.extra_fns import SessionContext
 
+    if SessionContext.get("db") is None or SessionContext.get("ns") is None:
+        return _ERR  # no database selected: queries error (outside_database)
     try:
         return pyeval.eval_text(body, bindings)
     except pyeval.Unfoldable:
@@ -608,39 +611,52 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
     runner.planner_strategy = list((env or {}).get("planner-strategy", []))
     script = None  # lazy ScriptRunner for FOR/IF/THROW statements
     bindings: dict = {}
+    txbuf: list = []  # statements inside an open BEGIN..COMMIT
     for s, e in zip(stmts, expected):
         word = _stmt_word(s)
         a: object
         try:
             if s.strip().startswith("{"):
-                # top-level block: run the inner statements; the block's
-                # value is the RETURN statement's value (else NONE)
+                # top-level block: inner statements run in a LOCAL scope
+                # (expr/block.rs); the block's value is the RETURN payload
+                # or the final expression statement's value
                 body = s.strip()[1:-1]
                 a = None
-                for inner in split_statements(body):
+                env = dict(bindings)  # LETs inside stay block-local
+                inners = split_statements(body)
+                for idx, inner in enumerate(inners):
                     iw = _stmt_word(inner)
-                    if iw in ("FOR", "THROW") or (iw == "IF" and "{" in inner):
+                    lm = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", inner,
+                                  flags=re.I | re.S)
+                    if lm:
+                        v = _eval_statements(spark, [lm.group(2)], env)[0]
+                        if v is _ERR:
+                            raise ValueError("LET binding failed")
+                        env[lm.group(1)] = _set_tag(lm.group(2), v)
+                    elif iw in ("FOR", "THROW") or (iw == "IF" and "{" in inner):
                         from surrealdb_spark.script import ScriptRunner
 
                         if script is None:
                             script = ScriptRunner(spark, db=db,
                                                   catalog=runner.catalog,
                                                   stmts=runner)
-                        script.run(inner, **bindings)
+                        script.run(inner, **env)
                     elif iw in _STMT_WORDS:
                         _auto_define(db, inner)
-                        runner.run(inner, params=bindings)
+                        runner.run(inner, params=env)
                     elif iw == "RETURN":
                         expr = re.sub(r"^RETURN\s+", "", inner, flags=re.I)
                         try:
                             # runner-backed eval first: subqueries in the
                             # RETURN read the block's created records
-                            a = _norm(runner._scalar_text(expr, bindings))
+                            a = _norm(runner._scalar_text(expr, env))
                         except Exception:
-                            v = _eval_statements(spark, [expr], bindings)[0]
+                            v = _eval_statements(spark, [expr], env)[0]
                             a = None if v is _ERR else v
                     else:
-                        _eval_statements(spark, [inner], bindings)
+                        v = _eval_statements(spark, [inner], env)[0]
+                        if idx == len(inners) - 1:
+                            a = None if v is _ERR else v
             elif word == "LET":
                 m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
                 rhs = m.group(2).strip()
@@ -676,7 +692,15 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                     script = ScriptRunner(spark, db=db,
                                           catalog=runner.catalog,
                                           stmts=runner)
-                a = script.run(s, **bindings).value
+                # each statement is atomic in the reference: a failing
+                # FOR/IF rolls its writes back (exec statement atomicity)
+                bk = runner._snapshot_root()
+                try:
+                    a = script.run(s, **bindings).value
+                except Exception:
+                    runner._restore_root(bk)
+                    raise
+                runner._drop_backup(bk)
             elif word in _STMT_WORDS:
                 _auto_define(db, s)
                 a = _df_value(runner.run(s, params=bindings))
@@ -694,7 +718,30 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
             a = _ERR
             global _LAST_ERR
             _LAST_ERR = f"{type(exc).__name__}: {exc}"
+            if getattr(runner, "_tx_open", False) and \
+                    not getattr(runner, "_tx_failed", None):
+                # a failing statement poisons the open transaction even on
+                # paths outside runner.run (THROW via the script engine)
+                runner._tx_failed = _LAST_ERR
+        in_tx = getattr(runner, "_tx_open", False)
+        if in_tx and word != "BEGIN":
+            txbuf.append((s, e, a))  # judged when the tx resolves
+            continue
+        if txbuf:
+            # transaction resolved (COMMIT/CANCEL/abort): a failed tx
+            # retroactively errors every buffered statement
+            # (control_flow/transaction corpus)
+            # CANCELled transactions also error their statements ("The
+            # query was not executed due to a cancelled transaction")
+            failed = getattr(runner, "_tx_failed", None) is not None \
+                or word == "CANCEL"
+            for bs, be, ba in txbuf:
+                _record_case(fr, bs, be, _ERR if failed else ba, spark)
+            txbuf = []
+            runner._tx_failed = None
         _record_case(fr, s, e, a, spark)
+    for bs, be, ba in txbuf:  # unterminated transaction: record as-is
+        _record_case(fr, bs, be, ba, spark)
     return fr
 
 
@@ -901,6 +948,9 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
         return _run_statement_file(spark, stmts, fr, expected,
                                    db=db, runner=runner, env=env)
     if any(_stmt_word(s) in _STMT_WORDS or _stmt_word(s) in ("FOR", "THROW")
+           or (s.lstrip().startswith("{")
+               and re.search(r"\b(LET|RETURN|CREATE|UPDATE|DELETE|INSERT"
+                             r"|UPSERT|RELATE|DEFINE|REMOVE)\b", s, re.I))
            for s in stmts):
         return _run_statement_file(spark, stmts, fr, expected, env=env)
     # LET statements bind into scope for later statements; their result is

@@ -37,6 +37,15 @@ class EvalError(Exception):
     """A genuine SurrealQL runtime error (type check, range, ...)."""
 
 
+class BreakSignal(Exception):
+    """`{ BREAK }` evaluated inside an expression — unwinds to the
+    enclosing FOR loop (expr/statements/break.rs ControlFlow)."""
+
+
+class ContinueSignal(Exception):
+    """`{ CONTINUE }` evaluated inside an expression."""
+
+
 class SetVal(list):
     """A set value: sorted, deduplicated list with its own type tag."""
 
@@ -64,7 +73,12 @@ class PyClosure:
         env = dict(self.env)
         for i, n in enumerate(self.names):
             env[n] = args[i] if i < len(args) else None
-        return peval(self.body, env)
+        try:
+            return peval(self.body, env)
+        except (BreakSignal, ContinueSignal):
+            # closures are function boundaries: control flow cannot cross
+            # them (statements/for/break_in_closure.surql)
+            raise EvalError("Break/Continue inside a closure")
 
 
 def is_duration(v) -> bool:
@@ -268,21 +282,24 @@ def _binop(op: str, a, b):
     if op == "?=":
         return isinstance(a, list) and any(_eq(x, b) for x in a)
     if op in ("..", "..=", ">..", ">..="):
-        return {"lo": a, "hi": b, "inc_lo": not op.startswith(">"),
-                "inc_hi": op.endswith("=")}
+        # matches expr/operators.range_struct field names
+        return {"start": a, "end": b,
+                "start_incl": not op.startswith(">"),
+                "end_incl": op.endswith("=")}
     raise Unfoldable(f"binop {op}")
 
 
 def _is_range(v) -> bool:
-    return isinstance(v, dict) and set(v) == {"lo", "hi", "inc_lo", "inc_hi"}
+    return isinstance(v, dict) and set(v) == {"start", "end", "start_incl",
+                                              "end_incl"}
 
 
 def _range_list(v) -> list:
-    if not (_is_range(v) and isinstance(v.get("lo"), int)
-            and isinstance(v.get("hi"), int)):
+    if not (_is_range(v) and isinstance(v.get("start"), int)
+            and isinstance(v.get("end"), int)):
         raise EvalError("range bounds must be integers")
-    lo = v["lo"] + (0 if v["inc_lo"] else 1)
-    hi = v["hi"] + (1 if v["inc_hi"] else 0)
+    lo = v["start"] + (0 if v["start_incl"] else 1)
+    hi = v["end"] + (1 if v["end_incl"] else 0)
     if hi - lo > 1_048_576:
         raise EvalError("range output too large")
     return list(range(lo, hi))
@@ -306,6 +323,10 @@ def _walk_path(base, parts, env):
     for p in parts:
         kind = p[0]
         if base is None:
+            # index/slice expressions still evaluate (their control-flow
+            # and errors fire even on NONE bases — break_within_indexing)
+            if kind in ("index", "iexpr") and isinstance(p[1], tuple):
+                peval(p[1], env)
             return None
         if kind == "field":
             if isinstance(base, list):
@@ -389,7 +410,7 @@ def peval(ast, env: dict | None = None):
             return env[name]
         if name in ("this", "parent", "input", "value", "before", "after"):
             raise Unfoldable(f"contextual param ${name}")
-        raise EvalError(f"unbound parameter ${name}")
+        return None  # unbound params are NONE
     if kind == "bin":
         op = ast[1]
         if op in ("AND", "&&"):
@@ -449,6 +470,8 @@ def peval(ast, env: dict | None = None):
         return _call(ast[1], ast[2], env)
     if kind == "cast":
         return _cast(ast[1], peval(ast[2], env))
+    if kind == "ctrl":
+        raise BreakSignal() if ast[1] == "break" else ContinueSignal()
     if kind == "mockv":
         from surrealdb_spark.sql.compiler import _mock_ids
 
@@ -632,11 +655,11 @@ def _f_slice(a, start=None, end=None):
         return list(a)
     inc_start, e_bound, inc_end = True, end, end is not None
     if _is_range(start):
-        inc_start = start["inc_lo"]
-        e_bound = start["hi"]
-        inc_end = start["inc_hi"]
+        inc_start = start["start_incl"]
+        e_bound = start["end"]
+        inc_end = start["end_incl"]
         has_end = e_bound is not None
-        start = start["lo"] or 0
+        start = start["start"] or 0
     else:
         has_end = end is not None
         inc_end = False  # explicit (start, end) args: end exclusive

@@ -115,10 +115,26 @@ class ScriptRunner:
                 raise _Return(self._eval(stmt[7:].strip(), bindings))
             elif up.startswith("SELECT"):
                 result = self._eval(stmt, bindings)
-            elif self._stmts is not None:
-                result = self._stmts.run(stmt, bindings)
             else:
-                raise ValueError(f"unsupported statement: {stmt[:40]!r}")
+                # expression statement (may carry `{ BREAK }` control
+                # flow, control_flow/loop corpus) — driver evaluator
+                # first, then the statement runner
+                from surrealdb_spark import pyeval
+
+                try:
+                    result = pyeval.eval_text(stmt, bindings)
+                    continue
+                except pyeval.BreakSignal:
+                    raise _Break() from None
+                except pyeval.ContinueSignal:
+                    raise _Continue() from None
+                except Exception:
+                    pass
+                if self._stmts is not None:
+                    result = self._stmts.run(stmt, bindings)
+                else:
+                    raise ValueError(
+                        f"unsupported statement: {stmt[:40]!r}")
         return result
 
     def _run_if(self, stmt: str, bindings: dict):
@@ -239,7 +255,15 @@ class ScriptRunner:
                             return False  # nested path targets: slow path
                         d[f_] = ev(ast, env)
                 key = st.target.key
-                if isinstance(key, tuple) and key[0] == "kexpr":
+                if isinstance(key, tuple) and key[0] == "texpr":
+                    # CREATE type::record('tb', $i) — per-item record id
+                    ka = key[1]
+                    if not (ka[0] == "call" and ka[1] == "type::record"
+                            and len(ka[2]) == 2):
+                        return False
+                    tb = ev(ka[2][0], env)
+                    d["id"] = f"{tb}:{ev(ka[2][1], env)}"
+                elif isinstance(key, tuple) and key[0] == "kexpr":
                     ka = key[1]
                     vals = ([ev(e, env) for e in ka[1]]
                             if ka[0] == "array" else [ev(ka, env)])
@@ -253,21 +277,39 @@ class ScriptRunner:
         from surrealdb_spark.sql.statements import Target
 
         runner = self._stmts
-        if st.target.table not in runner.db.tables:
-            runner.db.define_table(TableDef(st.target.table))
-        rows = runner._literal_rows(dicts, Target(st.target.table), bindings)
-        runner.db.create(st.target.table, rows)
+        table = st.target.table
+        if table is None and dicts and "id" in dicts[0]:
+            table = str(dicts[0]["id"]).partition(":")[0]
+        if table is None:
+            return False
+        if table not in runner.db.tables:
+            runner.db.define_table(TableDef(table))
+        rows = runner._literal_rows(dicts, Target(table), bindings)
+        runner.db.create(table, rows)
         return True
 
     def _eval_expr(self, src: str, bindings: dict):
-        """Driver-side SurrealQL expression evaluation (IF conditions)."""
+        """Driver-side SurrealQL expression evaluation (IF conditions).
+        `{ BREAK }` control flow propagates to the enclosing loop."""
         from surrealdb_spark.sql.compiler import compile_expr
         from surrealdb_spark.sql.parser import parse_expr
 
         scalars = {k: v for k, v in bindings.items()
                    if not isinstance(v, DataFrame)}
-        col = compile_expr(parse_expr(src), scalars)
-        return self.spark.range(1).select(col.alias("v")).first()["v"]
+        try:
+            col = compile_expr(parse_expr(src), scalars)
+            return self.spark.range(1).select(col.alias("v")).first()["v"]
+        except Exception as exc:
+            from surrealdb_spark import pyeval
+
+            try:
+                return pyeval.eval_text(src, scalars)
+            except pyeval.BreakSignal:
+                raise _Break() from None
+            except pyeval.ContinueSignal:
+                raise _Continue() from None
+            except pyeval.Unfoldable:
+                raise exc
 
     def _eval(self, rhs: str, bindings: dict):
         rhs = rhs.strip().rstrip(";")
@@ -325,8 +367,19 @@ class ScriptRunner:
 
 
 def _split_block(s: str) -> tuple[str, str, str]:
-    """Split `head { block } rest` at the first top-level brace pair."""
-    i = s.find("{")
+    """Split `head { block } rest` at the first brace pair OUTSIDE
+    parens/brackets (a `({ BREAK })` in the head is an expression block,
+    not the statement body — control_flow/loop corpus)."""
+    i = -1
+    pd = 0
+    for k, ch in enumerate(s):
+        if ch in "([":
+            pd += 1
+        elif ch in ")]":
+            pd -= 1
+        elif ch == "{" and pd == 0:
+            i = k
+            break
     if i < 0:
         raise ValueError(f"expected '{{' in {s[:40]!r}")
     depth, j = 0, i

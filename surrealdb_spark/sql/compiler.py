@@ -570,9 +570,9 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
     if kind == "param":
         name = ast[1]
         if name not in params:
-            if name == "parent":
-                # $parent inside projections / idiom filters: the
-                # enclosing row (exec CurrentValueSource $parent binding)
+            if name in ("parent", "this", "self"):
+                # $parent/$this/$self inside projections / idiom filters:
+                # the enclosing row (exec CurrentValueSource bindings)
                 return F.struct("*")
             if name == "session":
                 # builtin $session object (fnc/session.rs; the reference
@@ -680,6 +680,10 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                     compile_idiom(base, parts), lo,
                     None if hi is None else (hi + 1 if incl else hi))
                 parts = []
+            elif p[0] == "iexpr":
+                # dynamic index: arr[$i] / arr[expr] (value/idiom.rs)
+                parts.append(("index_col",
+                              compile_expr(p[1], params, types)))
             else:
                 parts.append(p)
         return compile_idiom(base, parts)
@@ -763,6 +767,22 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             if op in ("*", "**"):
                 raise ValueError(f"cannot {op} two durations")
         lt0, rt0 = _infer(l, types, params), _infer(r, types, params)
+        if lt0 == "datetime" and rt0 == "duration" and op in ("+", "-"):
+            # datetime ± duration (val/datetime.rs Add<Duration>): months
+            # as calendar interval, nanos as microsecond offset
+            sign = 1 if op == "+" else -1
+            months = (rc.getField("months") * sign).cast("int")
+            us = (rc.getField("nanos") / 1000 * sign).cast("long")
+            return (F.timestamp_add("MONTH", months, lc.cast("timestamp"))
+                    + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                         us.cast("double") / 1e6))
+        if lt0 == "datetime" and rt0 == "datetime" and op == "-":
+            # datetime - datetime = duration (val/datetime.rs Sub)
+            from surrealdb_spark.values import duration as _mkd
+
+            ns = (lc.cast("timestamp").cast("double")
+                  - rc.cast("timestamp").cast("double")) * 1e9
+            return _mkd(0, ns.cast("long"))
         if lt0 == "duration" and rt0 in ("int", "float", "decimal") \
                 and op in ("*", "/"):
             # duration scaled by a number stays a duration
@@ -799,7 +819,19 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                     and rt not in ("int", "float", "decimal"):
                 return F.concat(lc.cast("string"), rc.cast("string"))
             if lt == "array" and rt == "array":
+                if _static_of_kind(l, params, types) == "set":
+                    # set + value = sorted-set union (val/set.rs Add)
+                    return F.array_sort(F.array_distinct(F.concat(lc, rc)))
                 return F.concat(lc, rc)
+        if op in ("<", "<=", ">", ">=") and "set" in (
+                _static_of_kind(l, params, types),
+                _static_of_kind(r, params, types)):
+            # cross-type order: Set (tag 9) sorts after Array (tag 8)
+            # (types/src/value/mod.rs:165-210)
+            ltag = 9 if _static_of_kind(l, params, types) == "set" else 8
+            rtag = 9 if _static_of_kind(r, params, types) == "set" else 8
+            if ltag != rtag:
+                return _BINOPS[op](F.lit(ltag), F.lit(rtag))
         if op == "/" and _infer(l, types, params) == "int" and _infer(r, types, params) == "int":
             # Int/Int truncates toward zero (operate.rs try_div; 5/4 == 1)
             return O.div(lc, rc, integer_operands=True)
@@ -1262,6 +1294,11 @@ def _static_of_kind(ast, params: dict, types: dict) -> str | None:
         return None
     if k == "ulit":
         return "uuid"
+    if k == "param":
+        v = (params or {}).get(ast[1])
+        if type(v).__name__ == "SetVal":
+            return "set"
+        return None
     if k == "dur":
         return "duration"
     if k == "block1":
@@ -2050,6 +2087,21 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
 
     # aggregate
     is_grouped = sel.group is not None
+    if is_grouped and sel.group and sel.fields:
+        def _has_this(a):
+            if isinstance(a, tuple):
+                if a[0] == "param" and a[1] in ("this", "self"):
+                    return True
+                return any(_has_this(x) for x in a[1:])
+            if isinstance(a, list):
+                return any(_has_this(x) for x in a)
+            return False
+
+        for f in sel.fields:
+            if _has_this(f.expr):
+                # $this has no meaning for a grouped row
+                # (statements/select/group/this.surql)
+                raise ValueError("$this cannot be used in a GROUP BY query")
     post_fields: list[tuple] = []
     grouped_fields = sel.fields
     if is_grouped and sel.value_expr is not None:

@@ -1115,16 +1115,37 @@ class Parser:
                 elif self.eat("op", "$"):
                     self.expect("op", "]")
                     parts.append(("last",))
-                else:
-                    idx = self.expr(0)
+                elif self.peek().kind == "op" and \
+                        self.peek().text in ("..", "..="):
+                    # open-start slice: [..2] / [..=2] (value/idiom.rs)
+                    op_ = self.next().text
+                    hi = None
+                    if not (self.peek().kind == "op"
+                            and self.peek().text == "]"):
+                        hi = self.expr(0)
                     self.expect("op", "]")
-                    if idx[0] == "bin" and idx[1] in (">..", ">..=", "..",
-                                                      "..="):
-                        # arr[lo..hi] range index → slice (value/idiom.rs)
-                        parts.append(("slice", idx))
+                    parts.append(("slice", ("bin", op_, None, hi)))
+                else:
+                    idx = self.expr(11)  # bind below range ops
+                    if self.peek().kind == "op" and self.peek().text in (
+                            ">", "..", "..="):
+                        excl = bool(self.eat("op", ">"))
+                        op_ = self.next().text
+                        if op_ not in ("..", "..="):
+                            raise SyntaxError(f"bad slice at {self.peek().pos}")
+                        hi = None
+                        if not (self.peek().kind == "op"
+                                and self.peek().text == "]"):
+                            hi = self.expr(0)
+                        self.expect("op", "]")
+                        parts.append(("slice", ("bin",
+                                                (">" if excl else "") + op_,
+                                                idx, hi)))
                         continue
+                    self.expect("op", "]")
                     if idx[0] != "lit" or not isinstance(idx[1], int):
-                        raise SyntaxError("only literal integer indexes supported")
+                        parts.append(("iexpr", idx))
+                        continue
                     parts.append(("index", idx[1]))
                 continue
             break

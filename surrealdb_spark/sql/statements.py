@@ -91,6 +91,8 @@ class DefineTableStmt:
     # (other verbs parsed-ignored: mutations go through dml.Database which
     # is owner-scoped in this engine)
     select_perm: object = "full"
+    comment: str | None = None
+    verb_perms: dict | None = None  # verb → canonical NONE/FULL/WHERE text
 
 
 @dataclass
@@ -151,6 +153,8 @@ class DefineFunctionStmt:
     body: tuple = None        # expression AST over the params
     ptypes: list = dc_field(default_factory=list)   # declared kinds (or None)
     lets: list = dc_field(default_factory=list)     # [(name, expr_ast), ...]
+    text: str | None = None   # canonical `($args) { body }` source span
+    comment: str | None = None
 
 
 @dataclass
@@ -205,9 +209,10 @@ class RebuildIndexStmt:
 class InfoStmt:
     """INFO FOR DB | TABLE <tbl> | INDEX <ix> ON <tbl> (info.rs)."""
 
-    level: str                 # db | table | index
+    level: str                 # db | table | index | ns | root | kv
     name: str | None = None
     table: str | None = None
+    structure: bool = False    # `INFO ... STRUCTURE` — object form
 
 
 @dataclass
@@ -219,6 +224,8 @@ class DefineEventStmt:
     table: str
     when: tuple | None = None  # expr AST over $event/$before/$after/$value
     then: list = dc_field(default_factory=list)  # raw statement strings
+    when_text: str | None = None  # canonical INFO rendering
+    comment: str | None = None
 
 
 @dataclass
@@ -272,6 +279,18 @@ class UseStmt:
 @dataclass
 class NoopStmt:
     """Accepted-but-structural statements (BEGIN/COMMIT)."""
+
+
+@dataclass
+class DefineMiscStmt:
+    """DEFINE ACCESS/USER/API/CONFIG — auth/API catalog objects recorded
+    for INFO rendering (define/{access,user,api,config}.rs); enforcement
+    is out of scope (documented: single-tenant analytics engine)."""
+
+    kind: str  # "access" | "user" | "api" | "config"
+    name: object = None
+    level: str = "DATABASE"  # ON NAMESPACE/DATABASE/ROOT
+    clauses: dict = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -489,6 +508,37 @@ def _render_field(name: str, tbl: str, st) -> str:
         out += " COMPUTED " + t["computed"]
     if t.get("comment"):
         out += f" COMMENT {_surql_literal(t['comment'])}"
+    import re as _re
+
+    # canonical operator names (Operator Display prints INSIDE, not IN)
+    out = _re.sub(r"\bIN\b", "INSIDE", out)
+    out = _re.sub(r"\bNOT INSIDE\b", "NOTINSIDE", out)
+    perms = t.get("perms")
+    if perms and perms.upper() not in ("FULL",):
+        if perms.upper() == "NONE":
+            return out + " PERMISSIONS NONE"
+        # canonical grouping (define/field.rs Display): lowercase verbs,
+        # unstated verbs (of select/create/update) default FULL
+        groups = []
+        seen: set = set()
+        for g in _re.split(r"\bFOR\b", perms)[1:]:
+            g = " ".join(g.split()).strip().rstrip(",")
+            m = _re.match(r"([\w\s,]+?)\s+(NONE|FULL|WHERE\s.*)$",
+                          g, _re.S | _re.I)
+            if not m:
+                continue
+            verbs = [v.strip().lower() for v in m.group(1).split(",")]
+            lvl = m.group(2)
+            if lvl.upper() in ("NONE", "FULL"):
+                lvl = lvl.upper()
+            seen.update(verbs)
+            groups.append((verbs, lvl))
+        missing = [v for v in ("select", "create", "update")
+                   if v not in seen]
+        if missing:
+            groups.append((missing, "FULL"))
+        return out + " PERMISSIONS " + ", ".join(
+            f"FOR {', '.join(vs)} {lvl}" for vs, lvl in groups)
     return out + " PERMISSIONS FULL"
 
 
@@ -772,7 +822,9 @@ def _parse_statement_body(p: Parser):
                 elif p.eat_word("CHANGEFEED"):
                     st.changefeed = _duration_text(p)
                 elif p.eat_word("COMMENT"):
-                    p.next()
+                    ct = p.next()
+                    st.comment = ct.text[1:-1] if ct.kind == "str" \
+                        else (ct.orig or ct.text)
                 else:
                     break
             schemafull = st.schemafull
@@ -787,6 +839,9 @@ def _parse_statement_body(p: Parser):
                     st.select_perm = "full"
                     st.perms_text = "FULL"
                 else:
+                    st.verb_perms = {v: "NONE" for v in
+                                     ("select", "create", "update",
+                                      "delete")}
                     while p.eat("kw", "FOR"):
                         verbs = []
                         while True:
@@ -795,13 +850,24 @@ def _parse_statement_body(p: Parser):
                                 break
                         if p.eat("kw", "NONE"):
                             perm: object = "none"
+                            ptxt = "NONE"
                         elif p.eat("kw", "FULL"):
                             perm = "full"
+                            ptxt = "FULL"
                         else:
                             p.expect("kw", "WHERE")
+                            t0 = p.peek()
                             perm = p.expr(0)
+                            ptxt = "WHERE " + p.span_text(t0, p.peek())
+                        for v in verbs:
+                            if v in st.verb_perms:
+                                st.verb_perms[v] = ptxt
                         if "select" in verbs:
                             st.select_perm = perm
+            while p.eat_word("COMMENT"):
+                ct = p.next()
+                st.comment = ct.text[1:-1] if ct.kind == "str" \
+                    else (ct.orig or ct.text)
             return st
         if what.text == "FIELD":
             name = _field_path(p)
@@ -863,7 +929,9 @@ def _parse_statement_body(p: Parser):
                         if act.text.upper() == "THEN":
                             st.texts["on_delete_then"] = _raw_expr_text(p)
                 elif p.eat("kw", "PERMISSIONS"):
+                    t0 = p.peek()
                     _skip_permissions(p)
+                    st.texts["perms"] = p.span_text(t0, p.peek())
                 elif p.eat_word("COMMENT"):
                     ct = p.next()
                     st.texts["comment"] = (ct.text[1:-1] if ct.kind == "str"
@@ -1039,6 +1107,7 @@ def _parse_statement_body(p: Parser):
             #   LET $x = ...; RETURN <expr> }   (define/function.rs; language
             # tests statements/define/function/*.surql)
             name = _name(p)
+            t0 = p.peek()
             p.expect("op", "(")
             params, ptypes = [], []
             while p.peek().kind == "param":
@@ -1059,7 +1128,19 @@ def _parse_statement_body(p: Parser):
             body = p.expr(0)
             p.eat("op", ";")
             p.expect("op", "}")
-            return DefineFunctionStmt(name, params, body, ptypes, lets)
+            fn_text = p.span_text(t0, p.peek())
+            comment = None
+            while True:
+                if p.eat_word("COMMENT"):
+                    ct = p.next()
+                    comment = ct.text[1:-1] if ct.kind == "str" \
+                        else (ct.orig or ct.text)
+                elif p.eat("kw", "PERMISSIONS"):
+                    p.next()
+                else:
+                    break
+            return DefineFunctionStmt(name, params, body, ptypes, lets,
+                                      text=fn_text, comment=comment)
         if what.text.upper() == "EVENT":
             # DEFINE EVENT name ON [TABLE] tbl [WHEN cond] THEN expr|{stmts}
             name = _name(p)
@@ -1068,12 +1149,18 @@ def _parse_statement_body(p: Parser):
             tbl = _name(p)
             st = DefineEventStmt(name, tbl)
             if p.eat_word("WHEN"):
+                t0 = p.peek()
                 st.when = p.expr(0)
+                st.when_text = p.span_text(t0, p.peek())
             p.expect_word("THEN")
             if p.peek().kind == "op" and p.peek().text == "{":
                 st.then = _raw_block_statements(p)
             else:
                 st.then = [_raw_expr_text(p)]
+            if p.eat_word("COMMENT"):
+                ct = p.next()
+                st.comment = ct.text[1:-1] if ct.kind == "str" \
+                    else (ct.orig or ct.text)
             return st
         if what.text.upper() == "PARAM":
             name = p.expect("param").text[1:]
@@ -1099,7 +1186,102 @@ def _parse_statement_body(p: Parser):
                     neg = bool(p.eat("op", "-"))
                     st.start = int(p.expect("num").text) * (-1 if neg else 1)
                 elif p.eat("kw", "TIMEOUT"):
-                    st.timeout = p.next().text
+                    if p.peek().kind == "param":
+                        st.timeout = ("param", p.next().text[1:])
+                    else:
+                        st.timeout = _duration_text(p)
+                else:
+                    break
+            return st
+        if what.text.upper() in ("ACCESS", "USER"):
+            kindw = what.text.lower()
+            nm = _name(p)
+            st = DefineMiscStmt(kindw, nm)
+            if p.eat("kw", "ON"):
+                st.level = p.next().text.upper()
+            cl = st.clauses
+            while True:
+                if p.eat("kw", "TYPE"):
+                    cl["type"] = p.next().text.upper()
+                elif p.eat_word("ALGORITHM"):
+                    cl["alg"] = p.next().text.upper()
+                elif p.eat_word("KEY"):
+                    p.next()
+                    cl["key"] = True
+                elif p.eat_word("WITH") or p.eat_word("ISSUER"):
+                    pass
+                elif p.eat_word("PASSWORD") or p.eat_word("PASSHASH"):
+                    p.next()
+                elif p.eat_word("ROLES"):
+                    roles = [p.next().text.upper()]
+                    while p.eat("op", ","):
+                        roles.append(p.next().text.upper())
+                    cl["roles"] = roles
+                elif p.eat_word("DURATION"):
+                    pass
+                elif p.eat("kw", "FOR") or p.eat_word("FOR"):
+                    w = p.next().text.upper()
+                    if p.peek().kind == "param":
+                        cl[w.lower()] = ("param", p.next().text[1:])
+                    elif p.eat("kw", "NONE"):
+                        cl[w.lower()] = None
+                    else:
+                        cl[w.lower()] = _duration_text(p)
+                    p.eat("op", ",")
+                elif p.eat_word("COMMENT"):
+                    ct = p.next()
+                    cl["comment"] = ct.text[1:-1] if ct.kind == "str" \
+                        else ("param", ct.text[1:])
+                elif p.eat_word("AUTHENTICATE") or p.eat_word("SIGNUP") \
+                        or p.eat_word("SIGNIN"):
+                    p.expr(0)
+                else:
+                    break
+            return st
+        if what.text.upper() == "API":
+            t_ = p.next()
+            path = t_.text[1:-1] if t_.kind == "str" \
+                else ("param", t_.text[1:]) if t_.kind == "param" \
+                else (t_.orig or t_.text)
+            st = DefineMiscStmt("api", path)
+            cl = st.clauses
+            while True:
+                if p.eat("kw", "FOR"):
+                    cl["for"] = p.next().text.lower()
+                elif p.eat_word("MIDDLEWARE"):
+                    t0 = p.peek()
+                    p.expr(0)
+                    cl["middleware"] = p.span_text(t0, p.peek())
+                elif p.eat("kw", "PERMISSIONS"):
+                    if p.eat("kw", "NONE"):
+                        cl["perms"] = "NONE"
+                    elif p.eat("kw", "FULL"):
+                        cl["perms"] = "FULL"
+                    else:
+                        p.expect("kw", "WHERE")
+                        t0 = p.peek()
+                        p.expr(0)
+                        cl["perms"] = "WHERE " + p.span_text(t0, p.peek())
+                elif p.eat_word("COMMENT"):
+                    ct = p.next()
+                    cl["comment"] = ct.text[1:-1] if ct.kind == "str" \
+                        else ("param", ct.text[1:])
+                else:
+                    break
+            return st
+        if what.text.upper() == "CONFIG":
+            _eat_define_mods(p)
+            p.expect_word("DEFAULT")
+            st = DefineMiscStmt("config", "default")
+            while True:
+                if p.eat_word("NAMESPACE") or p.eat_word("NS"):
+                    t_ = p.next()
+                    st.clauses["namespace"] = ("param", t_.text[1:]) \
+                        if t_.kind == "param" else (t_.orig or t_.text)
+                elif p.eat_word("DATABASE") or p.eat_word("DB"):
+                    t_ = p.next()
+                    st.clauses["database"] = ("param", t_.text[1:]) \
+                        if t_.kind == "param" else (t_.orig or t_.text)
                 else:
                     break
             return st
@@ -1109,15 +1291,25 @@ def _parse_statement_body(p: Parser):
         what = p.next()
         kind = what.text.lower()
         if kind not in ("table", "field", "index", "analyzer", "function",
-                        "param", "sequence", "event"):
+                        "param", "sequence", "event", "bucket", "access",
+                        "user", "api", "namespace", "database", "ns", "db"):
             raise SyntaxError(f"REMOVE {what.text} not supported")
         if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
-        name = (p.expect("param").text[1:] if kind == "param"
-                else _name(p))
+        if kind == "api":
+            t_ = p.next()
+            name = t_.text[1:-1] if t_.kind == "str" else (t_.orig or t_.text)
+        elif p.peek().kind == "param" and kind != "param":
+            name = p.next().text  # "$x" — resolved at execution
+        elif kind == "field":
+            name = _field_path(p)  # dotted paths: obj.nested
+        else:
+            name = (p.expect("param").text[1:] if kind == "param"
+                    else _name(p))
         tbl = None
         if p.eat("kw", "ON"):
             p.eat("kw", "TABLE")
-            tbl = _name(p)
+            tbl = (p.next().text if p.peek().kind == "param"
+                   else _name(p))
         return RemoveStmt(kind, name, tbl, if_exists)
     if word == "ALTER":
         p.next()
@@ -1234,9 +1426,10 @@ def _parse_statement_body(p: Parser):
         p.expect("kw", "FOR")
         lvl = p.next()
         if lvl.text.upper() in ("DB", "DATABASE"):
-            return InfoStmt("db")
+            return InfoStmt("db", structure=bool(p.eat_word("STRUCTURE")))
         if lvl.text.upper() in ("TABLE", "TB"):
-            return InfoStmt("table", table=_name(p))
+            return InfoStmt("table", table=_name(p),
+                            structure=bool(p.eat_word("STRUCTURE")))
         if lvl.text.upper() == "INDEX":
             name = _name(p)
             p.expect("kw", "ON")
@@ -1246,6 +1439,8 @@ def _parse_statement_body(p: Parser):
             return InfoStmt("ns")
         if lvl.text.upper() == "ROOT":
             return InfoStmt("root")
+        if lvl.text.upper() == "KV":
+            return InfoStmt("kv")
         raise SyntaxError(f"INFO FOR {lvl.text} not supported")
     if word == "LIVE":
         # LIVE SELECT [DIFF | f1, f2 | *] FROM tbl [WHERE cond] (live.rs)
@@ -1347,6 +1542,11 @@ def _target(p: Parser) -> Target:
         # UPDATE $record / DELETE $record — resolved at execution from the
         # bound record (or record-id string)
         return Target(None, ("param", p.next().text[1:]))
+    if p.peek().kind == "name" and "::" in p.peek().text and \
+            p.toks[p.i + 1].kind == "op" and p.toks[p.i + 1].text == "(":
+        # CREATE type::record('tb', $i) — expression target resolved at
+        # execution (planner/dynamic_scan corpus; fnc/type.rs record)
+        return Target(None, ("texpr", p.prefix()))
     tb = _name(p)
     if p.peek().kind == "op" and p.peek().text == ":":
         p.next()
@@ -1495,6 +1695,10 @@ class StatementRunner:
         self.databases: dict[str, dict[str, dict]] = {}
         self.namespaces: dict[str, dict] = {}
         self.strict = False
+        # namespace/root-level catalogs (accesses/users) + KV defaults
+        self.ns_meta: dict[str, dict] = {}
+        self.root_meta: dict[str, dict] = {}
+        self.kv_defaults: dict = {}
         # connecting with a ns/db selected auto-defines both (the
         # reference creates them lazily on first use in non-strict mode)
         from surrealdb_spark.functions.extra_fns import SessionContext
@@ -1529,6 +1733,53 @@ class StatementRunner:
     # public --------------------------------------------------------------
 
     def run(self, text: str, params: dict | None = None) -> DataFrame | None:
+        """Transaction-aware entry: inside BEGIN..COMMIT a failed statement
+        poisons the transaction (later statements refuse to run and COMMIT
+        rolls back to the BEGIN snapshot — statements/transaction corpus)."""
+        head = text.strip().split(None, 1)
+        w = head[0].rstrip(";").upper() if head else ""
+        if getattr(self, "_tx_open", False) and w not in (
+                "BEGIN", "COMMIT", "CANCEL"):
+            if getattr(self, "_tx_failed", None):
+                raise ValueError(
+                    "The query was not executed due to a failed transaction")
+            try:
+                return self._run_main(text, params)
+            except Exception as exc:
+                self._tx_failed = str(exc) or type(exc).__name__
+                raise
+        return self._run_main(text, params)
+
+    def _snapshot_root(self) -> str:
+        """Copy the database root for transaction rollback (OLTP-scoped:
+        BEGIN/COMMIT batches are interactive-size, not the analytics
+        path)."""
+        import shutil
+        import tempfile
+
+        dst = tempfile.mkdtemp(prefix="txbk_")
+        shutil.rmtree(dst)
+        shutil.copytree(self.db.root, dst)
+        return dst
+
+    def _restore_root(self, backup: str | None) -> None:
+        import shutil
+
+        if not backup:
+            return
+        shutil.rmtree(self.db.root, ignore_errors=True)
+        shutil.copytree(backup, self.db.root)
+        shutil.rmtree(backup, ignore_errors=True)
+        self._tx_backup = None
+
+    @staticmethod
+    def _drop_backup(backup: str | None) -> None:
+        import shutil
+
+        if backup:
+            shutil.rmtree(backup, ignore_errors=True)
+
+    def _run_main(self, text: str, params: dict | None = None) -> DataFrame | None:
         from surrealdb_spark.sql.compiler import compile_select
 
         txt = text.strip().rstrip(";").strip()
@@ -1572,7 +1823,8 @@ class StatementRunner:
             def sub(m):
                 kw, pname = m.group(1), m.group(2)
                 v = merged.get(pname)
-                if isinstance(v, str) and _re.fullmatch(r"[A-Za-z_]\w*", v):
+                if isinstance(v, str) and _re.fullmatch(
+                        r"[A-Za-z_][\w.]*", v):
                     return f"{kw} {v}"
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     return f"{kw} {v!r}"
@@ -1580,10 +1832,22 @@ class StatementRunner:
 
             text = _re.sub(
                 r"\b(TABLE|FIELD|INDEX|EVENT|ANALYZER|FUNCTION|SEQUENCE|"
-                r"BUCKET|API|USER|ACCESS|ON|FIELDS|COLUMNS|BATCH|START)"
+                r"BUCKET|API|USER|ACCESS|NAMESPACE|DATABASE|NS|DB|CONFIG|"
+                r"ON|FIELDS|COLUMNS|BATCH|START)"
                 r"\s+\$(\w+)",
                 sub, text, flags=_re.I,
             )
+
+            def sub_comment(m):
+                v = merged.get(m.group(1))
+                if isinstance(v, str):
+                    return "COMMENT " + _surql_literal(v)
+                if v is None and m.group(1) in merged:
+                    return ""  # COMMENT NONE -> clause omitted
+                return m.group(0)
+
+            text = _re.sub(r"\bCOMMENT\s+\$(\w+)", sub_comment, text,
+                           flags=_re.I)
         stmt = parse_statement(text)
         params = {**self.params_defined, **(params or {})}
         if isinstance(stmt, Select) and stmt.timeout is not None:
@@ -1687,6 +1951,21 @@ class StatementRunner:
 
         binds = {**self.params_defined, **(binds or {})}
         src = src.strip().rstrip(";").strip()
+        m_info = _re2.fullmatch(r"\(\s*(INFO\s+FOR\s+[^)]*)\)\s*(\..+)?",
+                                src, _re2.S | _re2.I)
+        if m_info:
+            # `(INFO FOR DB).params` — catalog object + idiom walk
+            # (parameterized/schema corpus)
+            out = self.run(m_info.group(1), params=binds)
+            path = m_info.group(2)
+            if path:
+                from surrealdb_spark import pyeval
+                from surrealdb_spark.sql.parser import parse_expr
+
+                ast = parse_expr("x" + path)
+                if ast[0] == "path":
+                    return pyeval._walk_path(out, ast[2], binds)
+            return out
         take_idx = None
         m_idx = _re2.fullmatch(r"\((.*)\)\s*\[\s*(\d+)\s*\]", src, _re2.S)
         if m_idx:
@@ -2262,8 +2541,9 @@ class StatementRunner:
 
     # internals -----------------------------------------------------------
 
-    def _remove(self, stmt: RemoveStmt) -> None:
+    def _remove(self, stmt: RemoveStmt, params: dict | None = None) -> None:
         """REMOVE <kind> — drop a catalog object (statements/remove/*.rs)."""
+        params = params or {}
         k, name = stmt.kind, stmt.name
         cat = {"table": "tables", "analyzer": "analyzers", "param": "params",
                "sequence": "sequences", "function": "functions"}.get(k)
@@ -2285,9 +2565,16 @@ class StatementRunner:
             self.table_meta.pop(name, None)
             return
         if k == "field":
-            td = self.db.tables[stmt.table]
+            tbl = stmt.table
+            if isinstance(tbl, str) and tbl.startswith("$"):
+                tbl = str(params.get(tbl[1:], tbl))
+            if isinstance(name, str) and name.startswith("$"):
+                name = str(params.get(name[1:], name))
+            td = self.db.tables[tbl]
             before = len(td.fields)
             td.fields = [f for f in td.fields if f.name != name]
+            self.table_meta.get(tbl, {}).get("fields", {}).pop(name, None)
+            self.computed_fields.get(tbl, {}).pop(name, None)
             if len(td.fields) == before:
                 raise KeyError(f"no such field {name}")
             return
@@ -2324,8 +2611,193 @@ class StatementRunner:
             td = self.db.tables.get(tbl)
             if td and hook in td.events:
                 td.events.remove(hook)
+            self.table_meta.get(tbl, {}).get("events", {}).pop(name, None)
+            return
+        if k in ("bucket", "access", "user", "api"):
+            cat = {"bucket": "buckets", "access": "accesses",
+                   "user": "users", "api": "apis"}[k]
+            if isinstance(stmt.name, str) and stmt.name.startswith("$"):
+                stmt.name = str(params.get(stmt.name[1:], stmt.name))
+            # ON NAMESPACE/DATABASE picks the level catalog (the parsed
+            # tbl slot carries the level word when present)
+            level = (stmt.table or "DATABASE").upper()
+            reg = self._level_cat(cat, level) if k in ("access", "user") \
+                else self.meta[cat]
+            if stmt.name not in reg and not stmt.if_exists:
+                raise KeyError(f"the {k} '{stmt.name}' does not exist")
+            reg.pop(stmt.name, None)
+            self.obj_info.get(cat, {}).pop(stmt.name, None)
+            return
+        if k in ("namespace", "ns"):
+            if stmt.name not in self.namespaces and not stmt.if_exists:
+                raise KeyError(
+                    f"The namespace '{stmt.name}' does not exist")
+            self.namespaces.pop(stmt.name, None)
+            return
+        if k in ("database", "db"):
+            if not any(stmt.name in dbs
+                       for dbs in self.databases.values()) \
+                    and not stmt.if_exists:
+                raise KeyError(
+                    f"The database '{stmt.name}' does not exist")
+            for dbs in self.databases.values():
+                dbs.pop(stmt.name, None)
             return
         raise ValueError(f"REMOVE {k} not supported")
+
+    @staticmethod
+    def _computed_deps(ast) -> set:
+        """Field names a COMPUTED expression reads: bare idents,
+        `$this.f` / `$self.f` paths, `$this['f']` brackets
+        (define/field.rs computed dependency walk)."""
+        deps: set = set()
+
+        def walk(a):
+            if isinstance(a, (list,)):
+                for x in a:
+                    walk(x)
+                return
+            if not isinstance(a, tuple):
+                return
+            if a[0] == "ident":
+                deps.add(a[1])
+                return
+            if a[0] == "path":
+                base = a[1]
+                if base[0] == "ident":
+                    deps.add(base[1])
+                elif base[0] == "param" and base[1] in ("this", "self"):
+                    for part in a[2]:
+                        if part[0] == "field":
+                            deps.add(part[1])
+                            break
+                        if part[0] in ("index", "iexpr") and isinstance(
+                                part[1], tuple) and part[1][0] == "lit" \
+                                and isinstance(part[1][1], str):
+                            deps.add(part[1][1])
+                            break
+                if base[0] not in ("ident", "param"):
+                    walk(base)  # `{ val: a }.val` — deps inside the base
+                for part in a[2]:
+                    walk(part[1] if len(part) > 1 else None)
+                return
+            for x in a[1:]:
+                walk(x)
+
+        walk(ast)
+        return deps
+
+    def _check_computed_cycle(self, table: str, name: str, ast) -> None:
+        """Registering a computed field must not close a dependency cycle
+        (define/field.rs cycle check)."""
+        comp = dict(self.computed_fields.get(table, {}))
+        graph = {n: self._computed_deps(spec[1])
+                 for n, spec in comp.items() if spec[0] == "expr"}
+        graph[name] = self._computed_deps(ast)
+
+        path: list = []
+
+        def dfs(n, target) -> bool:
+            path.append(n)
+            for d in graph.get(n, ()):
+                if d == target:
+                    path.append(d)
+                    return True
+                if d in graph and d not in path and dfs(d, target):
+                    return True
+            path.pop()
+            return False
+
+        if dfs(name, name):
+            raise ValueError(
+                "Cyclic dependency detected among computed fields: "
+                + " -> ".join(path))
+
+    def _define_misc(self, stmt: "DefineMiscStmt", params: dict) -> None:
+        """DEFINE ACCESS/USER/API/CONFIG — resolve params, render the
+        canonical text (Display impls in define/{access,user,api}.rs),
+        store for INFO."""
+        from surrealdb_spark import pyeval
+
+        def rv(v):
+            if isinstance(v, tuple) and v[0] == "param":
+                return params.get(v[1])
+            return v
+
+        def dur_text(v):
+            v = rv(v)
+            if v is None:
+                return "NONE"
+            if isinstance(v, str):
+                return v
+            if hasattr(v, "asDict"):
+                v = v.asDict()
+            if isinstance(v, dict):
+                return pyeval._render_duration(v)
+            return str(v)
+
+        from surrealdb_spark.functions.extra_fns import SessionContext
+
+        if stmt.kind in ("user", "access"):
+            if stmt.level in ("DATABASE", "DB") and \
+                    SessionContext.get("db") is None:
+                raise ValueError("Specify a database to use")
+            if stmt.level in ("NAMESPACE", "NS") and \
+                    SessionContext.get("ns") is None:
+                raise ValueError("Specify a namespace to use")
+        cl = stmt.clauses
+        comment = rv(cl.get("comment"))
+        if stmt.kind == "config":
+            self.kv_defaults = {
+                "namespace": rv(cl.get("namespace")),
+                "database": rv(cl.get("database"))}
+            return None
+        if stmt.kind == "api":
+            path = rv(stmt.name)
+            txt = f"DEFINE API '{path}' FOR {cl.get('for', 'any')}"
+            if cl.get("middleware"):
+                mw = cl["middleware"]
+                for k, v in (params or {}).items():
+                    mw = mw.replace(f"${k}", _surql_literal(v)
+                                    if isinstance(v, str) else str(v))
+                txt += f" MIDDLEWARE {mw}"
+            txt += f" PERMISSIONS {cl.get('perms', 'FULL')}"
+            if comment:
+                txt += f" COMMENT {_surql_literal(comment)}"
+            self.meta["apis"][str(path)] = txt
+            return None
+        if stmt.kind == "user":
+            roles = ", ".join(cl.get("roles", ["VIEWER"]))
+            txt = (f"DEFINE USER {stmt.name} ON {stmt.level} PASSHASH '' "
+                   f"ROLES {roles} DURATION FOR TOKEN "
+                   f"{dur_text(cl.get('token', '1h'))}, FOR SESSION "
+                   f"{dur_text(cl.get('session'))}")
+            if comment:
+                txt += f" COMMENT {_surql_literal(comment)}"
+            self._level_cat("users", stmt.level)[stmt.name] = txt
+            return None
+        # access
+        txt = f"DEFINE ACCESS {stmt.name} ON {stmt.level}"
+        txt += f" TYPE {cl.get('type', 'JWT')}"
+        if cl.get("alg"):
+            txt += f" ALGORITHM {cl['alg']}"
+        if cl.get("key"):
+            txt += " KEY '[REDACTED]' WITH ISSUER KEY '[REDACTED]'"
+        txt += (f" DURATION FOR TOKEN {dur_text(cl.get('token', '1h'))}, "
+                f"FOR SESSION {dur_text(cl.get('session'))}")
+        if comment:
+            txt += f" COMMENT {_surql_literal(comment)}"
+        self._level_cat("accesses", stmt.level)[stmt.name] = txt
+        return None
+
+    def _level_cat(self, cat: str, level: str) -> dict:
+        """users/accesses live at ROOT/NAMESPACE/DATABASE level
+        (info.rs renders each level's own catalog)."""
+        if level in ("NAMESPACE", "NS"):
+            return self.ns_meta.setdefault(cat, {})
+        if level == "ROOT":
+            return self.root_meta.setdefault(cat, {})
+        return self.meta[cat]
 
     def _info(self, stmt: InfoStmt):
         """INFO FOR DB/TABLE/INDEX/NS/ROOT → the reference-shaped catalog
@@ -2334,10 +2806,17 @@ class StatementRunner:
             from surrealdb_spark.functions.extra_fns import SessionContext
 
             dbs = self.databases.get(SessionContext.get("ns") or "", {})
-            return {"accesses": {}, "users": {},
+            return {"accesses": dict(self.ns_meta.get("accesses", {})),
+                    "users": dict(self.ns_meta.get("users", {})),
                     "databases": {n: d["text"] for n, d in dbs.items()}}
-        if stmt.level == "root":
-            return {"accesses": {}, "nodes": {}, "users": {},
+        if stmt.level in ("root", "kv"):
+            if stmt.level == "kv":
+                return {"defaults": dict(self.kv_defaults),
+                        "namespaces": {n: d["text"]
+                                       for n, d in self.namespaces.items()}}
+            return {"accesses": dict(self.root_meta.get("accesses", {})),
+                    "nodes": {},
+                    "users": dict(self.root_meta.get("users", {})),
                     "system": {"available_parallelism": 0,
                                "cpu_usage": 0.0, "load_average": [],
                                "memory_allocated": 0, "memory_usage": 0,
@@ -2350,7 +2829,19 @@ class StatementRunner:
                 out["tables"].setdefault(
                     n, f"DEFINE TABLE {n} TYPE ANY SCHEMALESS PERMISSIONS NONE")
             for n in self.functions:
-                out["functions"].setdefault(n.removeprefix("fn::"), "")
+                fstmt = self.functions[n]
+                ftxt = ""
+                if getattr(fstmt, "text", None):
+                    import re as _re4
+
+                    body_txt = " ".join(fstmt.text.split())
+                    body_txt = _re4.sub(r";\s*}", " }", body_txt)
+                    ftxt = (f"DEFINE FUNCTION fn::"
+                            f"{n.removeprefix('fn::')}{body_txt}")
+                    if fstmt.comment:
+                        ftxt += f" COMMENT {_surql_literal(fstmt.comment)}"
+                    ftxt += " PERMISSIONS FULL"
+                out["functions"].setdefault(n.removeprefix("fn::"), ftxt)
             return out
         if stmt.level == "table":
             td = self.db.tables[stmt.table]
@@ -2385,6 +2876,24 @@ class StatementRunner:
             for n, (t_, _) in self.events.items():
                 if t_ == stmt.table:
                     events.setdefault(n, "")
+            if stmt.structure:
+                # `INFO FOR TABLE t STRUCTURE` — object form (info.rs
+                # structure rendering: arrays of definition objects)
+                fobjs = []
+                for fn in sorted(fields):
+                    fd2 = (self.obj_info.get("field_struct", {})
+                           .get((stmt.table, fn), {}))
+                    o = {"name": fn, "table": stmt.table,
+                         "readonly": bool(fd2.get("readonly")),
+                         "permissions": {"create": True, "select": True,
+                                         "update": True}}
+                    for k2 in ("kind", "default", "default_always",
+                               "value"):
+                        if fd2.get(k2) is not None:
+                            o[k2] = fd2[k2]
+                    fobjs.append(o)
+                return {"events": [], "fields": fobjs, "indexes": [],
+                        "lives": [], "tables": []}
             return {"events": events, "fields": fields, "indexes": indexes,
                     "lives": {}, "tables": {}}
         d = self.index_defs[stmt.name]
@@ -2433,6 +2942,17 @@ class StatementRunner:
         for attr in ("table",):
             self._check_strict(getattr(stmt, attr, None))
         if (tgt is not None and tgt.table is None
+                and isinstance(tgt.key, tuple) and tgt.key[0] == "texpr"):
+            # expression target (CREATE type::record('tb', $i)): evaluate
+            # to the record id, then run as a point target
+            rid = self.spark.range(1).select(
+                self._expr(tgt.key[1], params).alias("v")).first()["v"]
+            tb, _, key = str(rid).partition(":")
+            tgt.table = tb
+            tgt.key = (int(key) if key.lstrip("-").isdigit() else key) \
+                if key else None
+            self._check_strict(tb)
+        if (tgt is not None and tgt.table is None
                 and isinstance(tgt.key, tuple) and tgt.key[0] == "param"):
             # $record target → table/key from the bound record id
             v = params.get(tgt.key[1])
@@ -2447,8 +2967,10 @@ class StatementRunner:
             self.db.tables[stmt.name].schemafull = stmt.schemafull
             info_t = {"type": stmt.ttype, "schemafull": stmt.schemafull,
                       "changefeed": stmt.changefeed,
-                      "perms": {v: stmt.perms_text for v in
-                                ("select", "create", "update", "delete")}}
+                      "comment": stmt.comment,
+                      "perms": stmt.verb_perms or {
+                          v: stmt.perms_text for v in
+                          ("select", "create", "update", "delete")}}
             self.obj_info["tables"][stmt.name] = info_t
             self.meta["tables"][stmt.name] = _render_table(stmt.name, info_t)
             if stmt.select_perm == "none":
@@ -2478,6 +3000,16 @@ class StatementRunner:
             self.table_meta.setdefault(stmt.table, {}).setdefault(
                 "fields", {})[stmt.name] = _render_field(
                     stmt.name, stmt.table, stmt)
+            fs = {"readonly": bool(stmt.texts.get("readonly")),
+                  "kind": stmt.kind_text}
+            if stmt.texts.get("default"):
+                fs["default"] = stmt.texts["default"]
+                fs["default_always"] = bool(
+                    stmt.texts.get("default_always"))
+            if stmt.texts.get("value"):
+                fs["value"] = stmt.texts["value"]
+            self.obj_info.setdefault("field_struct", {})[
+                (stmt.table, stmt.name)] = fs
             if stmt.texts.get("reference"):
                 import re as _re3
 
@@ -2500,6 +3032,7 @@ class StatementRunner:
                 # generic COMPUTED <expr>: evaluated at read, always
                 # present on every record (define/field.rs Computed)
                 cast = stmt.computed
+                self._check_computed_cycle(stmt.table, stmt.name, cast)
                 if cast[0] == "block1" or (
                         cast[0] == "setlit" and len(cast[1]) == 1):
                     # `COMPUTED { expr }` — a value block, not a set
@@ -2557,6 +3090,20 @@ class StatementRunner:
                 "comment": stmt.comment}
             return None
         if isinstance(stmt, DefineIndexStmt):
+            import re as _re5
+
+            def _resolve_ixf(f: str) -> list[str]:
+                # FIELDS type::field($x) / type::fields($xs) resolve to
+                # the bound field names (fnc/type.rs projection macros)
+                m = _re5.fullmatch(
+                    r"type::(field|fields)\(\s*\$(\w+)\s*\)", f.strip())
+                if not m:
+                    return [f]
+                v = params.get(m.group(2))
+                return [str(x) for x in v] if isinstance(v, list) \
+                    else [str(v)]
+
+            stmt.fields = [r for f in stmt.fields for r in _resolve_ixf(f)]
             self.index_defs[stmt.name] = stmt
             if stmt.table not in self.db.tables:
                 self.db.define_table(TableDef(stmt.table))
@@ -2676,17 +3223,26 @@ class StatementRunner:
         if isinstance(stmt, TxStmt):
             if stmt.word == "BEGIN":
                 self._tx_open = True
+                self._tx_failed = None
+                self._tx_backup = self._snapshot_root()
             else:
                 if not getattr(self, "_tx_open", False):
                     raise ValueError(
-                        f"{stmt.word} without an open transaction")
-                if stmt.word == "CANCEL":
-                    self._tx_open = False
-                    raise ValueError(
-                        "CANCEL: rollback is out of scope (statements run "
-                        "as atomic batch jobs)")
+                        f"Invalid statement: Cannot {stmt.word} without "
+                        "starting a transaction")
                 self._tx_open = False
+                if stmt.word == "CANCEL":
+                    self._restore_root(self._tx_backup)
+                    return None
+                if getattr(self, "_tx_failed", None):
+                    self._restore_root(self._tx_backup)
+                    raise ValueError(
+                        "Cannot COMMIT: the transaction was aborted due "
+                        "to a prior error")
+                self._drop_backup(self._tx_backup)
             return None
+        if isinstance(stmt, DefineMiscStmt):
+            return self._define_misc(stmt, params)
         if isinstance(stmt, DefineDbStmt):
             from surrealdb_spark.functions.extra_fns import SessionContext
 
@@ -2782,6 +3338,17 @@ class StatementRunner:
 
             td.events.append(hook)
             self.events[stmt.name] = (stmt.table, hook)
+            then_txt = "; ".join(stmt.then)
+            if then_txt.startswith('"') and then_txt.endswith('"'):
+                then_txt = _surql_literal(then_txt[1:-1])
+            txt = f"DEFINE EVENT {stmt.name} ON {stmt.table}"
+            if stmt.when_text:
+                txt += f" WHEN {stmt.when_text}"
+            txt += f" THEN {then_txt}"
+            if stmt.comment:
+                txt += f" COMMENT {_surql_literal(stmt.comment)}"
+            self.table_meta.setdefault(stmt.table, {}).setdefault(
+                "events", {})[stmt.name] = txt
             return None
         if isinstance(stmt, DefineParamStmt):
             v = self.spark.range(1).select(
@@ -2799,7 +3366,16 @@ class StatementRunner:
             self.sequences[stmt.name] = define_sequence(stmt.name, start=stmt.start)
             txt = f"DEFINE SEQUENCE {stmt.name} BATCH {stmt.batch} START {stmt.start}"
             if stmt.timeout:
-                txt += f" TIMEOUT {stmt.timeout}"
+                to = stmt.timeout
+                if isinstance(to, tuple) and to[0] == "param":
+                    from surrealdb_spark import pyeval as _pe
+
+                    v = params.get(to[1])
+                    if hasattr(v, "asDict"):
+                        v = v.asDict()
+                    to = _pe._render_duration(v) if isinstance(v, dict) \
+                        else str(v)
+                txt += f" TIMEOUT {to}"
             self.meta["sequences"][stmt.name] = txt
             self.obj_info["sequences"][stmt.name] = {
                 "batch": stmt.batch, "start": stmt.start,
@@ -2807,7 +3383,7 @@ class StatementRunner:
             return None
         if isinstance(stmt, RemoveStmt):
             try:
-                self._remove(stmt)
+                self._remove(stmt, params)
             except (KeyError, ValueError):
                 if not stmt.if_exists:
                     raise
