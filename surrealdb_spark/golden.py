@@ -403,15 +403,19 @@ def _stmt_word(s: str) -> str:
     return m.group(1).upper() if m else ""
 
 
-def _df_value(df) -> object:
-    """DataFrame result → reference-shaped value: array of objects, or bare
-    values for SELECT VALUE results (single `value` column)."""
+def _df_value(df, stmt_text: str = "") -> object:
+    """DataFrame result → reference-shaped value: array of objects, or
+    bare values for SELECT VALUE results only (a projected field that
+    happens to be NAMED `value` keeps its object shape)."""
     if df is None:
         return None
     if isinstance(df, (dict, list, str)):
         return df  # INFO / EXPLAIN return the reference-shaped value
     rows = [_norm(r) for r in df.limit(10_000).collect()]
-    if df.columns == ["value"]:
+    if df.columns == ["value"] and (
+            not stmt_text
+            or re.search(r"\bSELECT\s+VALUE\b", stmt_text, re.I)
+            or not re.search(r"\bSELECT\b", stmt_text, re.I)):
         return [r["value"] for r in rows]
     return rows
 
@@ -666,7 +670,9 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                     ms = re.match(r"^(.*)$", rhs, flags=re.S)
                 if ms and _stmt_word(ms.group(1)) in _STMT_WORDS:
                     _auto_define(db, ms.group(1))
-                    out = _df_value(runner.run(ms.group(1).strip(), params=bindings))
+                    out = _df_value(runner.run(ms.group(1).strip(),
+                                               params=bindings),
+                                    ms.group(1))
                     only = re.search(r"\bONLY\s", ms.group(1), flags=re.I)
                     take_first = (ms.lastindex or 0) >= 2 and ms.group(2) or only
                     bindings[m.group(1)] = (
@@ -703,7 +709,7 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 runner._drop_backup(bk)
             elif word in _STMT_WORDS:
                 _auto_define(db, s)
-                a = _df_value(runner.run(s, params=bindings))
+                a = _df_value(runner.run(s, params=bindings), s)
                 if re.search(r"\bONLY\s", s, flags=re.I) and isinstance(a, list):
                     # CREATE/UPDATE ONLY / FROM ONLY return the bare object
                     a = a[0] if a else None

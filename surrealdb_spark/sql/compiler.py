@@ -681,9 +681,17 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                     None if hi is None else (hi + 1 if incl else hi))
                 parts = []
             elif p[0] == "iexpr":
-                # dynamic index: arr[$i] / arr[expr] (value/idiom.rs)
-                parts.append(("index_col",
-                              compile_expr(p[1], params, types)))
+                # dynamic index: arr[$i] / arr[expr]; string keys are
+                # field picks — obj['en'] ≡ obj.en (value/idiom.rs)
+                ik = p[1]
+                if ik[0] == "param" and isinstance(
+                        params.get(ik[1]), str):
+                    ik = ("lit", params[ik[1]])
+                if ik[0] == "lit" and isinstance(ik[1], str):
+                    parts.append(("field", ik[1]))
+                else:
+                    parts.append(("index_col",
+                                  compile_expr(ik, params, types)))
             else:
                 parts.append(p)
         return compile_idiom(base, parts)
@@ -2135,8 +2143,18 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 )
                 post_fields.append((("ident", alias), name))
             out_names.add(name)
-        gb = df.groupBy(*[c.alias(n) for c, n in zip(keys, key_names)])
-        df = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        if keys:
+            gb = df.groupBy(*[c.alias(n)
+                              for c, n in zip(keys, key_names)])
+            df = gb.agg(*aggs) if aggs else gb.agg(
+                F.count(F.lit(1)).alias("__n")).drop("__n")
+        else:
+            # GROUP ALL over zero input rows yields NO group (the
+            # reference's Group collector emits per input group only) —
+            # groupBy on a constant preserves that, a global agg doesn't
+            gb = df.groupBy(F.lit(1).alias("__g"))
+            df = (gb.agg(*aggs) if aggs else gb.agg(
+                F.count(F.lit(1)).alias("__n")).drop("__n")).drop("__g")
 
     # sort (Sort/SortTopK; with LIMIT Catalyst emits TakeOrderedAndProject)
     if sel.order:
@@ -2263,11 +2281,29 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         sample = df.select(f_).filter(F.col(f_).isNotNull()).first()
         if sample is None:
             continue
-        tbl = str(sample[0]).split(":", 1)[0]
+        sv = sample[0]
+        if isinstance(sv, list):  # array-of-ids field (FETCH tags)
+            sv = next((x for x in sv if x is not None), None)
+            if sv is None:
+                continue
+        is_arr = isinstance(sample[0], list)
+        tbl = str(sv).split(":", 1)[0]
         target = cat.table(tbl)
         id_col = _guess_id_col(target, tbl)
-        target = target.withColumn("id", record_id(tbl, id_col))
-        df = fetch(df, f_, target.drop(id_col) if id_col != "id" else target, "id")
+        # db-written tables already store full `tb:key` ids — only bare
+        # keys (sf parquet) get prefixed
+        idc = F.col(id_col).cast("string")
+        rid_c = F.when(idc.contains(":"), idc).otherwise(
+            record_id(tbl, idc))
+        target = target.withColumn("id", rid_c)
+        target = target.drop(id_col) if id_col != "id" else target
+        if is_arr:
+            from surrealdb_spark.operators.fetch import fetch_array
+
+            keys = [c for c in df.columns if c == "id"] or df.columns[:1]
+            df = fetch_array(df, f_, keys, target, "id")
+        else:
+            df = fetch(df, f_, target, "id")
 
     if sel.only:
         head = df.limit(2).collect()

@@ -2920,10 +2920,19 @@ class StatementRunner:
                     # wildcard segments (doc/relate.rs edge shape)
                     edge_names.add(name)
             else:
-                # defined-but-empty table: SELECTs see zero rows, not a
-                # missing-parquet error
+                # defined-but-empty table: SELECTs see zero rows with the
+                # DECLARED field columns resolvable (schemafull tables
+                # have a schema before any write — define/field.rs)
+                cols = ["id string"]
+                for fd in self.db.tables[name].fields:
+                    if "." in fd.name or fd.name.endswith("*") \
+                            or fd.name == "id":
+                        continue
+                    dt = fd.dtype if isinstance(fd.dtype, str) and \
+                        "<" not in (fd.dtype or "") else None
+                    cols.append(f"`{fd.name}` {dt or 'string'}")
                 self.catalog.register(
-                    name, self.spark.createDataFrame([], "id string")
+                    name, self.spark.createDataFrame([], ", ".join(cols))
                 )
         self.catalog.edge_names = edge_names
 
