@@ -98,6 +98,12 @@ class Catalog:
         """Register a DataFrame as a named table (DML-created tables,
         views, subquery results) resolvable in FROM clauses."""
         self._cache[name] = df
+        # OLTP-scoped (db-written) tables, as opposed to lazy sf-dir
+        # parquet scans — LIMIT-without-ORDER pins KV id order only here
+        # (a global sort per bare LIMIT would be wrong at 100 TB)
+        if not hasattr(self, "registered"):
+            self.registered = set()
+        self.registered.add(name)
 
     def register_edges(self, name: str, edges: DataFrame) -> None:
         """Register an edge table (columns ``in``/``out`` [+payload])."""

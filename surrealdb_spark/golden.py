@@ -147,6 +147,12 @@ def _norm(v):
         return {k: _norm(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_norm(x) for x in v]
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        # collected Spark timestamps are tz-naive (session tz UTC):
+        # normalize aware literals the same way for comparison
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return v
 
 
@@ -314,9 +320,18 @@ def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> l
     bodies = [re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
               for s in stmts]
     cols = []
-    for body in bodies:
+    pre: dict[int, object] = {}
+    for bi, body in enumerate(bodies):
         try:
-            cols.append(compile_expr(parse_expr(body), bindings))
+            ast = parse_expr(body)
+            if ast[0] in ("lit", "ulit"):
+                # pure literal: skip the Spark roundtrip (it would drop
+                # subtypes — NanoDatetime's raw nanosecond text); _norm
+                # tz-normalizes like collected timestamps
+                pre[bi] = _norm(ast[1])
+                cols.append(None)
+                continue
+            cols.append(compile_expr(ast, bindings))
         except Exception as exc:
             global _LAST_ERR
             _LAST_ERR = f"{type(exc).__name__}: {exc}"
@@ -325,7 +340,8 @@ def _eval_statements(spark: SparkSession, stmts: list[str], bindings: dict) -> l
     live = [i for i, c in enumerate(cols) if c is not None]
     for i, c in enumerate(cols):
         if c is None:
-            results[i] = _py_fallback(bodies[i], bindings)
+            results[i] = pre[i] if i in pre \
+                else _py_fallback(bodies[i], bindings)
     if live:
         try:
             row = (
@@ -405,17 +421,17 @@ def _stmt_word(s: str) -> str:
 
 def _df_value(df, stmt_text: str = "") -> object:
     """DataFrame result → reference-shaped value: array of objects, or
-    bare values for SELECT VALUE results only (a projected field that
-    happens to be NAMED `value` keeps its object shape)."""
+    bare values when the compiler tagged the single `value` column as a
+    bare result (SELECT VALUE / scalar FROM sources). A projected field
+    that happens to be NAMED `value` keeps its object shape — the
+    compiler tags that `_surql_bare=False`."""
     if df is None:
         return None
     if isinstance(df, (dict, list, str)):
         return df  # INFO / EXPLAIN return the reference-shaped value
     rows = [_norm(r) for r in df.limit(10_000).collect()]
-    if df.columns == ["value"] and (
-            not stmt_text
-            or re.search(r"\bSELECT\s+VALUE\b", stmt_text, re.I)
-            or not re.search(r"\bSELECT\b", stmt_text, re.I)):
+    bare = getattr(df, "_surql_bare", None)
+    if df.columns == ["value"] and (bare or bare is None):
         return [r["value"] for r in rows]
     return rows
 
@@ -636,7 +652,7 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         v = _eval_statements(spark, [lm.group(2)], env)[0]
                         if v is _ERR:
                             raise ValueError("LET binding failed")
-                        env[lm.group(1)] = _set_tag(lm.group(2), v)
+                        env[lm.group(1)] = _set_tag(lm.group(2), _norm(v))
                     elif iw in ("FOR", "THROW") or (iw == "IF" and "{" in inner):
                         from surrealdb_spark.script import ScriptRunner
 
@@ -686,7 +702,9 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         v = _eval_statements(spark, [rhs], bindings)[0]
                         if v is _ERR:
                             raise ValueError("LET binding failed")
-                        bindings[m.group(1)] = _set_tag(rhs, v)
+                        # Rows → dicts: bound objects must walk/compare/
+                        # re-lit as plain Python ($obj.field predicates)
+                        bindings[m.group(1)] = _set_tag(rhs, _norm(v))
                 a = None
             elif word in ("FOR", "THROW") or (word == "IF" and "{" in s):
                 # control-flow statements run through the script engine
@@ -709,8 +727,12 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 runner._drop_backup(bk)
             elif word in _STMT_WORDS:
                 _auto_define(db, s)
-                a = _df_value(runner.run(s, params=bindings), s)
-                if re.search(r"\bONLY\s", s, flags=re.I) and isinstance(a, list):
+                out_df = runner.run(s, params=bindings)
+                a = _df_value(out_df, s)
+                only = getattr(out_df, "_surql_only", None)
+                if only is None:  # non-SELECT paths: textual fallback
+                    only = bool(re.search(r"\bONLY\s", s, flags=re.I))
+                if only and isinstance(a, list):
                     # CREATE/UPDATE ONLY / FROM ONLY return the bare object
                     a = a[0] if a else None
             else:

@@ -82,6 +82,11 @@ class LookupError_(ValueError):
     """A lookup shape this engine doesn't support (falls back to error)."""
 
 
+# driver-side cap for the recursive-destructure tree assembler (an OLTP
+# point-query path): loud failure beats a silent OOM on a celebrity node
+_DESTRUCTURE_CAP = 10_000
+
+
 def attach_lookups(spark: SparkSession, df: DataFrame, cat, specs: list,
                    params: dict, compile_expr, types_of) -> DataFrame:
     """Attach one hidden array column per lookup spec.
@@ -601,7 +606,20 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
 
     # BFS: collect children maps per traversal field, level by level
     # (one filtered scan per level per field — the recurse_value frontier
-    # pattern, bounded by the root's reachable subgraph)
+    # pattern, bounded by the root's reachable subgraph).  This is an
+    # OLTP point-query path (one root record's tree); a celebrity node
+    # would blow the driver, so every materialization is LOUDLY capped —
+    # same contract as statements._bounded_collect.
+    def _capped(df, what: str) -> list:
+        rows = df.limit(_DESTRUCTURE_CAP + 1).collect()
+        if len(rows) > _DESTRUCTURE_CAP:
+            raise LookupError_(
+                f"recursive destructure {what} exceeds the "
+                f"{_DESTRUCTURE_CAP}-row driver cap — the reachable "
+                "subgraph is too large for a point-query tree assembly"
+            )
+        return rows
+
     def _fetch_rows(ids: set) -> dict:
         got: dict = {}
         by_tb: dict[str, list] = {}
@@ -614,7 +632,8 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
                 continue
             if "id" not in t.columns:
                 continue
-            for r in t.filter(F.col("id").isin(tids)).collect():
+            for r in _capped(t.filter(F.col("id").isin(tids)),
+                             f"row fetch ({tb})"):
                 got[r["id"]] = strip_absent(r.asDict(recursive=True))
         return got
 
@@ -651,7 +670,7 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
             if target != "?":
                 hop = hop.filter(_rid_table(F.col("dst")) == target)
             for r in sorted(
-                    hop.collect(),
+                    _capped(hop, f"edge frontier ({edge})"),
                     key=lambda r: key_sort_text(
                         str(r["eid"]).split(":", 1)[1])):
                 children[name].setdefault(r["src"], []).append(r["dst"])
@@ -761,12 +780,21 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
                 )
             )
         if no_revisit:
+            revisits = F.array_contains(
+                F.slice(F.col("__path"), 1,
+                        F.size(F.col("__path")) - 1), F.col("__node"))
+            if kind == "last" and params.get("__timeout_ns__"):
+                # plain `{..}` RepeatRecurse never converges on a cyclic
+                # graph — the reference spins until TIMEOUT fires
+                # (graph/timeout.surql expects the timeout error); a
+                # detected cycle makes the timeout inevitable, so raise
+                # deterministically instead of burning wall-clock
+                if not nxt.filter(revisits).isEmpty():
+                    raise LookupError_(
+                        "The query was not executed because it exceeded "
+                        "the timeout")
             # cycle rule: a path never revisits one of its own nodes
-            nxt = nxt.filter(
-                ~F.array_contains(F.slice(
-                    F.col("__path"), 1, F.size(F.col("__path")) - 1),
-                    F.col("__node"))
-            )
+            nxt = nxt.filter(~revisits)
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break

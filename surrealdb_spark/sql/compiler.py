@@ -567,6 +567,9 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                         F.concat_ws(", ", *elems), F.lit("]"))
     if kind == "ulit":
         return F.lit(ast[1])
+    if kind == "pval":
+        # plan-time-bound Python value (explain._subst_params)
+        return _py_lit(ast[1])
     if kind == "param":
         name = ast[1]
         if name not in params:
@@ -659,6 +662,20 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             compile_expr(ast[1], params, types), compile_expr(ast[2], params, types)
         )
     if kind == "path":
+        if (ast[1][0] == "param" and ast[1][1] in params
+                and not isinstance(params[ast[1][1]], Column)
+                and isinstance(params[ast[1][1]], (dict, list))
+                and all(isinstance(p, tuple)
+                        and p[0] in ("field", "index", "optional", "all")
+                        for p in ast[2])):
+            # `$obj.field` over a driver-bound object/array: fold to the
+            # extracted value so it stays a pushable literal — Catalyst
+            # pushes `col = lit` to the index/scan, a struct getField
+            # wouldn't (planner/param_value_index.surql)
+            from surrealdb_spark import pyeval
+
+            got = pyeval._walk_path(params[ast[1][1]], ast[2], params)
+            return _py_lit(got)
         base = compile_expr(ast[1], params, types)
         parts = []
         for p in ast[2]:
@@ -1130,6 +1147,22 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                           tgt[4] if len(tgt) > 4 else None, tgt[2], params)
         return _invoke_closure_value(cv, ast[2], params, types)
     raise ValueError(f"bad AST node {ast!r}")
+
+
+def _py_lit(v) -> Column:
+    """Arbitrary driver-side Python value → Column literal (uuid/dict/list
+    included; F.lit alone rejects several of these)."""
+    import uuid as _uuid
+
+    if isinstance(v, _uuid.UUID):
+        return F.lit(str(v))
+    if isinstance(v, dict):
+        if not v:
+            return F.struct(F.lit(None).alias("__empty__"))
+        return F.struct(*[_py_lit(x).alias(k) for k, x in v.items()])
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_py_lit(x) for x in v])
+    return F.lit(v)
 
 
 def _closure_method(ast, params: dict, types: dict | None):
@@ -1745,6 +1778,22 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             for it in items:
                 if it in (("lit", None), ("nulllit",)):
                     continue
+                if it[0] == "call" and it[1] == "type::table" and it[2]:
+                    # FROM type::table(expr) — DynamicScan on a runtime
+                    # table name (scan/dynamic.rs:53): the name is a
+                    # driver-scoped scalar (literal/param), so resolve it
+                    # and scan the table
+                    arg = it[2][0]
+                    if arg[0] == "param":
+                        name = params.get(arg[1])
+                    elif arg[0] == "lit":
+                        name = arg[1]
+                    else:
+                        name = spark.range(1).select(
+                            compile_expr(arg, params).alias("v")
+                        ).first()["v"]
+                    rec_outs.append(resolve(str(name)))
+                    continue
                 if it[0] == "lit" and isinstance(it[1], str) \
                         and _RID_RE.match(it[1]):
                     tb, _, key = it[1].partition(":")
@@ -1923,6 +1972,23 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         # bare-value source rows: $this denotes the row value
         params = {**params, "this": F.col("value")}
     types = types_of(df)  # static dispatch for /, ?:, count(expr)
+
+    # `(SELECT $parent.x, ... FROM ONLY <scalar>)` projections inline into
+    # the outer frame first: the scalar FROM is one row per outer row, so
+    # the subquery is just an object of its fields evaluated in the outer
+    # context (graph/parent_in_where.surql) — inlining before lookup
+    # extraction lets embedded graph paths join-attach normally
+    if sel.fields:
+        inl = [(i, _inline_scalar_subquery(f))
+               for i, f in enumerate(sel.fields)]
+        if any(e is not None for _i, e in inl):
+            fields2 = list(sel.fields)
+            for i, e in inl:
+                if e is not None:
+                    import dataclasses as _dc0
+
+                    fields2[i] = _dc0.replace(fields2[i], expr=e)
+            sel = _replace(sel, fields=fields2)
 
     # graph lookups anywhere in WHERE / fields / VALUE / ORDER are
     # extracted to hidden join-computed columns first (operators/lookup.py;
@@ -2149,12 +2215,12 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             df = gb.agg(*aggs) if aggs else gb.agg(
                 F.count(F.lit(1)).alias("__n")).drop("__n")
         else:
-            # GROUP ALL over zero input rows yields NO group (the
-            # reference's Group collector emits per input group only) —
-            # groupBy on a constant preserves that, a global agg doesn't
-            gb = df.groupBy(F.lit(1).alias("__g"))
-            df = (gb.agg(*aggs) if aggs else gb.agg(
-                F.count(F.lit(1)).alias("__n")).drop("__n")).drop("__g")
+            # GROUP ALL is a global aggregate: zero input rows still emit
+            # the one all-group row (group/group_all_where.surql expects
+            # `[{ count: 0 }]` when WHERE filters everything)
+            gb = df.groupBy()
+            df = gb.agg(*aggs) if aggs else gb.agg(
+                F.count(F.lit(1)).alias("__n")).drop("__n")
 
     # sort (Sort/SortTopK; with LIMIT Catalyst emits TakeOrderedAndProject)
     if sel.order:
@@ -2192,7 +2258,16 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # Spark row order is partition-dependent, so pin it when paging.
     # (bare LIMIT keeps Spark's cheap any-N take — a global sort for every
     # LIMIT would be wrong at scale; START paging is where determinism pays)
-    if sel.start and not sel.order and "id" in df.columns:
+    oltp_srcs = all(
+        not isinstance(s, str) or s in getattr(cat, "registered", ())
+        for s in sel.sources)
+    if (sel.start or (sel.limit is not None and oltp_srcs)) \
+            and not sel.order and "id" in df.columns:
+        # START/LIMIT without ORDER BY picks rows in KV key order — the
+        # reference's table scan is id-ordered (record_id/key.rs).  Only
+        # db-written (OLTP) tables get this for bare LIMIT: a global sort
+        # per LIMIT over a 100 TB parquet scan would be a scale bug, so
+        # lazy sf-dir scans keep Spark's cheap any-N take.
         key = F.substring_index(F.col("id").cast("string"), ":", -1)
         df = df.orderBy(key.try_cast("bigint").asc_nulls_last(),
                         F.col("id").asc())
@@ -2310,6 +2385,21 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         if len(head) != 1:
             raise ValueError(f"ONLY expects exactly one record, got {len(head)}")
 
+    # tag whether a single `value` column means BARE values (SELECT VALUE,
+    # or a scalar FROM source passed through star projection) vs a projected
+    # field that happens to be NAMED `value` (stays an object) — consumers
+    # (golden._df_value) read this instead of re-parsing the statement
+    try:
+        df._surql_bare = bool(
+            sel.value_expr is not None
+            or (df.columns == ["value"] and not sel.fields)
+        )
+        # whether THIS statement is `SELECT ... FROM ONLY` (consumers
+        # unwrap the single row; a nested `FROM ONLY` subquery must not
+        # trigger the statement-level unwrap)
+        df._surql_only = bool(sel.only)
+    except Exception:
+        pass
     return df
 
 
@@ -2323,6 +2413,54 @@ def _refs_parent(ast) -> bool:
         _refs_parent(x) or (isinstance(x, list) and any(_refs_parent(e) for e in x))
         for x in ast[1:]
     )
+
+
+def _inline_scalar_subquery(fld):
+    """`(SELECT fields... FROM ONLY <scalar>)` referencing $parent → an
+    object-literal expression over the OUTER row (the scalar source is one
+    row, so per-outer-row evaluation degenerates to plain projection;
+    exec/operators/current_value_source.rs binds $parent the same way).
+    Returns the replacement AST or None."""
+    e = fld.expr
+    if not (isinstance(e, tuple) and e[0] == "subquery"):
+        return None
+    sub = e[1]
+    if not sub.fields or sub.where is not None or sub.group is not None:
+        return None
+    def _scalar_src(s) -> bool:
+        if isinstance(s, str):
+            return s in ("true", "false")  # parsed as a bare name
+        return (isinstance(s, tuple) and s[0] == "exprsrc"
+                and s[1][0] == "lit" and not isinstance(s[1][1], str))
+
+    if not sub.sources or not all(_scalar_src(s) for s in sub.sources):
+        return None
+    if not any(_refs_parent(f.expr) for f in sub.fields):
+        return None
+    src0 = sub.sources[0]
+    scalar = (src0 == "true") if isinstance(src0, str) else src0[1][1]
+
+    def _bind_inner(ast, in_filter=False):
+        # inside [WHERE …] lookup filters $parent is the SUBQUERY's row
+        # (the scalar), one level down from the projection's $parent
+        if not isinstance(ast, tuple):
+            return ast
+        if in_filter and ast[0] == "path" and ast[1] == ("param", "parent") \
+                and not isinstance(scalar, dict):
+            return ("lit", None)  # field access on a non-object → NONE
+        if in_filter and ast[0] == "param" and ast[1] == "parent":
+            return ("lit", scalar)
+        nf = in_filter or ast[0] == "where"
+        return tuple(
+            _bind_inner(x, nf) if isinstance(x, tuple)
+            else ([_bind_inner(e, nf) for e in x]
+                  if isinstance(x, list) else x)
+            for x in ast)
+
+    pairs = [(f.alias or _default_name(f.expr), _bind_inner(f.expr))
+             for f in sub.fields]
+    obj = ("object", pairs)
+    return obj if sub.only else ("array", [obj])
 
 
 def _is_corr_subquery(expr) -> bool:

@@ -52,7 +52,13 @@ def to_sql(ast) -> str:
             return v if _is_record_id(v) else f"'{v}'"
         if isinstance(v, float) and v == int(v):
             return str(int(v)) + "f"
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return _dt_sql(v)
         return str(v)
+    if k == "pval":
+        return _pv_sql(ast[1])
     if k == "ulit":
         return f"u'{ast[1]}'"
     if k == "nulllit":
@@ -98,6 +104,60 @@ def _is_record_id(s: str) -> bool:
     return bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_]+", s))
 
 
+_UUID_RE = None
+
+
+def _dt_sql(v) -> str:
+    """datetime → `d'RFC3339Z'` (val::Datetime ToSql); literals carrying
+    sub-microsecond source text print it exactly (values.NanoDatetime)."""
+    import datetime as _dt
+
+    raw = getattr(v, "raw", "")
+    if raw:
+        return f"d'{raw}'"
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    iso = v.isoformat()
+    if v.microsecond == 0 and len(iso) > 19:
+        iso = iso[:19]
+    return f"d'{iso}Z'"
+
+
+def _pv_sql(v) -> str:
+    """Printed surql form of a driver-side Python VALUE (plan-time-bound
+    params in predicates: `predicate: name = { name: 'Tobie' }.name`)."""
+    import datetime as _dt
+    import re as _re
+    import uuid as _uuid
+
+    global _UUID_RE
+    if _UUID_RE is None:
+        _UUID_RE = _re.compile(
+            r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")
+    if v is None:
+        return "NONE"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _uuid.UUID):
+        return f"u'{v}'"
+    if isinstance(v, _dt.datetime):
+        return _dt_sql(v)
+    if isinstance(v, str):
+        if _is_record_id(v):
+            return v
+        if _UUID_RE.fullmatch(v):
+            return f"u'{v}'"
+        return f"'{v}'"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v)) + "f"
+    if isinstance(v, dict):
+        inner = ", ".join(f"{k}: {_pv_sql(x)}" for k, x in v.items())
+        return "{ " + inner + " }" if inner else "{  }"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_pv_sql(x) for x in v) + "]"
+    return str(v)
+
+
 def _lit_value(ast):
     """Python value of a literal-ish AST (for legacy detail dicts)."""
     import datetime as _dt
@@ -112,6 +172,11 @@ def _lit_value(ast):
         return v
     if ast[0] == "nulllit":
         return None
+    if ast[0] == "pval":
+        v = ast[1]
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
     if ast[0] == "array":
         return [_lit_value(e) for e in ast[1]]
     if ast[0] == "un" and ast[1] == "-" and ast[2][0] == "lit":
@@ -124,6 +189,46 @@ class _Opaque(str):
 
 
 # -- WHERE analysis -----------------------------------------------------------
+
+
+def _subst_params(ast, params: dict, fold_paths: bool = False):
+    """Plan-time param binding in a WHERE AST: ("param", p) becomes
+    ("pval", value) so the planner sees the bound constant (the reference
+    binds params before planning — scan/index.rs access shows the value,
+    TableScan predicates print `{ … }.field`).  With ``fold_paths`` a
+    whole `$obj.path` chain folds to the walked literal (the LEGACY
+    planner index-matches through param field access; the new executor
+    keeps the path and falls back to a TableScan)."""
+    if not isinstance(ast, tuple):
+        return ast
+    k = ast[0]
+    if k == "param":
+        name = ast[1]
+        if name in ("parent", "this", "self") or name not in params:
+            return ast
+        v = params[name]
+        from pyspark.sql import Column as _Col
+
+        from surrealdb_spark.values import ClosureValue as _CV
+
+        if isinstance(v, (_Col, _CV)):
+            return ast
+        return ("pval", v)
+    if k == "path" and ast[1][0] == "param" and fold_paths:
+        name = ast[1][1]
+        v = params.get(name)
+        if isinstance(v, (dict, list)) and all(
+                isinstance(p, tuple)
+                and p[0] in ("field", "index", "optional", "all")
+                for p in ast[2]):
+            from surrealdb_spark import pyeval
+
+            return ("pval", pyeval._walk_path(v, ast[2], params))
+    return tuple(
+        _subst_params(x, params, fold_paths) if isinstance(x, tuple)
+        else ([_subst_params(e, params, fold_paths) for e in x]
+              if isinstance(x, list) else x)
+        for x in ast)
 
 
 def _conjuncts(ast) -> list:
@@ -354,6 +459,11 @@ def _bang(ast) -> str:
 def _knn_dim(rhs, params):
     if rhs[0] == "array":
         return len(rhs[1])
+    if rhs[0] == "pval":
+        try:
+            return len(rhs[1])
+        except Exception:
+            return None
     if rhs[0] == "param":
         v = params.get(rhs[1])
         try:
@@ -370,6 +480,8 @@ def _knn_vec(rhs, params):
             return [_lit_value(e) for e in rhs[1]]
         except Exception:
             return None
+    if rhs[0] == "pval":
+        return rhs[1]
     if rhs[0] == "param":
         return params.get(rhs[1])
     return None
@@ -410,6 +522,11 @@ def _match_compound(d, conj):
                 continue
             op = str(c[1])
             if _field_of(c[2]) != f:
+                continue
+            if isinstance(c[3], tuple) and c[3][0] == "path":
+                # rhs with a residual path part (`= $obj.field` in the new
+                # executor, `= other.field`) is not a plan-time constant —
+                # no index access (param_value_index_new_executor.surql)
                 continue
             if op in ("=", "=="):
                 hit = (pos, c, ("eq", c[3]))
@@ -572,7 +689,11 @@ def _access_text(acc: Access) -> str:
         return f"{parts} {rng}"
     if not acc.eq_values:
         return ""
-    if len(acc.eq_values) == 1 and getattr(acc, "_single", False):
+    if len(acc.eq_values) == 1:
+        # BTreeAccess::Equality prints `= {value}` (scan/index.rs:131);
+        # one-element compound arrays reduce to the bare element.  Full
+        # compound matches print the bare array `[a, b]` (corpus:
+        # compound_index_matching_new_executor.surql)
         return f"= {to_sql(acc.eq_values[0])}"
     return parts
 
@@ -686,7 +807,28 @@ def _mk_matches_select(runner, tbl, acc: Access):
 def plan_new(runner, sel, params=None) -> Node:
     """New-executor operator tree for a SELECT (exec/planner/select.rs)."""
     params = params or {}
+    if sel.where is not None:
+        import dataclasses as _dc
+
+        sel = _dc.replace(sel, where=_subst_params(sel.where, params))
     tbls = [s for s in sel.sources if isinstance(s, str)]
+    for s in sel.sources:
+        # params/`type::table(..)` holding a table name get full plan-time
+        # index resolution, same as a literal table (scan/dynamic.rs;
+        # planner/param_table_plan_resolution.surql)
+        if isinstance(s, tuple) and s[0] == "paramsrc":
+            v = params.get(s[1])
+            if isinstance(v, str) and ":" not in v \
+                    and v.replace("_", "").isalnum():
+                tbls.append(v)
+        elif isinstance(s, tuple) and s[0] == "exprsrc" \
+                and isinstance(s[1], tuple) and s[1][0] == "call" \
+                and s[1][1] == "type::table" and s[1][2]:
+            arg = s[1][2][0]
+            v = params.get(arg[1]) if arg[0] == "param" else (
+                arg[1] if arg[0] == "lit" else None)
+            if isinstance(v, str):
+                tbls.append(v)
     conj = _conjuncts(sel.where)
     order1 = sel.order[0] if sel.order else None
 
@@ -937,6 +1079,11 @@ def render_text(node: Node, analyze: bool) -> str:
 def plan_legacy(runner, sel, params=None) -> list:
     """``SELECT ... EXPLAIN [FULL]`` rows (old planner description)."""
     params = params or {}
+    if sel.where is not None:
+        import dataclasses as _dc
+
+        sel = _dc.replace(
+            sel, where=_subst_params(sel.where, params, fold_paths=True))
     tbls = [s for s in sel.sources if isinstance(s, str)]
     tbl = tbls[0] if tbls else None
     ranges = [s for s in sel.sources
@@ -1015,8 +1162,11 @@ def plan_legacy(runner, sel, params=None) -> list:
             return {"index": a.index, "operator": f"<|{k},{ef}|>",
                     "value": a.knn_vec}
         vals = [_lit_value(v) for v in a.eq_values]
-        value = vals[0] if len(vals) == 1 and len(
-            runner.index_defs[a.index].fields) == 1 else vals
+        # 1-element equality arrays print as the bare element — the
+        # reference reduces them in explain (idx/planner/plan.rs:461
+        # reduce_array), so a composite-index prefix match on one column
+        # shows `value: true`, not `value: [true]`
+        value = vals[0] if len(vals) == 1 else vals
         return {"index": a.index, "operator": "=", "value": value}
 
     jp = None

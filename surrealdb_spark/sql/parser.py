@@ -529,7 +529,9 @@ class Parser:
             if self.peek().kind == "kw" and self.peek().text == "SELECT":
                 sub = _parse_select_body(self)
                 self.expect("op", ")")
-                return ("subquery", sub)
+                # idioms attach to ANY expression, including a parenthesized
+                # subquery: `(SELECT ... LIMIT 3).id` (expr/part.rs Start)
+                return self.postfix(("subquery", sub))
             e = self.expr(0)
             if self.peek().kind == "op" and self.peek().text == ",":
                 # `(lon, lat)` geometry point literal (sql/geometry parsing
@@ -656,11 +658,19 @@ class Parser:
                     # type::of answers 'uuid'
                     return self.postfix(("ulit", body))
                 import datetime as _dt
+                import re as _re_dt
 
                 iso = body.replace("Z", "+00:00")
                 dt = _dt.datetime.fromisoformat(iso)
                 if dt.tzinfo is None:
                     dt = dt.replace(tzinfo=_dt.timezone.utc)
+                frac = _re_dt.search(r"\.(\d+)", body)
+                if frac and len(frac.group(1)) > 6:
+                    # sub-microsecond literal: Python truncates, so keep
+                    # the source text for exact EXPLAIN printing
+                    from surrealdb_spark.values import NanoDatetime
+
+                    dt = NanoDatetime.wrap(dt, body)
                 return self.postfix(("lit", dt))
             if self.peek().kind == "op" and self.peek().text == "(":
                 self.next()

@@ -1637,6 +1637,18 @@ def _return_clause(p: Parser, default: str = "AFTER"):
 _OLTP_CAP = 10_000
 
 
+def _plain_value(v):
+    """Collected Spark values → plain Python (Rows become dicts, so bound
+    params walk/compare/re-lit cleanly)."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return {k: _plain_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_plain_value(x) for x in v]
+    return v
+
+
 def _bounded_collect(df: DataFrame, what: str, cap: int = _OLTP_CAP) -> list:
     """Driver-side materialization with a LOUD overflow: OLTP-scoped
     reference semantics (event firing, ON DELETE enforcement, statement
@@ -1861,6 +1873,9 @@ class StatementRunner:
                 t = d.get("nanos", 0) + d.get("months", 0)
             if not t:
                 raise ValueError("query timed out (TIMEOUT 0)")
+            # recursion executors use this to fail divergent traversals
+            # the way the reference's timeout would (graph/timeout.surql)
+            params = {**params, "__timeout_ns__": t}
         if isinstance(stmt, Select) and stmt.fields and any(
                 f.expr[0] == "refscan" for f in stmt.fields):
             # SELECT *, <~post AS posts — reverse-reference projections
@@ -2012,8 +2027,33 @@ class StatementRunner:
             got = self._walk_record_path(str(ast[1][1]), ast[2])
             if got is not _PATH_MISS:
                 return got
+        if ast[0] == "path" and ast[1][0] == "subquery":
+            # `(SELECT ... LIMIT 3).id` — idiom over a subquery's result
+            # rows (expr/part.rs Part::Start over any expression): run the
+            # select, materialize its (already LIMITed) rows, then walk
+            # the path driver-side
+            from surrealdb_spark import pyeval
+            from surrealdb_spark.values import strip_absent
+
+            df = self.run_select(ast[1][1], binds)
+            rows: list = [strip_absent(r.asDict(recursive=True))
+                          for r in df.limit(10_000).collect()]
+            if df.columns == ["value"] and getattr(df, "_surql_bare", True):
+                rows = [r["value"] for r in rows]
+            return pyeval._walk_path(rows, ast[2], binds)
+        if ast[0] in ("lit", "ulit"):
+            # pure literal: no Spark roundtrip (it would drop subtypes —
+            # NanoDatetime raw text, bytes vs str); datetimes normalize
+            # to naive UTC like collected timestamps
+            import datetime as _dt0
+
+            v0 = ast[1]
+            if isinstance(v0, _dt0.datetime) and v0.tzinfo is not None:
+                v0 = v0.astimezone(_dt0.timezone.utc).replace(tzinfo=None)
+            return v0
         col = self._expr(ast, binds)
-        return self.spark.range(1).select(col.alias("v")).first()["v"]
+        got = self.spark.range(1).select(col.alias("v")).first()["v"]
+        return _plain_value(got)
 
     def _walk_record_path(self, rid: str, parts):
         """`rid.field.*.…` — driver-side idiom walk with record

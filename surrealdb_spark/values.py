@@ -26,6 +26,8 @@ Design decisions (SURVEY.md §1.4, written down here once):
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -150,6 +152,41 @@ def duration(months: Column | int = 0, nanos: Column | int = 0) -> Column:
     m = F.lit(months) if isinstance(months, int) else months
     n = F.lit(nanos) if isinstance(nanos, int) else nanos
     return F.struct(m.cast("long").alias("months"), n.cast("long").alias("nanos"))
+
+
+class NanoDatetime(_dt.datetime):
+    """A datetime literal whose source text has sub-microsecond precision
+    (the reference stores nanosecond datetimes, val/datetime.rs; Python
+    truncates to micros).  `raw` keeps the original literal body so
+    EXPLAIN output prints the exact text (`d'…940183014Z'`)."""
+
+    raw: str = ""
+
+    @classmethod
+    def wrap(cls, d: "_dt.datetime", raw: str) -> "NanoDatetime":
+        out = cls(d.year, d.month, d.day, d.hour, d.minute, d.second,
+                  d.microsecond, tzinfo=d.tzinfo, fold=d.fold)
+        out.raw = raw
+        return out
+
+    def replace(self, *a, **k):  # keep raw through tz normalization
+        out = super().replace(*a, **k)
+        out.raw = self.raw
+        return out
+
+    def astimezone(self, tz=None):
+        out = super().astimezone(tz)
+        if isinstance(out, NanoDatetime):
+            out.raw = self.raw
+        return out
+
+
+try:  # createDataFrame type inference looks types up by EXACT class
+    from pyspark.sql import types as _pst
+
+    _pst._type_mappings[NanoDatetime] = _pst.TimestampType
+except Exception:  # pragma: no cover - internal mapping moved
+    pass
 
 
 class ClosureValue:
