@@ -147,17 +147,21 @@ def truthy_array(c) -> Column:
 # -- full-text match (operator.rs Matches `@@`) -----------------------------
 
 
-def matches(text, query) -> Column:
+def matches(text, query, any_mode: bool = False) -> Column:
     """`@@` — every analyzed query term occurs in the document's tokens
     (FullTextScan conjunction semantics, idx/ft/fulltext.rs QueryTerms:
     all terms must have postings; BM25 scoring lives in
     operators/fulltext.py — the predicate form is index-free and JVM-side).
+    ``any_mode`` = `@OR@` boolean mode: ANY term matching suffices
+    (operator.rs MatchesOperator::Or).
     Tokenization mirrors pipeline/text.py: lowercase, split on non-alnum.
     """
     # array_remove(x, '') on both sides: splitting "hello." / "foo." yields a
     # trailing '' token, and ''-overlap would make any punctuated pair match.
     toks = F.array_remove(F.split(F.lower(_c(text)), r"[^a-z0-9]+"), "")
     qtoks = F.array_remove(F.split(F.lower(_c(query)), r"[^a-z0-9]+"), "")
+    if any_mode:
+        return F.exists(qtoks, lambda q: F.array_contains(toks, q))
     return (F.size(qtoks) > 0) & F.forall(
         qtoks, lambda q: F.array_contains(toks, q))
 

@@ -41,6 +41,9 @@ CONSTANTS = {
     "FRAC_PI_8": _m.pi / 8,
     "INF": _m.inf,
     "NEG_INF": -_m.inf,
+    # long-form aliases (constant.rs MathInfinity/MathNegInfinity)
+    "INFINITY": _m.inf,
+    "NEG_INFINITY": -_m.inf,
 }
 
 

@@ -140,6 +140,8 @@ def _norm(v):
     except Exception:
         pass
     if isinstance(v, dict):
+        if set(v) == {"__emptyobj"}:
+            return {}  # OMIT `.*` empty-object marker struct
         if "__present" in v:
             from surrealdb_spark.values import strip_absent
 
@@ -649,10 +651,21 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                     lm = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", inner,
                                   flags=re.I | re.S)
                     if lm:
-                        v = _eval_statements(spark, [lm.group(2)], env)[0]
+                        rhs = lm.group(2).strip()
+                        if _stmt_word(rhs) in _STMT_WORDS:
+                            # DML/SELECT rhs: LET $x = CREATE ONLY t ...
+                            _auto_define(db, rhs)
+                            out = _df_value(runner.run(rhs, params=env),
+                                            rhs)
+                            if re.search(r"\bONLY\s", rhs, flags=re.I) \
+                                    and isinstance(out, list):
+                                out = out[0] if out else None
+                            env[lm.group(1)] = out
+                            continue
+                        v = _eval_statements(spark, [rhs], env)[0]
                         if v is _ERR:
                             raise ValueError("LET binding failed")
-                        env[lm.group(1)] = _set_tag(lm.group(2), _norm(v))
+                        env[lm.group(1)] = _set_tag(rhs, _norm(v))
                     elif iw in ("FOR", "THROW") or (iw == "IF" and "{" in inner):
                         from surrealdb_spark.script import ScriptRunner
 
@@ -663,7 +676,14 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         script.run(inner, **env)
                     elif iw in _STMT_WORDS:
                         _auto_define(db, inner)
-                        runner.run(inner, params=env)
+                        out_df = runner.run(inner, params=env)
+                        if idx == len(inners) - 1:
+                            # a trailing statement is the block's value
+                            # (expr/block.rs: last expression)
+                            a = _df_value(out_df, inner)
+                            if getattr(out_df, "_surql_only", False) \
+                                    and isinstance(a, list):
+                                a = a[0] if a else None
                     elif iw == "RETURN":
                         expr = re.sub(r"^RETURN\s+", "", inner, flags=re.I)
                         try:

@@ -314,8 +314,7 @@ def _index(base, i):
         return None
     if isinstance(base, dict):
         return base.get(i)
-    if isinstance(base, str):
-        return base[i] if -len(base) <= i < len(base) else None
+    # strings are not indexable values (part.rs Index over non-array)
     return None
 
 
@@ -329,6 +328,15 @@ def _walk_path(base, parts, env):
                 peval(p[1], env)
             return None
         if kind == "field":
+            if isinstance(base, str) and _is_ridish(base):
+                # record-id receiver: deref the record, then pick the
+                # field (value/idiom.rs over Thing values)
+                from surrealdb_spark.functions.misc_fns import (
+                    _lookup_record)
+
+                rec = _lookup_record(base)
+                base = rec.get(p[1]) if isinstance(rec, dict) else None
+                continue
             if isinstance(base, list):
                 base = [_index(x, p[1]) for x in base]
             elif isinstance(base, dict):
@@ -337,6 +345,14 @@ def _walk_path(base, parts, env):
                 return None
         elif kind == "index":
             idx = p[1] if isinstance(p[1], int) else peval(p[1], env)
+            if isinstance(base, str) and _is_ridish(base):
+                # index on a record id indexes its parsed KEY — only
+                # array keys index; scalar keys give NONE
+                from surrealdb_spark.values import parse_rid_key
+
+                k = parse_rid_key(base)
+                base = _index(k, idx) if isinstance(k, list) else None
+                continue
             base = _index(base, idx)
         elif kind == "iexpr":
             base = _index(base, peval(p[1], env))
@@ -553,7 +569,21 @@ def _call_method(name: str, recv, arg_asts, env):
     f = PY_FNS.get(f"type::{name}")
     if f:
         return f(recv, *args)
+    if isinstance(recv, str) and name in ("id", "tb", "table") \
+            and _is_ridish(recv):
+        # record-id methods (fnc/record.rs): rid.id() → parsed KEY
+        # (int/str/object/array), rid.tb() → table name
+        from surrealdb_spark.values import parse_rid_key
+
+        return parse_rid_key(recv) if name == "id" \
+            else recv.split(":", 1)[0]
     raise Unfoldable(f"method {name} on {type(recv).__name__}")
+
+
+def _is_ridish(s: str) -> bool:
+    import re as _re
+
+    return bool(_re.match(r"^[A-Za-z_]\w*:.+$", s))
 
 
 def _call(name: str, arg_asts, env):

@@ -90,8 +90,14 @@ _AGGREGATES = {
     "math::mean": lambda args: F.avg(args[0]),
     "math::min": lambda args: F.min(args[0]),
     "math::max": lambda args: F.max(args[0]),
-    "math::stddev": lambda args: F.stddev_samp(args[0]),
-    "math::variance": lambda args: F.var_samp(args[0]),
+    # sample stddev/variance of a single value is 0 in the reference
+    # (fnc/math.rs deviation/variance), not NULL like stddev_samp
+    "math::stddev": lambda args: F.coalesce(
+        F.stddev_samp(args[0]),
+        F.when(F.count(args[0]) > 0, F.lit(0.0))),
+    "math::variance": lambda args: F.coalesce(
+        F.var_samp(args[0]),
+        F.when(F.count(args[0]) > 0, F.lit(0.0))),
     "math::median": lambda args: F.median(args[0]),
     "time::min": lambda args: F.min(args[0]),
     "time::max": lambda args: F.max(args[0]),
@@ -254,6 +260,10 @@ def _resolve_method(ast, types, params):
     _, mname, recv, margs = ast
     if mname == "type_of":
         return ("call", "type::of", [recv])
+    if mname in ("id", "tb") and not margs:
+        # record-id methods: rid.id() → key, rid.tb() → table
+        # (fnc/record.rs; idiom/recordid.surql)
+        return ("call", f"record::{mname}", [recv])
     if mname.startswith("is_"):
         from surrealdb_spark.functions.registry import REGISTRY as _REG
 
@@ -393,6 +403,11 @@ def _cast_scalar(c: Column, name: str) -> Column:
     if name == "bytes":
         # string → UTF-8 bytes (cast.rs String→Bytes = into_bytes)
         return c.cast("binary")
+    if name == "point":
+        # <point>[lon, lat] — array (possibly of key-text strings) → the
+        # geometry point struct (cast.rs Array→Point)
+        return GEO.point(F.element_at(c, 1).cast("double"),
+                         F.element_at(c, 2).cast("double"))
     # number / any / record / uuid / object / geometry / duration: identity
     # (number keeps the runtime variant; record ids are strings here)
     return c
@@ -676,6 +691,60 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
 
             got = pyeval._walk_path(params[ast[1][1]], ast[2], params)
             return _py_lit(got)
+        if (ast[1][0] in ("lit", "ulit") and isinstance(ast[1][1], str)
+                and ":" in str(ast[1][1])
+                and not str(ast[1][1]).startswith("file:")
+                and ast[2] and all(
+                    isinstance(p2, tuple)
+                    and p2[0] in ("field", "index", "optional")
+                    for p2 in ast[2])):
+            # record-id LITERAL receiver inside a compiled expression
+            # (`geo::distance(location:[..].point, ...)`): driver-side
+            # point read + idiom walk, re-lit as a constant column
+            # (value/idiom.rs over Thing values — OLTP point access)
+            from surrealdb_spark import pyeval
+
+            try:
+                got = pyeval._walk_path(str(ast[1][1]), list(ast[2]),
+                                        params or {})
+                return _py_lit(got)
+            except Exception:
+                pass
+        id_key_base = (
+            ast[1] == ("ident", "id")
+            or (ast[1][0] == "method" and ast[1][1] == "id"
+                and ast[1][2] == ("ident", "id") and not ast[1][3])
+            or (ast[1][0] == "call" and ast[1][1] == "record::id"
+                and ast[1][2] == [("ident", "id")]))
+        if (id_key_base and types and types.get("id") == "string"
+                and ast[2] and isinstance(ast[2][0], tuple)
+                and ast[2][0][0] in ("index", "field")
+                and all(isinstance(p, tuple)
+                        and p[0] in ("index", "field") for p in ast[2])):
+            # `id[n]` / `id.f` / `id.id().f` over a stored record id: ids
+            # are canonical `tb:[...]` / `tb:{ k: v }` strings, so key
+            # element/field access parses the key TEXT (record_id/
+            # key.rs:20-33) — pure column expressions, pushdown-friendly.
+            # `id.f` with a plain key means record-deref .f ≡ the row's
+            # own column f (id points at this row).
+            if ast[1] == ("ident", "id") and ast[2][0][0] == "field" \
+                    and ast[2][0][1] in types:
+                return compile_expr(
+                    ("path", ("ident", ast[2][0][1]), list(ast[2][1:])),
+                    params, types)
+            cur = F.expr("substring(id, instr(id, ':') + 1)")
+            for p in ast[2]:
+                if p[0] == "index":
+                    inner = F.when(
+                        cur.startswith("["),
+                        F.regexp_replace(cur, r"^\[|\]$", ""))
+                    cur = F.element_at(F.split(inner, ", "), int(p[1]) + 1)
+                else:
+                    got = F.trim(F.regexp_extract(
+                        cur, r"[{,] ?" + p[1] + r": ([^,}]+)", 1))
+                    cur = F.when(got != "", F.regexp_replace(
+                        got, r"^'(.*)'$", r"$1"))
+            return cur
         base = compile_expr(ast[1], params, types)
         parts = []
         for p in ast[2]:
@@ -932,7 +1001,8 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 "CONTAINSNOT": lambda a, b: ~GEO.contains(a, b),
             }[op](lc, rc)
         if op not in _BINOPS and op.startswith("@") and op.endswith("@"):
-            return O.matches(lc, rc)  # @N@/@AND@ variants outside the runner
+            # @N@/@AND@/@OR@ variants outside the runner
+            return O.matches(lc, rc, any_mode="OR" in op.upper())
         return _BINOPS[op](lc, rc)
     if kind == "method":
         cm = _closure_method(ast, params, types)
@@ -1150,10 +1220,14 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
 
 
 def _py_lit(v) -> Column:
-    """Arbitrary driver-side Python value → Column literal (uuid/dict/list
-    included; F.lit alone rejects several of these)."""
+    """Arbitrary driver-side Python value → Column literal (uuid/dict/
+    list/Row included; F.lit alone rejects several of these)."""
     import uuid as _uuid
 
+    from pyspark.sql import Row as _Row
+
+    if isinstance(v, _Row):
+        v = v.asDict()
     if isinstance(v, _uuid.UUID):
         return F.lit(str(v))
     if isinstance(v, dict):
@@ -1978,7 +2052,9 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # the subquery is just an object of its fields evaluated in the outer
     # context (graph/parent_in_where.surql) — inlining before lookup
     # extraction lets embedded graph paths join-attach normally
-    if sel.fields:
+    if sel.fields and sel.group is None:
+        # (grouped outer selects keep the error path — $parent has no
+        # per-row binding under GROUP BY, group/parent.surql)
         inl = [(i, _inline_scalar_subquery(f))
                for i, f in enumerate(sel.fields)]
         if any(e is not None for _i, e in inl):
@@ -2185,14 +2261,27 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         grouped_fields = [_Field(sel.value_expr, "value")]
     if is_grouped:
         aggs: list[Column] = []
-        keys = [compile_expr(g, params, types) for g in sel.group]
+        # a group key may name an output ALIAS (`SELECT target AS city_id
+        # ... GROUP BY city_id`) — resolve to the aliased expression when
+        # the name isn't a source column (group.rs groups the projection)
+        galias = {f.alias: f.expr for f in (grouped_fields or [])
+                  if f.alias and f.expr != ("ident", f.alias)}
+        gexprs = [galias[g[1]] if (g[0] == "ident" and g[1] in galias
+                                   and g[1] not in types) else g
+                  for g in sel.group]
+        keys = [compile_expr(g, params, types) for g in gexprs]
         key_names = [g[1] if g[0] == "ident" else f"__k{i}" for i, g in enumerate(sel.group)]
         assert grouped_fields is not None, "GROUP BY requires an explicit field list"
         out_names: set[str] = set(key_names)
         for fld in grouped_fields:
             name = fld.alias or _default_name(fld.expr)
-            if fld.expr[0] == "ident" and fld.expr[1] in key_names:
-                post_fields.append((fld.expr, name))
+            if (fld.expr[0] == "ident" and fld.expr[1] in key_names) \
+                    or (fld.alias and fld.alias in key_names):
+                # the key column itself (by name, or by its alias when the
+                # GROUP BY names the projection alias)
+                post_fields.append((("ident", fld.alias)
+                                    if fld.alias in key_names
+                                    else fld.expr, name))
                 continue
             if _has_aggregate(fld.expr):
                 post_fields.append((_decompose(fld.expr, aggs, params, types), name))
@@ -2346,7 +2435,46 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         # SELECT * with WHERE/ORDER lookups: hidden slots must not leak
         df = df.drop(*lookup_slots)
     if sel.omit:
-        df = df.drop(*sel.omit)
+        df = df.drop(*[o for o in sel.omit if isinstance(o, str)])
+        empty_obj = F.struct(F.lit(None).alias("__emptyobj"))
+
+        def _struct_at(segs):
+            from pyspark.sql.types import StructType
+
+            cur = df.schema
+            for seg in segs:
+                if not isinstance(cur, StructType) or seg not in \
+                        cur.fieldNames():
+                    return None
+                cur = cur[seg].dataType
+            return cur if hasattr(cur, "fieldNames") else None
+
+        for path in sel.omit:
+            if isinstance(path, str):
+                continue
+            base, rest = path[0], list(path[1:])
+            if base not in df.columns:
+                continue
+            if rest and rest[-1] == "*":
+                # `opts.nested.*` — empty the struct (part.rs All omit)
+                inner = ".".join(rest[:-1])
+                df = df.withColumn(
+                    base,
+                    F.col(base).withField(inner, empty_obj)
+                    if inner else empty_obj)
+            elif rest:
+                parent = _struct_at([base] + rest[:-1])
+                if parent is not None and \
+                        set(parent.fieldNames()) <= {rest[-1]}:
+                    # dropping the struct's only field → empty object
+                    inner = ".".join(rest[:-1])
+                    df = df.withColumn(
+                        base,
+                        F.col(base).withField(inner, empty_obj)
+                        if inner else empty_obj)
+                else:
+                    df = df.withColumn(
+                        base, F.col(base).dropFields(".".join(rest)))
 
     # fetch (operators/fetch.rs) — target table inferred from id prefix
     for f_ in sel.fetch:
@@ -3034,7 +3162,9 @@ def _id_key_col(df: DataFrame, tbl: str, numeric: bool) -> Column:
     name = _guess_id_col(df, tbl)
     if name != "id" or not isinstance(df.schema["id"].dataType, StringType):
         return F.col(name)
-    part = F.substring_index(F.col("id"), ":", -1)
+    # key = text after the FIRST colon (array/object keys and uuid keys
+    # contain ':' themselves — substring_index(-1) would truncate them)
+    part = F.expr("substring(id, instr(id, ':') + 1)")
     return part.try_cast("bigint") if numeric else part
 
 

@@ -92,7 +92,7 @@ def to_sql(ast) -> str:
     if k == "un":
         return f"{ast[1]} {to_sql(ast[2])}"
     if k == "call":
-        return f"{ast[1]}(...)"
+        return f"{ast[1]}({', '.join(to_sql(a) for a in ast[2])})"
     if k == "matches":
         return f"{to_sql(ast[1])} @@ {to_sql(ast[2])}"
     return "?"
@@ -248,7 +248,19 @@ def _disjuncts(ast) -> list:
 
 
 def _field_of(ast) -> str | None:
-    """Printed field path of the lhs of a conjunct (ident or path)."""
+    """Printed field path of the lhs of a conjunct (ident or path;
+    `.id()`-method chains print like index column text — key.rs access
+    columns such as `id.id().r`)."""
+    if ast[0] == "path" and isinstance(ast[1], tuple) \
+            and ast[1][0] == "method" and not ast[1][3]:
+        inner = _field_of(ast[1][2])
+        if inner is None:
+            return None
+        tail = "".join(
+            f".{p[1]}" if p[0] == "field" else f"[{p[1]}]"
+            for p in ast[2]
+            if isinstance(p, tuple) and p[0] in ("field", "index"))
+        return f"{inner}.{ast[1][1]}(){tail}"
     if ast[0] in ("ident", "path"):
         return to_sql(ast)
     return None
@@ -426,17 +438,48 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         acc = Access(kind="index", index=d.name,
                      eq_values=[e for _, e in eqs], range_=rng,
                      residual=residual)
+        acc.nfields = len(d.fields)
+        if eqs and rng and len(rng) > 1:
+            # compound access seeks only the FIRST bound; the other range
+            # conjuncts re-filter above the scan (new-executor Filter
+            # node — select_compound_index_object_new_executor.surql)
+            rf = d.fields[len(eqs)]
+            from surrealdb_spark.sql.parser import parse_expr as _pe
+
+            for op, v in rng[1:]:
+                acc.residual.append(("bin", op, _pe(rf), v))
         if unions:
             c = unions[0]
             vals = c[3][1] if c[3][0] == "array" else [c[3]]
-            if len(d.fields) == 1 and len(vals) > 1:
+
+            def _qorder(preds):
+                # Filter predicates print in QUERY order (conj order)
+                inp = list(preds)
+                return [c2 for c2 in conj if c2 in inp] + \
+                    [c2 for c2 in inp if c2 not in conj]
+
+            first_field = _field_of(c[2]) == d.fields[0] and not eqs
+            if first_field:
+                # IN on the index's FIRST column → union of eq branches;
+                # the FULL predicate re-filters above (a 1-value IN is
+                # still a union — in_operator_index.surql)
                 acc.kind = "unionidx"
                 acc.union_values = list(vals)
+                acc.eq_values = []
+                acc.keep_pred = _qorder(list(used) + residual)
             elif len(d.fields) == 1:
                 acc.eq_values = [vals[0]]
                 acc._single = True
                 acc.count_pred = c
-            acc.keep_pred = list(used) + residual
+                acc.keep_pred = _qorder(list(used) + residual)
+            else:
+                # IN on the LAST column after an eq prefix: the prefix is
+                # the access; only the IN conjunct (+ leftovers) filters.
+                # The legacy plan unions the full key COMBINATIONS
+                # (plan.rs equal_combinations)
+                acc.in_values = list(vals)
+                acc.count_pred = None
+                acc.keep_pred = _qorder([c] + residual)
             acc.residual = []
         elif contains:
             c = contains[0]
@@ -532,7 +575,10 @@ def _match_compound(d, conj):
                 hit = (pos, c, ("eq", c[3]))
                 break
             if op in ("IN", "INSIDE", "CONTAINS", "CONTAINSALL",
-                      "CONTAINSANY") and fi == len(d.fields) - 1:
+                      "CONTAINSANY") and fi in (0, len(d.fields) - 1):
+                # IN/CONTAINS matches the first column (union access) or
+                # the last column after an eq prefix (plan.rs
+                # equal_combinations)
                 hit = (pos, c, ("set", c[3]))
                 break
             if op in (">", ">=", "<", "<="):
@@ -548,6 +594,23 @@ def _match_compound(d, conj):
         elif spec[0] == "set":
             eqs.append((f, spec[1]))
             return eqs[:-1], None, used, last_pos
+        elif eqs:
+            # compound eq-prefix + range: ALL range conjuncts on the
+            # field enter the plan's `ranges` list in query order
+            # (idx/planner/plan.rs IndexOperator::Range; the executor
+            # seeks the FIRST bound and re-filters the rest)
+            bounds = []
+            for pos2, c2 in enumerate(conj):
+                if c2[0] != "bin" or str(c2[1]) not in (">", ">=",
+                                                        "<", "<="):
+                    continue
+                if _field_of(c2[2]) != f:
+                    continue
+                bounds.append((str(c2[1]), c2[3]))
+                if c2 is not c:
+                    used.append(c2)
+                last_pos = max(last_pos, pos2)
+            return eqs, bounds, used, last_pos
         else:
             # two-sided range: pick up the complementary bound on the
             # same field (`> lo AND < hi` → one IndexScan range access)
@@ -639,12 +702,25 @@ def _scan_nodes(runner, sel, tbl, acc: Access, params) -> Node:
         n.rows = cnt(_access_pred(runner, acc), acc.limit, acc.offset)
         return n
     if acc.kind == "unionidx":
-        kids = []
         d = runner.index_defs[acc.index]
         f_ast = ("ident", d.fields[0])
+        if len(acc.union_values) == 1:
+            # a 1-branch union renders as the plain IndexScan in the
+            # new-executor tree (the legacy plan still prints `union`)
+            v = acc.union_values[0]
+            atxt = f"= {to_sql(v)}" if len(d.fields) == 1 \
+                else f"[{to_sql(v)}]"
+            n = Node("IndexScan",
+                     f"[index: {acc.index}, access: {atxt}, "
+                     f"direction: Forward]")
+            n.rows = cnt(_mk_contains_eq(d.fields[0], v), None, None)
+            return n
+        kids = []
         for v in acc.union_values:
+            atxt = f"= {to_sql(v)}" if len(d.fields) == 1 \
+                else f"[{to_sql(v)}]"
             k = Node("IndexScan",
-                     f"[index: {acc.index}, access: = {to_sql(v)}, "
+                     f"[index: {acc.index}, access: {atxt}, "
                      f"direction: Forward]")
             k.rows = cnt(_mk_contains_eq(d.fields[0], v), None, None)
             kids.append(k)
@@ -684,16 +760,18 @@ def _access_text(acc: Access) -> str:
     parts = "[" + ", ".join(to_sql(v) for v in acc.eq_values) + "]" \
         if acc.eq_values else ""
     if acc.range_ is not None:
+        # compound access seeks the first bound only (extras re-filter)
+        bounds = acc.range_[:1] if acc.eq_values else acc.range_
         rng = " ".join(f"{_RANGE_OPS[op]} {to_sql(v)}"
-                       for op, v in acc.range_)
+                       for op, v in bounds)
         return f"{parts} {rng}"
     if not acc.eq_values:
         return ""
-    if len(acc.eq_values) == 1:
-        # BTreeAccess::Equality prints `= {value}` (scan/index.rs:131);
-        # one-element compound arrays reduce to the bare element.  Full
-        # compound matches print the bare array `[a, b]` (corpus:
-        # compound_index_matching_new_executor.surql)
+    if len(acc.eq_values) == 1 and getattr(acc, "nfields", 1) == 1:
+        # single-column index equality prints `= {value}`
+        # (scan/index.rs:131 BTreeAccess::Equality); a one-column PREFIX
+        # of a compound index keeps the array form `[v]`
+        # (in_operator_index_new_executor.surql)
         return f"= {to_sql(acc.eq_values[0])}"
     return parts
 
@@ -718,7 +796,8 @@ def _access_pred(runner, acc: Access):
         fld = d.fields[len(acc.eq_values)]
         from surrealdb_spark.sql.parser import parse_expr
 
-        for op, v in acc.range_:
+        bounds = acc.range_[:1] if acc.eq_values else acc.range_
+        for op, v in bounds:
             node = conj(node, ("bin", op, parse_expr(fld), v))
     return node
 
@@ -947,10 +1026,10 @@ def plan_new(runner, sel, params=None) -> Node:
             elif acc.residual and acc.kind != "table":
                 fpred = _and_all(acc.residual)
             if fpred is not None:
-                # over a KNN scan, count the filter through the FULL
-                # predicate (knn conjunct included) so ANALYZE reflects
-                # the rows that actually reached this operator
-                cw = sel.where if acc.kind == "knn" else None
+                # count the filter through the FULL predicate (scan access
+                # included) so ANALYZE reflects the rows that actually
+                # leave this operator, not the residual alone
+                cw = sel.where if acc.kind in ("knn", "index") else None
                 node = _filter_node(runner, node, fpred, tbls, params,
                                     count_where=cw)
 
@@ -1134,6 +1213,16 @@ def plan_legacy(runner, sel, params=None) -> list:
             return {"index": a.index,
                     "operator": "ReverseOrder"
                     if a.direction == "Backward" else "Order"}
+        if a.range_ is not None and a.eq_values:
+            # compound eq-prefix + range → IndexOperator::Range explain
+            # `{prefix: [...], ranges: [{operator, value}]}`
+            # (idx/planner/plan.rs:498-500)
+            return {
+                "index": a.index,
+                "prefix": [_lit_value(v) for v in a.eq_values],
+                "ranges": [{"operator": op, "value": _lit_value(v)}
+                           for op, v in a.range_],
+            }
         if a.range_ is not None:
             lo = hi = None
             for op, v in a.range_:
@@ -1154,6 +1243,13 @@ def plan_legacy(runner, sel, params=None) -> list:
         if a.kind == "unionidx":
             return {"index": a.index, "operator": "union",
                     "value": [_lit_value(v) for v in a.union_values]}
+        if getattr(a, "in_values", None):
+            # compound prefix + IN: union of the full key combinations
+            # (plan.rs equal_combinations)
+            pre = [_lit_value(v) for v in a.eq_values]
+            return {"index": a.index, "operator": "union",
+                    "value": [pre + [_lit_value(v)]
+                              for v in a.in_values]}
         if a.kind == "ft":
             return {"index": a.index, "operator": a.op_text,
                     "value": a.query}

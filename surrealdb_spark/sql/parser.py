@@ -55,7 +55,7 @@ KEYWORDS = {
 # keywords that never act as identifiers in expression position
 _STRUCTURAL_KWS = {
     "TRUE", "FALSE", "NULL", "NONE", "NOT", "AND", "OR", "IS", "SELECT",
-    "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT", "START", "FETCH",
+    "FROM", "WHERE", "ORDER", "BY", "LIMIT", "START", "FETCH",
     "SPLIT", "OMIT", "AS", "ASC", "DESC", "WITH", "DEFINE", "CREATE",
     "INSERT", "UPDATE", "UPSERT", "DELETE", "RELATE", "RETURN", "LET",
     "IN", "CONTAINS", "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY",
@@ -384,8 +384,17 @@ class Parser:
             # current record (expr/lookup.rs; exec GraphEdgeScan chains)
             return self.postfix(("curr",))
         if t.kind == "op" and t.text == "@":
-            # `@` = the current record id (syn: Param::this shorthand)
+            # `@` = the current record id (syn: Param::this shorthand);
+            # `@{n}` / `@{..}` attach the recursion braces without a dot
+            # (recursion syntax sugar — graph/recursion corpus)
             self.next()
+            if self.peek().kind == "op" and self.peek().text == "{":
+                self.next()
+                part = self._curly_part()
+                rest = self.postfix(("curr",))
+                if rest[0] == "path":
+                    return ("path", rest[1], [part] + list(rest[2]))
+                return ("path", rest, [part])
             return self.postfix(("curr",))
         if t.kind == "op" and t.text == "/":
             # `/pattern/` regex literal (types Value::Regex) — only valid
@@ -640,6 +649,9 @@ class Parser:
             self.next()
             if t.text == "NaN":
                 return self.postfix(("lit", float("nan")))
+            if t.text == "Infinity":
+                # printed form of f64::INFINITY (val number ToSql)
+                return self.postfix(("lit", float("inf")))
             # typed string literals (syn lexer): d'…' datetime, u'…' uuid,
             # f'bucket:/key' file pointer, b'hex' bytes
             if t.text in ("d", "u", "f", "b", "r") and \
@@ -700,6 +712,11 @@ class Parser:
                     # (types/src/value/record_id/key.rs RecordIdKey::Array)
                     self.next()
                     arr = self.prefix()
+                    # prefix() may have consumed a trailing idiom
+                    # (`location:[50.0, 50.0].point`) — split it off
+                    trail = None
+                    if arr[0] == "path":
+                        arr, trail = arr[1], arr[2]
                     if arr[0] == "array" and all(
                             e[0] in ("lit", "ulit") or
                             (e[0] == "un" and e[1] == "-"
@@ -707,9 +724,29 @@ class Parser:
                             for e in arr[1]):
                         from surrealdb_spark.values import render_rid_key
 
-                        return self.postfix(
-                            ("lit", f"{t.text}:{render_rid_key(arr)}"))
-                    return self.postfix(("ridexpr", t.text, arr))
+                        base = ("lit", f"{t.text}:{render_rid_key(arr)}")
+                    else:
+                        base = ("ridexpr", t.text, arr)
+                    return ("path", base, trail) if trail \
+                        else self.postfix(base)
+                if nxt.kind == "op" and nxt.text == "{":
+                    # object-keyed record id `t:{ id: 4, r: o:2 }`
+                    # (record_id/key.rs RecordIdKey::Object — BTreeMap,
+                    # canonical key-sorted text)
+                    self.next()
+                    obj = self.prefix()
+                    trail = None
+                    if obj[0] == "path":
+                        obj, trail = obj[1], obj[2]
+                    from surrealdb_spark.values import (render_rid_obj,
+                                                        rid_obj_literal)
+
+                    if obj[0] == "object" and rid_obj_literal(obj):
+                        base = ("lit", f"{t.text}:{render_rid_obj(obj)}")
+                    else:
+                        base = ("ridexpr", t.text, obj)
+                    return ("path", base, trail) if trail \
+                        else self.postfix(base)
                 if nxt.kind == "op" and nxt.text == "-" and \
                         self.toks[self.i + 2].kind == "num" and \
                         nxt.pos == colon.pos + 1:
@@ -1118,7 +1155,8 @@ class Parser:
                 if self.eat("op", "*"):
                     self.expect("op", "]")
                     parts.append(("all",))
-                elif self.eat("kw", "WHERE"):
+                elif self.eat("kw", "WHERE") or self.eat("op", "?"):
+                    # `[WHERE cond]` / `[? cond]` shorthand (part.rs Where)
                     cond = self.expr(0)
                     self.expect("op", "]")
                     parts.append(("where", cond))
@@ -1262,8 +1300,31 @@ def _parse_select_body(p: Parser) -> Select:
         sel.star = bool(star) and bool(fields)
         sel.fields = None if star and not fields else fields
     if p.eat("kw", "OMIT"):
+        # entries may be plain fields, dotted paths, `.*` wildcards, or
+        # destructures `obj.c.{d, f}` (statements/select/omit.surql)
         while True:
-            sel.omit.append(p.expect("name").text)
+            segs = [p.expect("name").text]
+            destr: list[str] | None = None
+            while p.eat("op", "."):
+                if p.eat("op", "*"):
+                    segs.append("*")
+                    break
+                if p.peek().kind == "op" and p.peek().text == "{":
+                    p.next()
+                    destr = []
+                    while not p.eat("op", "}"):
+                        destr.append(p.next().text)
+                        if not p.eat("op", ","):
+                            p.expect("op", "}")
+                            break
+                    break
+                segs.append(p.next().text)
+            if destr is not None:
+                sel.omit.extend([*segs, d] for d in destr)
+            elif len(segs) == 1:
+                sel.omit.append(segs[0])
+            else:
+                sel.omit.append(segs)
             if not p.eat("op", ","):
                 break
     p.expect("kw", "FROM")
@@ -1339,6 +1400,16 @@ def _parse_select_body(p: Parser) -> Select:
                         # array key bound (record_id/key.rs Array) —
                         # an AST, resolved at compile/execution
                         return ("karr", p.prefix())
+                    if p.peek().kind == "op" and p.peek().text == "{":
+                        # object key (record_id/key.rs Object) — canonical
+                        # sorted text, a point lookup
+                        obj = p.prefix()
+                        from surrealdb_spark.values import (
+                            render_rid_obj, rid_obj_literal)
+
+                        if obj[0] == "object" and rid_obj_literal(obj):
+                            return render_rid_obj(obj)
+                        return ("karr", obj)
                     if p.peek().kind in ("name", "str", "kw"):
                         t_ = p.next()
                         if t_.kind == "str":

@@ -93,6 +93,12 @@ class DefineTableStmt:
     select_perm: object = "full"
     comment: str | None = None
     verb_perms: dict | None = None  # verb → canonical NONE/FULL/WHERE text
+    # `AS SELECT ...` materialized-view definition (Select AST + raw text);
+    # registered as a recompute-on-read view (catalog/aggregation.rs keeps
+    # these incrementally — views.py is the at-scale incremental path)
+    as_select: object = None
+    as_text: str | None = None
+    _type_set: bool = False  # explicit TYPE clause seen
 
 
 @dataclass
@@ -291,6 +297,7 @@ class DefineMiscStmt:
     name: object = None
     level: str = "DATABASE"  # ON NAMESPACE/DATABASE/ROOT
     clauses: dict = dc_field(default_factory=dict)
+    mode: str | None = None  # OVERWRITE / IF NOT EXISTS
 
 
 @dataclass
@@ -322,6 +329,66 @@ class KillStmt:
 
     id: tuple = None  # expression AST (uuid literal or $param)
 
+
+
+def _parse_config_body(p: Parser):
+    """GRAPHQL / API config clause grammar, shared by DEFINE and ALTER
+    CONFIG (statements/define/config.rs, statements/alter/config.rs).
+    Returns a DefineMiscStmt or None when the next word is neither."""
+    if p.eat_word("GRAPHQL"):
+        # GRAPHQL AUTO|NONE | TABLES <spec> FUNCTIONS <spec>
+        #   [DEPTH n] [COMPLEXITY n] [INTROSPECTION NONE]
+        st = DefineMiscStmt("config_graphql", "GraphQL")
+        cl = st.clauses
+
+        def _gq_val():
+            if p.eat_word("AUTO"):
+                return "AUTO"
+            if p.eat_word("NONE") or p.eat("kw", "NONE"):
+                return "NONE"
+            mode = "INCLUDE" if p.eat_word("INCLUDE") else (
+                "EXCLUDE" if p.eat_word("EXCLUDE") else None)
+            if mode is None:
+                raise SyntaxError(f"bad GRAPHQL spec at {p.peek().pos}")
+            names = [_name(p)]
+            while p.eat("op", ","):
+                names.append(_name(p))
+            return (mode, names)
+
+        while True:
+            if p.eat_word("AUTO"):
+                cl["tables"] = cl["functions"] = "AUTO"
+            elif p.eat_word("NONE") or p.eat("kw", "NONE"):
+                cl["tables"] = cl["functions"] = "NONE"
+            elif p.eat_word("TABLES"):
+                cl["tables"] = _gq_val()
+            elif p.eat_word("FUNCTIONS"):
+                cl["functions"] = _gq_val()
+            elif p.eat_word("DEPTH"):
+                cl["depth"] = int(p.expect("num").text)
+            elif p.eat_word("COMPLEXITY"):
+                cl["complexity"] = int(p.expect("num").text)
+            elif p.eat_word("INTROSPECTION"):
+                iw = p.next().text.upper()
+                if iw == "NONE":  # AUTO is the default — omitted
+                    cl["introspection"] = iw
+            else:
+                break
+        return st
+    if p.eat_word("API"):
+        # API [MIDDLEWARE fn(args)[, ...]] [PERMISSIONS FULL|NONE]
+        st = DefineMiscStmt("config_api", "API")
+        if p.eat_word("MIDDLEWARE"):
+            t0 = p.peek()
+            while not (p.peek().kind == "eof"
+                       or (p.peek().kind == "kw" and
+                           p.peek().text in ("PERMISSIONS", "COMMENT"))):
+                p.next()
+            st.clauses["middleware"] = p.span_text(t0, p.peek())
+        if p.eat("kw", "PERMISSIONS"):
+            st.clauses["perms"] = p.next().text.upper()
+        return st
+    return None
 
 
 def _eat_define_mods(p: Parser) -> str | None:
@@ -545,6 +612,8 @@ def _render_field(name: str, tbl: str, st) -> str:
 def _render_table(name: str, i: dict) -> str:
     out = (f"DEFINE TABLE {name} TYPE {i.get('type', 'ANY')} "
            + ("SCHEMAFULL" if i.get("schemafull") else "SCHEMALESS"))
+    if i.get("as_text"):
+        out += f" AS {i['as_text']}"
     if i.get("comment"):
         out += f" COMMENT {_surql_literal(i['comment'])}"
     if i.get("changefeed"):
@@ -808,6 +877,7 @@ def _parse_statement_body(p: Parser):
                     st.schemafull = False
                 elif p.eat("kw", "TYPE"):
                     st.ttype = p.next().text.upper()
+                    st._type_set = True
                     if st.ttype == "RELATION":
                         # TYPE RELATION [IN a OUT b | FROM a TO b]
                         while p.peek().text.upper() in ("IN", "OUT", "FROM",
@@ -817,6 +887,16 @@ def _parse_statement_body(p: Parser):
                                 _name(p)
                                 while p.eat("op", "|"):
                                     _name(p)
+                elif p.eat("kw", "AS"):
+                    # DEFINE TABLE v AS SELECT ... — view definition
+                    t0 = p.peek()
+                    if p.peek().text == "(":
+                        p.next()
+                        st.as_select = _parse_select_body(p)
+                        p.expect("op", ")")
+                    else:
+                        st.as_select = _parse_select_body(p)
+                    st.as_text = _select_to_sql(st.as_select)
                 elif p.eat_word("DROP"):
                     pass
                 elif p.eat_word("CHANGEFEED"):
@@ -842,11 +922,21 @@ def _parse_statement_body(p: Parser):
                     st.verb_perms = {v: "NONE" for v in
                                      ("select", "create", "update",
                                       "delete")}
-                    while p.eat("kw", "FOR"):
+                    while p.eat("kw", "FOR") or (
+                            p.peek().kind == "op" and p.peek().text == ","
+                            and p.toks[p.i + 1].kind == "kw"
+                            and p.toks[p.i + 1].text == "FOR"
+                            and bool(p.next()) and bool(p.next())):
                         verbs = []
                         while True:
                             verbs.append(p.next().text.lower())
                             if not p.eat("op", ","):
+                                break
+                            if p.peek().kind == "kw" \
+                                    and p.peek().text == "FOR":
+                                # `FOR select FULL, FOR create NONE` —
+                                # comma separates verb GROUPS; put it back
+                                p.i -= 1
                                 break
                         if p.eat("kw", "NONE"):
                             perm: object = "none"
@@ -868,6 +958,11 @@ def _parse_statement_body(p: Parser):
                 ct = p.next()
                 st.comment = ct.text[1:-1] if ct.kind == "str" \
                     else (ct.orig or ct.text)
+            if st.ttype == "ANY" and st.schemafull and not st._type_set:
+                # DEFINE ... SCHEMAFULL without an explicit TYPE defaults
+                # to NORMAL (define/table.rs; ALTER keeps the stored type
+                # — view/foreigntable.surql vs alter/alter_table.surql)
+                st.ttype = "NORMAL"
             return st
         if what.text == "FIELD":
             name = _field_path(p)
@@ -1124,9 +1219,17 @@ def _parse_statement_body(p: Parser):
                 p.expect("op", "=")
                 lets.append((ln, p.expr(0)))
                 p.eat("op", ";")
-            p.expect("kw", "RETURN")
-            body = p.expr(0)
-            p.eat("op", ";")
+            if p.eat("kw", "RETURN"):
+                body = p.expr(0)
+                p.eat("op", ";")
+            elif p.peek().kind == "op" and p.peek().text == "}":
+                # empty body `{}` returns NONE (expr/block.rs empty block)
+                body = ("lit", None)
+            else:
+                # trailing expression body: `{ [$a] }` — the block's
+                # value is its final expression (expr/block.rs)
+                body = p.expr(0)
+                p.eat("op", ";")
             p.expect("op", "}")
             fn_text = p.span_text(t0, p.peek())
             comment = None
@@ -1270,7 +1373,11 @@ def _parse_statement_body(p: Parser):
                     break
             return st
         if what.text.upper() == "CONFIG":
-            _eat_define_mods(p)
+            _cfg_mode = mode or _eat_define_mods(p)
+            got = _parse_config_body(p)
+            if got is not None:
+                got.mode = _cfg_mode
+                return got
             p.expect_word("DEFAULT")
             st = DefineMiscStmt("config", "default")
             while True:
@@ -1292,7 +1399,8 @@ def _parse_statement_body(p: Parser):
         kind = what.text.lower()
         if kind not in ("table", "field", "index", "analyzer", "function",
                         "param", "sequence", "event", "bucket", "access",
-                        "user", "api", "namespace", "database", "ns", "db"):
+                        "user", "api", "namespace", "database", "ns", "db",
+                        "config"):
             raise SyntaxError(f"REMOVE {what.text} not supported")
         if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
         if kind == "api":
@@ -1305,6 +1413,11 @@ def _parse_statement_body(p: Parser):
         else:
             name = (p.expect("param").text[1:] if kind == "param"
                     else _name(p))
+        if kind == "function" and p.peek().kind == "op" \
+                and p.peek().text == "(":
+            # optional empty parens: REMOVE FUNCTION fn::example()
+            p.next()
+            p.expect("op", ")")
         tbl = None
         if p.eat("kw", "ON"):
             p.eat("kw", "TABLE")
@@ -1313,6 +1426,24 @@ def _parse_statement_body(p: Parser):
         return RemoveStmt(kind, name, tbl, if_exists)
     if word == "ALTER":
         p.next()
+        if p.peek().text.upper() == "CONFIG":
+            # ALTER CONFIG [IF EXISTS] GRAPHQL|API|DEFAULT <clauses> —
+            # upserts the config entry (statements/alter/config.surql)
+            p.next()
+            if_e = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
+            got = _parse_config_body(p)
+            if got is None:
+                p.expect_word("DEFAULT")
+                got = DefineMiscStmt("config_default", "Default")
+                while True:
+                    if p.eat_word("NAMESPACE") or p.eat_word("NS"):
+                        got.clauses["namespace"] = _name(p)
+                    elif p.eat_word("DATABASE") or p.eat_word("DB"):
+                        got.clauses["database"] = _name(p)
+                    else:
+                        break
+            got.mode = "alter_ine" if if_e else "alter"
+            return got
         if not (p.peek().kind == "kw" and p.peek().text == "TABLE"):
             # ALTER ANALYZER/PARAM/BUCKET/SEQUENCE name <SET|DROP clauses>
             # (statements/alter/*.rs) — clause-wise updates over the stored
@@ -1391,11 +1522,21 @@ def _parse_statement_body(p: Parser):
                                        ("select", "create", "update",
                                         "delete")}
                 else:
-                    while p.eat("kw", "FOR"):
+                    while p.eat("kw", "FOR") or (
+                            p.peek().kind == "op" and p.peek().text == ","
+                            and p.toks[p.i + 1].kind == "kw"
+                            and p.toks[p.i + 1].text == "FOR"
+                            and bool(p.next()) and bool(p.next())):
                         verbs = []
                         while True:
                             verbs.append(p.next().text.lower())
                             if not p.eat("op", ","):
+                                break
+                            if p.peek().kind == "kw" \
+                                    and p.peek().text == "FOR":
+                                # `FOR select FULL, FOR create NONE` —
+                                # comma separates verb GROUPS; put it back
+                                p.i -= 1
                                 break
                         if p.eat("kw", "NONE"):
                             perm: object = "none"
@@ -1473,6 +1614,15 @@ def _parse_statement_body(p: Parser):
     if word == "KILL":
         p.next()
         return KillStmt(p.expr(0))
+    if word == "OPTION":
+        # OPTION IMPORT / OPTION <flag> [= true|false] — session flags for
+        # import tooling (statements/option.rs); indexes here are virtual
+        # (Catalyst pushdown), so the flag is a parsed no-op → NONE
+        p.next()
+        p.next()
+        if p.eat("op", "="):
+            p.next()
+        return ("noop",)
     raise SyntaxError(f"unsupported statement {t.text!r}")
 
 
@@ -1553,6 +1703,15 @@ def _target(p: Parser) -> Target:
         if p.peek().kind == "op" and p.peek().text == "[":
             # array-keyed target `CREATE i:[$i]` (record_id/key.rs Array)
             return Target(tb, ("kexpr", p.prefix()))
+        if p.peek().kind == "op" and p.peek().text == "{":
+            # object-keyed target `CREATE t:{ id: 4 }` (key.rs Object)
+            obj = p.prefix()
+            from surrealdb_spark.values import (render_rid_obj,
+                                                rid_obj_literal)
+
+            if obj[0] == "object" and rid_obj_literal(obj):
+                return Target(tb, render_rid_obj(obj))
+            return Target(tb, ("kexpr", obj))
         kt = p.next()
         key: object = (int(kt.text) if kt.kind == "num"
                        else (kt.orig or kt.text.lower()) if kt.kind == "kw"
@@ -1605,6 +1764,30 @@ def _data_clause(p: Parser):
             fields.append(_name(p))
         return ("set", [(f, "=", ("lit", None)) for f in fields])
     return None
+
+
+def _select_to_sql(sel) -> str:
+    """Canonical printed form of a parsed SELECT (statements/define/
+    table.rs re-prints the view query from its AST in INFO output)."""
+    from surrealdb_spark.sql.explain import to_sql
+
+    if sel.value_expr is not None:
+        body = "VALUE " + to_sql(sel.value_expr)
+    elif sel.fields:
+        body = ", ".join(
+            to_sql(f.expr) + (f" AS {f.alias}" if f.alias else "")
+            for f in sel.fields)
+    else:
+        body = "*"
+    srcs = ", ".join(s if isinstance(s, str) else "?" for s in sel.sources)
+    out = f"SELECT {body} FROM {srcs}"
+    if sel.where is not None:
+        out += f" WHERE {to_sql(sel.where)}"
+    if sel.group == []:
+        out += " GROUP ALL"
+    elif sel.group:
+        out += " GROUP BY " + ", ".join(to_sql(g) for g in sel.group)
+    return out
 
 
 def _return_clause(p: Parser, default: str = "AFTER"):
@@ -1687,6 +1870,9 @@ class StatementRunner:
         self.params_defined: dict[str, object] = {}
         self.sequences: dict[str, object] = {}
         self.events: dict[str, tuple] = {}  # name → (table, hook)
+        # name → (table, when_ast, then_stmts) — raw definition, used by
+        # the view-event delta firing (hooks close over their own copies)
+        self.event_defs: dict[str, tuple] = {}
         # canonical DEFINE texts for INFO (info.rs renders the catalog as
         # one object of category → name → definition text)
         self.meta: dict[str, dict[str, str]] = {c: {} for c in _INFO_DB_CATS}
@@ -1700,6 +1886,11 @@ class StatementRunner:
         # (define/field.rs reference tracking; scan/reference.rs)
         self.ref_fields: dict[str, list] = {}
         self.computed_fields: dict[str, dict] = {}
+        # DEFINE TABLE v AS SELECT — view name → (Select AST, raw text);
+        # recomputed at read in _refresh_catalog (the reference maintains
+        # these incrementally per mutation, catalog/aggregation.rs — same
+        # read results; views.py is the incremental 100 TB engine)
+        self.view_defs: dict[str, tuple] = {}
         # DEFINE NAMESPACE/DATABASE registry + STRICT mode: when the active
         # database was DEFINEd STRICT, tables must be DEFINEd before use
         # (core strict-mode checks in doc/{create,select}.rs).
@@ -1861,6 +2052,8 @@ class StatementRunner:
             text = _re.sub(r"\bCOMMENT\s+\$(\w+)", sub_comment, text,
                            flags=_re.I)
         stmt = parse_statement(text)
+        if stmt == ("noop",):
+            return None
         params = {**self.params_defined, **(params or {})}
         if isinstance(stmt, Select) and stmt.timeout is not None:
             t = stmt.timeout
@@ -2585,13 +2778,38 @@ class StatementRunner:
         """REMOVE <kind> — drop a catalog object (statements/remove/*.rs)."""
         params = params or {}
         k, name = stmt.kind, stmt.name
+        if k == "config":
+            canon = {"graphql": "GraphQL", "api": "API",
+                     "default": "Default"}.get(str(name).lower(),
+                                               str(name))
+            # ALTER stores Default at DB level; REMOVE checks ROOT
+            # (alter_config.surql: removing default always errors)
+            if canon == "Default" or canon not in self.meta["configs"]:
+                if stmt.if_exists and canon != "Default":
+                    return None
+                raise ValueError(
+                    f"The config for {str(name).lower()} does not exist")
+            self.meta["configs"].pop(canon, None)
+            self.obj_info.get("configs", {}).pop(canon, None)
+            return None
         cat = {"table": "tables", "analyzer": "analyzers", "param": "params",
                "sequence": "sequences", "function": "functions"}.get(k)
         if cat:
             self.meta[cat].pop(name, None)
             self.obj_info.get(cat, {}).pop(name, None)
         if k == "table":
+            deps = [v for v, (vast, _t) in self.view_defs.items()
+                    if v != name and name in [s for s in vast.sources
+                                              if isinstance(s, str)]]
+            if deps:
+                # foreign (view) tables pin their source
+                # (statements/remove/table.rs: removal fails while a
+                # view reads from it — view/removed.surql)
+                raise ValueError(
+                    f"Cannot remove table '{name}': view(s) "
+                    f"{', '.join(deps)} are defined from it")
             del self.db.tables[name]
+            self.view_defs.pop(name, None)
             self.catalog._cache.pop(name, None)
             import shutil
 
@@ -2648,6 +2866,7 @@ class StatementRunner:
             return
         if k == "event":
             tbl, hook = self.events.pop(name)
+            self.event_defs.pop(name, None)
             td = self.db.tables.get(tbl)
             if td and hook in td.events:
                 td.events.remove(hook)
@@ -2787,6 +3006,74 @@ class StatementRunner:
                 raise ValueError("Specify a namespace to use")
         cl = stmt.clauses
         comment = rv(cl.get("comment"))
+        if stmt.kind == "config_default":
+            ns0, db0 = rv(cl.get("namespace")), rv(cl.get("database"))
+            txt = "DEFAULT"
+            if ns0:
+                txt += f" NAMESPACE {ns0}"
+            if db0:
+                txt += f" DATABASE {db0}"
+            self.meta["configs"]["Default"] = txt
+            self.kv_defaults = {"namespace": ns0, "database": db0}
+            return None
+        if stmt.kind == "config_graphql":
+            mode_ = getattr(stmt, "mode", None)
+            if mode_ == "alter_ine" \
+                    and "GraphQL" not in self.meta["configs"]:
+                return None  # ALTER IF EXISTS on a missing config: NONE
+            if "GraphQL" in self.meta["configs"]:
+                if mode_ == "ine":  # DEFINE IF NOT EXISTS: keep existing
+                    return None
+                if mode_ not in ("overwrite", "alter", "alter_ine"):
+                    raise ValueError(
+                        "The config 'GraphQL' already exists")
+            def word(v):
+                if isinstance(v, tuple):
+                    return f"{v[0]} {', '.join(v[1])}"
+                return v
+
+            t, f = cl.get("tables", "NONE"), cl.get("functions", "NONE")
+            txt = f"GRAPHQL TABLES {word(t)} FUNCTIONS {word(f)}"
+            if cl.get("depth") is not None:
+                txt += f" DEPTH {cl['depth']}"
+            if cl.get("complexity") is not None:
+                txt += f" COMPLEXITY {cl['complexity']}"
+            if cl.get("introspection"):
+                txt += f" INTROSPECTION {cl['introspection']}"
+            self.meta["configs"]["GraphQL"] = txt
+
+            def struct(v):
+                if v == "NONE":
+                    return None
+                if isinstance(v, tuple):
+                    return {v[0].lower(): v[1]}
+                return v
+
+            gq = {"tables": struct(t), "functions": struct(f)}
+            if cl.get("depth") is not None:
+                gq["depth_limit"] = cl["depth"]
+            if cl.get("complexity") is not None:
+                gq["complexity_limit"] = cl["complexity"]
+            if cl.get("introspection"):
+                gq["introspection"] = (None
+                                       if cl["introspection"] == "NONE"
+                                       else cl["introspection"])
+            self.obj_info.setdefault("configs", {})["GraphQL"] = {
+                "graphql": gq}
+            return None
+        if stmt.kind == "config_api":
+            if getattr(stmt, "mode", None) == "alter_ine" \
+                    and "API" not in self.meta["configs"]:
+                return None
+            txt = "API"
+            if cl.get("middleware"):
+                txt += f" MIDDLEWARE {cl['middleware'].strip()}"
+            txt += f" PERMISSIONS {cl.get('perms', 'FULL')}"
+            self.meta["configs"]["API"] = txt
+            self.obj_info.setdefault("configs", {})["API"] = {
+                "api": {"middleware": cl.get("middleware"),
+                        "permissions": cl.get("perms", "FULL")}}
+            return None
         if stmt.kind == "config":
             self.kv_defaults = {
                 "namespace": rv(cl.get("namespace")),
@@ -2882,6 +3169,11 @@ class StatementRunner:
                         ftxt += f" COMMENT {_surql_literal(fstmt.comment)}"
                     ftxt += " PERMISSIONS FULL"
                 out["functions"].setdefault(n.removeprefix("fn::"), ftxt)
+            if stmt.structure:
+                # `INFO FOR DB STRUCTURE` — configs as structured objects
+                # (info.rs structure rendering)
+                out["configs"] = list(
+                    self.obj_info.get("configs", {}).values())
             return out
         if stmt.level == "table":
             td = self.db.tables[stmt.table]
@@ -2934,8 +3226,16 @@ class StatementRunner:
                     fobjs.append(o)
                 return {"events": [], "fields": fobjs, "indexes": [],
                         "lives": [], "tables": []}
+            # foreign (view) tables defined FROM this table list under
+            # its INFO (statements/info.rs table info; view/foreigntable)
+            ftables = {
+                v: self.meta["tables"][v]
+                for v, (vast, _t) in self.view_defs.items()
+                if stmt.table in [s for s in vast.sources
+                                  if isinstance(s, str)]
+                and v in self.meta["tables"]}
             return {"events": events, "fields": fields, "indexes": indexes,
-                    "lives": {}, "tables": {}}
+                    "lives": {}, "tables": ftables}
         d = self.index_defs[stmt.name]
         # `{building: {...}}` status shape (expr/statements/info.rs;
         # initial = rows indexed at (re)build time, async build done)
@@ -2975,6 +3275,77 @@ class StatementRunner:
                     name, self.spark.createDataFrame([], ", ".join(cols))
                 )
         self.catalog.edge_names = edge_names
+        for vname, (vast, _vtext) in self.view_defs.items():
+            try:
+                self.catalog.register(vname, self._view_frame(vname, vast))
+            except Exception:
+                # a view over a not-yet-existing source reads as empty
+                self.catalog.register(
+                    vname, self.spark.createDataFrame([], "id string"))
+
+    def _view_frame(self, vname: str, vast) -> DataFrame:
+        """`DEFINE TABLE v AS SELECT ...` read frame: the view's SELECT
+        over the CURRENT source state, with the reference's view record
+        ids (`v:[group values]`; GROUP ALL → `v:[]` —
+        catalog/aggregation.rs group keys become the record id)."""
+        from surrealdb_spark.sql.compiler import compile_select
+
+        import os as _os
+
+        for s in vast.sources:
+            if isinstance(s, str) and s not in self.db.tables \
+                    and s not in self.catalog._cache \
+                    and not _os.path.exists(self.catalog.path(s)):
+                # view over a table that doesn't exist yet: no groups
+                # (incremental state starts empty, doc/table.rs)
+                raise ValueError(f"view source {s!r} does not exist")
+        df = compile_select(self.spark, vast, catalog=self.catalog,
+                            params=self.params_defined)
+        if vast.group == [] and vast.sources \
+                and isinstance(vast.sources[0], str):
+            # GROUP ALL view: the all-group row exists only once a source
+            # row has contributed (incremental Group state — a view over
+            # an empty/fully-filtered table has NO record, unlike a direct
+            # `GROUP ALL` select which emits `{count: 0}`)
+            import dataclasses as _dc
+
+            probe = _dc.replace(vast, fields=None, value_expr=None,
+                                group=None, order=[], limit=1,
+                                fetch=[], omit=[])
+            if compile_select(self.spark, probe, catalog=self.catalog,
+                              params=self.params_defined).isEmpty():
+                df = df.limit(0)
+        if "id" in df.columns:
+            return df
+        key_names = []
+        if vast.group:  # GROUP BY keys, in declaration order
+            for g in vast.group:
+                if g[0] == "ident":
+                    key_names.append(g[1])
+        parts = []
+        dtypes = dict(df.dtypes)
+        for k in key_names:
+            if k in df.columns:
+                c = F.col(k)
+                if dtypes.get(k, "").startswith("timestamp"):
+                    # datetime group keys print as d'RFC3339Z' in the id
+                    parts.append(F.concat(
+                        F.lit("d'"),
+                        F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"),
+                        F.lit("Z'")))
+                    continue
+                parts.append(
+                    F.when(c.cast("string").rlike(r"^-?\d+(\.\d+)?$")
+                           | c.cast("string").isin("true", "false")
+                           | c.cast("string").rlike(r"^\w+:.+$"),
+                           c.cast("string"))
+                    .otherwise(F.concat(F.lit("'"), c.cast("string"),
+                                        F.lit("'"))))
+        rid = F.concat(F.lit(vname + ":["),
+                       F.concat_ws(", ", *parts) if parts else F.lit(""),
+                       F.lit("]"))
+        # reference view reads are id-ordered KV scans
+        return df.withColumn("id", rid).orderBy(F.col("id"))
 
     def _check_strict(self, table) -> None:
         """STRICT databases reject reads/writes on undefined tables
@@ -2985,6 +3356,86 @@ class StatementRunner:
             raise ValueError(f"The table '{table}' does not exist")
 
     def _execute(self, stmt, params: dict) -> DataFrame | None:
+        views = self._event_views_for(stmt)
+        if not views:
+            return self._execute_inner(stmt, params)
+        # a mutation to a view's source changes the view's aggregate rows;
+        # views with DEFINE EVENTs fire per changed row with the real
+        # before/after images (doc/table.rs process_table_views →
+        # doc/event.rs; view/triggers corpus)
+        pre = {v: self._view_rows(v) for v in views}
+        out = self._execute_inner(stmt, params)
+        for v in views:
+            self._fire_view_events(v, pre[v])
+        return out
+
+    def _event_views_for(self, stmt) -> list[str]:
+        if not self.view_defs or not self.events:
+            return []
+        tgts = {getattr(getattr(stmt, "target", None), "table", None),
+                getattr(stmt, "table", None)}
+        tgts.discard(None)
+        if not tgts:
+            return []
+        ev_tables = {t for (t, _h) in self.events.values()}
+        return [v for v, (vast, _t) in self.view_defs.items()
+                if v in ev_tables and tgts & {s for s in vast.sources
+                                              if isinstance(s, str)}]
+
+    def _view_rows(self, v: str) -> dict:
+        self._refresh_catalog()
+        vast, _t = self.view_defs[v]
+        try:
+            rows = _bounded_collect(self._view_frame(v, vast),
+                                    f"view event diff ({v})")
+        except Exception:
+            return {}
+        out = {}
+        for r in rows:
+            d = {k: x for k, x in r.asDict(recursive=True).items()
+                 if k not in ("id", "__present") and x is not None}
+            out[r["id"]] = d
+        return out
+
+    def _fire_view_events(self, v: str, pre: dict) -> None:
+        post = self._view_rows(v)
+        changes = []
+        for rid, aft in post.items():
+            bef = pre.get(rid)
+            if bef is None:
+                changes.append(("CREATE", rid, None, aft))
+            elif bef != aft:
+                changes.append(("UPDATE", rid, bef, aft))
+        for rid, bef in pre.items():
+            if rid not in post:
+                changes.append(("DELETE", rid, bef, None))
+        if not changes:
+            return
+        defs = [(when, then) for name, (tbl, when, then)
+                in self.event_defs.items() if tbl == v]
+        for action, rid, bef, aft in changes:
+            binds = {"event": action, "before": bef, "after": aft,
+                     "value": aft if aft is not None else bef,
+                     "this": aft if aft is not None else bef,
+                     "input": None, "action": None}
+            for when_ast, then_stmts in defs:
+                if when_ast is not None:
+                    keep = self.spark.range(1).select(
+                        self._expr(when_ast, {
+                            k: (F.struct(*[F.lit(x).alias(kk)
+                                           for kk, x in val.items()])
+                                if isinstance(val, dict) else F.lit(val))
+                            for k, val in binds.items()
+                        }).alias("v")).first()["v"]
+                    if not keep:
+                        continue
+                for text in then_stmts:
+                    txt = text.strip()
+                    if txt.startswith("(") and txt.endswith(")"):
+                        txt = txt[1:-1]
+                    self.run(txt, params=binds)
+
+    def _execute_inner(self, stmt, params: dict) -> DataFrame | None:
         tgt = getattr(stmt, "target", None)
         if tgt is not None:
             self._check_strict(getattr(tgt, "table", None))
@@ -3014,8 +3465,13 @@ class StatementRunner:
         if isinstance(stmt, DefineTableStmt):
             self.db.define_table(TableDef(stmt.name))
             self.db.tables[stmt.name].schemafull = stmt.schemafull
+            if stmt.as_select is not None:
+                self.view_defs[stmt.name] = (stmt.as_select, stmt.as_text)
+            elif stmt.name in self.view_defs:
+                self.view_defs.pop(stmt.name)  # redefined as a plain table
             info_t = {"type": stmt.ttype, "schemafull": stmt.schemafull,
                       "changefeed": stmt.changefeed,
+                      "as_text": stmt.as_text,
                       "comment": stmt.comment,
                       "perms": stmt.verb_perms or {
                           v: stmt.perms_text for v in
@@ -3387,6 +3843,7 @@ class StatementRunner:
 
             td.events.append(hook)
             self.events[stmt.name] = (stmt.table, hook)
+            self.event_defs[stmt.name] = (stmt.table, when_ast, then_stmts)
             then_txt = "; ".join(stmt.then)
             if then_txt.startswith('"') and then_txt.endswith('"'):
                 then_txt = _surql_literal(then_txt[1:-1])

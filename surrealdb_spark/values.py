@@ -222,6 +222,8 @@ def strip_absent(d):
         return [strip_absent(x) for x in d]
     if not isinstance(d, dict):
         return d
+    if set(d) == {"__emptyobj"}:
+        return {}  # OMIT `.*` / empty-object marker struct
     if "__present" not in d:
         return {k: strip_absent(v) for k, v in d.items()}
     present = d.get("__present")
@@ -346,6 +348,88 @@ def key_sort_udf():
     return pandas_udf(_enc, "string")
 
 
+def _rid_dt(v: "_dt.datetime") -> str:
+    """datetime key element → `d'RFC3339Z'` (record_id/key.rs ToSql)."""
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    iso = v.isoformat()
+    if v.microsecond == 0 and len(iso) > 19:
+        iso = iso[:19]
+    return f"d'{iso}Z'"
+
+
+def parse_rid_key(rid: str):
+    """Record-id KEY as a Python value: `test:123` → 123, `test:abc` →
+    'abc', `t:{ val: 456 }` → {'val': 456}, `t:[1, 2]` → [1, 2]
+    (record_id/key.rs RecordIdKey variants)."""
+    import re as _re
+
+    key = rid.split(":", 1)[1]
+    if key.lstrip("-").isdigit():
+        return int(key)
+    if _re.fullmatch(r"[A-Za-z_]\w*", key):
+        return key
+    if key.startswith("⟨") and key.endswith("⟩"):
+        return key[1:-1]
+    try:
+        from surrealdb_spark import pyeval
+        from surrealdb_spark.sql.parser import parse_expr
+
+        ast = parse_expr(key)
+        if ast[0] in ("object", "array", "lit", "ulit"):
+            return pyeval.peval(ast, {})
+    except Exception:
+        pass
+    return key
+
+
+def render_rid_obj(obj_ast) -> str:
+    """Canonical text of an OBJECT record-id key (`t:{ id: 4, r: o:2 }` —
+    record_id/key.rs RecordIdKey::Object; BTreeMap ⇒ keys sorted)."""
+
+    def one(e):
+        if e[0] == "un" and e[1] == "-":
+            return f"-{one(e[2])}"
+        if e[0] == "array":
+            return "[" + ", ".join(one(x) for x in e[1]) + "]"
+        if e[0] == "object":
+            return render_rid_obj(e)
+        import re as _re
+
+        v = e[1]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        if isinstance(v, _dt.datetime):
+            return _rid_dt(v)
+        s = str(v)
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:.+", s):
+            return s
+        return f"'{s}'"
+
+    pairs = sorted(obj_ast[1], key=lambda kv: kv[0])
+    inner = ", ".join(f"{k}: {one(v)}" for k, v in pairs)
+    return "{ " + inner + " }" if inner else "{  }"
+
+
+def rid_obj_literal(obj_ast) -> bool:
+    """Is the object AST a pure literal (renderable as a key)?"""
+
+    def ok(e):
+        if e[0] in ("lit", "ulit", "nulllit"):
+            return True
+        if e[0] == "un" and e[1] == "-":
+            return ok(e[2])
+        if e[0] == "array":
+            return all(ok(x) for x in e[1])
+        if e[0] == "object":
+            return all(ok(v) for _k, v in e[1])
+        return False
+
+    return all(ok(v) for _k, v in obj_ast[1])
+
+
 def render_rid_key(arr_ast) -> str:
     """Canonical text of an array record-id key (`tb:[1, 'a', b:2]` —
     types/src/value/record_id/key.rs RecordIdKey::Array ToSql): numbers
@@ -360,6 +444,8 @@ def render_rid_key(arr_ast) -> str:
             return "true" if v else "false"
         if isinstance(v, (int, float)):
             return str(v)
+        if isinstance(v, _dt.datetime):
+            return _rid_dt(v)
         s = str(v)
         if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:.+", s):
             return s
@@ -377,6 +463,8 @@ def render_rid_vals(vals: list) -> str:
             return "true" if v else "false"
         if isinstance(v, (int, float)):
             return str(v)
+        if isinstance(v, _dt.datetime):
+            return _rid_dt(v)
         s = str(v)
         if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:.+", s):
             return s
