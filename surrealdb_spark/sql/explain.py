@@ -71,6 +71,12 @@ def to_sql(ast) -> str:
         return "*"
     if k == "array":
         return "[" + ", ".join(to_sql(e) for e in ast[1]) + "]"
+    if k == "curr":
+        return "@"
+    if k == "block1":
+        return to_sql(ast[1])
+    if k == "cast":
+        return f"<{ast[1][0]}> {to_sql(ast[2])}"
     if k == "path":
         base = to_sql(ast[1])
         outp = base
@@ -83,6 +89,19 @@ def to_sql(ast) -> str:
                 outp += f"[{p[1]}]"
             elif p[0] == "optional":
                 outp += "?"
+            elif p[0] == "graph":
+                outp += _lookup_seg_sql(("graph", p[1]))
+            elif p[0] == "repeat":
+                outp += ".@"
+            elif p[0] == "recurse":
+                outp += f".{{{_depth_sql(p[1])}}}"
+                if p[3]:
+                    outp += "(" + "".join(
+                        _lookup_seg_sql(("graph", (d, [e], {})))
+                        + (f"->{t}" if t and t != "?" else "")
+                        for d, e, t in p[3]) + ")"
+            elif p[0] == "destructure":
+                outp += "." + _destructure_sql(p[1])
             else:
                 outp += "..."
         return outp
@@ -95,6 +114,8 @@ def to_sql(ast) -> str:
         return f"{ast[1]}({', '.join(to_sql(a) for a in ast[2])})"
     if k == "matches":
         return f"{to_sql(ast[1])} @@ {to_sql(ast[2])}"
+    if k == "closure":
+        return _closure_sql(ast)
     return "?"
 
 
@@ -395,7 +416,10 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         if m is None:
             continue
         eqs, rng, used, last_pos = m
-        score = (len(eqs) + (0.5 if rng else 0), last_pos)
+        # unique indexes win ties (most selective access first —
+        # statements/explain/select_index.surql)
+        score = (len(eqs) + (0.5 if rng else 0)
+                 + (0.25 if kind == "uniq" else 0), last_pos)
         if best is None or best[0] != "ft" and score > best[4]:
             best = ("idx", d, m, None, score)
     if best is None and ft_c is None:
@@ -678,6 +702,10 @@ class Node:
     attrs: str            # rendered "[a: x, b: y]" tail (may be "")
     children: list = field(default_factory=list)
     rows: int | None = None
+    ctx: str = "Db"       # execution context (Db | Rt)
+    # labeled sub-trees: [("expr.lookup", Node), ...] — render at +2
+    # indent with the label prefix (exec/operators/explain.rs named slots)
+    labeled: list = field(default_factory=list)
 
 
 def _scan_nodes(runner, sel, tbl, acc: Access, params) -> Node:
@@ -920,7 +948,9 @@ def plan_new(runner, sel, params=None) -> Node:
         noindex = sel.with_hint == ("noindex",)
         has_count = any(getattr(d, "kind", "") == "count" for d in defs)
         cnt = _counter(runner, tbl, params)
-        if not noindex and sel.where is None and has_count:
+        if not noindex and sel.where is None:
+            # a bare count() over the whole table is always a CountScan
+            # in the new executor (exec/operators/scan/count.rs)
             n = Node("CountScan", f"[source: {tbl}]")
             n.rows = 1
             return n
@@ -937,6 +967,55 @@ def plan_new(runner, sel, params=None) -> Node:
         agg = Node("Aggregate", "[mode: GROUP ALL]", [scan])
         agg.rows = 1
         return agg
+
+    # non-table sources: record-id points and value expressions
+    if not tbls and sel.sources:
+        src0 = sel.sources[0]
+        if isinstance(src0, tuple) and src0[0] == "idpoint":
+            rid = f"{src0[1]}:{src0[2]}"
+            scan = Node("RecordIdScan", f"[record_id: {rid}]")
+            scan.rows = 1
+            p0 = Node("Project", "", [scan])
+            p0.rows = 1
+            return p0
+        if isinstance(src0, tuple) and src0[0] == "exprsrc":
+            e = src0[1]
+            etxt = to_sql(e)
+            if e[0] == "cast":
+                # `<array> 0..5` ToSql: cast then the range with its own
+                # leading space (syn Display quirks the corpus pins)
+                etxt = f"<{e[1][0]}>  {to_sql(e[2])}"
+            scan = Node("SourceExpr", f"[expr: {etxt}]")
+            p0 = Node("SelectProject", "[projections: *]"
+                      if sel.star or sel.fields is None else
+                      "[projections: " + ", ".join(
+                          f.alias or to_sql(f.expr)
+                          for f in sel.fields) + "]", [scan])
+            return p0
+
+    # subquery sources: FROM (SELECT ...) — nested plans, unioned with
+    # any sibling table scans, outer WHERE re-filtering above
+    # (statements/explain/complex.surql query 8)
+    if any(hasattr(s2, "sources") for s2 in sel.sources):
+        kids = []
+        for s2 in sel.sources:
+            if hasattr(s2, "sources"):
+                kids.append(plan_new(runner, s2, params))
+            elif isinstance(s2, str):
+                a2 = Access(kind="table")
+                a2.direction = "Forward"
+                kids.append(_scan_nodes(runner, sel, s2, a2, params))
+        node = kids[0] if len(kids) == 1 else Node("Union", "", kids)
+        if sel.where is not None:
+            node = Node("Filter",
+                        f"[predicate: {to_sql(sel.where)}]", [node])
+        if sel.value_expr is not None:
+            return Node("ProjectValue",
+                        f"[expr: {to_sql(sel.value_expr)}]", [node])
+        projs2 = ["*"] if sel.star or sel.fields is None else [
+            f.alias or to_sql(f.expr) for f in sel.fields]
+        return Node("SelectProject",
+                    "[projections: " + ", ".join(projs2) + "]", [node])
 
     # scans per source
     scans = []
@@ -1033,9 +1112,10 @@ def plan_new(runner, sel, params=None) -> Node:
                 node = _filter_node(runner, node, fpred, tbls, params,
                                     count_where=cw)
 
-    # Compute for computed AS fields (function-call projections)
+    # Compute for computed AS fields (function-call projections);
+    # grouped plans aggregate expressions inside the Aggregate node
     computed = []
-    if sel.fields:
+    if sel.fields and sel.group is None:
         for f in sel.fields:
             if f.alias and f.expr[0] in ("call", "method"):
                 computed.append(f"{f.alias} = {f.expr[1]}(...)")
@@ -1044,49 +1124,152 @@ def plan_new(runner, sel, params=None) -> Node:
         c.rows = node.rows
         node = c
 
-    # Sort — with a LIMIT this is a TopK (SortTopKByKey under a Limit)
+    # SPLIT explodes between the scan and any sort (operators/split.rs)
+    if sel.split:
+        sp = Node("Split", "[on: " + ", ".join(sel.split) + "]", [node])
+        sp.rows = node.rows
+        node = sp
+
     acc0 = accs[0][1] if accs else Access(kind="table")
-    topk_limit = None
-    if order1 is not None and not acc0.order_eliminated:
-        keys = ", ".join(
-            f"{to_sql(k.expr)} {'DESC' if k.desc else 'ASC'}"
-            for k in sel.order)
+    keys_txt = ", ".join(
+        f"{to_sql(k.expr)} {'DESC' if k.desc else 'ASC'}"
+        for k in (sel.order or []))
+
+    if sel.group is not None:
+        # grouped plans: Aggregate (no SelectProject), sorts by ORDER_BY
+        # over the grouped output (Sort/SortTopK), then Limit
+        agg = Node("Aggregate", "[mode: GROUP ALL]" if sel.group == []
+                   else "[by: " + ", ".join(
+                       to_sql(g) for g in sel.group) + "]", [node])
+        agg.rows = 1 if sel.group == [] else None
+        node = agg
+        if order1 is not None:
+            if sel.limit is not None:
+                k = sel.limit + (sel.start or 0)
+                st = Node("SortTopK",
+                          f"[order_by: {keys_txt}, limit: {k}]", [node])
+                node = Node("Limit", f"[limit: {sel.limit}"
+                            + (f", offset: {sel.start}]"
+                               if sel.start is not None else "]"), [st])
+            else:
+                node = Node("Sort", f"[order_by: {keys_txt}]", [node])
+        elif sel.limit is not None:
+            node = Node("Limit", f"[limit: {sel.limit}"
+                        + (f", offset: {sel.start}]"
+                           if sel.start is not None else "]"), [node])
+        if sel.fetch:
+            node = Node("Fetch",
+                        "[fields: " + ", ".join(sel.fetch) + "]", [node])
+        return node
+
+    # Sort — with a LIMIT this is a TopK (SortTopKByKey under a Limit);
+    # START raises the TopK bound and prints as the Limit's offset
+    if order1 is not None and (len(tbls) > 1
+                               or not acc0.order_eliminated):
         if sel.limit is not None:
+            k = sel.limit + (sel.start or 0)
             s = Node("SortTopKByKey",
-                     f"[sort_keys: {keys}, limit: {sel.limit}]", [node])
-            s.rows = min(node.rows or 0, sel.limit) \
+                     f"[sort_keys: {keys_txt}, limit: {k}]", [node])
+            s.rows = min(node.rows or 0, k) \
                 if node.rows is not None else None
-            topk_limit = sel.limit
-            node = Node("Limit", f"[limit: {sel.limit}]", [s])
-            node.rows = s.rows
+            node = Node("Limit", f"[limit: {sel.limit}"
+                        + (f", offset: {sel.start}]"
+                           if sel.start is not None else "]"), [s])
+            node.rows = min(s.rows or 0, sel.limit) \
+                if s.rows is not None else None
         else:
-            s = Node("SortByKey", f"[sort_keys: {keys}]", [node])
+            s = Node("SortByKey", f"[sort_keys: {keys_txt}]", [node])
             s.rows = node.rows
             node = s
+
+    def _parts_of(e):
+        return e[2] if isinstance(e, tuple) and e[0] == "path" else []
+
+    def _recurse_part(e):
+        return next((pp for pp in _parts_of(e)
+                     if isinstance(pp, tuple) and pp[0] == "recurse"),
+                    None)
+
+    def _graph_parts(e):
+        return [pp for pp in _parts_of(e)
+                if isinstance(pp, tuple) and pp[0] == "graph"]
+
+    def _recurse_node(e):
+        rp = _recurse_part(e)
+        rng = rp[1]
+        lo = rng[0] if rng[0] is not None else 1
+        depth = str(lo) if rng[0] is not None and rng[0] == rng[1] \
+            else f"{lo}.." + ("" if rng[1] is None else str(rng[1]))
+        a = f"[depth: {depth}, instruction: default"
+        if any(isinstance(pp, tuple) and pp[0] == "destructure"
+               for pp in _parts_of(e)):
+            a += ", pattern: tree"
+        a += "]"
+        kids = []
+        if rp[3]:
+            chain = _lookup_chain_node(
+                [("graph", (d, [t2] if t2 and t2 != "?" else None, {}))
+                 for st in rp[3] for d, t2 in
+                 ((st[0], st[1]), (st[0], st[2]))])
+            kids = [chain]
+        return Node("Recurse", a, kids)
+
+    # unaliased pure graph-lookup projections → bare Project root with
+    # per-field lookup chains (exec/planner field lookups)
+    pure_lookups = [f for f in (sel.fields or [])
+                    if f.alias is None and _graph_parts(f.expr)
+                    and not _recurse_part(f.expr)]
+    if pure_lookups and sel.value_expr is None and sel.group is None \
+            and len(pure_lookups) == len(sel.fields or []):
+        pr = Node("Project", "", [node])
+        for f in pure_lookups:
+            pr.labeled.append(
+                ("field.lookup", _lookup_chain_node(_parts_of(f.expr))))
+        pr.rows = node.rows
+        return pr
+
+    # Compute for computed AS fields (full expression text; calls keep
+    # the reference's elided `fn(...)` form); aliased recursion fields
+    # carry a labeled `<alias>.recurse` Recurse sub-tree
+    computed2 = []
+    rec_labels = []
+    for f in (sel.fields or []):
+        if f.alias and isinstance(f.expr, tuple) \
+                and f.expr[0] not in ("ident", "call", "method"):
+            try:
+                computed2.append(f"{f.alias} = {to_sql(f.expr)}")
+            except Exception:
+                continue
+            if _recurse_part(f.expr) is not None:
+                rec_labels.append((f"{f.alias}.recurse",
+                                   _recurse_node(f.expr)))
+    if computed2:
+        c2 = Node("Compute", "[fields: " + ", ".join(computed2) + "]",
+                  [node])
+        c2.labeled = rec_labels
+        c2.rows = node.rows
+        node = c2
 
     # projections
     projs = []
     if sel.value_expr is not None:
-        projs = [to_sql(sel.value_expr)]
-        name = "ProjectValue"
+        p = Node("ProjectValue",
+                 f"[expr: {to_sql(sel.value_expr)}]", [node])
+        if _recurse_part(sel.value_expr) is not None:
+            p.labeled.append(("expr.recurse",
+                              _recurse_node(sel.value_expr)))
     else:
-        name = "SelectProject"
         if sel.star or sel.fields is None:
             projs.append("*")
         for f in (sel.fields or []):
             nm = f.alias or to_sql(f.expr)
             if nm != "*":
                 projs.append(nm)
-    p = Node(name, "[projections: " + ", ".join(projs) + "]", [node])
+        p = Node("SelectProject",
+                 "[projections: " + ", ".join(projs) + "]", [node])
     p.rows = node.rows
     if sel.limit is not None and acc0.limit is None:
         p.rows = min(p.rows or 0, sel.limit)
-    if sel.group is not None:
-        agg = Node("Aggregate", "[mode: GROUP ALL]"
-                   if sel.group == [] else "[mode: GROUP BY]", [node])
-        agg.rows = 1 if sel.group == [] else p.rows
-        p = Node(name, p.attrs, [agg])
-        p.rows = agg.rows
     if sel.fetch:
         fch = Node("Fetch", "[fields: " + ", ".join(sel.fetch) + "]", [p])
         fch.rows = p.rows
@@ -1137,19 +1320,50 @@ def _knn_topk_node(runner, child, knn_c, params):
 def render_text(node: Node, analyze: bool) -> str:
     lines: list[str] = []
 
-    def walk(n: Node, depth: int):
+    def walk(n: Node, indent: int, label: str = ""):
         tail = f" {{rows: {n.rows if n.rows is not None else 0}}}" \
             if analyze else ""
         attrs = f" {n.attrs}" if n.attrs else ""
-        lines.append(" " * (4 * depth) + f"{n.name} [ctx: Db]{attrs}{tail}")
+        pre = f"{label}: " if label else ""
+        lines.append(" " * indent
+                     + f"{pre}{n.name} [ctx: {n.ctx}]{attrs}{tail}")
+        for lb, c in n.labeled:
+            walk(c, indent + 2, lb)
         for c in n.children:
-            walk(c, depth + 1)
+            walk(c, indent + 4)
 
     walk(node, 0)
     body = "\n".join(lines)
     if analyze:
-        return body + f"\n\nTotal rows: {node.rows if node.rows is not None else 0}"
+        total = getattr(node, "total", None)
+        if total is None:
+            total = node.rows if node.rows is not None else 0
+        return body + f"\n\nTotal rows: {total}"
     return body + "\n"
+
+
+def render_json(node: Node, analyze: bool, root: bool = True):
+    """FORMAT JSON tree — {operator, context, attributes, children[,
+    metrics][, total_rows]} (exec/operators/explain.rs json rendering)."""
+    import re as _re
+
+    out: dict = {"operator": node.name, "context": node.ctx}
+    attrs: dict = {}
+    body = node.attrs.strip()
+    if body.startswith("[") and body.endswith("]"):
+        for part in _re.split(r", (?=\w+: )", body[1:-1]):
+            k, _, v = part.partition(": ")
+            if k:
+                attrs[k] = v.strip("'")
+    out["attributes"] = attrs
+    if node.children:
+        out["children"] = [render_json(c, analyze, root=False)
+                           for c in node.children]
+    if analyze:
+        out["metrics"] = {"output_rows": node.rows or 0}
+        if root:
+            out["total_rows"] = node.rows or 0
+    return out
 
 
 # -- legacy array format ------------------------------------------------------
@@ -1397,3 +1611,200 @@ def _link_join_plan(runner, tbl, conj):
                 "joins": [{"index": ti.name, "operator": jop, "value": val}],
                 "operator": "join"}
     return None
+
+
+# -- EXPLAIN of non-SELECT statements / bare expressions ----------------------
+
+
+def _closure_sql(ast) -> str:
+    """Closure ToSql: `|$x: any| { $x * 2 }` / `|| -> int { 42 }`
+    (expr/closure.rs Display; kinds default to any, body braced)."""
+    _, names, body, kinds, ret = (ast + (None, None))[:5]
+    ps = ", ".join(
+        f"${n}: {_kind_sql(k) if k else 'any'}"
+        for n, k in zip(names, kinds or [None] * len(names)))
+    head = f"|{ps}|"
+    if ret:
+        head += f" -> {_kind_sql(ret)}"
+    return f"{head} {{ {to_sql(body)} }}"
+
+
+def _kind_sql(k) -> str:
+    if isinstance(k, tuple):
+        name, args = k[0], (k[1] if len(k) > 1 else [])
+        if args:
+            return f"{name}<{', '.join(_kind_sql(a) for a in args)}>"
+        return name
+    return str(k)
+
+
+def _dur_sql(ns: int) -> str:
+    """Duration ToSql (val/duration.rs): largest whole units."""
+    units = [("w", 7 * 86400 * 10**9), ("d", 86400 * 10**9),
+             ("h", 3600 * 10**9), ("m", 60 * 10**9), ("s", 10**9),
+             ("ms", 10**6), ("µs", 10**3), ("ns", 1)]
+    out = []
+    rest = int(ns)
+    for u, size in units:
+        if rest >= size:
+            out.append(f"{rest // size}{u}")
+            rest %= size
+    return "".join(out) or "0ns"
+
+
+def _lookup_chain_node(parts, base_label: str = "") -> Node:
+    """GraphEdgeScan chain for a lookup path — outermost node is the LAST
+    segment, innermost child is CurrentValueSource; SELECT-form segments
+    wrap their scan with Filter/Aggregate/SelectProject
+    (exec/operators/scan/graph.rs chains one scan per segment)."""
+    cur = Node("CurrentValueSource", "", ctx="Rt")
+    for p in parts:
+        if not (isinstance(p, tuple) and p[0] == "graph"):
+            continue
+        dirn, tables, opts = p[1]
+        arrow = {"out": "->", "in": "<-", "both": "<->"}.get(dirn, dirn)
+        names = ", ".join(tables) if tables else "?"
+        clauses = isinstance(opts, dict) and (
+            opts.get("where") is not None or opts.get("order")
+            or opts.get("limit") is not None or opts.get("select"))
+        out_kind = "FullEdge" if clauses else "TargetId"
+        cur = Node("GraphEdgeScan",
+                   f"[direction: {arrow}, tables: {names}, "
+                   f"output: {out_kind}]", [cur])
+        if isinstance(opts, dict):
+            if opts.get("where") is not None:
+                cur = Node("Filter",
+                           f"[predicate: {to_sql(opts['where'])}]", [cur])
+            if opts.get("group"):
+                cur = Node("Aggregate", "[by: " + ", ".join(
+                    to_sql(g) for g in opts["group"]) + "]", [cur])
+            elif opts.get("select"):
+                fl = opts.get("fields")
+                projs = "*" if not fl else ", ".join(
+                    f.alias or to_sql(f.expr) for f in fl)
+                cur = Node("SelectProject",
+                           f"[projections: {projs}]", [cur])
+    return cur
+
+
+def plan_value(runner, text: str, params=None, analyze: bool = False):
+    """EXPLAIN <non-SELECT statement or expression> — the new-executor
+    operator tree for value statements (exec/operators/explain.rs over
+    Expr/Return/IfElse/Foreach/Sleep plans)."""
+    import re as _re
+
+    txt = text.strip().rstrip(";").strip()
+    up = txt.upper()
+    if up.startswith("RETURN"):
+        inner = plan_value(runner, txt[6:].strip(), params, analyze)
+        n = Node("Return", "", [inner], ctx="Rt")
+        n.rows = 0
+        return n
+    if up.startswith("IF"):
+        # ELSE IF chains: each IF is a branch; a trailing plain ELSE sets
+        # has_else (expr/statements/ifelse.rs)
+        branches = len(_re.findall(r"\bIF\b", up))
+        has_else = bool(_re.search(r"\bELSE\b(?!\s+IF\b)", txt, _re.I))
+        a = f"[branches: {branches}"
+        if has_else:
+            a += ", has_else: true"
+        a += "]"
+        n = Node("IfElse", a, ctx="Rt")
+        n.rows = 0
+        return n
+    if up.startswith("FOR"):
+        m = _re.match(r"FOR\s+\$(\w+)\s+IN\b(.*)$", txt,
+                      _re.I | _re.S)
+        stmts = 0
+        body = _re.search(r"\{(.*)\}", txt, _re.S)
+        if body:
+            from surrealdb_spark.golden import split_statements
+
+            stmts = len([x for x in split_statements(body.group(1))
+                         if x.strip()])
+        n = Node("Foreach",
+                 f"[param: {m.group(1)}, statements: {stmts}]", ctx="Rt")
+        n.rows = 0
+        return n
+    if up.startswith("SLEEP"):
+        from surrealdb_spark.sql.parser import parse_expr
+
+        d = parse_expr(txt[5:].strip())
+        ns = d[1] if d[0] == "dur" else 0
+        n = Node("Sleep", f"[duration: {_dur_sql(ns)}]", ctx="Rt")
+        n.rows = 0
+        return n
+    if up.startswith("THROW"):
+        from surrealdb_spark.sql.parser import parse_expr as _pe2
+
+        n = Node("Expr",
+                 f"[expr: THROW {to_sql(_pe2(txt[5:].strip()))}]",
+                 ctx="Rt")
+        n.rows = 0
+        return n
+    if up.startswith(("BREAK", "CONTINUE")):
+        n = Node("Expr", f"[expr: {txt}]", ctx="Rt")
+        n.rows = 0
+        return n
+    from surrealdb_spark.sql.parser import parse_expr
+
+    ast = parse_expr(txt)
+    if ast[0] == "closure":
+        n = Node("Expr", f"[expr: {_closure_sql(ast)}]", ctx="Rt")
+        n.rows = 0
+        return n
+    if ast[0] == "path" and any(
+            isinstance(pp, tuple) and pp[0] == "graph" for pp in ast[2]):
+        # idiom with graph lookups: Expr [ctx: Db] + expr.lookup chain
+        base_txt = to_sql(ast[1])
+        if ast[1][0] in ("lit", "ulit"):
+            base_txt = f"({base_txt})"
+        tail = "".join(_lookup_seg_sql(pp) for pp in ast[2])
+        n = Node("Expr", f"[expr: {base_txt}{tail}]", ctx="Db")
+        n.labeled.append(("expr.lookup", _lookup_chain_node(ast[2])))
+        n.rows = 0
+        return n
+    n = Node("Expr", f"[expr: {to_sql(ast)}]", ctx="Rt")
+    n.rows = 0
+    n.total = 1  # the statement yields one value (ANALYZE total)
+    return n
+
+
+def _lookup_seg_sql(p) -> str:
+    if not (isinstance(p, tuple) and p[0] == "graph"):
+        return ""
+    dirn, tables, opts = p[1]
+    arrow = {"out": "->", "in": "<-", "both": "<->"}.get(dirn, dirn)
+    if isinstance(opts, dict) and opts.get("select"):
+        fl = opts.get("fields")
+        projs = "*" if not fl else ", ".join(
+            f.alias or to_sql(f.expr) for f in fl)
+        inner = f"SELECT {projs} FROM {', '.join(tables or ['?'])}"
+        if opts.get("where") is not None:
+            inner += f" WHERE {to_sql(opts['where'])}"
+        if opts.get("group"):
+            inner += " GROUP BY " + ", ".join(
+                to_sql(g) for g in opts["group"])
+        return f"{arrow}({inner})"
+    return arrow + (tables[0] if tables else "?")
+
+
+def _depth_sql(rng) -> str:
+    lo, hi = rng
+    if lo is not None and lo == hi:
+        return str(lo)
+    lo_s = "" if lo in (None, 1) else str(lo)
+    hi_s = "" if hi is None else str(hi)
+    return f"{lo_s}..{hi_s}"
+
+
+def _destructure_sql(entries) -> str:
+    parts = []
+    for name, sub in entries:
+        if not sub:
+            parts.append(name)
+        elif sub and sub[0][0] == "aliased":
+            parts.append(f"{name}: {to_sql(sub[0][1])}")
+        else:
+            parts.append(name)
+    return "{ " + ", ".join(parts) + " }"

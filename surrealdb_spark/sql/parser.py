@@ -965,6 +965,7 @@ class Parser:
                     "group": sub.group,
                 }
                 opts = {k: v for k, v in opts.items() if v is not None}
+                opts["select"] = True  # SELECT-form segment (vs `(tb ..)`)
                 if rng is not None:
                     opts["range"] = rng
                 if sub.fields is None or sub.star:

@@ -1988,19 +1988,31 @@ class StatementRunner:
         txt = text.strip().rstrip(";").strip()
         import re as _re0
 
-        m0 = _re0.match(r"EXPLAIN(\s+ANALYZE)?\s+(SELECT\b.*)$", txt,
-                        _re0.I | _re0.S)
+        m0 = _re0.match(
+            r"EXPLAIN(\s+ANALYZE)?(\s+FORMAT\s+JSON)?\s+(.*)$", txt,
+            _re0.I | _re0.S)
         if m0:
-            # new-executor `EXPLAIN [ANALYZE] <stmt>` — the operator-tree
-            # text (exec/operators/explain.rs:30,103)
-            from surrealdb_spark.sql.explain import plan_new, render_text
-            from surrealdb_spark.sql.parser import parse_select as _ps
+            # new-executor `EXPLAIN [ANALYZE] [FORMAT JSON] <stmt|expr>` —
+            # the operator tree as text or a structured object
+            # (exec/operators/explain.rs:30,103)
+            from surrealdb_spark.sql.explain import (plan_new, plan_value,
+                                                     render_json,
+                                                     render_text)
 
-            self._refresh_catalog()
-            inner = _ps(m0.group(2))
+            analyze0 = bool(m0.group(1))
+            as_json = bool(m0.group(2))
+            rest = m0.group(3).strip()
             merged0 = {**self.params_defined, **(params or {})}
-            node = plan_new(self, inner, merged0)
-            return render_text(node, analyze=bool(m0.group(1)))
+            if rest.upper().startswith("SELECT"):
+                from surrealdb_spark.sql.parser import parse_select as _ps
+
+                self._refresh_catalog()
+                node = plan_new(self, _ps(rest), merged0)
+            else:
+                node = plan_value(self, rest, merged0, analyze=analyze0)
+            if as_json:
+                return render_json(node, analyze=analyze0)
+            return render_text(node, analyze=analyze0)
         if txt.startswith("{") and txt.endswith("}"):
             # block statement: run inner statements sequentially with a
             # shared LET scope; value = last RETURN (expr/block.rs)
@@ -2770,6 +2782,17 @@ class StatementRunner:
         from surrealdb_spark.sql.explain import plan_legacy
 
         self._refresh_catalog()
+        if "all-ro" in getattr(self, "planner_strategy", ()):
+            # the new planner rewrites `SELECT ... EXPLAIN` to
+            # `EXPLAIN FORMAT JSON SELECT ...` (and EXPLAIN FULL to the
+            # ANALYZE form — statements/explain/select_explain_rewrite)
+            from dataclasses import replace as _rp
+
+            from surrealdb_spark.sql.explain import plan_new, render_json
+
+            analyze = sel.explain == "full"
+            node = plan_new(self, _rp(sel, explain=None), params or {})
+            return render_json(node, analyze=analyze)
         return plan_legacy(self, sel, params or {})
 
     # internals -----------------------------------------------------------
