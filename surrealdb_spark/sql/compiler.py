@@ -552,6 +552,32 @@ def _truthy_col(col: Column, cat: str | None) -> Column:
     return col.isNotNull() & ~F.coalesce(falsy, F.lit(False))
 
 
+def _presence_col(e, types: dict) -> Column | None:
+    """Per-row field PRESENCE for a stored-table column (None ≠ Null,
+    types/src/value/mod.rs:84-144): a boolean Column that is true when the
+    field was explicitly set on the record (possibly to NULL), false when
+    absent (NONE).  Presence comes from the hidden ``__present`` array the
+    DML layer maintains; legacy rows without it fall back to non-nullness.
+    Returns None when presence can't be decided statically (not a plain
+    stored column, or the frame carries no presence spine)."""
+    if "__present" not in types:
+        return None
+    if not (isinstance(e, tuple) and e[0] == "ident"):
+        return None
+    name = e[1]
+    if name == "id" or name == "__present":
+        return None
+    if name not in types:
+        # unknown/void-typed column: no static presence decision (types_of
+        # skips null-typed columns — e.g. COMPUTED NULL fields)
+        return None
+    return F.when(
+        F.col("__present").isNotNull(),
+        F.coalesce(F.array_contains(F.col("__present"), F.lit(name)),
+                   F.lit(False)),
+    ).otherwise(F.col(name).isNotNull())
+
+
 def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> Column:
     """Expression AST → Column (no aggregate handling — see _decompose)."""
     params = params or {}
@@ -803,12 +829,46 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         # and `missing > 0` is false
         lnone = l in (("lit", None), ("nulllit",))
         rnone = r in (("lit", None), ("nulllit",))
-        if (lnone or rnone) and op in ("<", "<=", ">", ">="):
-            if lnone and rnone:
-                return F.lit(op in ("<=", ">="))
-            if lnone:  # NONE op x
-                return F.lit(op in ("<", "<="))
-            return F.lit(op in (">", ">="))  # x op NONE
+        if lnone and rnone and op in ("<", "<=", ">", ">=", "=", "==",
+                                      "!="):
+            # both literal: NONE < NULL, NONE = NONE, NULL = NULL
+            lt = l == ("lit", None) and r == ("nulllit",)
+            gt = l == ("nulllit",) and r == ("lit", None)
+            eq = l == r
+            return F.lit({"<": lt, "<=": lt or eq, ">": gt,
+                          ">=": gt or eq, "=": eq, "==": eq,
+                          "!=": not eq}[op])
+        if (lnone or rnone) and op in ("<", "<=", ">", ">=", "=", "==",
+                                       "!="):
+            # x OP nullish — presence-aware when the subject is a stored
+            # column (__present spine): `x = NONE` matches only absent
+            # fields, `x = NULL` only explicit nulls, and ranges follow
+            # the value total order NONE < NULL < everything
+            # (planner/select_from_unique_index.surql,
+            # planner/unique_index_reverse_range_none_upper_bound.surql)
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            if lnone:
+                op2, subj, nlit = flip.get(op, op), r, l
+            else:
+                op2, subj, nlit = op, l, r
+            is_none = nlit == ("lit", None)
+            pres = _presence_col(subj, types)
+            sc = compile_expr(subj, params, types)
+            if pres is not None:
+                absent = ~pres
+                isnull = pres & sc.isNull()
+                if is_none:
+                    return {"=": absent, "==": absent, "!=": ~absent,
+                            "<": F.lit(False), "<=": absent,
+                            ">": pres, ">=": F.lit(True)}[op2]
+                return {"=": isnull, "==": isnull, "!=": ~isnull,
+                        "<": absent, "<=": sc.isNull(),
+                        ">": sc.isNotNull(), ">=": pres}[op2]
+            if op2 in ("<", "<=", ">", ">="):
+                # no presence spine: NONE ≡ NULL ≡ SQL NULL
+                return {"<": F.lit(False), "<=": sc.isNull(),
+                        ">": sc.isNotNull(), ">=": F.lit(True)}[op2]
+            # =/!= without presence fall through to null-safe equality
         lc, rc = compile_expr(l, params, types), compile_expr(r, params, types)
         lreg = _infer(l, types, params) == "regex"
         rreg = _infer(r, types, params) == "regex"
@@ -1003,6 +1063,18 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         if op not in _BINOPS and op.startswith("@") and op.endswith("@"):
             # @N@/@AND@/@OR@ variants outside the runner
             return O.matches(lc, rc, any_mode="OR" in op.upper())
+        if op in ("<", "<=", ">", ">="):
+            # value TOTAL order (types/src/value/mod.rs Ord): NONE/NULL
+            # sort below every value, so `missing <= 10` is true — SQL's
+            # null-dropping three-valued logic is wrong here
+            base = _BINOPS[op](lc, rc)
+            if op == "<":
+                return base | (lc.isNull() & rc.isNotNull())
+            if op == "<=":
+                return base | lc.isNull()
+            if op == ">":
+                return base | (rc.isNull() & lc.isNotNull())
+            return base | rc.isNull()
         return _BINOPS[op](lc, rc)
     if kind == "method":
         cm = _closure_method(ast, params, types)
@@ -2192,7 +2264,8 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         # fields no row carries are NONE, not an analysis error
         # (schemaless semantics: `identifier > 0` over a table without
         # the column filters everything out)
-        sel = _replace(sel, where=_null_unknown_idents(sel.where, types))
+        known = {**{c: "void" for c in df.columns}, **types}
+        sel = _replace(sel, where=_null_unknown_idents(sel.where, known))
     if sel.where is not None:
         sel_where, knn_specs = _split_knn_filters(sel.where)
         sel = _replace(sel, where=sel_where)
@@ -2339,7 +2412,26 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 # ORDER COLLATE: locale-aware unicode collation (order.rs
                 # Ordering::collate) — Spark 4 ICU collations, JVM-side
                 c = F.collate(c.cast("string"), "UNICODE")
+            if ("__present" in df.columns and k.expr[0] == "ident"
+                    and k.expr[1] in df.columns and k.expr[1] != "id"):
+                # NONE < NULL < value rank ahead of the key itself
+                # (value total order; unique_index_reverse_range_none_
+                # upper_bound.surql: NONE rows before NULL rows ASC)
+                pres = _presence_col(k.expr, types_of(df))
+                if pres is not None:
+                    rank = (F.when(~pres, 0)
+                            .when(F.col(k.expr[1]).isNull(), 1)
+                            .otherwise(2))
+                    order_cols.append(rank.desc() if k.desc
+                                      else rank.asc())
             order_cols.append(c.desc() if k.desc else c.asc())
+        if ("__present" in df.columns and "id" in df.columns
+                and not any(k.expr == ("ident", "id") for k in sel.order)):
+            # deterministic tie-break: the reference's in-memory sort is
+            # stable over the id-ordered KV scan, so ties come out in
+            # record-id order (reversed under DESC)
+            kc = _rid_order_key(F.col("id"))
+            order_cols.append(kc.desc() if sel.order[-1].desc else kc.asc())
         df = df.orderBy(*order_cols)
 
     # limit/start (operators/limit.rs; Spark offset() is 3.4+).  Without an

@@ -399,6 +399,18 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         acc.union_values = branches  # list of (idx, op, value_ast)
         return _finish(acc, sel, order_field, order1)
 
+    # mixed AND/OR tree where EVERY boolean leaf is index-backed → the
+    # legacy MultiIndex plan: all non-range index options plus every
+    # range, each printed as its own Iterate Index row
+    # (idx/planner/plan.rs:177 Plan::MultiIndex;
+    # planner/select_with_in_operator_multiple_indexes.surql)
+    if _has_or(sel.where):
+        mix = _multiindex_leaves(runner, sel.where, defs)
+        if mix is not None:
+            acc = Access(kind="multimix")
+            acc.mix_nonrange, acc.mix_ranges = mix
+            return _finish(acc, sel, order_field, order1)
+
     # score indexes against the AND conjuncts (prefer the longest
     # equality-prefix match; ties go to the later conjunct — observed
     # planner behavior in planner/multi_index_or_and.surql)
@@ -416,10 +428,13 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         if m is None:
             continue
         eqs, rng, used, last_pos = m
-        # unique indexes win ties (most selective access first —
+        # longest prefix wins; ties go to the LATER conjunct (the
+        # reference pops the last-pushed non-range option,
+        # plan.rs:148 non_range_indexes.pop()); uniqueness only breaks
+        # exact ties on the SAME conjunct (idx_email vs idx_email_uniq,
         # statements/explain/select_index.surql)
-        score = (len(eqs) + (0.5 if rng else 0)
-                 + (0.25 if kind == "uniq" else 0), last_pos)
+        score = (len(eqs) + (0.5 if rng else 0), last_pos,
+                 0.25 if kind == "uniq" else 0)
         if best is None or best[0] != "ft" and score > best[4]:
             best = ("idx", d, m, None, score)
     if best is None and ft_c is None:
@@ -552,6 +567,58 @@ def _knn_vec(rhs, params):
     if rhs[0] == "param":
         return params.get(rhs[1])
     return None
+
+
+def _has_or(ast) -> bool:
+    if not isinstance(ast, tuple):
+        return False
+    if ast[0] == "bin" and ast[1] in ("OR", "||"):
+        return True
+    if ast[0] == "bin" and ast[1] in ("AND", "&&"):
+        return _has_or(ast[2]) or _has_or(ast[3])
+    return False
+
+
+def _bool_leaves(ast) -> list:
+    """Boolean leaves of an AND/OR tree in evaluation (left-to-right)
+    order — the order the reference's eval_node pushes index options
+    (idx/planner/plan.rs eval_node)."""
+    if isinstance(ast, tuple) and ast[0] == "bin" \
+            and ast[1] in ("AND", "&&", "OR", "||"):
+        return _bool_leaves(ast[2]) + _bool_leaves(ast[3])
+    return [ast]
+
+
+def _multiindex_leaves(runner, where, defs):
+    """(non_range_options, range_options) when every boolean leaf of the
+    WHERE tree is backed by a single-column index, else None.  Non-range
+    entries are (idx, op, value_ast) with op '=', 'union' or a matches
+    operator; range entries are (idx, op, value_ast)."""
+    nonrange, ranges = [], []
+    for leaf in _bool_leaves(where):
+        b = _branch_index(runner, leaf, defs)
+        if b is not None:
+            nonrange.append(b)
+            continue
+        if leaf[0] == "bin" and str(leaf[1]) in ("IN", "INSIDE") \
+                and isinstance(leaf[3], tuple) and leaf[3][0] == "array":
+            f = _field_of(leaf[2])
+            d = next((d for d in defs
+                      if getattr(d, "kind", "idx") in ("idx", "uniq")
+                      and len(d.fields) == 1 and d.fields[0] == f), None)
+            if d is not None:
+                nonrange.append((d.name, "union", leaf[3]))
+                continue
+        if leaf[0] == "bin" and str(leaf[1]) in ("<", "<=", ">", ">="):
+            f = _field_of(leaf[2])
+            d = next((d for d in defs
+                      if getattr(d, "kind", "idx") in ("idx", "uniq")
+                      and len(d.fields) == 1 and d.fields[0] == f), None)
+            if d is not None:
+                ranges.append((d.name, str(leaf[1]), leaf[3]))
+                continue
+        return None
+    return nonrange, ranges
 
 
 def _branch_index(runner, d_ast, defs):
@@ -962,6 +1029,9 @@ def plan_new(runner, sel, params=None) -> Node:
             n.rows = 1
             return n
         acc = analyze_access(runner, sel, tbl, params)
+        if acc.kind == "multimix":
+            acc = Access(kind="table")
+            acc.direction = "Forward"
         acc.predicate = sel.where if acc.kind == "table" else acc.predicate
         scan = _scan_nodes(runner, sel, tbl, acc, params)
         agg = Node("Aggregate", "[mode: GROUP ALL]", [scan])
@@ -977,6 +1047,65 @@ def plan_new(runner, sel, params=None) -> Node:
             scan.rows = 1
             p0 = Node("Project", "", [scan])
             p0.rows = 1
+            return p0
+        if isinstance(src0, tuple) and src0[0] == "idrange":
+            # record-id RANGE scan plan (exec/operators/scan/record_id.rs;
+            # planner/reverse_iterator_range_new_executor.surql): the scan
+            # prints the source range verbatim, sorts/limits stack on top
+            _, rtb, lo, hi, incl = src0
+
+            def _btxt(b):
+                if b is None:
+                    return ""
+                if isinstance(b, tuple) and b[0] == "karr":
+                    return to_sql(b[1])
+                return str(b)
+
+            rid = f"{rtb}:{_btxt(lo)}{'..=' if incl else '..'}{_btxt(hi)}"
+            scan = Node("RecordIdScan", f"[record_id: {rid}]")
+            try:
+                import dataclasses as _dc
+
+                runner._refresh_catalog()
+                base = _dc.replace(sel, order=[], limit=None, start=None,
+                                   fields=None, value_expr=None, group=None,
+                                   fetch=[], split=[], explain=None)
+                scan.rows = runner.run_select(base, params or {}).count()
+            except Exception:
+                scan.rows = None
+            node = scan
+            if sel.order:
+                ktxt = ", ".join(
+                    f"{to_sql(k.expr)} {'DESC' if k.desc else 'ASC'}"
+                    for k in sel.order)
+                if sel.limit is not None:
+                    k = sel.limit + (sel.start or 0)
+                    s = Node("SortTopKByKey",
+                             f"[sort_keys: {ktxt}, limit: {k}]", [node])
+                    s.rows = min(node.rows or 0, k) \
+                        if node.rows is not None else None
+                    node = Node("Limit", f"[limit: {sel.limit}"
+                                + (f", offset: {sel.start}]"
+                                   if sel.start is not None else "]"), [s])
+                    node.rows = min(s.rows or 0, sel.limit) \
+                        if s.rows is not None else None
+                else:
+                    s = Node("SortByKey", f"[sort_keys: {ktxt}]", [node])
+                    s.rows = node.rows
+                    node = s
+            elif sel.limit is not None:
+                lim = Node("Limit", f"[limit: {sel.limit}"
+                           + (f", offset: {sel.start}]"
+                              if sel.start is not None else "]"), [node])
+                lim.rows = min(node.rows or 0, sel.limit) \
+                    if node.rows is not None else None
+                node = lim
+            p0 = Node("SelectProject", "[projections: *]"
+                      if sel.star or sel.fields is None else
+                      "[projections: " + ", ".join(
+                          f.alias or to_sql(f.expr)
+                          for f in sel.fields) + "]", [node])
+            p0.rows = node.rows
             return p0
         if isinstance(src0, tuple) and src0[0] == "exprsrc":
             e = src0[1]
@@ -1022,6 +1151,12 @@ def plan_new(runner, sel, params=None) -> Node:
     accs = []
     for tbl in tbls:
         acc = analyze_access(runner, sel, tbl, params)
+        if acc.kind == "multimix":
+            # the legacy MultiIndex shape; the new executor plans mixed
+            # AND/OR trees differently (per-disjunct branches) — keep the
+            # prior table-scan shape here
+            acc = Access(kind="table")
+            acc.direction = "Forward"
         if acc.kind == "table" and sel.where is not None \
                 and len(tbls) == 1 and not acc.residual:
             acc.predicate = sel.where
@@ -1485,7 +1620,8 @@ def plan_legacy(runner, sel, params=None) -> list:
         if jp is not None:
             out.append({"detail": {"plan": jp, "table": tbl},
                         "operation": "Iterate Index"})
-    used_index = acc.kind in ("index", "unionidx", "ft", "knn", "multi") \
+    used_index = acc.kind in ("index", "unionidx", "ft", "knn", "multi",
+                              "multimix") \
         or acc.reverse_order or jp is not None
     if is_count and sel.where is None and not used_index \
             and sel.with_hint != ("noindex",):
@@ -1504,6 +1640,25 @@ def plan_legacy(runner, sel, params=None) -> list:
                 "index": idx, "operator": op if op != "IN" else "union",
                 "value": _lit_value(v)}, "table": tbl},
                 "operation": "Iterate Index"})
+    elif acc.kind == "multimix":
+        # MultiIndex plan: non-range options first, then each range as a
+        # one-sided from/to row (plan.rs:177; EXPLAIN prints options in
+        # eval order)
+        for idx, op, v in acc.mix_nonrange:
+            out.append({"detail": {"plan": {
+                "index": idx, "operator": op, "value": _lit_value(v)},
+                "table": tbl}, "operation": "Iterate Index"})
+        for idx, op, v in acc.mix_ranges:
+            lo = (v, op == ">=") if op in (">", ">=") else None
+            hi = (v, op == "<=") if op in ("<", "<=") else None
+            out.append({"detail": {"plan": {
+                "direction": "forward",
+                "from": {"inclusive": bool(lo and lo[1]),
+                         "value": _lit_value(lo[0]) if lo else None},
+                "index": idx,
+                "to": {"inclusive": bool(hi and hi[1]),
+                       "value": _lit_value(hi[0]) if hi else None}},
+                "table": tbl}, "operation": "Iterate Index"})
     elif used_index and acc.kind != "count" and jp is None:
         op_name = "Iterate Index Count" if is_count else "Iterate Index"
         out.append({"detail": {"plan": iterate_index_detail(acc),
@@ -1537,15 +1692,21 @@ def plan_legacy(runner, sel, params=None) -> list:
     if sel.explain == "full":
         out.append({"detail": {"type": "KeysAndValues"},
                     "operation": "RecordStrategy"})
-        if sel.limit is not None:
+        if sel.limit is not None and (acc.order_eliminated
+                                      or not sel.order):
+            # the start/limit cancel strategy only engages when the
+            # iteration order already matches the ORDER BY (or there is
+            # none) — a memory sort re-orders rows, so cancelling the
+            # scan early would be wrong (dbs/iterators.rs;
+            # planner/select_compound_order_limit.surql has no
+            # StartLimitStrategy row)
             d = {"CancelOnLimit": sel.limit}
             if sel.start:
                 d["SkipStart"] = sel.start
             out.append({"detail": d, "operation": "StartLimitStrategy"})
-        # count of record fetches: 0 when an index-ordered iteration is
+        # count of record fetches: 0 when an index-driven iteration is
         # cut short by a LIMIT (keys only; dbs/iterators.rs)
-        covered = used_index and acc.order_eliminated \
-            and sel.limit is not None
+        covered = used_index and sel.limit is not None
         n = 0
         if not covered:
             try:
