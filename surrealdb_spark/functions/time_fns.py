@@ -153,9 +153,14 @@ def set_field(t, field: str, v) -> Column:
     }
     assert field in parts, field
     parts[field] = _c(v)
+    # keep the µs fraction — F.second() truncates it
+    # (primitive/datetimes/datetime_set_functions.surql)
+    frac = F.unix_micros(_c(t)) % 1_000_000
+    secs = (parts["second"].cast("decimal(16,6)")
+            + frac.cast("decimal(16,6)") / 1_000_000)
     return F.make_timestamp(
         parts["year"], parts["month"], parts["day"],
-        parts["hour"], parts["minute"], parts["second"],
+        parts["hour"], parts["minute"], secs,
     )
 
 

@@ -614,6 +614,25 @@ def _prepare_imports(spark: SparkSession, test_path: str,
     return db, runner
 
 
+def _fetch_deref(val, path: list[str]):
+    """Replace record-id strings at ``path`` inside ``val`` with the full
+    record (RETURN ... FETCH semantics, fetch.rs over plain values)."""
+    from surrealdb_spark.functions.misc_fns import _lookup_record
+
+    if isinstance(val, list):
+        return [_fetch_deref(v, path) for v in val]
+    if not path:
+        if isinstance(val, str) and ":" in val:
+            rec = _lookup_record(val)
+            return rec if rec is not None else val
+        return val
+    if isinstance(val, dict) and path[0] in val:
+        out = dict(val)
+        out[path[0]] = _fetch_deref(out[path[0]], path[1:])
+        return out
+    return val
+
+
 def _run_statement_file(spark: SparkSession, stmts: list[str],
                         fr: "FileResult", expected: list,
                         db=None, runner=None, env=None) -> "FileResult":
@@ -631,6 +650,7 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
         runner = StatementRunner(spark, db)
     # new-executor behavioral switches ([env] planner-strategy)
     runner.planner_strategy = list((env or {}).get("planner-strategy", []))
+    runner.backend = list((env or {}).get("backend", []))
     script = None  # lazy ScriptRunner for FOR/IF/THROW statements
     bindings: dict = {}
     txbuf: list = []  # statements inside an open BEGIN..COMMIT
@@ -639,6 +659,24 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
         a: object
         try:
             if s.strip().startswith("{"):
+                # a leading `{` may be a SET LITERAL expression, not a
+                # block (`{1, 2} + [3, 3]` — set_array_common_behaviour);
+                # a full-statement expression parse that is not a block
+                # wins
+                from surrealdb_spark.sql.parser import parse_expr as _pe
+
+                expr_ok = False
+                try:
+                    east = _pe(s)
+                    expr_ok = not (isinstance(east, tuple)
+                                   and east[0] == "block1")
+                except Exception:
+                    expr_ok = False
+                if expr_ok:
+                    v = _eval_statements(spark, [s], bindings)[0]
+                    a = _ERR if v is _ERR else v
+                    _record_case(fr, s, e, a, spark)
+                    continue
                 # top-level block: inner statements run in a LOCAL scope
                 # (expr/block.rs); the block's value is the RETURN payload
                 # or the final expression statement's value
@@ -757,11 +795,24 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                     a = a[0] if a else None
             else:
                 body = re.sub(r"^RETURN\s+", "", s, flags=re.I).strip()
+                mf = re.search(r"\bFETCH\s+([\w.\s,]+)$", body, re.I)
+                fetches = []
+                if mf:
+                    # RETURN <expr> FETCH a.b, c — deref record-id values
+                    # at the given paths (statements/return/
+                    # object_recordid_fetch_destructuring.surql)
+                    fetches = [f.strip().split(".")
+                               for f in mf.group(1).split(",")
+                               if f.strip()]
+                    body = body[:mf.start()].strip()
                 try:
                     a = _norm(runner._scalar_text(body, bindings))
                 except Exception:
                     v = _eval_statements(spark, [body], bindings)[0]
                     a = _ERR if v is _ERR else v
+                if fetches and a is not _ERR:
+                    for fp in fetches:
+                        a = _fetch_deref(a, fp)
         except Exception as exc:
             a = _ERR
             global _LAST_ERR

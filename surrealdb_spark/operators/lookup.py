@@ -577,10 +577,19 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
 
     # per-field traversal steps: (name, [(dir, edge, target), ...])
     trav: dict[str, list] = {}
+    posts: dict[str, tuple] = {}  # per-field value post-closure (.chain)
     plain: list[str] = []
     for name, sub in destr_fields:
         if sub and sub[0][0] == "aliased":
             path = sub[0][1]
+            if (isinstance(path, tuple) and path[0] == "method"
+                    and path[1] == "chain" and path[3]
+                    and isinstance(path[3][0], tuple)
+                    and path[3][0][0] == "closure"):
+                # `contains.@.chain(|$v| ...)` — post-map each recursion
+                # value through the closure (driver tree assembly)
+                posts[name] = path[3][0]
+                path = path[2]
             if not (path[0] == "path" and path[2]
                     and path[2][-1] == ("repeat",)):
                 raise LookupError_(
@@ -641,6 +650,7 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
     rowmap: dict[str, dict] = _fetch_rows({start_rid})
     frontier = {start_rid}
     seen = {start_rid}
+    depth_reached = 1
     for _depth in range(hi_eff):
         if not frontier:
             break
@@ -649,7 +659,12 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
             if spec[0] == "link":
                 fldname = spec[1]
                 for rid in frontier:
-                    v = rowmap.get(rid, {}).get(fldname)
+                    row0 = rowmap.get(rid, {})
+                    if fldname not in row0:
+                        # absent link field: the leaf renders NONE, not []
+                        children[name][rid] = None
+                        continue
+                    v = row0.get(fldname)
                     kids = v if isinstance(v, list) else (
                         [v] if v is not None else [])
                     kids = [k for k in kids
@@ -677,22 +692,37 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
                 nxt.add(r["dst"])
         frontier = nxt - seen
         seen |= nxt
+        if frontier:
+            depth_reached += 1
         rowmap.update(_fetch_rows(frontier))
+
+    if lo is not None and lo > depth_reached:
+        # the tree is shallower than the minimum depth: no result
+        # (recursion.rs min bound; recursion_record_links `{5..}`)
+        return None
 
     def assemble(rid: str, depth: int, path: tuple):
         row = rowmap.get(rid, {})
         out = {}
         for name, sub in destr_fields:
             if name in trav:
-                kids = [k for k in children[name].get(rid, [])
-                        if k not in path]
-                if depth >= hi_eff:
-                    out[name] = kids  # bound reached: bare ids
+                got = children[name].get(rid, [])
+                if got is None:
+                    out[name] = None
                 else:
-                    out[name] = [assemble(k, depth + 1, path + (rid,))
-                                 for k in kids]
+                    kids = [k for k in got if k not in path]
+                    if depth >= hi_eff:
+                        out[name] = kids  # bound reached: bare ids
+                    else:
+                        out[name] = [assemble(k, depth + 1, path + (rid,))
+                                     for k in kids]
             elif name in row:
                 out[name] = row[name]
+            if name in posts and name in out:
+                from surrealdb_spark import pyeval as _PE
+
+                cl = posts[name]
+                out[name] = _PE.peval(cl[2], {cl[1][0]: out[name]})
         return out
 
     return assemble(start_rid, 1, ())
@@ -847,6 +877,11 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
         if not levels:
             return df.withColumn(slot, F.array().cast("array<array<string>>"))
         leaves = _terminated_paths(levels, hi_eff)
+        if trailing_field is not None and trailing_field[0] == "field":
+            # `.{n+path}(...).name` — each path element derefs through
+            # its record's field (multi-table union map;
+            # idiom/recursion_record_links.surql)
+            leaves = _map_path_field(leaves, cat, trailing_field[1])
         if inclusive:
             val = F.col("__path")
         else:
@@ -932,29 +967,94 @@ def _terminated_paths(levels: list[DataFrame], hi: int) -> DataFrame:
     return out
 
 
+def _map_path_field(leaves, cat, field: str):
+    """Replace every record id in ``__path`` with that record's ``field``
+    value (order-preserving; ids may span tables)."""
+    ex = leaves.select(
+        "__rk", "__ord", "__depth",
+        F.posexplode("__path").alias("__pp", "__pe"))
+    frames = []
+    for tbl in _frontier_tables(ex, col="__pe"):
+        try:
+            t = cat.table(tbl)
+        except Exception:
+            continue
+        tv = (F.col(field) if field in t.columns else F.lit(None)) \
+            .cast("string")
+        frames.append(t.select(F.col("id").alias("__tid"),
+                               tv.alias("__tv")))
+    if not frames:
+        return leaves
+    tgt = frames[0]
+    for f2 in frames[1:]:
+        tgt = tgt.unionByName(f2)
+    mapped = (ex.join(tgt, ex["__pe"] == tgt["__tid"], "left")
+              .groupBy("__rk", "__ord", "__depth")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct(F.col("__pp").alias("p"),
+                               F.col("__tv").alias("v")))),
+                  lambda x: x["v"]).alias("__path")))
+    return mapped
+
+
+def _frontier_tables(fr, col="__node", cap=32) -> list[str]:
+    """Distinct record-id tables present in a frontier column (a
+    bounded-cardinality driver peek — tables, not rows)."""
+    rows = fr.select(
+        F.split(F.col(col).cast("string"), ":", 2).getItem(0).alias("t")
+    ).filter(F.col("t").isNotNull() & F.contains(
+        F.col(col).cast("string"), F.lit(":"))).distinct() \
+        .limit(cap).collect()
+    return [r["t"] for r in rows if r["t"]]
+
+
 def _link_hop(fr, cat, chain: list[str]):
-    """One record-link hop: join the nodes' table and follow the field
+    """One record-link hop: join the nodes' tables and follow the field
     chain; array-valued links (children) flatten with positional order.
-    Returns (frontier, was_scalar).  Link table inferred by sampling one
-    frontier value (FETCH precedent, OLTP-bounded driver action)."""
+    Returns (frontier, was_scalar).  Frontier nodes may span SEVERAL
+    tables (mixed-table link trees — idiom/recursion_record_links.surql),
+    so the link side is the union of every frontier table's frame."""
     from pyspark.sql.types import ArrayType
 
-    sample = fr.select("__node").filter(F.col("__node").isNotNull()).first()
-    if sample is None or ":" not in str(sample[0]):
+    parts = []
+    any_array = False
+    for tbl in _frontier_tables(fr):
+        try:
+            t = cat.table(tbl)
+        except Exception:
+            continue
+        if chain[0] not in t.columns or "id" not in t.columns:
+            continue
+        c = F.col(chain[0])
+        for f_ in chain[1:]:
+            c = c.getField(f_)
+        part = t.select(F.col("id").alias("__lid"), c.alias("__lv"))
+        arr = isinstance(part.schema["__lv"].dataType, ArrayType)
+        any_array = any_array or arr
+        parts.append((part, arr))
+    if not parts:
         return fr.limit(0), True
-    tbl = str(sample[0]).split(":", 1)[0]
-    try:
-        t = cat.table(tbl)
-    except Exception:
-        return fr.limit(0), True
-    if chain[0] not in t.columns or "id" not in t.columns:
-        return fr.limit(0), True
-    c = F.col(chain[0])
-    for f_ in chain[1:]:
-        c = c.getField(f_)
-    tgt = t.select(F.col("id").alias("__lid"), c.alias("__lv"))
+    is_array = any_array
+    norm = []
+    for part, arr in parts:
+        if any_array and not arr:
+            part = part.select(
+                "__lid", F.when(F.col("__lv").isNotNull(),
+                                F.array(F.col("__lv").cast("string")))
+                .alias("__lv"))
+        elif any_array:
+            part = part.select("__lid",
+                               F.col("__lv").cast("array<string>")
+                               .alias("__lv"))
+        else:
+            part = part.select("__lid",
+                               F.col("__lv").cast("string").alias("__lv"))
+        norm.append(part)
+    tgt = norm[0]
+    for p2 in norm[1:]:
+        tgt = tgt.unionByName(p2)
     joined = fr.join(tgt, fr["__node"] == tgt["__lid"]).drop("__lid")
-    is_array = isinstance(tgt.schema["__lv"].dataType, ArrayType)
     if is_array:
         joined = joined.select(
             *[c2 for c2 in joined.columns if c2 != "__lv"],
@@ -979,26 +1079,40 @@ def _nest_nodes(df, cat, slot, rows, steps, trailing, sort_by_depth):
         if sort_by_depth else [F.col("__ord").alias("o")]
     if trailing is not None:
         if steps[-1][0] == "link":
-            sample = rows.select("__node").filter(
-                F.col("__node").isNotNull()).first()
-            target = str(sample[0]).split(":", 1)[0] if sample else None
+            targets = _frontier_tables(rows)
         else:
-            target = steps[-1][2]
-        if target is None:
-            val = F.lit(None)
-        else:
+            targets = [steps[-1][2]] if steps[-1][2] else []
+        def _frame(target, force_str):
             t = cat.table(target)
             if trailing[0] == "field":
-                tgt = t.select(F.col("id").alias("__tid"),
-                               F.col(trailing[1]).alias("__tv"))
-                val = F.col("__tv")
-            else:  # destructure
-                picks = [F.col(n).alias(n) if n in t.columns
-                         else F.lit(None).alias(n)
-                         for n, _sub in trailing[1]]
-                tgt = t.select(F.col("id").alias("__tid"),
-                               F.struct(*picks).alias("__tv"))
-                val = F.col("__tv")
+                tv = (F.col(trailing[1]) if trailing[1] in t.columns
+                      else F.lit(None))
+                if force_str:
+                    tv = tv.cast("string")
+                return t.select(F.col("id").alias("__tid"),
+                                tv.alias("__tv"))
+            picks = []
+            for n, _sub in trailing[1]:
+                c2 = F.col(n) if n in t.columns else F.lit(None)
+                if force_str:
+                    c2 = c2.cast("string")
+                picks.append(c2.alias(n))
+            return t.select(F.col("id").alias("__tid"),
+                            F.struct(*picks).alias("__tv"))
+
+        frames = []
+        for target in targets:
+            try:
+                frames.append(_frame(target, len(targets) > 1))
+            except Exception:
+                continue
+        if not frames:
+            val = F.lit(None)
+        else:
+            tgt = frames[0]
+            for f2 in frames[1:]:
+                tgt = tgt.unionByName(f2)
+            val = F.col("__tv")
             rows = rows.join(tgt, rows["__node"] == tgt["__tid"], "left")
     else:
         val = F.col("__node")

@@ -325,14 +325,28 @@ def _load_mapper(path: str) -> dict[str, str]:
 ANALYZERS: dict[str, Analyzer] = {}
 
 
+# analyzers whose FUNCTION preprocessing hook is unresolved: the DEFINE
+# succeeds, USE raises (define/analyzer.rs lazy validation —
+# search_invalid_function_name.surql)
+POISONED: dict[str, str] = {}
+
+
 def define_analyzer(name: str, tokenizers=("blank", "punct"),
-                    filters=("lowercase",)) -> Analyzer:
+                    filters=("lowercase",), poison: str | None = None
+                    ) -> Analyzer:
     a = Analyzer(tokenizers, filters, name=name)
     ANALYZERS[name] = a
+    if poison:
+        POISONED[name] = poison
+    else:
+        POISONED.pop(name, None)
     return a
 
 
 def get_analyzer(name: str) -> Analyzer:
+    if name in POISONED:
+        raise ValueError(
+            f"The function '{POISONED[name]}' does not exist")
     return ANALYZERS[name]
 
 

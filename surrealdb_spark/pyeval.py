@@ -167,11 +167,27 @@ def _arith(op: str, a, b):
     if op == "+":
         if isinstance(a, str) and isinstance(b, str):
             return a + b
+        if isinstance(a, SetVal) and isinstance(b, list):
+            # set + collection = set union (val/value.rs add on Set)
+            out = list(a)
+            for x in b:
+                if not any(_eq(x, y) for y in out):
+                    out.append(x)
+            return SetVal(out)
         if isinstance(a, list) and isinstance(b, list):
             return list(a) + list(b)
         if is_duration(a) and is_duration(b):
             return {"months": a["months"] + b["months"],
                     "nanos": a["nanos"] + b["nanos"]}
+    if op in ("+", "-") and isinstance(a, list) != isinstance(b, list):
+        # collection ± scalar is a type error (val/value.rs try_add)
+        word = "addition" if op == "+" else "subtraction"
+        raise EvalError(
+            f"Cannot perform {word} with '{render(a)}' and '{render(b)}'")
+    if op == "-" and isinstance(a, list) and isinstance(b, list):
+        # remove every matching element, order preserved
+        out = [x for x in a if not any(_eq(x, y) for y in b)]
+        return SetVal(out) if isinstance(a, SetVal) else out
     if op == "-" and is_duration(a) and is_duration(b):
         return {"months": a["months"] - b["months"],
                 "nanos": a["nanos"] - b["nanos"]}
@@ -357,7 +373,15 @@ def _walk_path(base, parts, env):
         elif kind == "iexpr":
             base = _index(base, peval(p[1], env))
         elif kind == "all":
-            if not isinstance(base, list):
+            if isinstance(base, str) and _is_ridish(base):
+                # `rid.*` derefs the whole record (value/idiom.rs over
+                # Thing — RETURN $obj.{ one: one.* })
+                from surrealdb_spark.functions.misc_fns import (
+                    _lookup_record)
+
+                rec = _lookup_record(base)
+                base = rec if rec is not None else base
+            elif not isinstance(base, list):
                 base = [base]
         elif kind == "flatten":
             if isinstance(base, list):
@@ -382,9 +406,25 @@ def _walk_path(base, parts, env):
             if isinstance(base, (list, str)):
                 base = base[lo:hi]
         elif kind == "destructure":
+            def _destr(obj):
+                out = {}
+                for k, sub in p[1]:
+                    if sub and sub[0][0] == "aliased":
+                        # aliased member: the expression evaluates with
+                        # the object's fields in scope ($this = object)
+                        out[k] = peval(sub[0][1], {**env, "this": obj})
+                    elif sub:
+                        out[k] = _walk_path(obj, sub, env)
+                    else:
+                        out[k] = obj.get(k)
+                return out
+
             if isinstance(base, dict):
-                base = {k: _walk_path(base, sub, env) if sub else base.get(k)
-                        for k, sub in p[1]}
+                base = _destr(base)
+            elif isinstance(base, list) and all(
+                    isinstance(x, dict) for x in base):
+                # destructure maps over arrays of objects (part.rs)
+                base = [_destr(x) for x in base]
             else:
                 raise Unfoldable("destructure on non-object")
         elif kind == "method":
@@ -501,6 +541,11 @@ def peval(ast, env: dict | None = None):
         return {"type": "Point",
                 "coordinates": [peval(ast[1], env), peval(ast[2], env)]}
     if kind == "ident":
+        # inside a destructure member the current object's fields are in
+        # scope (part.rs DestructurePart::Aliased evaluation context)
+        this = env.get("this")
+        if isinstance(this, dict) and ast[1] in this:
+            return this[ast[1]]
         return None  # scalar context: bare idents are NONE (no row)
     if kind == "ifexpr":
         for cond, then in ast[1]:

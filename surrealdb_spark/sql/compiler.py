@@ -468,6 +468,10 @@ def _infer(ast, types: dict[str, str], params: dict) -> str | None:
     if kind == "ident":
         return types.get(ast[1])
     if kind == "param":
+        th = params.get(f"__type:{ast[1]}")
+        if th:
+            # declared param type hint (DEFINE FUNCTION typed params)
+            return th
         v = params.get(ast[1])
         if isinstance(v, bool):
             return "bool"
@@ -965,6 +969,13 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 if op in ("OR", "||"):
                     return F.when(t, lc).otherwise(rc)
                 return F.when(t, rc).otherwise(lc)
+        if op in ("+", "-") and "set" in (
+                _static_of_kind(l, params, types),
+                _static_of_kind(r, params, types)):
+            # set algebra (union / element removal) evaluates driver-side
+            # so the result keeps its Set identity (val/set.rs;
+            # primitive/set/set_array_common_behaviour.surql)
+            raise ValueError("set algebra is driver-evaluated")
         if op == "+":
             lt, rt = _infer(l, types, params), _infer(r, types, params)
             # Strand + Strand → concatenation; one statically-known string
@@ -2442,13 +2453,17 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     oltp_srcs = all(
         not isinstance(s, str) or s in getattr(cat, "registered", ())
         for s in sel.sources)
-    if (sel.start or (sel.limit is not None and oltp_srcs)) \
-            and not sel.order and "id" in df.columns:
-        # START/LIMIT without ORDER BY picks rows in KV key order — the
-        # reference's table scan is id-ordered (record_id/key.rs).  Only
-        # db-written (OLTP) tables get this for bare LIMIT: a global sort
-        # per LIMIT over a 100 TB parquet scan would be a scale bug, so
-        # lazy sf-dir scans keep Spark's cheap any-N take.
+    if (sel.start or oltp_srcs) and not sel.order \
+            and "id" in df.columns and "__present" in df.columns:
+        # rows come out in KV key order — the reference's table scan is
+        # id-ordered (record_id/key.rs).  Only db-written (OLTP) tables,
+        # marked by the __present spine, get this: a global sort on every
+        # bare SELECT over a 100 TB parquet scan would be a scale bug, so
+        # lazy sf-dir scans keep Spark's cheap partition order.
+        key = F.substring_index(F.col("id").cast("string"), ":", -1)
+        df = df.orderBy(key.try_cast("bigint").asc_nulls_last(),
+                        F.col("id").asc())
+    elif sel.start and not sel.order and "id" in df.columns:
         key = F.substring_index(F.col("id").cast("string"), ":", -1)
         df = df.orderBy(key.try_cast("bigint").asc_nulls_last(),
                         F.col("id").asc())
@@ -2796,6 +2811,17 @@ def _norm_recurse_parts(parts):
                 i = j
                 continue
             if i + 1 < len(parts) and parts[i + 1][0] == "field":
+                chain, j = [], i + 1
+                while j < len(parts) and parts[j][0] == "field":
+                    chain.append(parts[j][1])
+                    j += 1
+                if j < len(parts) and parts[j] == ("repeat",):
+                    # `.{n}.contains.@` — the field chain up to the
+                    # RepeatRecurse marker is the repeated link step
+                    # (idiom/recursion_record_links.surql)
+                    out.append(("recurse", p[1], p[2], [("link", chain)]))
+                    i = j + 1
+                    continue
                 # `.{n}.parent` — record-link recursion step
                 out.append(("recurse", p[1], p[2],
                             [("link", [parts[i + 1][1]])]))
@@ -3008,8 +3034,16 @@ def eval_lookup_value(spark, cat, ast, params: dict):
             and len(ast[2]) == 2 and ast[2][0][0] == "recurse"
             and not ast[2][0][3] and ast[2][1][0] == "destructure"
             and any(sub and sub[0][0] == "aliased"
-                    and sub[0][1][0] == "path"
-                    and sub[0][1][2] and sub[0][1][2][-1] == ("repeat",)
+                    and ((sub[0][1][0] == "path"
+                          and sub[0][1][2]
+                          and sub[0][1][2][-1] == ("repeat",))
+                         # `.chain(closure)` post-map over the repeat
+                         or (sub[0][1][0] == "method"
+                             and sub[0][1][1] == "chain"
+                             and isinstance(sub[0][1][2], tuple)
+                             and sub[0][1][2][0] == "path"
+                             and sub[0][1][2][2]
+                             and sub[0][1][2][2][-1] == ("repeat",)))
                     for _n, sub in ast[2][1][1])):
         # `rid.{..max}.{f, kids: ->e->t.@}` — recursive destructure tree
         # (recursion.rs RepeatRecurse); recursively-typed result → the

@@ -20,6 +20,8 @@ measured by executing the equivalent stages against the engine's tables
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 
@@ -324,13 +326,26 @@ class Access:
 
 
 def _index_defs(runner, tbl):
-    return [d for d in runner.index_defs.values() if d.table == tbl]
+    # ALTER INDEX ... PREPARE REMOVE decommissions the index: the planner
+    # must stop using it (alter_index_prepare_remove.surql)
+    return [d for d in runner.index_defs.values()
+            if d.table == tbl and not getattr(d, "prepare_remove", False)]
 
 
-def analyze_access(runner, sel, tbl, params=None) -> Access:
-    """Reference planner emulation for one table source."""
+def analyze_access(runner, sel, tbl, params=None, new_exec=False) -> Access:
+    """Reference planner emulation for one table source.  ``new_exec``
+    switches index-choice heuristics to the new executor's selectivity
+    ranking (exec/planner/select.rs vs idx/planner/plan.rs)."""
     params = params or {}
     conj = _conjuncts(sel.where)
+    # `[v, ...] ANYINSIDE field` is the reversed-operand form of
+    # `field CONTAINSANY [v, ...]` — normalize so the union-access
+    # matcher sees it (planner/select_std_index_with_record_id.surql)
+    conj = [("bin", "CONTAINSANY", c[3], c[2])
+            if (c[0] == "bin" and str(c[1]) == "ANYINSIDE"
+                and isinstance(c[2], tuple) and c[2][0] == "array"
+                and isinstance(c[3], tuple) and c[3][0] == "ident")
+            else c for c in conj]
     noindex = sel.with_hint == ("noindex",)
     forced = (sel.with_hint[1] if sel.with_hint
               and sel.with_hint[0] == "index" else None)
@@ -404,7 +419,7 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
     # range, each printed as its own Iterate Index row
     # (idx/planner/plan.rs:177 Plan::MultiIndex;
     # planner/select_with_in_operator_multiple_indexes.surql)
-    if _has_or(sel.where):
+    if _has_or(sel.where) and not new_exec:
         mix = _multiindex_leaves(runner, sel.where, defs)
         if mix is not None:
             acc = Access(kind="multimix")
@@ -413,14 +428,17 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
 
     # score indexes against the AND conjuncts (prefer the longest
     # equality-prefix match; ties go to the later conjunct — observed
-    # planner behavior in planner/multi_index_or_and.surql)
+    # planner behavior in planner/multi_index_or_and.surql).  The new
+    # executor instead ranks by selectivity: a UNIQUE equality beats a
+    # full-text match beats any other access
+    # (multi_index_or_and_new_executor.surql)
     best = None
     for d in defs:
         kind = getattr(d, "kind", "idx")
         if kind == "fulltext":
             if ft_c is not None and d.fields and \
                     d.fields[0] == _field_of(ft_c[2]):
-                best = ("ft", d, None, None, 3_000)
+                best = ("ft", d, None, None, (3_000, 0, 0))
             continue
         if kind in ("hnsw", "count"):
             continue
@@ -433,9 +451,12 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         # plan.rs:148 non_range_indexes.pop()); uniqueness only breaks
         # exact ties on the SAME conjunct (idx_email vs idx_email_uniq,
         # statements/explain/select_index.surql)
-        score = (len(eqs) + (0.5 if rng else 0), last_pos,
-                 0.25 if kind == "uniq" else 0)
-        if best is None or best[0] != "ft" and score > best[4]:
+        if new_exec and kind == "uniq" and eqs:
+            score = (4_000 + len(eqs), last_pos, 0)
+        else:
+            score = (len(eqs) + (0.5 if rng else 0), last_pos,
+                     0.25 if kind == "uniq" else 0)
+        if best is None or score > best[4]:
             best = ("idx", d, m, None, score)
     if best is None and ft_c is None:
         acc.predicate = sel.where
@@ -474,6 +495,30 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
                 acc = Access(kind="table")
                 acc.predicate = sel.where
                 return _finish(acc, sel, order_field, order1, defs=defs)
+            rid_re = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*:.+$")
+
+            def _setop_vals(c2):
+                rhs = c2[3]
+                return rhs[1] if rhs[0] == "array" else [rhs]
+
+            def _is_rid(v):
+                return (isinstance(v, tuple) and v[0] == "lit"
+                        and isinstance(v[1], str) and rid_re.match(v[1]))
+
+            rid_setop = any(
+                all(_is_rid(v) for v in _setop_vals(c2)) and _setop_vals(c2)
+                for c2 in setops)
+            if rid_setop and (new_exec
+                              or any(str(c2[1]) == "CONTAINS"
+                                     for c2 in setops)):
+                # record-id values aren't planned as index keys for the
+                # CONTAINS family: the legacy planner still unions the
+                # ANYINSIDE form, the new executor scans for all of them
+                # (planner/select_std_index_with_record_id.surql vs
+                # select_compound_unique_array_new_executor.surql)
+                acc = Access(kind="table")
+                acc.predicate = sel.where
+                return _finish(acc, sel, order_field, order1, defs=defs)
         acc = Access(kind="index", index=d.name,
                      eq_values=[e for _, e in eqs], range_=rng,
                      residual=residual)
@@ -490,6 +535,13 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
         if unions:
             c = unions[0]
             vals = c[3][1] if c[3][0] == "array" else [c[3]]
+            if len(vals) > 32:
+                # MAX_IN_EXPANSION_SIZE (exec/index/analysis.rs:133):
+                # larger IN lists are not expanded into per-value union
+                # branches — full scan with the predicate
+                acc2 = Access(kind="table")
+                acc2.predicate = sel.where
+                return _finish(acc2, sel, order_field, order1, defs=defs)
 
             def _qorder(preds):
                 # Filter predicates print in QUERY order (conj order)
@@ -504,6 +556,7 @@ def analyze_access(runner, sel, tbl, params=None) -> Access:
                 # still a union — in_operator_index.surql)
                 acc.kind = "unionidx"
                 acc.union_values = list(vals)
+                acc.union_op = str(c[1])
                 acc.eq_values = []
                 acc.keep_pred = _qorder(list(used) + residual)
             elif len(d.fields) == 1:
@@ -733,6 +786,10 @@ def _finish(acc: Access, sel, order_field, order1, noindex=False,
     if order1 is not None:
         if order_field == "id" and acc.kind == "table":
             acc.order_eliminated = True
+            if order1.desc:
+                # ORDER BY id DESC = a backward KV scan
+                # (sort_elimination_order_by_id_new_executor.surql)
+                acc.direction = "Backward"
         elif acc.kind in ("index", "unionidx") and idx_def is not None \
                 and idx_def.fields and order_field == idx_def.fields[-1] \
                 and acc.kind == "index":
@@ -821,8 +878,17 @@ def _scan_nodes(runner, sel, tbl, acc: Access, params) -> Node:
             kids.append(k)
         n = Node("UnionIndexScan",
                  f"[table: {tbl}, branches: {len(kids)}]", kids)
-        n.rows = cnt(("bin", "CONTAINSANY" if True else "IN", f_ast,
-                      ("array", list(acc.union_values))), None, None)
+        from surrealdb_spark.sql.parser import parse_expr as _pe
+
+        # union cardinality = rows matching ANY branch (dedup across
+        # branches): CONTAINSANY for array-valued fields, INSIDE for
+        # scalar IN unions (contains_operators_new_executor.surql)
+        vals_txt = "[" + ", ".join(to_sql(v)
+                                   for v in acc.union_values) + "]"
+        uop = ("CONTAINSANY"
+               if str(getattr(acc, "union_op", "")).startswith("CONTAINS")
+               else "INSIDE")
+        n.rows = cnt(_pe(f"{d.fields[0]} {uop} {vals_txt}"), None, None)
         if n.rows is None:
             n.rows = sum(k.rows or 0 for k in kids)
         return n
@@ -941,6 +1007,13 @@ def _union_ft_branches(runner, sel, tbl):
     if len(disj) < 2:
         return None
     defs = _index_defs(runner, tbl)
+    if sel.with_hint == ("noindex",):
+        return None
+    if sel.with_hint and sel.with_hint[0] == "index":
+        # WITH INDEX restricts usable indexes; branches whose index isn't
+        # allowed fall back to a full scan
+        # (multi_index_or_and_new_executor.surql WITH INDEX ft_company)
+        defs = [d for d in defs if d.name in sel.with_hint[1]]
     out = []
     saw_ft = False
     for d_ast in disj:
@@ -966,6 +1039,58 @@ def _union_ft_branches(runner, sel, tbl):
         fa.count_pred = c
         out.append(("ft" if is_ft else "eq", idx, qast, fa))
     return out if saw_ft else None
+
+
+def _union_branches_new(runner, sel, tbl):
+    """New-executor per-disjunct union: every top-level OR branch picks
+    its own best single access — unique equality, then equality (a
+    1-value IN reduces to it), then a full-text match, then a range —
+    and the full predicate re-filters above the UnionIndexScan
+    (exec/index/analysis.rs try_or_union;
+    planner/select_with_in_operator_multiple_indexes_new_executor.surql).
+    None when any branch has no index-backed conjunct."""
+    if sel.where is None:
+        return None
+    disj = _disjuncts(sel.where)
+    if len(disj) < 2:
+        return None
+    defs = _index_defs(runner, tbl)
+    out = []
+    for d_ast in disj:
+        cands = []  # (priority, entry)
+        for c in _conjuncts(d_ast):
+            if not isinstance(c, tuple) or c[0] != "bin":
+                continue
+            op = str(c[1])
+            f = _field_of(c[2])
+            d = next((dd for dd in defs
+                      if getattr(dd, "kind", "idx") in ("idx", "uniq")
+                      and len(dd.fields) == 1 and dd.fields[0] == f),
+                     None)
+            if d is None:
+                continue
+            uniq = getattr(d, "kind", "idx") == "uniq"
+            if op in ("=", "=="):
+                fa = Access(kind="index", index=d.name, eq_values=[c[3]])
+                fa._single = True
+                fa.count_pred = c
+                cands.append((4 if uniq else 3, ("eq", d.name, c[3], fa)))
+            elif op in ("IN", "INSIDE") and isinstance(c[3], tuple) \
+                    and c[3][0] == "array" and len(c[3][1]) == 1:
+                v = c[3][1][0]
+                fa = Access(kind="index", index=d.name, eq_values=[v])
+                fa._single = True
+                fa.count_pred = ("bin", "=", c[2], v)
+                cands.append((4 if uniq else 3, ("eq", d.name, v, fa)))
+            elif op in ("<", "<=", ">", ">="):
+                fa = Access(kind="index", index=d.name)
+                fa.count_pred = c
+                cands.append((1, ("range", d.name, (op, c[3]), fa)))
+        if not cands:
+            return None
+        cands.sort(key=lambda x: -x[0])
+        out.append(cands[0][1])
+    return out
 
 
 def _mk_matches_select(runner, tbl, acc: Access):
@@ -1006,6 +1131,23 @@ def plan_new(runner, sel, params=None) -> Node:
     conj = _conjuncts(sel.where)
     order1 = sel.order[0] if sel.order else None
 
+    if tbls and "all-ro" in getattr(runner, "planner_strategy", ()):
+        # the new executor rejects MATCHES over a record-link path — no
+        # index-join FT strategy (idx/planner/mod.rs;
+        # planner/record_link_index_new_executor.surql expects an error)
+        for c in conj:
+            if c[0] == "bin" and str(c[1]).startswith("@") \
+                    and isinstance(c[2], tuple) and c[2][0] == "path" \
+                    and c[2][1][0] == "ident":
+                try:
+                    dt = dict(runner.catalog.table(tbls[0]).dtypes) \
+                        .get(c[2][1][1], "")
+                except Exception:
+                    dt = ""
+                if dt == "string":
+                    raise ValueError(
+                        "@@ on a record link needs a direct index")
+
     # count() GROUP ALL family
     if sel.group == [] and sel.fields and len(sel.fields) == 1 \
             and sel.fields[0].expr[0] == "call" \
@@ -1028,7 +1170,7 @@ def plan_new(runner, sel, params=None) -> Node:
                      f"[source: {tbl}, condition: {to_sql(sel.where)}]")
             n.rows = 1
             return n
-        acc = analyze_access(runner, sel, tbl, params)
+        acc = analyze_access(runner, sel, tbl, params, new_exec=True)
         if acc.kind == "multimix":
             acc = Access(kind="table")
             acc.direction = "Forward"
@@ -1150,7 +1292,7 @@ def plan_new(runner, sel, params=None) -> Node:
     scans = []
     accs = []
     for tbl in tbls:
-        acc = analyze_access(runner, sel, tbl, params)
+        acc = analyze_access(runner, sel, tbl, params, new_exec=True)
         if acc.kind == "multimix":
             # the legacy MultiIndex shape; the new executor plans mixed
             # AND/OR trees differently (per-disjunct branches) — keep the
@@ -1197,6 +1339,9 @@ def plan_new(runner, sel, params=None) -> Node:
                 d = runner.index_defs[idx]
                 fa.count_pred = ("bin", "=", ("ident", d.fields[0]), v)
                 uft.append(("eq", idx, v, fa))
+        if uft is None and acc.kind == "table" and not acc.fallback \
+                and sel.with_hint is None:
+            uft = _union_branches_new(runner, sel, tbl)
         if uft is not None:
             # every OR branch carries an FT conjunct: UnionIndexScan of
             # FullTextScans, full predicate re-filtered above
@@ -1208,6 +1353,13 @@ def plan_new(runner, sel, params=None) -> Node:
                              f"[index: {idx}, query: {b_acc.query}]")
                     k.rows = _counter(runner, tbl, params)(
                         ("matchpred", b_acc), None, None)
+                elif bkind == "range":
+                    op, v = qast
+                    k = Node("IndexScan",
+                             f"[index: {idx}, access: {op}{to_sql(v)}, "
+                             f"direction: Forward]")
+                    k.rows = _counter(runner, tbl, params)(
+                        b_acc.count_pred, None, None)
                 else:
                     k = Node("IndexScan",
                              f"[index: {idx}, access: = {to_sql(qast)}, "
@@ -1667,7 +1819,8 @@ def plan_legacy(runner, sel, params=None) -> list:
     elif not used_index:
         for t in tbls:
             out.append({"detail": {"direction": "forward", "table": t},
-                        "operation": "Iterate Table"})
+                        "operation": "Iterate Table Count"
+                        if is_count else "Iterate Table"})
         if acc.fallback:
             out.append({"detail": {"reason": acc.fallback},
                         "operation": "Fallback"})

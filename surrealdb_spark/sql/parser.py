@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<bname>`[^`]*`|⟨[^⟩]*⟩)
   | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\])
+  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\^~#])
     """,
     re.X,
 )
@@ -61,6 +61,14 @@ _STRUCTURAL_KWS = {
     "IN", "CONTAINS", "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY",
     "CONTAINSNONE", "INSIDE", "NOTINSIDE", "ALLINSIDE", "ANYINSIDE",
     "NONEINSIDE", "OUTSIDE", "INTERSECTS", "MATCHES",
+}
+
+# operator keywords that double as field names in path positions
+# (`.contains`, `places: contains.@` — operators are infix-only)
+_OP_KWS = {
+    "IN", "CONTAINS", "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY",
+    "CONTAINSNONE", "INSIDE", "NOTINSIDE", "ALLINSIDE", "ANYINSIDE",
+    "NONEINSIDE", "OUTSIDE", "INTERSECTS", "MATCHES", "IS",
 }
 
 # clause words that terminate a SELECT field list
@@ -780,6 +788,14 @@ class Parser:
             # keywords as soft)
             self.next()
             return self.postfix(("ident", t.orig or t.text.lower()))
+        if t.kind == "kw" and t.text in _OP_KWS \
+                and self.toks[self.i + 1].kind == "op" \
+                and self.toks[self.i + 1].text in (".", "?."):
+            # operator keywords in PREFIX position followed by a path
+            # part are field names (`contains.@` inside a recursive
+            # destructure — idiom/recursion_record_links.surql)
+            self.next()
+            return self.postfix(("ident", t.orig or t.text.lower()))
         raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
     def _refscan_entries(self):
@@ -856,13 +872,21 @@ class Parser:
                     # `(.field)` — record-link recursion step
                     # (idiom.rs Recurse over plain idiom parts)
                     self.next()
-                    chain = [self.expect("name").text]
+
+                    def _seg():
+                        t2 = self.next()
+                        if t2.kind not in ("name", "kw"):
+                            raise SyntaxError(
+                                f"bad link segment {t2.text!r}")
+                        return t2.orig or t2.text.lower()
+
+                    chain = [_seg()]
                     while self.eat("op", "."):
                         if self.peek().kind == "op" and \
                                 self.peek().text == "@":
                             self.next()
                             break
-                        chain.append(self.expect("name").text)
+                        chain.append(_seg())
                     steps = [("link", chain)]
                 else:
                     steps = self._graph_steps()
@@ -1128,6 +1152,9 @@ class Parser:
                 elif nt.kind == "name" or (
                     nt.kind == "kw" and (
                         nt.text not in _STRUCTURAL_KWS
+                        # operator keywords are unambiguous AFTER a dot
+                        # (`.contains` is a field, CONTAINS is infix-only)
+                        or nt.text in _OP_KWS
                         # a structural keyword followed by `(` is a method
                         # name after `.` (`"a b".split(" ")`)
                         or (self.peek().kind == "op"

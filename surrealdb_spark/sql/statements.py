@@ -60,6 +60,8 @@ class UpdateStmt:
     where: tuple | None = None
     return_: str = "AFTER"
     upsert: bool = False
+    # `UPSERT a:1, b:2 SET ...` — additional comma-separated targets
+    extra_targets: list = dc_field(default_factory=list)
 
 
 @dataclass
@@ -150,6 +152,7 @@ class DefineAnalyzerStmt:
     raw_tokenizers: list | None = None
     raw_filters: list | None = None
     comment: str | None = None
+    function: str | None = None  # FUNCTION fn::name preprocessing hook
 
 
 @dataclass
@@ -188,6 +191,7 @@ class AlterTableStmt:
     drops: list = dc_field(default_factory=list)
     perm_updates: dict = dc_field(default_factory=dict)  # verb → NONE|FULL
     if_exists: bool = False
+    compact: bool = False  # ALTER TABLE ... COMPACT
 
 
 @dataclass
@@ -200,6 +204,26 @@ class AlterObjStmt:
     sets: dict = dc_field(default_factory=dict)
     drops: list = dc_field(default_factory=list)
     if_exists: bool = False
+
+
+@dataclass
+class AlterDetailStmt:
+    """ALTER EVENT/INDEX/FUNCTION/ACCESS/USER/API/SYSTEM — clause-wise
+    updates over catalog objects (statements/alter/*.rs); each kind
+    merges `sets`/`drops` into the stored definition and re-renders the
+    canonical INFO text."""
+
+    kind: str
+    name: str
+    table: str | None = None
+    level: str | None = None
+    if_exists: bool = False
+    sets: dict = dc_field(default_factory=dict)
+    drops: list = dc_field(default_factory=list)
+    # API: [(method, 'then'|'drop', block_text|None)] in clause order
+    api_for: list = dc_field(default_factory=list)
+    # FUNCTION full-redefinition source (after 'ALTER FUNCTION ')
+    redefine_src: str | None = None
 
 
 @dataclass
@@ -232,6 +256,10 @@ class DefineEventStmt:
     then: list = dc_field(default_factory=list)  # raw statement strings
     when_text: str | None = None  # canonical INFO rendering
     comment: str | None = None
+    then_src: str | None = None  # source span of the THEN body (display)
+    is_async: bool = False  # ASYNC [RETRY n] [MAXDEPTH n] (define/event.rs)
+    retry: int | None = None
+    maxdepth: int | None = None
 
 
 @dataclass
@@ -499,6 +527,61 @@ def _ast_mentions_field(ast, name: str) -> bool:
                if isinstance(x, (tuple, list)))
 
 
+_BACKTICK_FIELDS = ("value",)  # reserved keywords that need escaping
+
+
+def _canon_stmt_text(txt: str) -> str:
+    """Canonicalize a raw statement/body source span for INFO display
+    (the reference's Display impls): collapse whitespace, single-quote
+    strings, drop trailing separators before a closing brace, and
+    backtick reserved keywords used as field names (`value` =)."""
+    import re as _re5
+
+    t = " ".join(txt.split())
+    t = _re5.sub(r'"([^"\']*)"', r"'\1'", t)
+    t = _re5.sub(r";\s*([})])", r" \1", t)
+    t = _re5.sub(r",\s*([})])", r" \1", t)
+    t = _re5.sub(r"\s+;", ";", t)
+    # reserved keywords as plain field names render backticked
+    t = _re5.sub(r"(?<![\w:$.`])(" + "|".join(_BACKTICK_FIELDS)
+                 + r")(?=\s*=[^=~])", r"`\1`", t)
+    t = _re5.sub(r"\(\s+", "(", t)
+    t = _re5.sub(r"\s+\)", ")", t)
+    t = _re5.sub(r"\{\s*\}", "{  }", t)
+    return t
+
+
+def _render_api(path, ap: dict) -> str:
+    """Canonical DEFINE API text: one FOR group per handler, fallback
+    first (define/api.rs Display; statements/define/api/formatting.surql,
+    alter/alter_api.surql)."""
+    txt = f"DEFINE API '{path}'"
+    for g in ap["groups"]:
+        txt += f" FOR {', '.join(g['methods'])}"
+        if g.get("middleware"):
+            txt += f" MIDDLEWARE {_canon_stmt_text(g['middleware'])}"
+        txt += f" PERMISSIONS {g.get('perms', 'FULL')}"
+        if g.get("then"):
+            txt += f" THEN {g['then']}"
+    if ap.get("comment"):
+        txt += f" COMMENT {_surql_literal(ap['comment'])}"
+    return txt
+
+
+def _render_event(name, tbl, is_async, retry, maxdepth, when_txt,
+                  then_txt, comment) -> str:
+    """Canonical DEFINE EVENT text (define/event.rs Display;
+    statements/define/event/basic.surql, alter/alter_event.surql)."""
+    txt = f"DEFINE EVENT {name} ON {tbl}"
+    if is_async:
+        txt += f" ASYNC RETRY {retry if retry is not None else 1}" \
+               f" MAXDEPTH {maxdepth if maxdepth is not None else 3}"
+    txt += f" WHEN {when_txt or 'true'} THEN {then_txt}"
+    if comment:
+        txt += f" COMMENT {_surql_literal(comment)}"
+    return txt
+
+
 def _surql_literal(v) -> str:
     """Canonical SurrealQL literal text for INFO rendering (fmt in the
     reference's expr Display impls)."""
@@ -556,6 +639,117 @@ def _render_param(name: str, v, comment, perms) -> str:
     return out + f" PERMISSIONS {perms}"
 
 
+_NUM_KINDS = {"int", "float", "number", "decimal"}
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<[{(":
+            depth += 1
+        elif ch in ">]})":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
+
+
+def _member_kinds(kt: str, member):
+    """('ok', kinds) / ('bad',) / ('unknown',) — what a member selector
+    hits inside a container kind text.  'bad' = the selector cannot
+    apply to (one variant of) the kind; 'unknown' = no static decision
+    (generic object/any).  ``member`` is '*', a field name, or an int
+    index (define/field.rs nested kind validation —
+    statements/define/field/mismatch.surql)."""
+    kt = kt.strip()
+    while kt.startswith("option<") and kt.endswith(">"):
+        kt = kt[7:-1].strip()
+    variants = _split_top(kt, "|")
+    if len(variants) > 1:
+        out: list[str] = []
+        unknown = False
+        for v in variants:
+            st = _member_kinds(v, member)
+            if st[0] == "bad":
+                return ("bad",)
+            if st[0] == "unknown":
+                unknown = True
+            else:
+                out.extend(st[1])
+        if out:
+            return ("ok", out)
+        return ("unknown",) if unknown else ("bad",)
+    if kt.startswith("array<") and kt.endswith(">"):
+        inner = _split_top(kt[6:-1], ",")
+        if isinstance(member, str) and member != "*":
+            return ("bad",)  # `.name` on an array kind
+        if isinstance(member, int) and len(inner) > 1 \
+                and inner[1].isdigit() and member >= int(inner[1]):
+            return ("bad",)  # index past the declared bound
+        return ("ok", [inner[0]])
+    if kt.startswith("set<") and kt.endswith(">"):
+        if isinstance(member, str) and member != "*":
+            return ("bad",)
+        return ("ok", [_split_top(kt[4:-1], ",")[0]])
+    if kt.startswith("[") and kt.endswith("]"):
+        elems = _split_top(kt[1:-1], ",")
+        if member == "*":
+            return ("ok", elems)
+        if isinstance(member, int):
+            return ("ok", [elems[member]]) if member < len(elems) \
+                else ("bad",)
+        return ("bad",)
+    if kt.startswith("{") and kt.endswith("}"):
+        if isinstance(member, int):
+            return ("bad",)  # `[n]` on an object kind
+        pairs = {}
+        for p in _split_top(kt[1:-1], ","):
+            if ":" in p:
+                k, _, v = p.partition(":")
+                pairs[k.strip()] = v.strip()
+        if member == "*":
+            return ("ok", list(pairs.values()))
+        if member in pairs:
+            return ("ok", [pairs[member]])
+        return ("bad",)
+    if kt in ("object",):
+        if isinstance(member, int):
+            return ("bad",)  # `[n]` on the generic object kind
+        return ("unknown",)
+    if kt in ("any", "references"):
+        return ("unknown",)
+    if kt.startswith(("array", "set")):
+        return ("unknown",)
+    # scalar kinds have no members
+    return ("bad",) if member is not None else ("unknown",)
+
+
+def _kind_coercible(member: str, target: str) -> bool:
+    m = member.strip()
+    t = target.strip()
+    while m.startswith("option<") and m.endswith(">"):
+        m = m[7:-1].strip()
+    if m.startswith("'") or t.startswith("'") or "'" in m or "'" in t:
+        # literal kinds must match EXACTLY (variant sets equal —
+        # mismatch.surql i/j cases)
+        return set(_split_top(m, "|")) == set(_split_top(t, "|"))
+    m = m.split("<")[0].strip().lower()
+    t = t.split("<")[0].strip().lower()
+    if "any" in (m, t) or not m or not t:
+        return True
+    if t in _NUM_KINDS or t == "number":
+        return m in _NUM_KINDS
+    if t == "string":
+        return m == "string"
+    if t == "bool":
+        return m == "bool"
+    return True
+
+
 def _render_field(name: str, tbl: str, st) -> str:
     """Canonical DEFINE FIELD text from the raw clause captures
     (define/field.rs Display order)."""
@@ -573,6 +767,10 @@ def _render_field(name: str, tbl: str, st) -> str:
         out += " ASSERT " + t["assert"]
     if t.get("computed"):
         out += " COMPUTED " + t["computed"]
+    if t.get("reference"):
+        out += " REFERENCE ON DELETE " + (t.get("on_delete") or "IGNORE")
+        if t.get("on_delete_then"):
+            out += " " + t["on_delete_then"]
     if t.get("comment"):
         out += f" COMMENT {_surql_literal(t['comment'])}"
     import re as _re
@@ -583,7 +781,9 @@ def _render_field(name: str, tbl: str, st) -> str:
     perms = t.get("perms")
     if perms and perms.upper() not in ("FULL",):
         if perms.upper() == "NONE":
-            return out + " PERMISSIONS NONE"
+            # bare NONE expands to the verb list (define/field.rs Display;
+            # alter/alter_field.surql)
+            return out + " PERMISSIONS FOR select, create, update NONE"
         # canonical grouping (define/field.rs Display): lowercase verbs,
         # unstated verbs (of select/create/update) default FULL
         groups = []
@@ -600,10 +800,17 @@ def _render_field(name: str, tbl: str, st) -> str:
                 lvl = lvl.upper()
             seen.update(verbs)
             groups.append((verbs, lvl))
+        # fields have no delete permission (define/field.rs Display —
+        # permissions_full_2.0.surql drops the legacy delete verb)
+        groups = [( [v for v in vs if v != "delete"], lvl)
+                  for vs, lvl in groups]
+        groups = [(vs, lvl) for vs, lvl in groups if vs]
         missing = [v for v in ("select", "create", "update")
                    if v not in seen]
         if missing:
             groups.append((missing, "FULL"))
+        if all(lvl == "FULL" for _, lvl in groups):
+            return out + " PERMISSIONS FULL"
         return out + " PERMISSIONS " + ", ".join(
             f"FOR {', '.join(vs)} {lvl}" for vs, lvl in groups)
     return out + " PERMISSIONS FULL"
@@ -655,9 +862,11 @@ def _skip_permissions(p: Parser) -> None:
             if not p.eat("op", ","):
                 break
         if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
+            p.eat("op", ",")  # `FOR select NONE, FOR create ...`
             continue
         p.expect("kw", "WHERE")
         p.expr(0)
+        p.eat("op", ",")
 
 
 def _name(p: Parser) -> str:
@@ -728,8 +937,17 @@ def _parse_statement_body(p: Parser):
         return [CreateStmt(tg, data, ret) for tg in tgts]
     if t.text == "INSERT":
         p.next()
+        # INSERT RELATION [INTO tb]: rows carry in/out edge pointers
+        # (insert.rs relation mode — idiom/recursion_graph.surql)
+        p.eat_word("RELATION")
         p.eat("kw", "INTO")
-        tbl = _name(p)
+        if p.peek().kind == "op" and p.peek().text in ("[", "{"):
+            # INSERT with no table: rows dispatch by their id's table
+            # (statements/insert.rs Value::None what;
+            # idiom/recursion_record_links.surql)
+            tbl = None
+        else:
+            tbl = _name(p)
         st = InsertStmt(tbl)
         if p.peek().kind == "op" and p.peek().text == "(":
             p.next()
@@ -773,10 +991,15 @@ def _parse_statement_body(p: Parser):
         p.next()
         p.eat("kw", "ONLY")
         tgt = _target(p)
+        extras = []
+        while p.eat("op", ","):
+            extras.append(_target(p))
         data = _data_clause(p)
         where = p.expr(0) if p.eat("kw", "WHERE") else None
-        return UpdateStmt(tgt, data, where, _return_clause(p),
-                          upsert=t.text == "UPSERT")
+        st = UpdateStmt(tgt, data, where, _return_clause(p),
+                        upsert=t.text == "UPSERT")
+        st.extra_targets = extras
+        return st
     if t.text == "DELETE":
         p.next()
         p.eat("kw", "FROM")
@@ -1163,6 +1386,11 @@ def _parse_statement_body(p: Parser):
             # (define/analyzer.rs; sql/tokenizer.rs, sql/filter.rs)
             name = _name(p)
             st = DefineAnalyzerStmt(name)
+            if p.eat_word("FUNCTION"):
+                # FUNCTION fn::name preprocessing hook — the function
+                # must exist (define/analyzer.rs;
+                # search_invalid_function_name.surql)
+                st.function = _name(p)
             if p.eat("kw", "TOKENIZERS"):
                 st.tokenizers = []
                 while True:
@@ -1211,6 +1439,14 @@ def _parse_statement_body(p: Parser):
                 if not p.eat("op", ","):
                     break
             p.expect("op", ")")
+            if p.eat("op", "->"):
+                # return-type annotation `-> string` — display-only
+                p.next()
+                if p.eat("op", "<"):
+                    depth = 1
+                    while depth:
+                        t2 = p.next()
+                        depth += (t2.text == "<") - (t2.text == ">")
             p.expect("op", "{")
             lets = []
             while p.peek().kind == "kw" and p.peek().text == "LET":
@@ -1219,47 +1455,69 @@ def _parse_statement_body(p: Parser):
                 p.expect("op", "=")
                 lets.append((ln, p.expr(0)))
                 p.eat("op", ";")
-            if p.eat("kw", "RETURN"):
-                body = p.expr(0)
-                p.eat("op", ";")
-            elif p.peek().kind == "op" and p.peek().text == "}":
-                # empty body `{}` returns NONE (expr/block.rs empty block)
-                body = ("lit", None)
-            else:
-                # trailing expression body: `{ [$a] }` — the block's
-                # value is its final expression (expr/block.rs)
-                body = p.expr(0)
-                p.eat("op", ";")
+            # statement sequence: the body's value is the FIRST RETURN's
+            # expression, else the final expression (expr/block.rs;
+            # define/function/{no_returns,second_return}.surql)
+            body = ("lit", None)  # empty body `{}` returns NONE
+            returned = False
+            while not (p.peek().kind == "op" and p.peek().text == "}"):
+                if p.eat("kw", "RETURN"):
+                    e = p.expr(0)
+                    if not returned:
+                        body, returned = e, True
+                else:
+                    e = p.expr(0)
+                    if not returned:
+                        body = e
+                if not p.eat("op", ";"):
+                    break
             p.expect("op", "}")
             fn_text = p.span_text(t0, p.peek())
             comment = None
+            perms = None
             while True:
                 if p.eat_word("COMMENT"):
                     ct = p.next()
                     comment = ct.text[1:-1] if ct.kind == "str" \
                         else (ct.orig or ct.text)
                 elif p.eat("kw", "PERMISSIONS"):
-                    p.next()
+                    perms = p.next().text.upper()
                 else:
                     break
-            return DefineFunctionStmt(name, params, body, ptypes, lets,
-                                      text=fn_text, comment=comment)
+            st = DefineFunctionStmt(name, params, body, ptypes, lets,
+                                    text=fn_text, comment=comment)
+            st.perms = perms
+            return st
         if what.text.upper() == "EVENT":
-            # DEFINE EVENT name ON [TABLE] tbl [WHEN cond] THEN expr|{stmts}
+            # DEFINE EVENT name ON [TABLE] tbl [ASYNC [RETRY n]
+            # [MAXDEPTH n]] [WHEN cond] THEN expr|{stmts}
             name = _name(p)
             p.expect("kw", "ON")
             p.eat("kw", "TABLE")
             tbl = _name(p)
             st = DefineEventStmt(name, tbl)
+            while True:
+                if p.eat_word("ASYNC"):
+                    st.is_async = True
+                elif p.eat_word("RETRY"):
+                    st.retry = int(p.expect("num").text)
+                elif p.eat_word("MAXDEPTH"):
+                    st.maxdepth = int(p.expect("num").text)
+                else:
+                    break
             if p.eat_word("WHEN"):
                 t0 = p.peek()
                 st.when = p.expr(0)
                 st.when_text = p.span_text(t0, p.peek())
             p.expect_word("THEN")
+            t0 = p.peek()
             if p.peek().kind == "op" and p.peek().text == "{":
                 st.then = _raw_block_statements(p)
             else:
                 st.then = [_raw_expr_text(p)]
+            end = p.peek()
+            st.then_src = p.span_text(
+                t0, None if end.kind == "eof" else end)
             if p.eat_word("COMMENT"):
                 ct = p.next()
                 st.comment = ct.text[1:-1] if ct.kind == "str" \
@@ -1342,29 +1600,57 @@ def _parse_statement_body(p: Parser):
                     break
             return st
         if what.text.upper() == "API":
+            mode_a = mode or _eat_define_mods(p)
             t_ = p.next()
             path = t_.text[1:-1] if t_.kind == "str" \
                 else ("param", t_.text[1:]) if t_.kind == "param" \
                 else (t_.orig or t_.text)
             st = DefineMiscStmt("api", path)
+            st.mode = mode_a
             cl = st.clauses
+            cl["groups"] = []
+            cur = None
             while True:
-                if p.eat("kw", "FOR"):
-                    cl["for"] = p.next().text.lower()
+                if p.eat("kw", "FOR") or p.eat_word("FOR"):
+                    methods = [p.next().text.lower()]
+                    while p.eat("op", ","):
+                        methods.append(p.next().text.lower())
+                    cur = {"methods": methods, "middleware": None,
+                           "perms": "FULL", "then": None,
+                           "fallback": methods == ["any"]}
+                    cl["groups"].append(cur)
                 elif p.eat_word("MIDDLEWARE"):
                     t0 = p.peek()
                     p.expr(0)
-                    cl["middleware"] = p.span_text(t0, p.peek())
+                    mw = p.span_text(t0, p.peek())
+                    if cur is not None:
+                        cur["middleware"] = mw
+                    else:
+                        cl["middleware"] = mw
                 elif p.eat("kw", "PERMISSIONS"):
                     if p.eat("kw", "NONE"):
-                        cl["perms"] = "NONE"
+                        pm = "NONE"
                     elif p.eat("kw", "FULL"):
-                        cl["perms"] = "FULL"
+                        pm = "FULL"
                     else:
                         p.expect("kw", "WHERE")
                         t0 = p.peek()
                         p.expr(0)
-                        cl["perms"] = "WHERE " + p.span_text(t0, p.peek())
+                        pm = "WHERE " + p.span_text(t0, p.peek())
+                    if cur is not None:
+                        cur["perms"] = pm
+                    else:
+                        cl["perms"] = pm
+                elif p.eat_word("THEN"):
+                    t0 = p.peek()
+                    if p.peek().kind == "op" and p.peek().text == "{":
+                        _raw_block_statements(p)
+                    else:
+                        _raw_expr_text(p)
+                    body = p.span_text(
+                        t0, None if p.peek().kind == "eof" else p.peek())
+                    if cur is not None:
+                        cur["then"] = body
                 elif p.eat_word("COMMENT"):
                     ct = p.next()
                     cl["comment"] = ct.text[1:-1] if ct.kind == "str" \
@@ -1450,6 +1736,174 @@ def _parse_statement_body(p: Parser):
             # canonical definition
             what2 = p.next().text.upper()
             if_exists = bool(p.eat_word("IF") and p.expect_word("EXISTS"))
+            if what2 == "FIELD":
+                # reuse the DEFINE FIELD clause grammar; DROP <clause>
+                # entries are collected textually first
+                import re as _re6
+
+                t0 = p.peek()
+                rest = p.span_text(t0)
+                while p.peek().kind != "eof":
+                    p.next()
+                drops = [d.upper() for d in
+                         _re6.findall(r"\bDROP\s+(\w+)", rest, _re6.I)]
+                core = _re6.sub(r"\bDROP\s+\w+", " ", rest)
+                ds = parse_statement("DEFINE FIELD " + core)
+                st2 = AlterDetailStmt("field", ds.name, table=ds.table,
+                                      if_exists=if_exists,
+                                      sets={"stmt": ds}, drops=drops)
+                return st2
+            if what2 in ("EVENT", "INDEX"):
+                name2 = _name(p)
+                p.expect("kw", "ON")
+                p.eat("kw", "TABLE")
+                st2 = AlterDetailStmt(what2.lower(), name2,
+                                      table=_name(p), if_exists=if_exists)
+                while p.peek().kind != "eof":
+                    if p.eat_word("DROP"):
+                        st2.drops.append(p.next().text.upper())
+                    elif p.eat_word("WHEN"):
+                        t0 = p.peek()
+                        st2.sets["when"] = p.expr(0)
+                        st2.sets["when_text"] = p.span_text(t0, p.peek())
+                    elif p.eat_word("THEN"):
+                        t0 = p.peek()
+                        if p.peek().kind == "op" and p.peek().text == "{":
+                            st2.sets["then"] = _raw_block_statements(p)
+                        else:
+                            st2.sets["then"] = [_raw_expr_text(p)]
+                        st2.sets["then_src"] = p.span_text(
+                            t0, None if p.peek().kind == "eof"
+                            else p.peek())
+                    elif p.eat_word("COMMENT"):
+                        ct = p.next()
+                        st2.sets["comment"] = (ct.text[1:-1]
+                                               if ct.kind == "str"
+                                               else ct.orig or ct.text)
+                    elif p.eat_word("ASYNC"):
+                        st2.sets["is_async"] = True
+                    elif p.eat_word("RETRY"):
+                        st2.sets["retry"] = int(p.expect("num").text)
+                    elif p.eat_word("MAXDEPTH"):
+                        st2.sets["maxdepth"] = int(p.expect("num").text)
+                    elif p.eat_word("PREPARE"):
+                        p.expect_word("REMOVE")
+                        st2.sets["prepare_remove"] = True
+                    elif p.eat_word("COMPACT"):
+                        pass  # storage maintenance no-op here
+                    else:
+                        raise SyntaxError(
+                            f"ALTER {what2}: unexpected {p.peek().text!r}")
+                return st2
+            if what2 == "FUNCTION":
+                t0 = p.peek()
+                name2 = _name(p)
+                st2 = AlterDetailStmt("function", name2,
+                                      if_exists=if_exists)
+                if p.peek().kind == "op" and p.peek().text == "(":
+                    # full redefinition: capture raw and re-run as
+                    # DEFINE FUNCTION OVERWRITE
+                    st2.redefine_src = p.span_text(t0)
+                    while p.peek().kind != "eof":
+                        p.next()
+                    return st2
+                while p.peek().kind != "eof":
+                    if p.eat_word("DROP"):
+                        st2.drops.append(p.next().text.upper())
+                    elif p.eat_word("COMMENT"):
+                        ct = p.next()
+                        st2.sets["comment"] = (ct.text[1:-1]
+                                               if ct.kind == "str"
+                                               else ct.orig or ct.text)
+                    elif p.eat("kw", "PERMISSIONS") or \
+                            p.eat_word("PERMISSIONS"):
+                        st2.sets["perms"] = p.next().text.upper()
+                    else:
+                        raise SyntaxError(
+                            f"ALTER FUNCTION: unexpected "
+                            f"{p.peek().text!r}")
+                return st2
+            if what2 in ("ACCESS", "USER"):
+                name2 = _name(p)
+                p.expect("kw", "ON")
+                st2 = AlterDetailStmt(what2.lower(), name2,
+                                      level=p.next().text.upper(),
+                                      if_exists=if_exists)
+                while p.peek().kind != "eof":
+                    if p.eat_word("DROP"):
+                        st2.drops.append(p.next().text.upper())
+                    elif p.eat_word("DURATION"):
+                        pass
+                    elif p.eat("kw", "FOR") or p.eat_word("FOR"):
+                        w = p.next().text.upper()
+                        if p.eat("kw", "NONE"):
+                            st2.sets[w.lower()] = None
+                        else:
+                            st2.sets[w.lower()] = _duration_text(p)
+                        p.eat("op", ",")
+                    elif p.eat_word("COMMENT"):
+                        ct = p.next()
+                        st2.sets["comment"] = (ct.text[1:-1]
+                                               if ct.kind == "str"
+                                               else ct.orig or ct.text)
+                    elif p.eat_word("ROLES"):
+                        roles = [p.next().text.upper()]
+                        while p.eat("op", ","):
+                            roles.append(p.next().text.upper())
+                        st2.sets["roles"] = roles
+                    elif p.eat_word("PASSWORD") or p.eat_word("PASSHASH"):
+                        p.next()
+                    else:
+                        raise SyntaxError(
+                            f"ALTER {what2}: unexpected {p.peek().text!r}")
+                return st2
+            if what2 == "API":
+                t_ = p.next()
+                path2 = t_.text[1:-1] if t_.kind == "str" \
+                    else (t_.orig or t_.text)
+                st2 = AlterDetailStmt("api", path2, if_exists=if_exists)
+                while p.peek().kind != "eof":
+                    if p.eat_word("DROP"):
+                        st2.drops.append(p.next().text.upper())
+                    elif p.eat_word("COMMENT"):
+                        ct = p.next()
+                        st2.sets["comment"] = (ct.text[1:-1]
+                                               if ct.kind == "str"
+                                               else ct.orig or ct.text)
+                    elif p.eat("kw", "FOR") or p.eat_word("FOR"):
+                        meth = p.next().text.lower()
+                        if p.eat_word("DROP"):
+                            p.expect_word("THEN")
+                            st2.api_for.append((meth, "drop", None))
+                        else:
+                            p.expect_word("THEN")
+                            t0 = p.peek()
+                            if p.peek().kind == "op" \
+                                    and p.peek().text == "{":
+                                _raw_block_statements(p)
+                            else:
+                                _raw_expr_text(p)
+                            body = p.span_text(
+                                t0, None if p.peek().kind == "eof"
+                                else p.peek())
+                            st2.api_for.append((meth, "then", body))
+                    else:
+                        raise SyntaxError(
+                            f"ALTER API: unexpected {p.peek().text!r}")
+                return st2
+            if what2 in ("SYSTEM", "NAMESPACE", "DATABASE", "NS", "DB"):
+                st2 = AlterDetailStmt("system", what2.lower())
+                while p.peek().kind != "eof":
+                    if p.eat_word("COMPACT"):
+                        st2.sets["compact"] = True
+                    elif p.eat_word("QUERY_TIMEOUT"):
+                        st2.sets["query_timeout"] = _duration_text(p)
+                    elif p.eat_word("DROP"):
+                        st2.drops.append(p.next().text.upper())
+                    else:
+                        raise SyntaxError(
+                            f"ALTER {what2}: unexpected {p.peek().text!r}")
+                return st2
             aname = (p.expect("param").text[1:] if what2 == "PARAM"
                      else _name(p))
             ast_ = AlterObjStmt(what2.lower(), aname, if_exists=if_exists)
@@ -1506,6 +1960,8 @@ def _parse_statement_body(p: Parser):
             elif p.eat_word("COMMENT"):
                 ct = p.next()
                 st.comment = ct.text[1:-1] if ct.kind == "str" else ct.text
+            elif p.eat_word("COMPACT"):
+                st.compact = True  # storage maintenance request
             elif p.eat_word("CHANGEFEED"):
                 st.changefeed = _duration_text(p)
             elif p.eat_word("DROP"):
@@ -2138,8 +2594,136 @@ class StatementRunner:
             for tbl in stmt.sources:
                 if tbl in self.db.tables and self.db._exists(tbl):
                     self.catalog.register(tbl, self.db.table_at(tbl, ms))
+        nested = self._nested_graph_projection(stmt, params)
+        if nested is not None:
+            return nested
         return compile_select(self.spark, stmt, catalog=self.catalog,
                               params=params)
+
+    def _nested_graph_projection(self, sel, params: dict):
+        """Unaliased multi-hop graph projections with destructure tails
+        nest by output path and MERGE shared prefixes
+        (exec/operators/project.rs:118; graph/aliasing.surql:
+        `->reports_to->person.{id, name}, ->reports_to->person->
+        reports_to->person.{id, name}` → one `{"->reports_to":
+        {"->person": [...]}}` tree with the deeper hop nested inside
+        each shared-prefix element).  Returns None unless the SELECT is
+        exactly this shape — everything else keeps the flat-key path."""
+        if (not sel.fields or sel.star or sel.value_expr is not None
+                or sel.group is not None or sel.where is not None
+                or sel.order or sel.limit is not None or sel.start
+                or sel.split or sel.fetch):
+            return None
+        segs_of = []
+        for f in sel.fields:
+            e = f.expr
+            if (f.alias is not None or not isinstance(e, tuple)
+                    or e[0] != "path" or e[1] != ("curr",)):
+                return None
+            parts = e[2]
+            if len(parts) < 3 or not all(
+                    isinstance(p, tuple) for p in parts):
+                return None
+            *hops, tail = parts
+            if tail[0] != "destructure" or not all(
+                    isinstance(m, tuple) and not m[1] for m in tail[1]):
+                return None
+            if len(hops) % 2 or not all(
+                    p[0] == "graph" and p[1][0] in ("out", "in")
+                    and p[1][1] and len(p[1][1]) == 1 and not p[1][2]
+                    for p in hops):
+                return None
+            segs_of.append(([(p[1][0], p[1][1][0]) for p in hops],
+                            [m[0] for m in tail[1]]))
+        # only engage when one path extends another (prefix merge is the
+        # behavior that differs from the flat-key output)
+        if len(segs_of) < 2 or not any(
+                len(a[0]) < len(b[0]) and b[0][:len(a[0])] == a[0]
+                for a in segs_of for b in segs_of if a is not b):
+            return None
+
+        # trie over (dir, name) segments; leaves carry destructure fields
+        trie: dict = {"kids": {}, "destr": None}
+        for segs, destr in segs_of:
+            node = trie
+            for s in segs:
+                node = node["kids"].setdefault(s, {"kids": {},
+                                                   "destr": None})
+            node["destr"] = list(destr)
+
+        import dataclasses as _dc
+        import json as _json
+
+        from surrealdb_spark.sql.compiler import compile_select
+
+        base = _dc.replace(sel, fields=None, value_expr=None, star=False)
+        src = compile_select(self.spark, base, catalog=self.catalog,
+                             params=params)
+        src_rows = _bounded_collect(src.select("id"),
+                                    "nested graph projection source")
+
+        # bounded edge/record maps, one per table in the trie
+        edge_maps: dict[str, list] = {}
+        rec_maps: dict[str, dict] = {}
+
+        def edge_rows(name):
+            if name not in edge_maps:
+                if self.db._exists(name):
+                    rows = _bounded_collect(
+                        self.db.table(name).select("in", "out"),
+                        f"edge table {name}")
+                    edge_maps[name] = [(r["in"], r["out"]) for r in rows]
+                else:
+                    edge_maps[name] = []
+            return edge_maps[name]
+
+        def record_of(rid):
+            tbl = rid.split(":", 1)[0]
+            if tbl not in rec_maps:
+                if self.db._exists(tbl):
+                    rows = _bounded_collect(self.db.table(tbl),
+                                            f"table {tbl}")
+                    rec_maps[tbl] = {r["id"]: r.asDict() for r in rows}
+                else:
+                    rec_maps[tbl] = {}
+            return rec_maps[tbl].get(rid, {})
+
+        from surrealdb_spark.values import key_sort_text
+
+        def rid_sort_key(rid: str):
+            return key_sort_text(rid.split(":", 1)[1]) \
+                if ":" in rid else rid
+
+        def walk(rid, node) -> dict:
+            out: dict = {}
+            kids = node["kids"]
+            for (d1, edge), enode in kids.items():
+                hits = [(o if d1 == "out" else i)
+                        for i, o in edge_rows(edge)
+                        if (i if d1 == "out" else o) == rid]
+                sub: dict = {}
+                for (d2, tbl), tnode in enode["kids"].items():
+                    tgts = sorted(
+                        {h for h in hits
+                         if isinstance(h, str)
+                         and h.startswith(tbl + ":")},
+                        key=rid_sort_key)
+                    elems = []
+                    for t in tgts:
+                        el = walk(t, tnode)
+                        if tnode["destr"]:
+                            rec = record_of(t)
+                            for fld in tnode["destr"]:
+                                el[fld] = rec.get(fld)
+                        elems.append(el)
+                    sub[("->" if d2 == "out" else "<-") + tbl] = elems
+                out[("->" if d1 == "out" else "<-") + edge] = sub
+            return out
+
+        rows = [walk(r["id"], trie) for r in src_rows]
+        rdd = self.spark.sparkContext.parallelize(
+            [_json.dumps(r, default=str) for r in rows], 1)
+        return self.spark.read.json(rdd)
 
     def run_block(self, body: str, params: dict | None = None):
         """Inner statements of a `{ ... }` block, sequentially, with a
@@ -2336,8 +2920,9 @@ class StatementRunner:
                                         str(rid))
             else:
                 cond = F.col(rf2).cast("string") == str(rid)
-            rows = (r.filter(cond)
-                    .select(F.col("id").cast("string")).collect())
+            rows = _bounded_collect(
+                r.filter(cond).select(F.col("id").cast("string")),
+                f"<~ reverse-reference fanout of {rid} via {rt}.{rf2}")
             out += [x[0] for x in rows]
         return sorted(out)
 
@@ -2875,8 +3460,15 @@ class StatementRunner:
         if k == "function":
             from surrealdb_spark.functions.registry import REGISTRY
 
-            del self.functions[name]
+            full = name if str(name).startswith("fn::") else f"fn::{name}"
+            if name not in self.functions and full not in self.functions:
+                if stmt.if_exists:
+                    return
+                raise KeyError(f"The function '{full}' does not exist")
+            self.functions.pop(name, None)
+            self.functions.pop(full, None)
             REGISTRY.pop(f"fn::{name}", None)
+            REGISTRY.pop(full, None)
             return
         if k == "param":
             del self.params_defined[name]
@@ -2906,9 +3498,10 @@ class StatementRunner:
             reg = self._level_cat(cat, level) if k in ("access", "user") \
                 else self.meta[cat]
             if stmt.name not in reg and not stmt.if_exists:
-                raise KeyError(f"the {k} '{stmt.name}' does not exist")
+                raise KeyError(f"The {k} '{stmt.name}' does not exist")
             reg.pop(stmt.name, None)
             self.obj_info.get(cat, {}).pop(stmt.name, None)
+            self.obj_info.get(f"{k}_struct", {}).pop(stmt.name, None)
             return
         if k in ("namespace", "ns"):
             if stmt.name not in self.namespaces and not stmt.if_exists:
@@ -3011,6 +3604,18 @@ class StatementRunner:
             if v is None:
                 return "NONE"
             if isinstance(v, str):
+                # canonical greedy-unit display: 24h → 1d
+                # (types duration fmt; alter_access.surql)
+                try:
+                    from surrealdb_spark.sql.parser import (
+                        _parse_duration_nanos)
+
+                    ns = _parse_duration_nanos(v)
+                    if ns:
+                        return pyeval._render_duration(
+                            {"nanos": ns, "months": 0})
+                except Exception:
+                    pass
                 return v
             if hasattr(v, "asDict"):
                 v = v.asDict()
@@ -3090,7 +3695,7 @@ class StatementRunner:
                 return None
             txt = "API"
             if cl.get("middleware"):
-                txt += f" MIDDLEWARE {cl['middleware'].strip()}"
+                txt += f" MIDDLEWARE {_canon_stmt_text(cl['middleware'])}"
             txt += f" PERMISSIONS {cl.get('perms', 'FULL')}"
             self.meta["configs"]["API"] = txt
             self.obj_info.setdefault("configs", {})["API"] = {
@@ -3103,19 +3708,43 @@ class StatementRunner:
                 "database": rv(cl.get("database"))}
             return None
         if stmt.kind == "api":
-            path = rv(stmt.name)
-            txt = f"DEFINE API '{path}' FOR {cl.get('for', 'any')}"
-            if cl.get("middleware"):
-                mw = cl["middleware"]
-                for k, v in (params or {}).items():
-                    mw = mw.replace(f"${k}", _surql_literal(v)
-                                    if isinstance(v, str) else str(v))
-                txt += f" MIDDLEWARE {mw}"
-            txt += f" PERMISSIONS {cl.get('perms', 'FULL')}"
-            if comment:
-                txt += f" COMMENT {_surql_literal(comment)}"
-            self.meta["apis"][str(path)] = txt
+            path = str(rv(stmt.name))
+            mode_a = getattr(stmt, "mode", None)
+            structs = self.obj_info.setdefault("api_struct", {})
+            if path in structs:
+                if mode_a == "ine":
+                    return None
+                if mode_a != "overwrite":
+                    raise ValueError(f"The api '{path}' already exists")
+            groups = []
+            for g in cl.get("groups") or [{"methods": ["any"],
+                                           "middleware":
+                                           cl.get("middleware"),
+                                           "perms": cl.get("perms",
+                                                           "FULL"),
+                                           "then": None,
+                                           "fallback": True}]:
+                g = dict(g)
+                if g.get("middleware"):
+                    mw = g["middleware"]
+                    for k, v in (params or {}).items():
+                        mw = mw.replace(f"${k}", _surql_literal(v)
+                                        if isinstance(v, str) else str(v))
+                    g["middleware"] = mw
+                if g.get("then"):
+                    g["then"] = _canon_stmt_text(g["then"])
+                groups.append(g)
+            # fallback group renders first (define/api.rs Display)
+            groups.sort(key=lambda g: 0 if g.get("fallback") else 1)
+            ap = {"groups": groups, "comment": comment}
+            structs[path] = ap
+            self.meta["apis"][path] = _render_api(path, ap)
             return None
+        if stmt.kind in ("user", "access"):
+            cl2 = dict(cl)
+            cl2["comment"] = comment
+            self.obj_info.setdefault(f"{stmt.kind}_struct", {})[
+                stmt.name] = {"level": stmt.level, "clauses": cl2}
         if stmt.kind == "user":
             roles = ", ".join(cl.get("roles", ["VIEWER"]))
             txt = (f"DEFINE USER {stmt.name} ON {stmt.level} PASSHASH '' "
@@ -3139,6 +3768,207 @@ class StatementRunner:
             txt += f" COMMENT {_surql_literal(comment)}"
         self._level_cat("accesses", stmt.level)[stmt.name] = txt
         return None
+
+    def _alter_detail(self, stmt: AlterDetailStmt, params: dict):
+        """ALTER EVENT/INDEX/FUNCTION/ACCESS/USER/API/SYSTEM execution:
+        merge clause updates into stored state, re-render INFO text
+        (statements/alter/*.surql)."""
+        k = stmt.kind
+        if k == "field":
+            prev = self.obj_info.get("field_stmt", {}).get(
+                (stmt.table, stmt.name))
+            if prev is None:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(
+                    f"The field '{stmt.name}' does not exist")
+            import copy as _copy
+
+            ds = stmt.sets["stmt"]
+            merged = _copy.deepcopy(prev)
+            if ds.kind_text:
+                merged.dtype, merged.kind_text = ds.dtype, ds.kind_text
+                merged.flexible = ds.flexible
+            for key in ("default", "default_always", "value", "assert",
+                        "computed", "readonly", "reference", "on_delete",
+                        "on_delete_then", "comment", "perms"):
+                if key in ds.texts:
+                    merged.texts[key] = ds.texts[key]
+            for key, attr in (("default", "default"), ("value", "value"),
+                              ("assert", "assert_"),
+                              ("computed", "computed")):
+                if key in ds.texts:
+                    setattr(merged, attr, getattr(ds, attr))
+            dropmap = {"TYPE": None, "READONLY": "readonly",
+                       "VALUE": "value", "ASSERT": "assert",
+                       "DEFAULT": "default", "COMMENT": "comment",
+                       "REFERENCE": "reference", "COMPUTED": "computed",
+                       "FLEXIBLE": None}
+            for d in stmt.drops:
+                if d == "TYPE":
+                    merged.dtype = merged.kind_text = None
+                elif d == "FLEXIBLE":
+                    merged.flexible = False
+                elif d in dropmap and dropmap[d]:
+                    merged.texts.pop(dropmap[d], None)
+                    if d == "VALUE":
+                        merged.value = None
+                    elif d == "ASSERT":
+                        merged.assert_ = None
+                    elif d == "DEFAULT":
+                        merged.default = None
+                        merged.texts.pop("default_always", None)
+                    elif d == "COMPUTED":
+                        merged.computed = None
+                    elif d == "REFERENCE":
+                        merged.texts.pop("on_delete", None)
+                        merged.texts.pop("on_delete_then", None)
+            return self._execute_inner(merged, params)
+        if k == "event":
+            est = self.obj_info.get("event_struct", {}).get(
+                (stmt.table, stmt.name))
+            if est is None:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(
+                    f"The event '{stmt.name}' does not exist")
+            old_tbl, old_hook = self.events.get(stmt.name,
+                                                (stmt.table, None))
+            if old_hook is not None:
+                td0 = self.db.tables.get(old_tbl)
+                if td0 is not None and old_hook in td0.events:
+                    td0.events.remove(old_hook)
+            _t, old_when, old_then = self.event_defs.get(
+                stmt.name, (stmt.table, None, []))
+            new = DefineEventStmt(stmt.name, stmt.table)
+            new.when = stmt.sets.get("when", old_when)
+            new.when_text = stmt.sets.get("when_text")
+            new.then = stmt.sets.get("then", list(old_then))
+            new.then_src = stmt.sets.get("then_src", est["then_txt"])
+            new.comment = (None if "COMMENT" in stmt.drops
+                           else stmt.sets.get("comment", est["comment"]))
+            if "ASYNC" in stmt.drops:
+                new.is_async, new.retry, new.maxdepth = False, None, None
+            else:
+                new.is_async = stmt.sets.get("is_async", est["is_async"])
+                new.retry = stmt.sets.get("retry", est["retry"])
+                new.maxdepth = stmt.sets.get("maxdepth", est["maxdepth"])
+            return self._execute_inner(new, params)
+        if k == "index":
+            d = self.index_defs.get(stmt.name)
+            if d is None or d.table != stmt.table:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(
+                    f"The index '{stmt.name}' does not exist")
+            if "COMMENT" in stmt.sets:
+                d.comment = stmt.sets["comment"]
+            if "comment" in stmt.sets:
+                d.comment = stmt.sets["comment"]
+            if "COMMENT" in stmt.drops:
+                d.comment = None
+            if stmt.sets.get("prepare_remove"):
+                # decommissioned: the planner must stop using it
+                # (alter_index_prepare_remove.surql)
+                d.prepare_remove = True
+            return None
+        if k == "function":
+            name = stmt.name if stmt.name.startswith("fn::") \
+                else f"fn::{stmt.name}"
+            short = name.removeprefix("fn::")
+            exists = name in self.functions or short in self.functions
+            if stmt.redefine_src is not None:
+                fname = stmt.redefine_src.split("(", 1)[0].strip()
+                if not (fname in self.functions
+                        or fname.removeprefix("fn::") in self.functions
+                        or f"fn::{fname}" in self.functions):
+                    if stmt.if_exists:
+                        return None
+                    raise KeyError(
+                        f"The function '{fname}' does not exist")
+                return self.run(
+                    "DEFINE FUNCTION OVERWRITE " + stmt.redefine_src,
+                    params=params)
+            if not exists:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(f"The function '{name}' does not exist")
+            f = self.functions.get(name) or self.functions.get(short)
+            if "COMMENT" in stmt.drops:
+                f.comment = None
+            if "comment" in stmt.sets:
+                f.comment = stmt.sets["comment"]
+            if "perms" in stmt.sets:
+                f.perms = stmt.sets["perms"]
+            return None
+        if k in ("access", "user"):
+            cat = "accesses" if k == "access" else "users"
+            store = self._level_cat(cat, stmt.level or "DATABASE")
+            struct = self.obj_info.get(f"{k}_struct", {}).get(stmt.name)
+            if stmt.name not in store or struct is None:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(f"The {k} '{stmt.name}' does not exist")
+            cl = struct["clauses"]
+            for key in ("token", "session", "comment", "roles"):
+                if key in stmt.sets:
+                    cl[key] = stmt.sets[key]
+            if "COMMENT" in stmt.drops:
+                cl.pop("comment", None)
+            redo = DefineMiscStmt(k, stmt.name)
+            redo.level = struct["level"]
+            redo.clauses.update(cl)
+            return self._define_misc(redo, params)
+        if k == "api":
+            ap = self.obj_info.get("api_struct", {}).get(stmt.name)
+            if ap is None:
+                if stmt.if_exists:
+                    return None
+                raise KeyError(f"The api '{stmt.name}' does not exist")
+            if "comment" in stmt.sets:
+                ap["comment"] = stmt.sets["comment"]
+            if "COMMENT" in stmt.drops:
+                ap["comment"] = None
+            for meth, action, body in stmt.api_for:
+                groups = ap["groups"]
+                for g in groups:
+                    if meth in g["methods"]:
+                        g["methods"].remove(meth)
+                ap["groups"] = [g for g in groups
+                                if g["methods"]
+                                or (g.get("fallback") and meth != "any")]
+                if meth == "any":
+                    fb = next((g for g in ap["groups"]
+                               if g.get("fallback")), None)
+                    if fb is None:
+                        fb = {"methods": ["any"], "middleware": None,
+                              "perms": "FULL", "then": None,
+                              "fallback": True}
+                        ap["groups"].insert(0, fb)
+                    fb["methods"] = ["any"]
+                    fb["then"] = (_canon_stmt_text(body)
+                                  if action == "then" else None)
+                elif action == "then":
+                    ap["groups"].append(
+                        {"methods": [meth], "middleware": None,
+                         "perms": "FULL",
+                         "then": _canon_stmt_text(body)})
+            self.meta["apis"][str(stmt.name)] = _render_api(
+                stmt.name, ap)
+            return None
+        if k == "system":
+            if stmt.sets.get("compact") and "mem" in getattr(
+                    self, "backend", ()):
+                raise ValueError("The storage layer does not support "
+                                 "compaction requests.")
+            if "query_timeout" in stmt.sets:
+                self.obj_info.setdefault("system", {})[
+                    "query_timeout"] = stmt.sets["query_timeout"]
+            if "QUERY_TIMEOUT" in stmt.drops:
+                self.obj_info.setdefault("system", {}).pop(
+                    "query_timeout", None)
+            return None  # COMPACT: storage maintenance no-op
+        raise ValueError(f"ALTER {k} not supported")
 
     def _level_cat(self, cat: str, level: str) -> dict:
         """users/accesses live at ROOT/NAMESPACE/DATABASE level
@@ -3184,13 +4014,17 @@ class StatementRunner:
                 if getattr(fstmt, "text", None):
                     import re as _re4
 
-                    body_txt = " ".join(fstmt.text.split())
-                    body_txt = _re4.sub(r";\s*}", " }", body_txt)
+                    body_txt = _canon_stmt_text(fstmt.text)
+                    body_txt = _re4.sub(r"\)\{", ") {", body_txt)
+                    # canonical operator spellings (Operator Display)
+                    body_txt = body_txt.replace(" || ", " OR ") \
+                        .replace(" && ", " AND ")
                     ftxt = (f"DEFINE FUNCTION fn::"
                             f"{n.removeprefix('fn::')}{body_txt}")
                     if fstmt.comment:
                         ftxt += f" COMMENT {_surql_literal(fstmt.comment)}"
-                    ftxt += " PERMISSIONS FULL"
+                    ftxt += (" PERMISSIONS "
+                             + (getattr(fstmt, 'perms', None) or "FULL"))
                 out["functions"].setdefault(n.removeprefix("fn::"), ftxt)
             if stmt.structure:
                 # `INFO FOR DB STRUCTURE` — configs as structured objects
@@ -3226,6 +4060,8 @@ class StatementRunner:
                     t += f" HNSW DIMENSION {d.dimension}"
                 elif d.kind == "count":
                     t += " COUNT"
+                if getattr(d, "comment", None):
+                    t += f" COMMENT {_surql_literal(d.comment)}"
                 indexes[n] = t
             events = dict(tm.get("events", {}))
             for n, (t_, _) in self.events.items():
@@ -3247,7 +4083,22 @@ class StatementRunner:
                         if fd2.get(k2) is not None:
                             o[k2] = fd2[k2]
                     fobjs.append(o)
-                return {"events": [], "fields": fobjs, "indexes": [],
+                iobjs = []
+                for n, d in self.index_defs.items():
+                    if d.table != stmt.table:
+                        continue
+                    kindw = {"count": "COUNT", "uniq": "UNIQUE",
+                             "fulltext": "FULLTEXT",
+                             "hnsw": "HNSW"}.get(
+                        getattr(d, "kind", "idx"), "IDX")
+                    o = {"cols": list(d.fields or []), "index": kindw,
+                         "name": n, "table": stmt.table}
+                    if getattr(d, "prepare_remove", False):
+                        o["prepare_remove"] = True
+                    if getattr(d, "comment", None):
+                        o["comment"] = d.comment
+                    iobjs.append(o)
+                return {"events": [], "fields": fobjs, "indexes": iobjs,
                         "lives": [], "tables": []}
             # foreign (view) tables defined FROM this table list under
             # its INFO (statements/info.rs table info; view/foreigntable)
@@ -3525,9 +4376,51 @@ class StatementRunner:
                 raise ValueError(
                     "FLEXIBLE only applies to SCHEMAFULL tables "
                     "(define/field.rs)")
+            if stmt.name == "id" and stmt.kind_text:
+                # only record-key shapes may type `id` (define/field.rs
+                # id-kind check; statements/define/field/id_kind.surql):
+                # number/int/string/uuid, arrays/sets/objects and literal
+                # kinds of those — scalar kinds that can't be a key error
+                bad_id = {"range", "function", "file", "geometry", "none",
+                          "null", "bool", "bytes", "datetime", "decimal",
+                          "duration", "float", "record", "point",
+                          "regex", "closure"}
+                for var in _split_top(stmt.kind_text, "|"):
+                    base = var.split("<")[0].strip().lower()
+                    if base in bad_id:
+                        raise ValueError(
+                            f"found {var.strip()} for the id field, but "
+                            f"the id field must be a record key kind")
+            if stmt.kind_text and ("." in stmt.name or "[" in stmt.name):
+                # nested member types must fit the PARENT's declared kind
+                # (define/field.rs; statements/define/field/mismatch.surql)
+                import re as _re7
+
+                m7 = _re7.match(r"([\w]+)(?:\.(\*|\w+)|\.?\[(\d+)\])$",
+                                stmt.name)
+                if m7:
+                    parent = self.obj_info.get("field_stmt", {}).get(
+                        (stmt.table, m7.group(1)))
+                    sel = (int(m7.group(3)) if m7.group(3) is not None
+                           else m7.group(2))
+                    pk = getattr(parent, "kind_text", None) \
+                        if parent else None
+                    if pk:
+                        st7 = _member_kinds(pk, sel)
+                        if st7[0] == "bad" or (
+                                st7[0] == "ok" and any(
+                                    not _kind_coercible(mk, stmt.kind_text)
+                                    for mk in st7[1])):
+                            raise ValueError(
+                                f"field `{stmt.name}` type "
+                                f"`{stmt.kind_text}` does not fit the "
+                                f"parent kind `{pk}`")
             self.table_meta.setdefault(stmt.table, {}).setdefault(
                 "fields", {})[stmt.name] = _render_field(
                     stmt.name, stmt.table, stmt)
+            # keep the parsed stmt for ALTER FIELD clause merges
+            self.obj_info.setdefault("field_stmt", {})[
+                (stmt.table, stmt.name)] = stmt
             fs = {"readonly": bool(stmt.texts.get("readonly")),
                   "kind": stmt.kind_text}
             if stmt.texts.get("default"):
@@ -3610,7 +4503,16 @@ class StatementRunner:
         if isinstance(stmt, DefineAnalyzerStmt):
             from surrealdb_spark.pipeline.analyzer import define_analyzer
 
-            define_analyzer(stmt.name, stmt.tokenizers, stmt.filters)
+            poison = None
+            if stmt.function is not None:
+                fname = stmt.function if stmt.function.startswith("fn::") \
+                    else f"fn::{stmt.function}"
+                if fname not in self.functions and \
+                        fname.removeprefix("fn::") not in self.functions:
+                    # lazy validation: DEFINE succeeds, first USE errors
+                    poison = fname
+            define_analyzer(stmt.name, stmt.tokenizers, stmt.filters,
+                            poison=poison)
             self.meta["analyzers"][stmt.name] = _render_analyzer(
                 stmt.name, stmt.raw_tokenizers, stmt.raw_filters, stmt.comment)
             self.obj_info["analyzers"][stmt.name] = {
@@ -3725,21 +4627,46 @@ class StatementRunner:
             casts = [self._kind_to_spark(k) for k in stmt.ptypes]
             lets = list(stmt.lets)
 
+            opt = [str(t or "").startswith("option")
+                   or str(t or "") in ("any", "")
+                   for t in stmt.ptypes]
+            n_req = 0
+            for i2, o in enumerate(opt):
+                if not o:
+                    n_req = i2 + 1
+
             def call(*cols):
-                if len(cols) != len(names):
+                if not (n_req <= len(cols) <= len(names)):
+                    # fnc/mod.rs argument-arity error text
+                    short_n = stmt.name.removeprefix("fn::")
+                    want = (f"{n_req} to {len(names)}"
+                            if n_req != len(names) else str(len(names)))
                     raise ValueError(
-                        f"fn::{stmt.name} expects {len(names)} args, got {len(cols)}"
-                    )
+                        f"Incorrect arguments for function fn::{short_n}()."
+                        f" The function expects {want} arguments.")
+                if len(cols) < len(names):
+                    # omitted trailing option<>/any params bind NONE
+                    cols = list(cols) + [F.lit(None)] * (
+                        len(names) - len(cols))
+                from surrealdb_spark.sql.compiler import _type_cat
+
                 binds = {}
                 for nm, c, cast in zip(names, cols, casts):
                     c = c if isinstance(c, Column) else F.lit(c)
                     binds[nm] = c.cast(cast) if cast else c
+                    if cast:
+                        cat = _type_cat(str(cast))
+                        if cat:
+                            # declared-type hint for operator dispatch
+                            binds[f"__type:{nm}"] = cat
                 # LET bindings evaluate top-to-bottom, each seeing the prior
                 for ln, last in lets:
                     binds[ln] = self._expr(last, binds)
                 return self._expr(body, binds)
 
-            REGISTRY[f"fn::{stmt.name}"] = call
+            key = stmt.name if stmt.name.startswith("fn::") \
+                else f"fn::{stmt.name}"
+            REGISTRY[key] = call
             return None
         if isinstance(stmt, NoopStmt):
             return None
@@ -3867,17 +4794,29 @@ class StatementRunner:
             td.events.append(hook)
             self.events[stmt.name] = (stmt.table, hook)
             self.event_defs[stmt.name] = (stmt.table, when_ast, then_stmts)
-            then_txt = "; ".join(stmt.then)
-            if then_txt.startswith('"') and then_txt.endswith('"'):
-                then_txt = _surql_literal(then_txt[1:-1])
-            txt = f"DEFINE EVENT {stmt.name} ON {stmt.table}"
-            if stmt.when_text:
-                txt += f" WHEN {stmt.when_text}"
-            txt += f" THEN {then_txt}"
-            if stmt.comment:
-                txt += f" COMMENT {_surql_literal(stmt.comment)}"
+            from surrealdb_spark.sql.explain import to_sql as _tsql
+
+            when_txt = None
+            if stmt.when is not None:
+                try:
+                    when_txt = _tsql(stmt.when)
+                except Exception:
+                    when_txt = _canon_stmt_text(stmt.when_text or "")
+            if stmt.then_src is not None:
+                then_txt = _canon_stmt_text(stmt.then_src)
+            else:
+                then_txt = "; ".join(stmt.then)
+                if then_txt.startswith('"') and then_txt.endswith('"'):
+                    then_txt = _surql_literal(then_txt[1:-1])
+            est = {"is_async": stmt.is_async, "retry": stmt.retry,
+                   "maxdepth": stmt.maxdepth, "when_txt": when_txt,
+                   "then_txt": then_txt, "comment": stmt.comment}
+            self.obj_info.setdefault("event_struct", {})[
+                (stmt.table, stmt.name)] = est
             self.table_meta.setdefault(stmt.table, {}).setdefault(
-                "events", {})[stmt.name] = txt
+                "events", {})[stmt.name] = _render_event(
+                stmt.name, stmt.table, est["is_async"], est["retry"],
+                est["maxdepth"], when_txt, then_txt, stmt.comment)
             return None
         if isinstance(stmt, DefineParamStmt):
             v = self.spark.range(1).select(
@@ -3917,6 +4856,8 @@ class StatementRunner:
                 if not stmt.if_exists:
                     raise
             return None
+        if isinstance(stmt, AlterDetailStmt):
+            return self._alter_detail(stmt, params)
         if isinstance(stmt, AlterObjStmt):
             cat = {"analyzer": "analyzers", "param": "params",
                    "bucket": "buckets", "sequence": "sequences"}[stmt.kind]
@@ -3979,6 +4920,9 @@ class StatementRunner:
                 self.meta[cat][stmt.name] = txt
             return None
         if isinstance(stmt, AlterTableStmt):
+            if stmt.compact and "mem" in getattr(self, "backend", ()):
+                raise ValueError("The storage layer does not support "
+                                 "compaction requests.")
             if stmt.name not in self.db.tables:
                 if stmt.if_exists:
                     return None
@@ -4088,6 +5032,27 @@ class StatementRunner:
                 out = self._with_computed(stmt.target.table, out)
             return self._ret(out, out, stmt.return_)
         if isinstance(stmt, InsertStmt):
+            if stmt.table is None:
+                # table-less INSERT: each row routes to its id's table, in
+                # first-appearance order (insert.rs Value::None what)
+                dicts = [self._obj(r, params) for r in stmt.rows]
+                by_tbl: dict[str, list] = {}
+                for d in dicts:
+                    rid = str(d.get("id", ""))
+                    if ":" not in rid:
+                        raise ValueError(
+                            "INSERT without a table needs record ids")
+                    by_tbl.setdefault(rid.split(":", 1)[0], []).append(d)
+                outs = []
+                for tb, rows in by_tbl.items():
+                    if tb not in self.db.tables:
+                        self.db.define_table(TableDef(tb))
+                    df2 = self._literal_rows(rows, Target(tb), params)
+                    outs.append(self.db.insert(tb, df2))
+                out = outs[0]
+                for o in outs[1:]:
+                    out = out.unionByName(o, allowMissingColumns=True)
+                return self._ret(out, out, stmt.return_)
             if stmt.select is not None:
                 from surrealdb_spark.sql.compiler import compile_select
 
@@ -4103,9 +5068,27 @@ class StatementRunner:
             if stmt.on_duplicate:
                 dup = {f_: self._assign_col(f_, op, ast, df, params)
                        for f_, op, ast in stmt.on_duplicate}
+            if stmt.table not in self.db.tables:
+                # schemaless-by-default: first write defines the table
+                self.db.define_table(TableDef(stmt.table))
             out = self.db.insert(stmt.table, df, on_duplicate=dup)
             return self._ret(out, out, stmt.return_)
         if isinstance(stmt, UpdateStmt):
+            if stmt.extra_targets:
+                # multi-target UPDATE/UPSERT: each target runs in turn,
+                # results concatenate in target order (update.rs Values
+                # what — statements/return/object_recordid_fetch_
+                # destructuring.surql)
+                import dataclasses as _dc0
+
+                outs = []
+                for tg in [stmt.target] + list(stmt.extra_targets):
+                    sub = _dc0.replace(stmt, target=tg, extra_targets=[])
+                    outs.append(self._execute_inner(sub, params))
+                out = outs[0]
+                for o in outs[1:]:
+                    out = out.unionByName(o, allowMissingColumns=True)
+                return out
             tbl = stmt.target.table
             if tbl not in self.db.tables:
                 # undefined table: UPSERT creates it; UPDATE is a no-op
@@ -4145,7 +5128,14 @@ class StatementRunner:
                 sel = _Sel(fields=None, value_expr=None,
                            sources=[tbl], where=stmt.where,
                            explain=stmt.explain)
-                return self._explain_select(sel, params)
+                # DELETE keeps the LEGACY plan rows even under the new
+                # executor (delete_select_std_index_contains_inside_
+                # new_executor.surql) — only SELECT was migrated to the
+                # tree format
+                from surrealdb_spark.sql.explain import plan_legacy
+
+                self._refresh_catalog()
+                return plan_legacy(self, sel, params or {})
             if tbl not in self.db.tables:
                 self.db.define_table(TableDef(tbl))  # no-op empty table
             where = self._where(stmt.target, stmt.where, tbl, params)
@@ -4531,16 +5521,24 @@ class StatementRunner:
                  - rhs.getField("months")).cast("long").alias("months"),
                 (F.coalesce(F.col(f_).getField("nanos"), F.lit(0))
                  - rhs.getField("nanos")).cast("long").alias("nanos"))
+        rhs_is_arr = isinstance(ast, tuple) and ast[0] in ("array",
+                                                           "setlit")
         if op == "+=":
             if dtype.startswith("array"):
+                base = F.coalesce(F.col(f_), F.array().cast(dtype))
+                if rhs_is_arr:
+                    # += a collection concatenates element-wise
+                    # (set_array_common_behaviour.surql)
+                    return F.concat(base, rhs)
                 # += on an array field appends (doc/data.rs Data::SetExpr)
-                return F.array_append(F.coalesce(
-                    F.col(f_), F.array().cast(dtype)), rhs)
+                return F.array_append(base, rhs)
             return F.coalesce(F.col(f_), F.lit(0)) + rhs
         if op == "-=":
             if dtype.startswith("array"):
-                return F.array_remove(F.coalesce(
-                    F.col(f_), F.array().cast(dtype)), rhs)
+                base = F.coalesce(F.col(f_), F.array().cast(dtype))
+                if rhs_is_arr:
+                    return F.array_except(base, rhs)
+                return F.array_remove(base, rhs)
             return F.coalesce(F.col(f_), F.lit(0)) - rhs
         return rhs
 
