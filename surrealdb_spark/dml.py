@@ -68,6 +68,10 @@ class TableDef:
     # DEFINE INDEX ... UNIQUE: each entry is the column list of one unique
     # index, enforced on CREATE/INSERT/UPSERT (catalog/schema/index.rs Uniq)
     unique_indexes: list[list[str]] = field(default_factory=list)
+    # columns degraded to kinded-JSON storage (heterogeneous kinds across
+    # rows — values.py "kinded columns"; the reference stores Value per
+    # cell, types/src/value/mod.rs:84-122)
+    kinded: set[str] = field(default_factory=set)
 
 
 class MutationError(Exception):
@@ -266,27 +270,70 @@ class Database:
                     f"unique index on {cols}: mutation violates uniqueness in {tbl}"
                 )
 
+    @staticmethod
+    def _is_numeric_dt(dt: str) -> bool:
+        return dt.split("(", 1)[0] in ("tinyint", "smallint", "int",
+                                       "bigint", "float", "double",
+                                       "decimal")
+
+    def _kindify_col(self, df: DataFrame, c: str) -> DataFrame:
+        """Convert one natively-typed column to kinded-JSON storage:
+        value → JSON text, __k_<c> → per-row kind name (values.py)."""
+        from surrealdb_spark.values import (KIND_SIDECAR_PREFIX,
+                                            json_render_col,
+                                            kind_col_of_dtype)
+
+        dt = dict(df.dtypes)[c]
+        sc = KIND_SIDECAR_PREFIX + c
+        kex = F.col(sc) if sc in df.columns else F.lit(None).cast("string")
+        kcol = F.coalesce(kex, kind_col_of_dtype(F.col(c), dt))
+        # sidecar FIRST: it reads the native value (string-shape/geometry
+        # refinements) and must not see the JSON-rendered text
+        return df.withColumn(sc, kcol) \
+            .withColumn(c, json_render_col(F.col(c), dt))
+
+    def _harmonize(self, tbl: str, stored: DataFrame,
+                   incoming: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Make a stored frame and an incoming batch union-compatible.
+        Same-family numeric conflicts widen (union coercion); any other
+        kind conflict degrades the column to kinded-JSON on both sides
+        and registers it in TableDef.kinded (values.py kinded columns)."""
+        td = self.tables[tbl]
+        st, it = dict(stored.dtypes), dict(incoming.dtypes)
+        for c in sorted(set(st) & set(it)):
+            if c.startswith("__"):
+                continue
+            if c in td.kinded:
+                # stored side already JSON+sidecar; convert the batch
+                if not (it[c] == "string" and
+                        "__k_" + c in incoming.columns):
+                    incoming = self._kindify_col(incoming, c)
+                continue
+            if st[c] == it[c]:
+                continue
+            if self._is_numeric_dt(st[c]) and self._is_numeric_dt(it[c]):
+                continue  # number family widens in place
+            stored = self._kindify_col(stored, c)
+            incoming = self._kindify_col(incoming, c)
+            td.kinded.add(c)
+        # columns only the incoming batch carries, on an already-kinded name
+        for c in sorted(td.kinded & set(it) - set(st)):
+            if not (it[c] == "string" and "__k_" + c in incoming.columns):
+                incoming = self._kindify_col(incoming, c)
+        return stored, incoming
+
     def _append(self, tbl: str, records: DataFrame) -> None:
         """Append rows, rewriting the table when the incoming schema
         differs (schemaless tables accept new fields and numeric widening;
+        kind conflicts degrade to kinded-JSON columns — values.py;
         one parquet dir must stay self-consistent)."""
+        td = self.tables[tbl]
         if self._exists(tbl):
             cur = self.table(tbl)
-            cur_t, new_t = dict(cur.dtypes), dict(records.dtypes)
-            if cur_t != new_t:
-                try:
-                    merged = cur.unionByName(records,
-                                             allowMissingColumns=True)
-                except Exception:
-                    # incompatible slots (number vs string): degrade the
-                    # conflicting columns to string on both sides
-                    for c in set(cur_t) & set(new_t):
-                        if cur_t[c] != new_t[c]:
-                            cur = cur.withColumn(c, F.col(c).cast("string"))
-                            records = records.withColumn(
-                                c, F.col(c).cast("string"))
-                    merged = cur.unionByName(records,
-                                             allowMissingColumns=True)
+            if td.kinded & set(records.columns) \
+                    or dict(cur.dtypes) != dict(records.dtypes):
+                cur, records = self._harmonize(tbl, cur, records)
+                merged = cur.unionByName(records, allowMissingColumns=True)
                 self._overwrite(tbl, merged)
                 return
         records.write.mode("append").parquet(self._data(tbl))
@@ -324,6 +371,7 @@ class Database:
             self._post_write(tbl, "CREATE", records)
             return records
         current = self.table(tbl)
+        current, records = self._harmonize(tbl, current, records)
         fresh = records.join(current.select(td.id_col), td.id_col, "left_anti")
         self._check_unique(tbl, fresh)
         if on_duplicate is None:
@@ -370,7 +418,8 @@ class Database:
         untouched = current.filter(~F.coalesce(cond, F.lit(False)))
         # allowMissingColumns: SET may introduce a new field (schemaless
         # semantics — untouched records get NULL for it)
-        merged = untouched.unionByName(after, allowMissingColumns=True)
+        untouched, after_m = self._harmonize(tbl, untouched, after)
+        merged = untouched.unionByName(after_m, allowMissingColumns=True)
         self._check_unique_final(tbl, merged)
         self._overwrite(tbl, merged)
         self._post_write(tbl, "UPDATE", after, before=before)
@@ -387,6 +436,7 @@ class Database:
             return self.create(tbl, records)
         records = self._apply_fields(tbl, records, existing=False)
         current = self.table(tbl)
+        current, records = self._harmonize(tbl, current, records)
         fresh = records.join(current.select(td.id_col), td.id_col, "left_anti")
         replaced = records.join(current.select(td.id_col), td.id_col, "left_semi")
         if set_exprs:

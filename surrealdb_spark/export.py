@@ -40,7 +40,8 @@ def record_to_statement(table: str, id_col: str) -> F.Column:
 def export_table_surql(df: DataFrame, table: str, id_col: str, path: str) -> int:
     """Write a table as SurrealQL INSERT statements (text, one per line).
     Returns the row count."""
-    df = df.drop("__present")  # engine-internal presence marker
+    df = df.drop("__present",  # engine-internal presence marker
+                 *[c for c in df.columns if c.startswith("__k_")])
     stmts = df.select(record_to_statement(table, id_col).alias("stmt"))
     stmts.write.mode("overwrite").text(path)
     return df.count()

@@ -143,9 +143,13 @@ def geometry(x) -> Column:
     return _c(x)
 
 
-def file_(x) -> Column:
-    """type::file — parse 'bucket:/key' → struct{bucket,key}
-    (types/src/value/file.rs)."""
+def file_(x, key=None) -> Column:
+    """type::file — parse 'bucket:/key' → struct{bucket,key}; the 2-arg
+    form takes bucket and key directly (types/src/value/file.rs,
+    fnc/type.rs file)."""
+    if key is not None:
+        return F.struct(_c(x).cast("string").alias("bucket"),
+                        _c(key).cast("string").alias("key"))
     s = _c(x).cast("string")
     return F.struct(
         F.regexp_extract(s, r"^([^:]+):", 1).alias("bucket"),

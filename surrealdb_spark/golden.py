@@ -924,6 +924,13 @@ def _record_case(fr: "FileResult", s: str, e, a, spark) -> None:
         if len(e) > 2 and e[2].get("skip-uuid"):
             want, a = _mask_uuids(want), _mask_uuids(a)
         ok = values_equal(want, a) or _multiset_equal(want, a)
+        if not ok:
+            # Spark's array() coerces heterogeneous object elements to one
+            # struct type, corrupting the expected side ([{b:'2'},{b:2}]);
+            # the pure-python parse keeps exact per-element types
+            ok_py, want2 = _try_py_literal(e[1])
+            if ok_py:
+                ok = values_equal(want2, a) or _multiset_equal(want2, a)
         fr.cases.append(CaseResult(s, e, a, ok,
                                    "" if ok else f"want {want!r} got {a!r}"))
 

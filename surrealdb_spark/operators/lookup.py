@@ -1005,8 +1005,13 @@ def _frontier_tables(fr, col="__node", cap=32) -> list[str]:
         F.split(F.col(col).cast("string"), ":", 2).getItem(0).alias("t")
     ).filter(F.col("t").isNotNull() & F.contains(
         F.col(col).cast("string"), F.lit(":"))).distinct() \
-        .limit(cap).collect()
-    return [r["t"] for r in rows if r["t"]]
+        .limit(cap + 1).collect()
+    tables = [r["t"] for r in rows if r["t"]]
+    if len(tables) > cap:
+        raise ValueError(
+            f"graph frontier spans more than {cap} distinct tables; "
+            "refusing to truncate traversal branches")
+    return tables
 
 
 def _link_hop(fr, cat, chain: list[str]):

@@ -1224,3 +1224,39 @@ def _sorted(a, d=True):
 def eval_text(text: str, env: dict | None = None):
     """Parse + evaluate one scalar expression statement."""
     return peval(parse_expr(text), env or {})
+
+
+def increment(base, rhs):
+    """`+=` semantics (val/value/increment.rs): arrays push/concat, sets
+    insert/extend, absent starts from zero/empty, scalars try_add."""
+    if base is None:
+        if isinstance(rhs, bool):
+            return [rhs]
+        if isinstance(rhs, (int, float, Decimal)) or is_duration(rhs) \
+                or isinstance(rhs, list):
+            return rhs
+        return [rhs]
+    if isinstance(base, SetVal):
+        items = list(rhs) if isinstance(rhs, list) else [rhs]
+        return _mkset(list(base) + items)
+    if isinstance(base, list):
+        if isinstance(rhs, list):
+            return list(base) + list(rhs)
+        return list(base) + [rhs]
+    return _arith("+", base, rhs)
+
+
+def decrement(base, rhs):
+    """`-=` semantics (val/value/decrement.rs): arrays/sets remove every
+    matching element (duplicates of others preserved), absent numbers
+    start from zero, scalars try_sub."""
+    if base is None:
+        if isinstance(rhs, (int, float, Decimal)) \
+                and not isinstance(rhs, bool):
+            return _arith("-", 0, rhs)
+        return None
+    if isinstance(base, (SetVal, list)):
+        items = list(rhs) if isinstance(rhs, list) else [rhs]
+        out = [x for x in base if not any(_eq(x, y) for y in items)]
+        return SetVal(out) if isinstance(base, SetVal) else out
+    return _arith("-", base, rhs)

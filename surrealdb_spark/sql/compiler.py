@@ -226,10 +226,16 @@ def _type_cat(simple: str) -> str | None:
 def types_of(df: DataFrame) -> dict[str, str]:
     """Column name → coarse type category, for static operator dispatch."""
     out = {}
+    simple = {}
     for f_ in df.schema.fields:
-        cat = _type_cat(f_.dataType.simpleString())
+        s = f_.dataType.simpleString()
+        simple[f_.name] = s
+        cat = _type_cat(s)
         if cat:
             out[f_.name] = cat
+    # exact Spark dtypes, for per-row kind derivation (type::of on stored
+    # rows); keyed under a name no column can have
+    out["__simple__"] = simple
     return out
 
 
@@ -1536,7 +1542,11 @@ def _static_of_kind(ast, params: dict, types: dict) -> str | None:
             return "file"
         if ast[1] == "type::table":
             return "table"
+        if ast[1] == "type::set":
+            return "set"
         return None
+    if k == "method" and ast[1] == "to_set":
+        return "set"
     return None
 
 
@@ -1724,6 +1734,31 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
         k = _static_of_kind(args[0], params, types)
         if k is not None:
             return F.lit(k)
+        a0 = args[0]
+        name = a0[1] if (isinstance(a0, tuple) and a0[0] == "ident"
+                         and isinstance(a0[1], str)) else None
+        simple = (types or {}).get("__simple__") or {}
+        if name is not None and name not in simple and simple \
+                and "__present" in simple and name not in ("id",):
+            # stored-table read of a column no row ever carried: the field
+            # is absent on every record → 'none'
+            return F.lit("none")
+        if name is not None and name in simple:
+            # stored-column read: per-row kind from the __k_ sidecar when
+            # present, else derived from the dtype (+ string-shape
+            # refinement); NULL cells split none/null on the presence
+            # spine (types/src/value/mod.rs:84-144)
+            from surrealdb_spark.values import kind_col_of_dtype
+
+            col = F.col(name)
+            derived = kind_col_of_dtype(col, simple[name])
+            sidecar = "__k_" + name
+            kc = (F.coalesce(F.col(sidecar), derived)
+                  if sidecar in simple else derived)
+            pres = _presence_col(a0, types or {})
+            nullname = (F.when(pres, F.lit("null")).otherwise(F.lit("none"))
+                        if pres is not None else F.lit("none"))
+            return F.when(col.isNull(), nullname).otherwise(kc)
         cat = _infer(args[0], types, params)
         if cat in TY.OF_NAMES:
             col = compile_expr(args[0], params, types)
@@ -2315,9 +2350,12 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         else:
             types = types_of(df)
 
-    # split (explode, operators/split.rs)
+    # split (explode, operators/split.rs:13-20; non-array fields pass
+    # through as single-element)
     for f_ in sel.split:
-        df = df.withColumn(f_, F.explode(F.col(f_)))
+        dt = dict(df.dtypes).get(f_, "")
+        col = F.col(f_) if dt.startswith("array") else F.array(F.col(f_))
+        df = df.withColumn(f_, F.explode(col))
 
     # aggregate
     is_grouped = sel.group is not None
@@ -2450,9 +2488,11 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # Spark row order is partition-dependent, so pin it when paging.
     # (bare LIMIT keeps Spark's cheap any-N take — a global sort for every
     # LIMIT would be wrong at scale; START paging is where determinism pays)
-    oltp_srcs = all(
-        not isinstance(s, str) or s in getattr(cat, "registered", ())
-        for s in sel.sources)
+    str_srcs = [s for s in sel.sources if isinstance(s, str)]
+    # only plain table-name sources get the KV-order sort; a subquery
+    # source keeps its own (possibly ORDER BY'd) row order
+    oltp_srcs = bool(str_srcs) and all(
+        s in getattr(cat, "registered", ()) for s in str_srcs)
     if (sel.start or oltp_srcs) and not sel.order \
             and "id" in df.columns and "__present" in df.columns:
         # rows come out in KV key order — the reference's table scan is

@@ -1817,10 +1817,14 @@ def plan_legacy(runner, sel, params=None) -> list:
                                "table": tbl},
                     "operation": op_name})
     elif not used_index:
+        # the table-count fast path only engages when no WHERE forces a
+        # full iterate (operators/explain.rs:30,103): NOINDEX + WHERE
+        # prints plain `Iterate Table`
+        tbl_count = is_count and sel.where is None
         for t in tbls:
             out.append({"detail": {"direction": "forward", "table": t},
                         "operation": "Iterate Table Count"
-                        if is_count else "Iterate Table"})
+                        if tbl_count else "Iterate Table"})
         if acc.fallback:
             out.append({"detail": {"reason": acc.fallback},
                         "operation": "Fallback"})

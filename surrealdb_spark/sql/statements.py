@@ -2720,7 +2720,21 @@ class StatementRunner:
                 out[("->" if d1 == "out" else "<-") + edge] = sub
             return out
 
-        rows = [walk(r["id"], trie) for r in src_rows]
+        def plain(v):
+            # Row / nested containers -> JSON-able plain Python values
+            if hasattr(v, "asDict"):
+                return {k: plain(x) for k, x in v.asDict().items()}
+            if isinstance(v, dict):
+                return {k: plain(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [plain(x) for x in v]
+            return v
+
+        rows = [plain(walk(r["id"], trie)) for r in src_rows]
+        if not rows:
+            # read.json on an empty RDD raises "Unable to infer schema"
+            return self.spark.createDataFrame([], "id string").drop("id") \
+                .limit(0)
         rdd = self.spark.sparkContext.parallelize(
             [_json.dumps(r, default=str) for r in rows], 1)
         return self.spark.read.json(rdd)
@@ -4267,7 +4281,8 @@ class StatementRunner:
         out = {}
         for r in rows:
             d = {k: x for k, x in r.asDict(recursive=True).items()
-                 if k not in ("id", "__present") and x is not None}
+                 if k not in ("id", "__present") and x is not None
+                 and not k.startswith("__k_")}
             out[r["id"]] = d
         return out
 
@@ -4463,7 +4478,11 @@ class StatementRunner:
                 if stmt.table not in self.db.tables:
                     self.db.define_table(TableDef(stmt.table))
                 return None
-            dtype = {"int": "bigint", "float": "double", "number": "double",
+            dtype = {"int": "bigint", "float": "double",
+                     # `number` is a UNION kind (int|float|decimal,
+                     # types/src/value/number.rs) — no cast: each written
+                     # value keeps its own numeric subtype
+                     "number": None,
                      "string": "string", "bool": "boolean",
                      # 96-bit rust_decimal (types/src/value/number.rs:19-26)
                      # → widest Spark decimal at the reference's ~28-digit
@@ -5036,15 +5055,21 @@ class StatementRunner:
                 # table-less INSERT: each row routes to its id's table, in
                 # first-appearance order (insert.rs Value::None what)
                 dicts = [self._obj(r, params) for r in stmt.rows]
-                by_tbl: dict[str, list] = {}
+                # consecutive same-table runs keep the reference's
+                # per-row input order even when ids interleave tables
+                runs: list[tuple[str, list]] = []
                 for d in dicts:
                     rid = str(d.get("id", ""))
                     if ":" not in rid:
                         raise ValueError(
                             "INSERT without a table needs record ids")
-                    by_tbl.setdefault(rid.split(":", 1)[0], []).append(d)
+                    tb = rid.split(":", 1)[0]
+                    if runs and runs[-1][0] == tb:
+                        runs[-1][1].append(d)
+                    else:
+                        runs.append((tb, [d]))
                 outs = []
-                for tb, rows in by_tbl.items():
+                for tb, rows in runs:
                     if tb not in self.db.tables:
                         self.db.define_table(TableDef(tb))
                     df2 = self._literal_rows(rows, Target(tb), params)
@@ -5110,6 +5135,9 @@ class StatementRunner:
                         params)
                     out = self.db.upsert(tbl, rows)
                     return self._ret(out, out, stmt.return_)
+            kp = self._kinded_point_update(stmt, tbl, params)
+            if kp is not None:
+                return kp
             set_exprs = self._set_exprs(stmt.data, tbl, params)
             ret = stmt.return_
             if isinstance(ret, tuple):
@@ -5201,6 +5229,16 @@ class StatementRunner:
         (objects have no entry for NONE, types/src/value/mod.rs); explicit
         NULL stays — the distinction comes from the AST (`("nulllit",)`)
         since both evaluate to Python None."""
+        from surrealdb_spark.sql.compiler import _static_of_kind
+
+        # kinds the stored Spark dtype can't represent get a per-row
+        # sidecar stamp (values.py kinded columns): sets store as arrays,
+        # regex/table as strings, geometries as generic structs/maps
+        _STAMP = {"set", "regex", "table"}
+
+        def _stampable(sk):
+            return sk in _STAMP or (sk or "").startswith("geometry")
+
         if data is None:
             return {}
         kind, payload = data
@@ -5211,11 +5249,19 @@ class StatementRunner:
                              if vast == ("nulllit",)}
                 out = {k: v for k, v in out.items()
                        if v is not None or k in null_keys}
+                for k, vast in payload[1]:
+                    sk = _static_of_kind(vast, params, None)
+                    if _stampable(sk) and k in out:
+                        out["__k_" + k] = sk
             return out
         if kind == "set":
             out = {}
             for f_, op, ast in payload:
                 v = self._scalar(ast, params)
+                if isinstance(f_, str):
+                    sk = _static_of_kind(ast, params, None)
+                    if _stampable(sk) and v is not None:
+                        out["__k_" + f_] = sk
                 if isinstance(f_, tuple) and f_[0] == "fpath":
                     # nested path target: build the nested object
                     base, segs = f_[1], self._fpath_segs(f_[2], params)
@@ -5226,6 +5272,7 @@ class StatementRunner:
                     continue
                 if v is None and ast != ("nulllit",) and op == "=":
                     out.pop(f_, None)  # SET x = NONE on create → absent
+                    out.pop("__k_" + f_, None)
                     continue
                 if op == "-=" and isinstance(v, (int, float)):
                     # compound ops against an absent record start from the
@@ -5234,6 +5281,94 @@ class StatementRunner:
                 out[f_] = v
             return out
         raise ValueError(f"{kind.upper()} not valid here")
+
+    def _kinded_point_update(self, stmt, tbl: str, params: dict):
+        """Single-record UPDATE touching a kinded (heterogeneous) column:
+        decode the ONE row driver-side, apply the ops with pyeval's
+        reference semantics (increment/decrement, val/value/increment.rs),
+        re-encode.  O(1) rows by construction, so the driver round-trip is
+        scale-sane.  Returns None when the shape doesn't apply (engine
+        path runs instead)."""
+        td = self.db.tables.get(tbl)
+        if (stmt.target.key is None or td is None or not td.kinded
+                or stmt.where is not None
+                or not stmt.data or stmt.data[0] != "set"
+                or not self.db._exists(tbl)):
+            return None
+        assigns = stmt.data[1]
+        if not all(isinstance(f_, str) for f_, _o, _a in assigns):
+            return None
+        if not any(f_ in td.kinded for f_, _o, _a in assigns):
+            return None
+        from surrealdb_spark import pyeval
+        from surrealdb_spark.values import (decode_kinded_py,
+                                            encode_kinded_py, kind_of_py)
+
+        rid = f"{stmt.target.table}:{self._key_text(stmt.target, params)}"
+        cur = self.db.table(tbl)
+        rows = cur.filter(F.col("id") == rid).limit(2).collect()
+        ret = stmt.return_
+        if not rows:
+            empty = cur.limit(0)
+            if isinstance(ret, tuple):
+                return self._ret_expr_static(empty, empty, ret, params)
+            return self._ret(empty, empty, ret)
+        raw = rows[0].asDict(recursive=True)
+        before = {}
+        for k, v in raw.items():
+            if k.startswith("__k_"):
+                continue
+            kind = raw.get("__k_" + k)
+            if kind is not None and isinstance(v, str):
+                v = decode_kinded_py(v, kind)
+            before[k] = v
+        present = set(raw.get("__present") or
+                      [k for k, v in before.items() if v is not None])
+        after = dict(before)
+        set_exprs: dict[str, Column] = {}
+        for f_, op, ast in assigns:
+            rhs = self._scalar(ast, params)
+            base = after.get(f_) if f_ in present or after.get(f_) is not None \
+                else None
+            if op == "+=":
+                nv = pyeval.increment(base, rhs)
+            elif op == "-=":
+                nv = pyeval.decrement(base, rhs)
+            else:
+                nv = rhs
+            after[f_] = nv
+            present.add(f_)
+            if f_ in td.kinded:
+                set_exprs[f_] = F.lit(encode_kinded_py(nv))
+                set_exprs["__k_" + f_] = F.lit(kind_of_py(nv))
+            else:
+                if isinstance(nv, dict):
+                    return None  # struct literal: engine path handles
+                set_exprs[f_] = F.lit(nv)
+        if "__present" in cur.columns:
+            set_exprs["__present"] = F.lit(sorted(
+                p for p in present if not p.startswith("__k_")))
+        self.db.update(tbl, set_exprs, F.col("id") == rid, "NONE")
+
+        def _plain(v):
+            # createDataFrame's pickler chokes on list/dict SUBCLASSES
+            # (SetVal) — coerce to the base containers
+            if isinstance(v, list):
+                return [_plain(x) for x in v]
+            if isinstance(v, dict):
+                return {k: _plain(x) for k, x in v.items()}
+            return v
+
+        after_df = self._literal_rows(
+            [{k: _plain(v) for k, v in after.items() if v is not None
+              or k in present}],
+            Target(stmt.target.table, stmt.target.key), params)
+        before_df = self._literal_rows(
+            [{k: _plain(v) for k, v in before.items() if v is not None}],
+            Target(stmt.target.table, stmt.target.key), params)
+        if isinstance(ret, tuple):
+            return self._ret_expr_static(before_df, after_df, ret, params)
+        return self._ret(before_df, after_df, ret)
 
     def _fpath_segs(self, segs, params) -> list[str]:
         """Resolve a nested assignment path's segments to field names."""
@@ -5265,7 +5400,8 @@ class StatementRunner:
             # field-presence marker: which fields THIS record carries
             # (schema-union NULLs are indistinguishable from explicit NULL
             # otherwise; values.strip_absent consumes it on output)
-            d["__present"] = sorted(k for k in d if k != "__present")
+            d["__present"] = sorted(k for k in d if k != "__present"
+                                    and not k.startswith("__k_"))
             rows.append(d)
         keys = sorted({k for d in rows for k in d})
         data = [{k: d.get(k) for k in keys} for d in rows]
@@ -5487,7 +5623,8 @@ class StatementRunner:
         rows, the non-null columns) minus NONE-set fields plus assigned
         ones — consumed by values.strip_absent at output time."""
         cols = (self.db.table(tbl).columns if self.db._exists(tbl) else [])
-        data_cols = [c for c in cols if c != "__present"]
+        data_cols = [c for c in cols if c != "__present"
+                     and not c.startswith("__k_")]
         if data_cols:
             derived = F.array_compact(F.array(
                 *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in data_cols]))
@@ -5537,7 +5674,13 @@ class StatementRunner:
             if dtype.startswith("array"):
                 base = F.coalesce(F.col(f_), F.array().cast(dtype))
                 if rhs_is_arr:
-                    return F.array_except(base, rhs)
+                    # remove_all semantics (val/mod.rs try_sub Array-Array):
+                    # filter out matching elements, KEEP duplicates of the
+                    # rest — array_except would dedupe the survivors
+                    return F.filter(
+                        base,
+                        lambda x: ~F.coalesce(F.array_contains(rhs, x),
+                                              F.lit(False)))
                 return F.array_remove(base, rhs)
             return F.coalesce(F.col(f_), F.lit(0)) - rhs
         return rhs

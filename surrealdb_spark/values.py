@@ -229,8 +229,12 @@ def strip_absent(d):
     present = d.get("__present")
     out = {}
     for k, v in d.items():
-        if k == "__present":
+        if k == "__present" or k.startswith("__k_"):
             continue
+        kind = d.get("__k_" + k)
+        if kind is not None and isinstance(v, str):
+            # kinded-JSON cell (heterogeneous column) → real value
+            v = decode_kinded_py(v, kind)
         if v is None and (present is None or k not in present):
             continue
         out[k] = strip_absent(v)
@@ -471,3 +475,213 @@ def render_rid_vals(vals: list) -> str:
         return f"'{s}'"
 
     return "[" + ", ".join(one(v) for v in vals) + "]"
+
+
+# -- kinded (heterogeneous) stored columns ------------------------------------
+#
+# Parquet columns are single-typed; the reference stores Value per cell
+# (types/src/value/mod.rs:84-122).  Where a stored column's rows span
+# several kinds, the DML layer degrades it to a KINDED pair:
+#     <c>       string  — JSON text of the value (to_json-compatible)
+#     __k_<c>   string  — per-row SurrealQL kind name ('int', 'array',
+#                         'geometry<point>', ...)
+# The sidecar also rides along on HOMOGENEOUS columns whose kind is not
+# derivable from the Spark dtype (uuid/record/regex/range-as-struct/file/
+# table/set/...) so `type::of` answers exactly on stored reads.  Sidecar
+# columns are engine-internal like `__present` and never surface in output.
+
+KIND_SIDECAR_PREFIX = "__k_"
+
+# static kinds the Spark dtype canNOT distinguish → stamp at write time
+NONDERIVABLE_KINDS = {"uuid", "record", "regex", "table", "set", "file",
+                      "range", "function"}
+
+
+def is_hidden_col(name: str) -> bool:
+    """Engine-internal columns excluded from user-facing output."""
+    return name == "__present" or name.startswith(KIND_SIDECAR_PREFIX)
+
+
+def kind_of_dtype(dtype: str) -> str | None:
+    """SurrealQL kind name for a Spark dtype where unambiguous
+    (types/src/kind.rs names)."""
+    d = dtype.strip()
+    base = d.split("(", 1)[0]
+    if base in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if base in ("float", "double"):
+        return "float"
+    if base == "decimal":
+        return "decimal"
+    if base == "boolean":
+        return "bool"
+    if base == "string":
+        return "string"
+    if base in ("timestamp", "timestamp_ntz", "date"):
+        return "datetime"
+    if base == "binary":
+        return "bytes"
+    if d.startswith("array"):
+        return "array"
+    if d.startswith("map"):
+        return "object"
+    if d.startswith("struct"):
+        if "months" in d and "nanos" in d:
+            return "duration"
+        if "start_incl" in d and "end_incl" in d:
+            return "range"
+        if "bucket" in d and "key" in d:
+            return "file"
+        if "coordinates" in d or "geometries" in d:
+            return None  # geometry subkind is per-row (type field)
+        return "object"
+    return None
+
+
+_GEOM_KIND_NAMES = {
+    "point": "point", "linestring": "line", "polygon": "polygon",
+    "multipoint": "multipoint", "multilinestring": "multiline",
+    "multipolygon": "multipolygon", "geometrycollection": "collection",
+}
+
+
+def kind_col_of_dtype(col: Column, dtype: str) -> Column:
+    """Per-row kind-name Column for a natively-typed column (NULL where the
+    value is NULL; geometry structs read their `type` field)."""
+    d = dtype.strip()
+    if d.startswith("struct") and ("coordinates" in d or "geometries" in d) \
+            and "type" in d:
+        t = F.lower(col.getField("type"))
+        name = F.lit(None).cast("string")
+        for raw, nm in _GEOM_KIND_NAMES.items():
+            name = F.when(t == raw, F.lit(nm)).otherwise(name)
+        sub = F.concat(F.lit("geometry<"), name, F.lit(">"))
+        return F.when(col.isNotNull() & name.isNotNull(), sub) \
+            .when(col.isNotNull(), F.lit("object"))
+    k = kind_of_dtype(d)
+    if k is None:
+        k = "object" if d.startswith("struct") else "string"
+    if k == "string":
+        # shape refinement: record links and uuids store as plain strings
+        s = col.cast("string")
+        return (
+            F.when(col.isNull(), F.lit(None).cast("string"))
+            .when(s.rlike(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+                          r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+                  F.lit("uuid"))
+            .when(s.rlike(r"^[A-Za-z_][A-Za-z0-9_]*:[^\s]+$"),
+                  F.lit("record"))
+            .otherwise(F.lit("string")))
+    return F.when(col.isNotNull(), F.lit(k))
+
+
+def json_render_col(col: Column, dtype: str) -> Column:
+    """JSON text of any column (NULL stays NULL): to_json over a 1-element
+    array wrapper, unwrapped — works uniformly for scalars and complex."""
+    j = F.to_json(F.array(col))
+    body = j.substr(F.lit(2), F.length(j) - F.lit(2))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(body)
+
+
+def kind_of_py(v, static_kind: str | None = None) -> str | None:
+    """Kind name for a driver-side Python value (pyeval reprs)."""
+    if static_kind is not None:
+        return static_kind
+    import datetime as _dtm
+    import decimal as _dec
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, _dec.Decimal):
+        return "decimal"
+    if isinstance(v, _dtm.datetime):
+        return "datetime"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    try:
+        from surrealdb_spark.pyeval import SetVal
+
+        if isinstance(v, SetVal):
+            return "set"
+    except Exception:
+        pass
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        if set(v) >= {"months", "nanos"} and len(v) == 2:
+            return "duration"
+        if "type" in v and ("coordinates" in v or "geometries" in v):
+            nm = _GEOM_KIND_NAMES.get(str(v["type"]).lower())
+            return f"geometry<{nm}>" if nm else "object"
+        if set(v) >= {"start_incl", "end_incl"}:
+            return "range"
+        return "object"
+    if isinstance(v, str):
+        import re as _re
+
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:[^\s]+", v):
+            return "record"
+        return "string"
+    return None
+
+
+def encode_kinded_py(v) -> str | None:
+    """JSON text for a driver-side value (datetime → ISO, Decimal → str,
+    bytes → base64 — mirrors Spark's to_json renderings)."""
+    import base64
+    import datetime as _dtm
+    import decimal as _dec
+    import json as _json
+
+    def default(x):
+        if isinstance(x, _dtm.datetime):
+            return x.isoformat()
+        if isinstance(x, _dec.Decimal):
+            return float(x)
+        if isinstance(x, (bytes, bytearray)):
+            return base64.b64encode(bytes(x)).decode()
+        return str(x)
+
+    if v is None:
+        return None
+    return _json.dumps(v, default=default)
+
+
+def decode_kinded_py(txt, kind: str | None):
+    """Driver-side decode of a kinded JSON cell back to a pyeval value.
+    Falls back to the raw text when the cell isn't JSON (a native string
+    column annotated with a sidecar, e.g. uuid/record)."""
+    import base64
+    import datetime as _dtm
+    import decimal as _dec
+    import json as _json
+
+    if txt is None:
+        return None
+    try:
+        v = _json.loads(txt)
+    except Exception:
+        return txt
+    if kind == "decimal" and isinstance(v, (int, float, str)):
+        return _dec.Decimal(str(v))
+    if kind == "datetime" and isinstance(v, str):
+        try:
+            return _dtm.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        except Exception:
+            return v
+    if kind == "bytes" and isinstance(v, str):
+        try:
+            return base64.b64decode(v)
+        except Exception:
+            return v
+    if kind == "set" and isinstance(v, list):
+        from surrealdb_spark.pyeval import SetVal
+
+        return SetVal(v)
+    return v
