@@ -46,6 +46,9 @@ class FieldDef:
     # VALUE <expr>: recomputed on every write from ($value, $this)
     # (define/field.rs value clause)
     value_fn: Callable[[Column], Column] | None = None
+    # raw declared kind text ('number', 'array<int>', ...) — union kinds
+    # carry no single Spark dtype but still drive member checks
+    kind: str | None = None
 
 
 @dataclass
@@ -148,11 +151,14 @@ class Database:
                 # define/field.rs): every member of the base struct must
                 # coerce — a static check on the typed engine
                 base = fd.name[:-2]
-                if fd.dtype and base in df.columns:
+                if (fd.dtype or fd.kind) and base in df.columns:
                     from pyspark.sql import types as T
 
                     bt = df.schema[base].dataType
-                    num = fd.dtype in ("bigint", "double", "decimal(38,10)")
+                    num = (fd.dtype in ("bigint", "double",
+                                        "decimal(38,10)")
+                           or fd.kind in ("int", "float", "number",
+                                          "decimal"))
                     bad_ts = (T.StringType, T.BooleanType, T.ArrayType,
                               T.StructType, T.MapType)
                     members = (bt.fields if isinstance(bt, T.StructType)
@@ -168,6 +174,35 @@ class Database:
                                 f"Couldn't coerce value for field "
                                 f"`{fd.name}`: Expected `{fd.dtype}` "
                                 f"but found `{m.name}`")
+                continue
+            if ".*." in fd.name:
+                # `base.*.sub` member clause over an array-of-objects
+                # field: defaults fill missing members per element
+                # (define/field.rs member defaults)
+                base, sub = fd.name.split(".*.", 1)
+                if fd.default is None or base not in df.columns \
+                        or "." in sub:
+                    continue
+                dt = dict(df.dtypes).get(base, "")
+                if not dt.startswith("array<struct"):
+                    continue
+                if f"{sub}:" in dt:
+                    fill = (lambda s: lambda x: x.withField(
+                        s, F.coalesce(x.getField(s), fd.default())))(sub)
+                else:
+                    fill = (lambda s: lambda x: x.withField(
+                        s, fd.default()))(sub)
+                df = df.withColumn(base, F.transform(F.col(base), fill))
+                continue
+            if "." in fd.name:
+                # nested object member (`obj.a`): validated driver-side at
+                # literal-row build; a flat withColumn would just leak a
+                # bogus `obj.a`-named column
+                continue
+            if "__k_" + fd.name in df.columns and fd.name in td.kinded:
+                # kinded-JSON column (values.py): casts/defaults were
+                # applied when the JSON was produced; a typed default
+                # would not unify with the string slot
                 continue
             col = F.col(fd.name) if fd.name in df.columns else F.lit(None)
             if fd.default is not None:

@@ -738,7 +738,8 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
             elif word == "LET":
                 m = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", s, flags=re.I | re.S)
                 rhs = m.group(2).strip()
-                ms = re.match(r"^\((.*)\)\s*(\[\s*0\s*\])?$", rhs, flags=re.S)
+                ms = re.match(r"^\((.*)\)\s*(\[\s*0\s*\]|(?:\.\w+|"
+                              r"\[\s*\d+\s*\])+)?$", rhs, flags=re.S)
                 if not ms and _stmt_word(rhs) in _STMT_WORDS:
                     # unparenthesized DML binding: LET $x = CREATE ONLY t:1
                     ms = re.match(r"^(.*)$", rhs, flags=re.S)
@@ -748,10 +749,26 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                                                params=bindings),
                                     ms.group(1))
                     only = re.search(r"\bONLY\s", ms.group(1), flags=re.I)
-                    take_first = (ms.lastindex or 0) >= 2 and ms.group(2) or only
-                    bindings[m.group(1)] = (
-                        (out[0] if out else None) if take_first else out
-                    )
+                    suffix = (ms.lastindex or 0) >= 2 and ms.group(2)
+                    if suffix and re.fullmatch(r"\[\s*0\s*\]",
+                                               suffix.strip()):
+                        bindings[m.group(1)] = out[0] if out else None
+                    elif suffix:
+                        # idiom suffix over the statement's rows:
+                        # `(UPSERT t).id` (exec/planner.rs writable
+                        # subquery + Part walk)
+                        from surrealdb_spark import pyeval
+                        from surrealdb_spark.sql.parser import parse_expr
+
+                        past = parse_expr("x" + suffix)
+                        val = out[0] if (only and out) else \
+                            (None if only else out)
+                        bindings[m.group(1)] = pyeval._walk_path(
+                            val, past[2], bindings) \
+                            if past[0] == "path" else val
+                    else:
+                        bindings[m.group(1)] = (out[0] if out else None) \
+                            if only else out
                 else:
                     cv = _closure_rhs(rhs, bindings)
                     if cv is not None:
@@ -1057,6 +1074,10 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
            or (s.lstrip().startswith("{")
                and re.search(r"\b(LET|RETURN|CREATE|UPDATE|DELETE|INSERT"
                              r"|UPSERT|RELATE|DEFINE|REMOVE)\b", s, re.I))
+           # writable subqueries (`LET $x = (UPSERT ...)`) need the
+           # sequential runner (exec/planner.rs:309-336)
+           or re.search(r"\(\s*(CREATE|UPDATE|UPSERT|DELETE|INSERT"
+                        r"|RELATE)\b", s, re.I)
            for s in stmts):
         return _run_statement_file(spark, stmts, fr, expected, env=env)
     # LET statements bind into scope for later statements; their result is

@@ -555,6 +555,67 @@ def attach_deref(df: DataFrame, cat, slot: str, col: str,
     return df.join(tgt, df[col] == tgt[f"{a}_id"], "left").drop(f"{a}_id")
 
 
+def attach_array_deref(df: DataFrame, cat, slot: str, col: str,
+                       fields: list[str], where_ast=None,
+                       compile_expr=None, types_of=None,
+                       params=None) -> DataFrame:
+    """Array-of-record-link projection: `tags.name` / `tags.{id,name}`
+    over an `array<string>` record-id column (expr/part.rs Field/
+    Destructure over arrays; also `(SELECT f FROM $this.tags WHERE ...)`
+    correlated subqueries).  posexplode → one left join against the
+    sampled link table → ordered re-collect, so element order survives.
+    `fields` of length 1 yields an array of values; longer yields an array
+    of `{field: value}` structs.  `where_ast` filters elements against the
+    dereferenced record.  Elements that aren't record ids (or have no
+    target row) contribute NULL field values, like `.f` on a non-record."""
+    if fields == ["id"] and where_ast is None:
+        return df.withColumn(slot, F.col(col))
+    sample = df.select(F.explode(col).alias("e")) \
+        .filter(F.col("e").isNotNull() & F.col("e").contains(":")).first()
+    if sample is None:
+        return df.withColumn(slot, F.lit(None).cast("array<string>"))
+    tbl = str(sample[0]).split(":", 1)[0]
+    try:
+        t = cat.table(tbl)
+    except Exception:
+        return df.withColumn(slot, F.lit(None).cast("array<string>"))
+    _DEREF_N[0] += 1
+    a = f"__adr{_DEREF_N[0]}"
+    key, pos, el = f"{a}k", f"{a}p", f"{a}e"
+    base = df.withColumn(key, F.monotonically_increasing_id())
+    ex = base.select(F.col(key),
+                     F.posexplode_outer(F.col(col)).alias(pos, el))
+    tgt = t
+    for f_ in fields:
+        if f_ not in tgt.columns:
+            tgt = tgt.withColumn(f_, F.lit(None).cast("string"))
+    # string-qualified join keys: repeated derefs against the same table
+    # would otherwise trip Spark's ambiguous-self-join detection
+    exa, ta = f"{a}x", f"{a}t"
+    j = ex.alias(exa).join(tgt.alias(ta),
+                           F.col(f"{exa}.{el}") == F.col(f"{ta}.id"),
+                           "left")
+    if len(fields) == 1:
+        val = F.col(f"{ta}.{fields[0]}")
+    else:
+        val = F.struct(*[F.col(f"{ta}.{f_}").alias(f_) for f_ in fields])
+    keep = F.col(pos).isNotNull()
+    if where_ast is not None and compile_expr is not None:
+        cond = compile_expr(where_ast, params or {}, types_of(tgt))
+        keep = keep & F.coalesce(cond, F.lit(False))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.when(
+            keep, F.struct(F.col(pos).alias("p"), val.alias("v"))))),
+        lambda x: x["v"])
+    packed = j.groupBy(key).agg(
+        arr.alias(f"{a}v"),
+        F.max(F.col(pos).isNotNull()).alias(f"{a}has"))
+    out = base.join(packed, key, "left") \
+        .withColumn(slot, F.when(F.col(f"{a}has"), F.col(f"{a}v"))) \
+        .drop(key, f"{a}v", f"{a}has")
+    return out
+
+
 # -- recursive destructure `.{min..max}.{f, g: ->e->t.@}` ---------------------
 
 
@@ -610,6 +671,26 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
                 _, s2, _ = singles[1]
                 tgt = (s2 or ["?"])[0]
             trav[name] = ("edge", d1, (s1 or ["?"])[0], tgt)
+        elif sub and sub[0][0] == "destructure":
+            # nested destructure whose entries are `x: x.@` link
+            # recursions (`links.{ a: a.@ }` —
+            # idiom/recursion_nested_destructure.surql; recursion.rs
+            # RepeatRecurse inside Part::Destructure)
+            inners: list[str] | None = []
+            for iname, isub in sub[0][1]:
+                p = isub and isub[0][0] == "aliased" and isub[0][1]
+                if (isinstance(p, tuple) and p[0] == "path"
+                        and p[1] == ("ident", iname)
+                        and list(p[2]) == [("repeat",)]):
+                    inners.append(iname)
+                else:
+                    inners = None
+                    break
+            if inners is None:
+                raise LookupError_(
+                    "nested recursive destructure supports `x: x.@` "
+                    "entries only")
+            trav[name] = ("nested", inners)
         else:
             plain.append(name)
 
@@ -672,6 +753,24 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
                     children[name][rid] = kids
                     nxt.update(kids)
                 continue
+            if spec[0] == "nested":
+                for rid in frontier:
+                    row0 = rowmap.get(rid, {})
+                    node = row0.get(name)
+                    if not isinstance(node, dict):
+                        children[name][rid] = None
+                        continue
+                    got: dict = {}
+                    for iname in spec[1]:
+                        v = node.get(iname)
+                        kids = v if isinstance(v, list) else (
+                            [v] if v is not None else [])
+                        kids = [k for k in kids
+                                if isinstance(k, str) and ":" in k]
+                        got[iname] = kids
+                        nxt.update(kids)
+                    children[name][rid] = got
+                continue
             _, dirn, edge, target = spec
             ids = sorted(frontier)
             e = edge_df(cat, edge)
@@ -696,26 +795,37 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
             depth_reached += 1
         rowmap.update(_fetch_rows(frontier))
 
-    if lo is not None and lo > depth_reached:
-        # the tree is shallower than the minimum depth: no result
-        # (recursion.rs min bound; recursion_record_links `{5..}`)
-        return None
-
     def assemble(rid: str, depth: int, path: tuple):
+        """(tree, deepest-node-depth on any simple path through rid).
+        Branches whose subtree can't reach the MIN depth are pruned
+        (recursion.rs min-depth pruning — `a:1.{3}` drops dead ends)."""
         row = rowmap.get(rid, {})
         out = {}
+        deepest = depth
+
+        def _kids_out(ikids):
+            nonlocal deepest
+            kids = [k for k in ikids if k not in path]
+            if depth >= hi_eff:
+                return kids  # bound reached: bare ids
+            pairs = [assemble(k, depth + 1, path + (rid,)) for k in kids]
+            for _t, dd in pairs:
+                deepest = max(deepest, dd)
+            if lo is not None:
+                pairs = [(t, dd) for t, dd in pairs if dd >= lo]
+            return [t for t, _dd in pairs]
+
         for name, sub in destr_fields:
             if name in trav:
                 got = children[name].get(rid, [])
                 if got is None:
                     out[name] = None
+                elif isinstance(got, dict):
+                    # nested `links.{ a: a.@ }` — per-inner-field lists
+                    out[name] = {iname: _kids_out(ikids)
+                                 for iname, ikids in got.items()}
                 else:
-                    kids = [k for k in got if k not in path]
-                    if depth >= hi_eff:
-                        out[name] = kids  # bound reached: bare ids
-                    else:
-                        out[name] = [assemble(k, depth + 1, path + (rid,))
-                                     for k in kids]
+                    out[name] = _kids_out(got)
             elif name in row:
                 out[name] = row[name]
             if name in posts and name in out:
@@ -723,9 +833,14 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
 
                 cl = posts[name]
                 out[name] = _PE.peval(cl[2], {cl[1][0]: out[name]})
-        return out
+        return out, deepest
 
-    return assemble(start_rid, 1, ())
+    result, dd = assemble(start_rid, 1, ())
+    if lo is not None and lo > max(dd, depth_reached):
+        # the tree is shallower than the minimum depth: no result
+        # (recursion.rs min bound; recursion_record_links `{5..}`)
+        return None
+    return result
 
 
 # -- bounded recursion `.{min..max}[+instr](->edge->tbl)` ---------------------

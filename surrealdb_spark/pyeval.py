@@ -1260,3 +1260,20 @@ def decrement(base, rhs):
         out = [x for x in base if not any(_eq(x, y) for y in items)]
         return SetVal(out) if isinstance(base, SetVal) else out
     return _arith("-", base, rhs)
+
+
+def _num_arr(a, ctx):
+    xs = _arr(a, ctx)
+    return [x for x in xs if isinstance(x, (int, float, Decimal))
+            and not isinstance(x, bool)]
+
+
+PY_FNS["math::max"] = lambda a: (max(_num_arr(a, "math::max"))
+                                 if _num_arr(a, "math::max") else None)
+PY_FNS["math::min"] = lambda a: (min(_num_arr(a, "math::min"))
+                                 if _num_arr(a, "math::min") else None)
+PY_FNS["math::sum"] = lambda a: sum(_num_arr(a, "math::sum"))
+PY_FNS["math::abs"] = lambda v: abs(_num(v, "math::abs"))
+PY_FNS["math::floor"] = lambda v: _math.floor(_num(v, "math::floor"))
+PY_FNS["math::ceil"] = lambda v: _math.ceil(_num(v, "math::ceil"))
+PY_FNS["math::round"] = lambda v: round(_num(v, "math::round"))

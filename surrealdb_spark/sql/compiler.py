@@ -2048,8 +2048,24 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 else:
                     plain.append(item)  # plain bound values become rows
             if plain:
-                outs.append(spark.createDataFrame(
-                    [(x,) for x in plain]).toDF("value"))
+                if all(isinstance(x, dict) and x for x in plain):
+                    # object rows (writable-subquery results) scan as
+                    # records with their own columns (scan/dynamic.rs)
+                    from pyspark.sql import Row as _Row
+
+                    def _rowify(x):
+                        if isinstance(x, dict) and x:
+                            return _Row(**{k: _rowify(v2)
+                                           for k, v2 in x.items()})
+                        if isinstance(x, list):
+                            return [_rowify(e) for e in x]
+                        return x
+
+                    outs.append(spark.createDataFrame(
+                        [_rowify(x) for x in plain]))
+                else:
+                    outs.append(spark.createDataFrame(
+                        [(x,) for x in plain]).toDF("value"))
             out = outs[0]
             for o in outs[1:]:
                 out = out.unionByName(o, allowMissingColumns=True)
@@ -2299,6 +2315,100 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         for slot, col_, chain in dspecs:
             df = LK.attach_deref(df, cat, slot, col_, chain)
         lookup_slots += [s[0] for s in dspecs]
+        types = types_of(df)
+        sel = _replace(sel, where=new_where, value_expr=new_value,
+                       fields=new_fields, order=new_order)
+
+    # array-of-record-link projections: `tags.name` / `tags.{id,name}` /
+    # `tags.*.name` over array<string> record-id columns → posexplode +
+    # join + ordered re-collect (expr/part.rs Field/Destructure over
+    # arrays; operators/lookup.attach_array_deref)
+    arr_cols = {c for c, t in df.dtypes if t == "array<string>"
+                and not c.startswith("__")}
+    if arr_cols and (
+        (sel.where is not None and _has_array_deref(sel.where, arr_cols))
+        or (sel.fields and any(_has_array_deref(f.expr, arr_cols)
+                               for f in sel.fields))
+        or (sel.value_expr is not None
+            and _has_array_deref(sel.value_expr, arr_cols))
+        or any(_has_array_deref(k.expr, arr_cols)
+               for k in (sel.order or []))
+    ):
+        from surrealdb_spark.operators import lookup as LK
+        from surrealdb_spark.sql.parser import Field as _FieldCls3
+
+        aspecs: list = []
+        new_where = (_extract_array_derefs(sel.where, arr_cols, aspecs)
+                     if sel.where is not None else None)
+        new_value = (_extract_array_derefs(sel.value_expr, arr_cols,
+                                           aspecs)
+                     if sel.value_expr is not None else None)
+        new_fields = sel.fields
+        if sel.fields:
+            # unaliased `tags.f` projections nest under the base field and
+            # MERGE across projections (`tags.id, tags.name` →
+            # {tags: {id: [...], name: [...]}}); destructure keeps the
+            # base name whole (`tags.{id,name}` → tags: [{id,name}])
+            new_fields = []
+            merged: dict[str, tuple] = {}  # base -> (Field idx, pairs)
+            for f in sel.fields:
+                sq = _this_array_subquery(f.expr, arr_cols)
+                if sq is not None:
+                    # `(SELECT f, g FROM $this.<arr> WHERE ...)` — the
+                    # same explode-join-recollect, with a per-element
+                    # filter over the dereferenced record
+                    col0, names, wast = sq
+                    slot = f"__ar_s{len(aspecs)}"
+                    aspecs.append((slot, col0, names, wast))
+                    new_fields.append(_FieldCls3(
+                        ("ident", slot),
+                        f.alias or getattr(f, "text", None)))
+                    continue
+                shape = _array_deref_shape(f.expr, arr_cols) \
+                    if f.alias is None else None
+                if shape is None:
+                    if not _has_array_deref(f.expr, arr_cols):
+                        new_fields.append(f)
+                    else:
+                        ext = _extract_array_derefs(f.expr, arr_cols,
+                                                    aspecs)
+                        new_fields.append(_FieldCls3(
+                            ext, f.alias or getattr(f, "text", None)))
+                    continue
+                base_col, kind_, payload = shape
+                slot = f"__ar_s{len(aspecs)}"
+                if kind_ == "destructure":
+                    aspecs.append((slot, base_col, payload))
+                    new_fields.append(_FieldCls3(("ident", slot),
+                                                 base_col))
+                else:  # single field under the base
+                    aspecs.append((slot, base_col, [payload]))
+                    if base_col in merged:
+                        merged[base_col][1].append((payload,
+                                                    ("ident", slot)))
+                    else:
+                        pairs = [(payload, ("ident", slot))]
+                        merged[base_col] = (len(new_fields), pairs)
+                        new_fields.append(None)  # placeholder
+            for base_col, (idx, pairs) in merged.items():
+                new_fields[idx] = _FieldCls3(("object", pairs), base_col)
+            new_fields = [f for f in new_fields if f is not None]
+        new_order = [
+            dataclasses_replace_order(
+                k, _extract_array_derefs(k.expr, arr_cols, aspecs))
+            if _has_array_deref(k.expr, arr_cols) else k
+            for k in (sel.order or [])
+        ]
+        for spec in aspecs:
+            if len(spec) == 4:
+                slot, col_, fields_, wast = spec
+                df = LK.attach_array_deref(df, cat, slot, col_, fields_,
+                                           wast, compile_expr, types_of,
+                                           params)
+            else:
+                slot, col_, fields_ = spec
+                df = LK.attach_array_deref(df, cat, slot, col_, fields_)
+        lookup_slots += [s[0] for s in aspecs]
         types = types_of(df)
         sel = _replace(sel, where=new_where, value_expr=new_value,
                        fields=new_fields, order=new_order)
@@ -2637,6 +2747,10 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             if sv is None:
                 continue
         is_arr = isinstance(sample[0], list)
+        if not isinstance(sv, str) or ":" not in sv:
+            # the projection already replaced this field with a non-id
+            # value (array-deref object) — nothing left to fetch
+            continue
         tbl = str(sv).split(":", 1)[0]
         target = cat.table(tbl)
         id_col = _guess_id_col(target, tbl)
@@ -3063,12 +3177,121 @@ def _extract_derefs(ast, str_cols: set, specs: list):
         for x in ast)
 
 
+def _array_deref_shape(ast, arr_cols: set):
+    """(base_col, 'destructure', [names]) | (base_col, 'field', name) for
+    a bare path projection over an array-of-record column; None when the
+    shape doesn't apply."""
+    if not (isinstance(ast, tuple) and ast[0] == "path"
+            and ast[1][0] == "ident" and ast[1][1] in arr_cols and ast[2]):
+        return None
+    parts = list(ast[2])
+    if parts and parts[0] == ("all",):
+        parts = parts[1:]
+    if len(parts) != 1 or not isinstance(parts[0], tuple):
+        return None
+    p = parts[0]
+    if p[0] == "destructure" and all(not sub for _n, sub in p[1]):
+        return (ast[1][1], "destructure", [n for n, _s in p[1]])
+    if p[0] == "field" and isinstance(p[1], str):
+        return (ast[1][1], "field", p[1])
+    return None
+
+
+def _this_array_subquery(expr, arr_cols: set):
+    """(col, field_names, where_ast) for a projection-position
+    `(SELECT plain, fields FROM $this.<arrcol> [WHERE cond])`
+    (exec/operators/current_value_source.rs binds $this to the outer row;
+    the array source iterates its dereferenced elements)."""
+    if not (isinstance(expr, tuple) and expr[0] == "subquery"):
+        return None
+    sub = expr[1]
+    if (not sub.fields or sub.group is not None or sub.order
+            or sub.limit is not None or sub.start or sub.split
+            or sub.fetch or getattr(sub, "value_expr", None) is not None):
+        return None
+    if len(sub.sources) != 1:
+        return None
+    s = sub.sources[0]
+    if not (isinstance(s, tuple) and s[0] == "exprsrc"
+            and isinstance(s[1], tuple) and s[1][0] == "path"
+            and s[1][1] == ("param", "this") and len(s[1][2]) == 1
+            and s[1][2][0][0] == "field"
+            and s[1][2][0][1] in arr_cols):
+        return None
+    names = []
+    for f in sub.fields:
+        if f.alias is not None or f.expr[0] != "ident":
+            return None
+        names.append(f.expr[1])
+    if sub.where is not None and _refs_parent(sub.where):
+        return None
+    return (s[1][2][0][1], names, sub.where)
+
+
+def _has_array_deref(ast, arr_cols: set) -> bool:
+    if not isinstance(ast, (tuple, list)):
+        return False
+    if _array_deref_shape(ast, arr_cols) is not None:
+        return True
+    if isinstance(ast, tuple) and ast[0] == "subquery":
+        return _this_array_subquery(ast, arr_cols) is not None
+    return any(_has_array_deref(x, arr_cols) for x in ast
+               if isinstance(x, (tuple, list)))
+
+
+def _extract_array_derefs(ast, arr_cols: set, specs: list):
+    """Array-link deref paths → hidden attach_array_deref slots."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "subquery":
+        return ast
+    shape = _array_deref_shape(ast, arr_cols)
+    if shape is not None:
+        base_col, kind_, payload = shape
+        slot = f"__ar_s{len(specs)}"
+        specs.append((slot, base_col,
+                      payload if kind_ == "destructure" else [payload]))
+        return ("ident", slot)
+    return tuple(
+        _extract_array_derefs(x, arr_cols, specs) if isinstance(x, tuple)
+        else ([_extract_array_derefs(e, arr_cols, specs) for e in x]
+              if isinstance(x, list) else x)
+        for x in ast)
+
+
 def eval_lookup_value(spark, cat, ast, params: dict):
     """Scalar evaluation of an expression containing graph lookups from
     literal record-id receivers (`person:alice->knows->person`) — a
     one-row frame through the same join-based attach, so scalar and SELECT
     traversals share one engine (OLTP point lookup; the frontier seeds
     from the literal)."""
+    if (ast[0] == "path" and isinstance(ast[1], tuple)
+            and ast[1][0] == "array"):
+        # array base (`[person:1][?true]->likes->person`): each element
+        # traverses independently; the result nests per element
+        # (exec/physical_expr/idiom.rs maps Parts over arrays)
+        parts = list(ast[2])
+        gi = next((i for i, p in enumerate(parts)
+                   if isinstance(p, tuple) and p[0] == "graph"), None)
+        if gi is not None:
+            from surrealdb_spark import pyeval
+
+            try:
+                seeds = pyeval.peval(
+                    ("path", ast[1], parts[:gi]) if gi else ast[1],
+                    params)
+            except Exception:
+                seeds = None
+            if isinstance(seeds, list):
+                out = []
+                for s in seeds:
+                    if isinstance(s, str) and ":" in s:
+                        out.append(eval_lookup_value(
+                            spark, cat,
+                            ("path", ("lit", s), parts[gi:]), params))
+                    else:
+                        out.append(None)
+                return out
     if (ast[0] == "path" and ast[1][0] in ("lit", "ulit")
             and isinstance(ast[1][1], str) and ":" in str(ast[1][1])
             and len(ast[2]) == 2 and ast[2][0][0] == "recurse"
@@ -3084,6 +3307,15 @@ def eval_lookup_value(spark, cat, ast, params: dict):
                              and sub[0][1][2][0] == "path"
                              and sub[0][1][2][2]
                              and sub[0][1][2][2][-1] == ("repeat",)))
+                    # nested `links.{ a: a.@ }` repeat inside a
+                    # sub-destructure (recursion_nested_destructure)
+                    or (sub and sub[0][0] == "destructure"
+                        and any(isub and isub[0][0] == "aliased"
+                                and isinstance(isub[0][1], tuple)
+                                and isub[0][1][0] == "path"
+                                and isub[0][1][2]
+                                and isub[0][1][2][-1] == ("repeat",)
+                                for _in, isub in sub[0][1]))
                     for _n, sub in ast[2][1][1])):
         # `rid.{..max}.{f, kids: ->e->t.@}` — recursive destructure tree
         # (recursion.rs RepeatRecurse); recursively-typed result → the

@@ -52,8 +52,9 @@ def to_sql(ast) -> str:
             return "NONE"
         if isinstance(v, str):
             return v if _is_record_id(v) else f"'{v}'"
-        if isinstance(v, float) and v == int(v):
-            return str(int(v)) + "f"
+        if isinstance(v, float):
+            # ToSql prints the float marker on every float literal
+            return (str(int(v)) if v == int(v) else str(v)) + "f"
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
@@ -695,6 +696,46 @@ def _branch_index(runner, d_ast, defs):
     return None
 
 
+def _fold_const(ast):
+    """Constant-fold a parameter-free expression AST to a literal for
+    plan-time index bounds (`v > math::max([0, 1])` plans as `v > 1` —
+    exec/index/analysis.rs constant analysis; statements/define/index/
+    with_non_boolean_expression.surql)."""
+    if not isinstance(ast, tuple) or ast[0] in ("lit", "nulllit", "ulit",
+                                                "dur"):
+        return ast
+
+    def has_free(a):
+        if not isinstance(a, (tuple, list)):
+            return False
+        if isinstance(a, tuple) and a[0] in ("ident", "param", "path",
+                                             "curr", "subquery", "idiom"):
+            return True
+        return any(has_free(x) for x in a if isinstance(x, (tuple, list)))
+
+    def unpv(a):
+        # bound-param values (`pval`, _subst_params) are plan-time
+        # literals for the folder
+        if not isinstance(a, tuple):
+            return a
+        if a[0] == "pval":
+            return ("lit", a[1])
+        return tuple(unpv(x) if isinstance(x, tuple)
+                     else ([unpv(e) for e in x] if isinstance(x, list)
+                           else x)
+                     for x in a)
+
+    ast = unpv(ast)
+    if has_free(ast):
+        return ast
+    try:
+        from surrealdb_spark.pyeval import peval
+
+        return ("lit", peval(ast, {}))
+    except Exception:
+        return ast
+
+
 def _match_compound(d, conj):
     """Match a (possibly compound) index against AND conjuncts.
 
@@ -716,7 +757,7 @@ def _match_compound(d, conj):
                 # no index access (param_value_index_new_executor.surql)
                 continue
             if op in ("=", "=="):
-                hit = (pos, c, ("eq", c[3]))
+                hit = (pos, c, ("eq", _fold_const(c[3])))
                 break
             if op in ("IN", "INSIDE", "CONTAINS", "CONTAINSALL",
                       "CONTAINSANY") and fi in (0, len(d.fields) - 1):
@@ -726,7 +767,7 @@ def _match_compound(d, conj):
                 hit = (pos, c, ("set", c[3]))
                 break
             if op in (">", ">=", "<", "<="):
-                hit = (pos, c, ("range", op, c[3]))
+                hit = (pos, c, ("range", op, _fold_const(c[3])))
                 break
         if hit is None:
             break
@@ -750,7 +791,7 @@ def _match_compound(d, conj):
                     continue
                 if _field_of(c2[2]) != f:
                     continue
-                bounds.append((str(c2[1]), c2[3]))
+                bounds.append((str(c2[1]), _fold_const(c2[3])))
                 if c2 is not c:
                     used.append(c2)
                 last_pos = max(last_pos, pos2)
@@ -764,7 +805,7 @@ def _match_compound(d, conj):
                 if c2 is c or c2[0] != "bin":
                     continue
                 if str(c2[1]) in want and _field_of(c2[2]) == f:
-                    bounds.append((str(c2[1]), c2[3]))
+                    bounds.append((str(c2[1]), _fold_const(c2[3])))
                     used.append(c2)
                     last_pos = max(last_pos, pos2)
                     break

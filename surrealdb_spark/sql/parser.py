@@ -1522,7 +1522,20 @@ def _parse_select_body(p: Parser) -> Select:
             sel.start = int(p.expect("num").text)
     if p.eat("kw", "FETCH"):
         while True:
-            sel.fetch.append(p.expect("name").text)
+            name = p.expect("name").text
+            # dotted fetch paths (`FETCH tags.*.name`, `FETCH tags.name`)
+            # fetch the BASE field's records; the sub-path narrows which
+            # nested links to pursue — whole-record fetch subsumes it
+            # (expr/fetch.rs Fetchs)
+            while p.eat("op", "."):
+                nt = p.next()
+                if nt.kind == "op" and nt.text == "*":
+                    continue
+                if nt.kind not in ("name", "kw"):
+                    raise SyntaxError(
+                        f"bad FETCH path segment {nt.text!r}")
+            if name not in sel.fetch:
+                sel.fetch.append(name)
             if not p.eat("op", ","):
                 break
     if p.eat_word("VERSION"):

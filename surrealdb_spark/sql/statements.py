@@ -1207,7 +1207,15 @@ def _parse_statement_body(p: Parser):
                         st.texts["default_always"] = True
                     t0 = p.peek()
                     st.default = p.expr(0)
-                    st.texts["default"] = p.span_text(t0, p.peek())
+                    dtext = p.span_text(t0, p.peek())
+                    import re as _re_f
+
+                    # canonical float literals print with the f suffix
+                    # (val/number.rs Display)
+                    if _re_f.fullmatch(r"[+-]?\d+\.\d+([eE][+-]?\d+)?",
+                                       dtext):
+                        dtext += "f"
+                    st.texts["default"] = dtext
                 elif p.eat("kw", "VALUE"):
                     t0 = p.peek()
                     st.value = p.expr(0)
@@ -2409,6 +2417,43 @@ class StatementRunner:
                 raise
         return self._run_main(text, params)
 
+    def _rewrite_writable_sources(self, txt: str, params):
+        """Replace `( <DML> )` groups in a SELECT's text with dynamic
+        source params bound to the DML's result rows (writable
+        subqueries, exec/planner.rs:309-336)."""
+        import re as _re9
+
+        from surrealdb_spark.values import strip_absent
+
+        params = dict(params or {})
+        n = 0
+        while True:
+            m = _re9.search(
+                r"\(\s*(CREATE|UPDATE|UPSERT|DELETE|INSERT|RELATE)\b",
+                txt, _re9.I)
+            if m is None:
+                return txt, params
+            # balanced-paren extraction from the match's "("
+            start = txt.index("(", m.start())
+            depth, i = 0, start
+            while i < len(txt):
+                if txt[i] == "(":
+                    depth += 1
+                elif txt[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            inner = txt[start + 1:i]
+            df = self.run(inner.strip(), params=params)
+            rows = [] if df is None else \
+                [strip_absent(r.asDict(recursive=True))
+                 for r in df.limit(10_000).collect()]
+            slot = f"__ws{n}"
+            n += 1
+            params[slot] = rows
+            txt = txt[:start] + f"${slot}" + txt[i + 1:]
+
     def _snapshot_root(self) -> str:
         """Copy the database root for transaction rollback (OLTP-scoped:
         BEGIN/COMMIT batches are interactive-size, not the analytics
@@ -2443,6 +2488,15 @@ class StatementRunner:
 
         txt = text.strip().rstrip(";").strip()
         import re as _re0
+
+        if _re0.match(r"SELECT\b", txt, _re0.I) and _re0.search(
+                r"\(\s*(CREATE|UPDATE|UPSERT|DELETE|INSERT|RELATE)\b",
+                txt, _re0.I):
+            # writable subquery source (`SELECT ... FROM (UPSERT t)`,
+            # exec/planner.rs:309-336): run the inner DML first and bind
+            # its rows as a dynamic source param
+            txt, params = self._rewrite_writable_sources(txt, params)
+            text = txt
 
         m0 = _re0.match(
             r"EXPLAIN(\s+ANALYZE)?(\s+FORMAT\s+JSON)?\s+(.*)$", txt,
@@ -4465,6 +4519,29 @@ class StatementRunner:
                     stmt.name] = ("refs", stmt.computed[1])
                 return None
             if stmt.computed is not None:
+                # COMPUTED exclusions (define/field.rs computed checks)
+                if stmt.name == "id":
+                    raise ValueError(
+                        "Cannot use the `COMPUTED` keyword on the `id` "
+                        "field.")
+                for kw, bad in (("VALUE", stmt.value is not None),
+                                ("ASSERT", stmt.assert_ is not None),
+                                ("DEFAULT", stmt.default is not None),
+                                ("REFERENCE",
+                                 stmt.texts.get("reference", False)),
+                                ("READONLY",
+                                 stmt.texts.get("readonly", False))):
+                    if bad:
+                        raise ValueError(
+                            f"Cannot use the `{kw}` keyword with "
+                            "`COMPUTED`.")
+                for ixn, d in self.index_defs.items():
+                    if d.table == stmt.table and any(
+                            str(f).split(".", 1)[0].split("[", 1)[0]
+                            == stmt.name for f in d.fields):
+                        raise ValueError(
+                            f"Computed fields cannot be indexed. "
+                            f"Index: '{ixn}' - Field: '{stmt.name}'")
                 # generic COMPUTED <expr>: evaluated at read, always
                 # present on every record (define/field.rs Computed)
                 cast = stmt.computed
@@ -4517,7 +4594,8 @@ class StatementRunner:
                 ))(vast)
             td.fields = [f for f in td.fields if f.name != stmt.name]
             td.fields.append(FieldDef(stmt.name, dtype, default, assert_fn,
-                                      value_fn=value_fn))
+                                      value_fn=value_fn,
+                                      kind=stmt.kind_text or stmt.dtype))
             return None
         if isinstance(stmt, DefineAnalyzerStmt):
             from surrealdb_spark.pipeline.analyzer import define_analyzer
@@ -4553,6 +4631,14 @@ class StatementRunner:
                     else [str(v)]
 
             stmt.fields = [r for f in stmt.fields for r in _resolve_ixf(f)]
+            # computed fields have no stored value to index
+            # (define/index.rs computed check)
+            for f in stmt.fields:
+                root = str(f).split(".", 1)[0].split("[", 1)[0]
+                if root in self.computed_fields.get(stmt.table, {}):
+                    raise ValueError(
+                        f"Computed fields cannot be indexed. "
+                        f"Index: '{stmt.name}' - Field: '{root}'")
             self.index_defs[stmt.name] = stmt
             if stmt.table not in self.db.tables:
                 self.db.define_table(TableDef(stmt.table))
@@ -5216,6 +5302,18 @@ class StatementRunner:
             return ast[1]
         if ast[0] == "param":
             return params[ast[1]]
+        if ast[0] == "array":
+            # element-wise: Spark's array() coerces mixed element types
+            # (['London', d'...'] must stay string+datetime)
+            return [self._scalar(e, params) for e in ast[1]]
+        if ast[0] == "object":
+            from surrealdb_spark.sql.compiler import _geom_literal_kind
+
+            if _geom_literal_kind(ast) is None:
+                # member-wise (heterogeneous values keep their own types);
+                # geometry literals fall through to the compile path which
+                # builds the tagged geometry struct
+                return {k: self._scalar(v, params) for k, v in ast[1]}
         row = self.spark.range(1).select(self._expr(ast, params).alias("v")).first()
         return row["v"]
 
@@ -5370,6 +5468,42 @@ class StatementRunner:
             return self._ret_expr_static(before_df, after_df, ret, params)
         return self._ret(before_df, after_df, ret)
 
+    @staticmethod
+    def _normalize_id_value(rid, tbl: str) -> str:
+        """Validate + canonicalize a user-provided `id` value on CREATE/
+        INSERT (doc/create.rs:21-23): empty ids and range values ERROR; a
+        record id of another table keeps its KEY under the target table;
+        array keys render canonically."""
+        from surrealdb_spark.values import render_rid_vals
+
+        if hasattr(rid, "asDict"):  # collected Row (range struct, ...)
+            rid = rid.asDict()
+        if isinstance(rid, list):
+            return f"{tbl}:{render_rid_vals(rid)}"
+        if isinstance(rid, dict):
+            if "start_incl" in rid or "end_incl" in rid:
+                from surrealdb_spark.pyeval import render as _render
+
+                raise ValueError(
+                    f"Found {_render(rid)} for the Record ID but this is "
+                    "not a valid id")
+            from surrealdb_spark.values import render_rid_obj
+
+            try:
+                return f"{tbl}:{render_rid_obj(('object', list(rid.items())))}"
+            except Exception:
+                return f"{tbl}:{rid}"
+        if isinstance(rid, str):
+            if rid == "":
+                raise ValueError(
+                    "Found '' for the Record ID but this is not a valid id")
+            if ":" in rid:
+                # a record id (possibly of ANOTHER table): the KEY lands
+                # under the statement's target table (doc/create.rs)
+                return f"{tbl}:{rid.split(':', 1)[1]}"
+            return f"{tbl}:{rid}"
+        return f"{tbl}:{rid}"
+
     def _fpath_segs(self, segs, params) -> list[str]:
         """Resolve a nested assignment path's segments to field names."""
         out = []
@@ -5384,6 +5518,109 @@ class StatementRunner:
                 out.append(val)
         return out
 
+    @staticmethod
+    def _kind_ok_py(v, kind: str) -> bool:
+        """Driver-side kind membership for write-time coercion checks
+        (doc/field.rs; strict — no silent cast)."""
+        import datetime as _dtm
+        import decimal as _dec
+
+        k = (kind or "").strip().lower()
+        if k.startswith("option<") and k.endswith(">"):
+            k = k[7:-1].strip()
+        base = k.split("<", 1)[0]
+        if base == "string":
+            return isinstance(v, str)
+        if base in ("number", "int", "float", "decimal"):
+            return (isinstance(v, (int, float, _dec.Decimal))
+                    and not isinstance(v, bool))
+        if base == "bool":
+            return isinstance(v, bool)
+        if base == "datetime":
+            return isinstance(v, _dtm.datetime)
+        if base == "object":
+            return isinstance(v, dict) or hasattr(v, "asDict")
+        if base in ("array", "set"):
+            return isinstance(v, list)
+        return True
+
+    def _enforce_field_kinds(self, tbl: str, d: dict) -> dict:
+        """Write-time DEFINE FIELD TYPE enforcement over a literal row
+        (doc/field.rs process_table_fields): explicit NULL on a non-option
+        kind errors, object kinds reject scalars, nested members
+        (`obj.a TYPE string`) must be present and well-typed.  Nested
+        object values with typed members convert dict → Row so the stored
+        struct keeps each member's type."""
+        td = self.db.tables.get(tbl)
+        if td is None:
+            return d
+        rid = d.get("id", f"{tbl}:?")
+        nested_bases = set()
+        for fd in td.fields:
+            k = fd.kind or ""
+            kl = k.strip().lower()
+            opt = kl.startswith("option<") or kl in ("", "any",
+                                                     "references")
+            if "." in fd.name:
+                if "*" in fd.name:
+                    continue
+                base, sub = fd.name.split(".", 1)
+                if "." in sub:
+                    continue
+                nested_bases.add(base)
+                node = d.get(base)
+                if not isinstance(node, dict):
+                    continue
+                v = node.get(sub)
+                if v is None:
+                    if not opt:
+                        raise ValueError(
+                            f"Couldn't coerce value for field "
+                            f"`{fd.name}` of `{rid}`: Expected `{k}` "
+                            f"but found NONE")
+                    continue
+                if kl.split("<", 1)[0] in ("string", "number", "int",
+                                           "float", "decimal", "bool",
+                                           "option") \
+                        and not self._kind_ok_py(v, k):
+                    from surrealdb_spark.pyeval import render as _r
+
+                    raise ValueError(
+                        f"Couldn't coerce value for field `{fd.name}` "
+                        f"of `{rid}`: Expected `{k}` but found {_r(v)}")
+                continue
+            if fd.name not in d:
+                continue
+            v = d[fd.name]
+            if v is None and not opt and kl:
+                raise ValueError(
+                    f"Couldn't coerce value for field `{fd.name}` of "
+                    f"`{rid}`: Expected `{k}` but found NULL")
+            base_k = kl.removeprefix("option<").split("<", 1)[0]
+            if v is not None and base_k == "object" \
+                    and not self._kind_ok_py(v, "object"):
+                from surrealdb_spark.pyeval import render as _r
+
+                raise ValueError(
+                    f"Couldn't coerce value for field `{fd.name}` of "
+                    f"`{rid}`: Expected `object` but found {_r(v)}")
+        from pyspark.sql import Row as _Row
+
+        def _rowify(x):
+            # non-empty dict → Row: the stored struct keeps each member's
+            # own type (a dict would infer map<string,string>)
+            if isinstance(x, dict) and x:
+                return _Row(**{k2: _rowify(v2) for k2, v2 in x.items()})
+            if isinstance(x, list):
+                return [_rowify(e) for e in x]
+            return x
+
+        for k2 in list(d):
+            if k2 not in ("id", "__present") and isinstance(d[k2],
+                                                            (dict, list)):
+                d[k2] = _rowify(d[k2])
+        return d
+
     def _literal_rows(self, dicts: list[dict], tgt: Target, params: dict) -> DataFrame:
         rows = []
         for i, d in enumerate(dicts):
@@ -5395,8 +5632,9 @@ class StatementRunner:
                     import uuid as _uuid
 
                     d["id"] = f"{tgt.table}:{_uuid.uuid4().hex[:16]}"
-            elif not isinstance(d["id"], str) or ":" not in str(d["id"]):
-                d["id"] = f"{tgt.table}:{d['id']}"
+            else:
+                d["id"] = self._normalize_id_value(d["id"], tgt.table)
+            d = self._enforce_field_kinds(tgt.table, d)
             # field-presence marker: which fields THIS record carries
             # (schema-union NULLs are indistinguishable from explicit NULL
             # otherwise; values.strip_absent consumes it on output)
@@ -5528,8 +5766,24 @@ class StatementRunner:
         if kind == "set":
             dtypes = (dict(self.db.table(tbl).dtypes)
                       if self.db._exists(tbl) else {})
+            td0 = self.db.tables.get(tbl)
+            declared = {fd.name: fd.kind for fd in
+                        (td0.fields if td0 else []) if fd.kind}
             out = {}
             for f_, op, ast in payload:
+                if isinstance(f_, str) and op == "=" and f_ in declared:
+                    from surrealdb_spark.sql.compiler import \
+                        _static_of_kind as _sok
+
+                    dk = declared[f_].strip().lower()
+                    dk = dk.removeprefix("option<").split("<", 1)[0]
+                    sk = _sok(ast, params, None)
+                    if dk == "object" and sk is not None \
+                            and sk not in ("object", "null", "none") \
+                            and not sk.startswith("geometry"):
+                        raise ValueError(
+                            f"Couldn't coerce value for field `{f_}`: "
+                            f"Expected `object` but found `{sk}`")
                 rhs = compile_expr(ast, params, types)
                 if isinstance(f_, tuple) and f_[0] == "fpath":
                     # nested path: withField chain over the struct column
