@@ -1268,12 +1268,23 @@ def _num_arr(a, ctx):
             and not isinstance(x, bool)]
 
 
+def _ck_i64(v, ctx):
+    # int results must stay in i64 (number.rs checked ops)
+    if isinstance(v, int) and not isinstance(v, bool) \
+            and not -(2 ** 63) <= v < 2 ** 63:
+        raise EvalError(f"There was a problem running the {ctx}() "
+                        "function. Integer overflow")
+    return v
+
+
 PY_FNS["math::max"] = lambda a: (max(_num_arr(a, "math::max"))
                                  if _num_arr(a, "math::max") else None)
 PY_FNS["math::min"] = lambda a: (min(_num_arr(a, "math::min"))
                                  if _num_arr(a, "math::min") else None)
-PY_FNS["math::sum"] = lambda a: sum(_num_arr(a, "math::sum"))
-PY_FNS["math::abs"] = lambda v: abs(_num(v, "math::abs"))
+PY_FNS["math::sum"] = lambda a: _ck_i64(sum(_num_arr(a, "math::sum")),
+                                        "math::sum")
+PY_FNS["math::abs"] = lambda v: _ck_i64(abs(_num(v, "math::abs")),
+                                        "math::abs")
 PY_FNS["math::floor"] = lambda v: _math.floor(_num(v, "math::floor"))
 PY_FNS["math::ceil"] = lambda v: _math.ceil(_num(v, "math::ceil"))
 PY_FNS["math::round"] = lambda v: round(_num(v, "math::round"))

@@ -2613,7 +2613,9 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         key = F.substring_index(F.col("id").cast("string"), ":", -1)
         df = df.orderBy(key.try_cast("bigint").asc_nulls_last(),
                         F.col("id").asc())
-    elif sel.start and not sel.order and "id" in df.columns:
+    elif sel.start and not sel.order and "id" in df.columns and str_srcs:
+        # deterministic paging over lazily-scanned parquet tables; a
+        # subquery source keeps its own (possibly ORDER BY'd) row order
         key = F.substring_index(F.col("id").cast("string"), ":", -1)
         df = df.orderBy(key.try_cast("bigint").asc_nulls_last(),
                         F.col("id").asc())
