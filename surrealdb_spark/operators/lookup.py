@@ -622,15 +622,26 @@ def attach_array_deref(df: DataFrame, cat, slot: str, col: str,
 def recursive_destructure_value(spark, cat, start_rid: str, bounds,
                                 destr_fields: list):
     """`rid.{..max}.{name, kids: ->edge->tbl.@}` — nested-tree assembly
-    (recursion.rs Part::RepeatRecurse; graph/destructure_recursive.surql).
+    for ONE root record (recursion.rs Part::RepeatRecurse;
+    graph/destructure_recursive.surql)."""
+    return recursive_destructure_trees(
+        spark, cat, [start_rid], bounds, destr_fields).get(start_rid)
+
+
+def recursive_destructure_trees(spark, cat, start_rids: list, bounds,
+                                destr_fields: list) -> dict:
+    """Nested-tree assembly for a SET of root records sharing ONE BFS
+    (recursion.rs Part::RepeatRecurse; idiom/recursion_graph.surql
+    `SELECT VALUE @{..}.{...} FROM person` recurses every row).
 
     The result is a recursively-typed document (unbounded nesting), which
     no static Spark schema can carry — so this is the OLTP point-query
     path: a level-wise distributed BFS collects the reachable closure
     (one filtered edge scan per level — same frontier pattern as
-    recurse_value), then the tree assembles driver-side from the collected
-    maps.  Work is bounded by the reachable subgraph of ONE root record,
-    not the table size."""
+    recurse_value, shared across ALL roots, so N roots cost the same
+    scans as one), then each tree assembles driver-side from the
+    collected maps.  Work is bounded by the roots' reachable subgraph,
+    not the table size; every materialization is loudly capped."""
     from surrealdb_spark.values import key_sort_text, strip_absent
 
     lo, hi = bounds
@@ -728,9 +739,9 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
         return got
 
     children: dict[str, dict[str, list]] = {n: {} for n in trav}
-    rowmap: dict[str, dict] = _fetch_rows({start_rid})
-    frontier = {start_rid}
-    seen = {start_rid}
+    rowmap: dict[str, dict] = _fetch_rows(set(start_rids))
+    frontier = set(start_rids)
+    seen = set(start_rids)
     depth_reached = 1
     for _depth in range(hi_eff):
         if not frontier:
@@ -835,12 +846,16 @@ def recursive_destructure_value(spark, cat, start_rid: str, bounds,
                 out[name] = _PE.peval(cl[2], {cl[1][0]: out[name]})
         return out, deepest
 
-    result, dd = assemble(start_rid, 1, ())
-    if lo is not None and lo > max(dd, depth_reached):
-        # the tree is shallower than the minimum depth: no result
-        # (recursion.rs min bound; recursion_record_links `{5..}`)
-        return None
-    return result
+    out: dict = {}
+    for rid in start_rids:
+        result, dd = assemble(rid, 1, ())
+        if lo is not None and lo > max(dd, depth_reached):
+            # the tree is shallower than the minimum depth: no result
+            # (recursion.rs min bound; recursion_record_links `{5..}`)
+            out[rid] = None
+        else:
+            out[rid] = result
+    return out
 
 
 # -- bounded recursion `.{min..max}[+instr](->edge->tbl)` ---------------------

@@ -552,7 +552,72 @@ def peval(ast, env: dict | None = None):
             if truthy(peval(cond, env)):
                 return peval(then, env)
         return peval(ast[2], env) if ast[2] is not None else None
+    if kind == "subquery":
+        return eval_select(ast[1], env)
     raise Unfoldable(f"node kind {kind}")
+
+
+def eval_select(sel, env: dict | None = None):
+    """Driver-side SELECT over literal (non-table) sources — covers the
+    nested `$parent`-correlated shapes one grouped join can't decorrelate
+    (exec/operators/current_value_source.rs evaluates the inner plan per
+    outer row; here every source is a literal, so the per-row walk is a
+    bounded driver loop, never a distributed scan).  Raises Unfoldable
+    when any clause or source needs the Spark engine."""
+    env = dict(env or {})
+    if (sel.group is not None or sel.split or sel.fetch or sel.explain
+            or sel.version is not None or sel.omit or sel.order):
+        raise Unfoldable("select clause needs the engine")
+    docs: list = []
+    for src in sel.sources:
+        if not isinstance(src, tuple):
+            raise Unfoldable(f"table source {src!r}")
+        if src[0] == "exprsrc":
+            src = src[1]
+        v = peval(src, env)
+        if _is_range(v):
+            v = _range_list(v)
+        if isinstance(v, list):
+            docs.extend(v)
+        else:
+            docs.append(v)
+    out: list = []
+    for doc in docs:
+        denv = dict(env)
+        denv["parent"] = env.get("this")
+        denv["this"] = doc
+        if sel.where is not None and not truthy(peval(sel.where, denv)):
+            continue
+        if sel.value_expr is not None:
+            out.append(peval(sel.value_expr, denv))
+        elif sel.fields:
+            extras: dict = {}
+            for f in sel.fields:
+                if f.alias:
+                    name = f.alias
+                elif isinstance(f.expr, tuple) and f.expr[0] == "ident":
+                    name = f.expr[1]
+                else:
+                    raise Unfoldable("unnamed projection")
+                extras[name] = peval(f.expr, denv)
+            if sel.star:
+                if not isinstance(doc, dict):
+                    raise Unfoldable("star over non-object row")
+                out.append({**doc, **extras})
+            else:
+                out.append(extras)
+        else:
+            out.append(doc)
+    if sel.start:
+        out = out[sel.start:]
+    if sel.limit is not None:
+        out = out[:sel.limit]
+    if sel.only:
+        if len(out) > 1:
+            raise EvalError("Expected a single result output when using "
+                            "the ONLY keyword")
+        return out[0] if out else None
+    return out
 
 
 def _mkset(items: list) -> SetVal:

@@ -2651,8 +2651,89 @@ class StatementRunner:
         nested = self._nested_graph_projection(stmt, params)
         if nested is not None:
             return nested
-        return compile_select(self.spark, stmt, catalog=self.catalog,
-                              params=params)
+        rdtrees = self._recursive_destructure_select(stmt, params)
+        if rdtrees is not None:
+            return rdtrees
+        try:
+            return compile_select(self.spark, stmt, catalog=self.catalog,
+                                  params=params)
+        except ValueError as exc:
+            if "subquery" not in str(exc):
+                raise
+            # nested $parent-correlated subqueries over literal sources:
+            # Catalyst's one-join decorrelation can't scope two levels;
+            # every source is a literal, so the driver walk is bounded
+            # (current_value_source.rs per-row evaluation)
+            from surrealdb_spark import pyeval
+
+            try:
+                return pyeval.eval_select(stmt, dict(params or {}))
+            except pyeval.Unfoldable:
+                raise exc
+            except pyeval.EvalError as e2:
+                raise ValueError(str(e2))
+
+    def _recursive_destructure_select(self, sel, params: dict):
+        """`SELECT VALUE @{..}.{f, kids: ->e->t.@} FROM tbl` — per-row
+        recursive destructure (recursion.rs Part::RepeatRecurse with a
+        table source; idiom/recursion_graph.surql).  The result rows are
+        recursively-typed trees no static Spark schema can carry, so the
+        roots (capped) assemble driver-side over ONE shared BFS —
+        N roots cost the same level-wise edge scans as one."""
+        e = sel.value_expr
+        if not (isinstance(e, tuple) and e[0] == "path"
+                and e[1] in (("curr",), ("ident", "id"))
+                and len(e[2]) == 2 and e[2][0][0] == "recurse"
+                and not e[2][0][2] and not e[2][0][3]
+                and e[2][1][0] == "destructure"):
+            return None
+
+        def _has_repeat(entries) -> bool:
+            for _n, sub in entries:
+                if sub and sub[0][0] == "aliased":
+                    p = sub[0][1]
+                    if (isinstance(p, tuple) and p[0] == "method"
+                            and p[1] == "chain"):
+                        p = p[2]
+                    if (isinstance(p, tuple) and p[0] == "path"
+                            and p[2] and p[2][-1] == ("repeat",)):
+                        return True
+                if sub and sub[0][0] == "destructure" \
+                        and _has_repeat(sub[0][1]):
+                    return True
+            return False
+
+        if not _has_repeat(e[2][1][1]):
+            return None
+        if (sel.fields or sel.where is not None or sel.group is not None
+                or sel.order or sel.split or sel.fetch or sel.omit
+                or len(sel.sources) != 1
+                or not isinstance(sel.sources[0], str)):
+            return None
+        from surrealdb_spark.operators.lookup import (
+            recursive_destructure_trees)
+        from surrealdb_spark.values import key_sort_text
+
+        try:
+            src = self.catalog.table(sel.sources[0])
+        except Exception:
+            return None
+        if "id" not in src.columns:
+            return None
+        rids = [r["id"] for r in _bounded_collect(
+            src.select("id"), "recursive destructure roots")]
+        rids.sort(key=lambda s: (str(s).split(":", 1)[0],
+                                 key_sort_text(str(s).split(":", 1)[1])))
+        trees = recursive_destructure_trees(
+            self.spark, self.catalog, rids, e[2][0][1], e[2][1][1])
+        out = [trees.get(r) for r in rids]
+        if sel.start:
+            out = out[sel.start:]
+        if sel.limit is not None:
+            out = out[:sel.limit]
+        if sel.only:
+            return out[0] if out else None
+        return out
 
     def _nested_graph_projection(self, sel, params: dict):
         """Unaliased multi-hop graph projections with destructure tails
