@@ -311,6 +311,7 @@ class Database:
                                        "bigint", "float", "double",
                                        "decimal")
 
+
     def _kindify_col(self, df: DataFrame, c: str) -> DataFrame:
         """Convert one natively-typed column to kinded-JSON storage:
         value → JSON text, __k_<c> → per-row kind name (values.py)."""
@@ -333,6 +334,8 @@ class Database:
         Same-family numeric conflicts widen (union coercion); any other
         kind conflict degrades the column to kinded-JSON on both sides
         and registers it in TableDef.kinded (values.py kinded columns)."""
+        from surrealdb_spark.values import merge_union_dt
+
         td = self.tables[tbl]
         st, it = dict(stored.dtypes), dict(incoming.dtypes)
         for c in sorted(set(st) & set(it)):
@@ -348,6 +351,17 @@ class Database:
                 continue
             if self._is_numeric_dt(st[c]) and self._is_numeric_dt(it[c]):
                 continue  # number family widens in place
+            tgt = merge_union_dt(st[c], it[c])
+            if tgt is not None:
+                # void (all-NULL) slots take the other side's type — a
+                # NONE first write must not degrade the column to JSON
+                # (CREATE org SET parent = NONE, then parent = org:x) —
+                # and numeric arrays widen element-wise
+                if st[c] != tgt:
+                    stored = stored.withColumn(c, F.col(c).cast(tgt))
+                if it[c] != tgt:
+                    incoming = incoming.withColumn(c, F.col(c).cast(tgt))
+                continue
             stored = self._kindify_col(stored, c)
             incoming = self._kindify_col(incoming, c)
             td.kinded.add(c)

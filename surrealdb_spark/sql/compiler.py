@@ -223,6 +223,9 @@ def _type_cat(simple: str) -> str | None:
     return None
 
 
+from surrealdb_spark.values import merge_union_dt as _union_merge_dt
+
+
 def types_of(df: DataFrame) -> dict[str, str]:
     """Column name → coarse type category, for static operator dispatch."""
     out = {}
@@ -2175,6 +2178,20 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     dfs = [resolve(s) for s in sel.sources]
     df = dfs[0]
     for other in dfs[1:]:
+        # numeric-family slots widen before the union (FROM pts, pts2
+        # where one table stored array<bigint> and the other
+        # array<double> — Spark union has no implicit array widening)
+        st, ot = dict(df.dtypes), dict(other.dtypes)
+        for c in set(st) & set(ot):
+            if st[c] == ot[c]:
+                continue
+            tgt = _union_merge_dt(st[c], ot[c])
+            if tgt is None:
+                continue
+            if st[c] != tgt:
+                df = df.withColumn(c, F.col(c).cast(tgt))
+            if ot[c] != tgt:
+                other = other.withColumn(c, F.col(c).cast(tgt))
         df = df.unionByName(other, allowMissingColumns=True)
     if df.columns == ["value"]:
         # bare-value source rows: $this denotes the row value

@@ -5702,10 +5702,35 @@ class StatementRunner:
                 d[k2] = _rowify(d[k2])
         return d
 
+    @staticmethod
+    def _promote_mixed_nums(v):
+        """Mixed-subtype numeric lists ([1.5, 0]) can't infer a Spark
+        array type — promote every element to the widest member
+        (decimal unless a float is present, else double).  Recursive
+        through lists and object values; non-numeric mixes untouched."""
+        from decimal import Decimal as _D
+
+        if isinstance(v, dict):
+            return {k: StatementRunner._promote_mixed_nums(x)
+                    for k, x in v.items()}
+        if not isinstance(v, list):
+            return v
+        v = [StatementRunner._promote_mixed_nums(x) for x in v]
+        elems = [x for x in v if x is not None]
+        if not elems or not all(
+                isinstance(x, (int, float, _D)) and not isinstance(x, bool)
+                for x in elems):
+            return v
+        kinds = {type(x) for x in elems}
+        if len(kinds) <= 1:
+            return v
+        conv = _D if (_D in kinds and float not in kinds) else float
+        return [conv(x) if x is not None else None for x in v]
+
     def _literal_rows(self, dicts: list[dict], tgt: Target, params: dict) -> DataFrame:
         rows = []
         for i, d in enumerate(dicts):
-            d = dict(d)
+            d = {k: self._promote_mixed_nums(x) for k, x in d.items()}
             if "id" not in d:
                 if tgt.key is not None:
                     d["id"] = f"{tgt.table}:{self._key_text(tgt, params)}"

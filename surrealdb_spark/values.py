@@ -209,6 +209,36 @@ class ClosureValue:
         return f"<closure({', '.join('$' + n for n in self.names)})>"
 
 
+_NUM_DT_ORDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                 "float": 4, "double": 5}
+
+
+def merge_union_dt(a: str, b: str) -> str | None:
+    """Widest dtype for a union-slot mismatch: numeric family widens
+    (decimal beats ints, double beats decimal-vs-float), void takes the
+    other side, arrays merge element-wise.  None = not mergeable."""
+    if a == b:
+        return a
+    if a == "void":
+        return b
+    if b == "void":
+        return a
+    ba, bb = a.split("(", 1)[0], b.split("(", 1)[0]
+    if ba in _NUM_DT_ORDER and bb in _NUM_DT_ORDER:
+        return a if _NUM_DT_ORDER[ba] >= _NUM_DT_ORDER[bb] else b
+    if "decimal" in (ba, bb) and (ba in _NUM_DT_ORDER
+                                  or bb in _NUM_DT_ORDER):
+        other = ba if bb == "decimal" else bb
+        if other in ("float", "double"):
+            return "double"
+        return a if ba == "decimal" else b
+    if a.startswith("array<") and b.startswith("array<") \
+            and a.endswith(">") and b.endswith(">"):
+        inner = merge_union_dt(a[6:-1], b[6:-1])
+        return f"array<{inner}>" if inner else None
+    return None
+
+
 def strip_absent(d):
     """Reference-shaped object from a stored row dict: fields NOT present
     on the record are omitted (types/src/value/mod.rs — objects have no
