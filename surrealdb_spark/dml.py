@@ -351,6 +351,13 @@ class Database:
                 continue
             if self._is_numeric_dt(st[c]) and self._is_numeric_dt(it[c]):
                 continue  # number family widens in place
+            if st[c] == "string" and it[c] != "string" \
+                    and not stored.filter(F.col(c).isNotNull()).take(1):
+                # stored side is an all-NULL slot that was devoided to
+                # string at write time — it takes the incoming type
+                # (CREATE t SET v = null, then v = d'...')
+                stored = stored.withColumn(c, F.lit(None).cast(it[c]))
+                continue
             tgt = merge_union_dt(st[c], it[c])
             if tgt is not None:
                 # void (all-NULL) slots take the other side's type — a
@@ -385,7 +392,7 @@ class Database:
                 merged = cur.unionByName(records, allowMissingColumns=True)
                 self._overwrite(tbl, merged)
                 return
-        records.write.mode("append").parquet(self._data(tbl))
+        self._devoid(records).write.mode("append").parquet(self._data(tbl))
 
     def create(self, tbl: str, records: DataFrame) -> DataFrame:
         """CREATE — insert new records, ERROR if an id already exists
@@ -541,9 +548,28 @@ class Database:
 
     # -- helpers -------------------------------------------------------------
 
+    @staticmethod
+    def _devoid(df: DataFrame) -> DataFrame:
+        """Parquet can't store void (all-NULL) columns — cast them to
+        string at write time (recursively through arrays).  Semantics are
+        unchanged: every cell is NULL either way."""
+        def fix(dt: str) -> str | None:
+            if dt == "void":
+                return "string"
+            if dt.startswith("array<") and dt.endswith(">"):
+                inner = fix(dt[6:-1])
+                return f"array<{inner}>" if inner else None
+            return None
+
+        for c, dt in df.dtypes:
+            tgt = fix(dt)
+            if tgt:
+                df = df.withColumn(c, F.col(c).cast(tgt))
+        return df
+
     def _overwrite(self, tbl: str, df: DataFrame) -> None:
         # Materialize before truncating the source dir (lazy plans read it).
-        staged = df.localCheckpoint(eager=True)
+        staged = self._devoid(df).localCheckpoint(eager=True)
         self._snapshot(tbl)
         staged.write.mode("overwrite").parquet(self._data(tbl))
 

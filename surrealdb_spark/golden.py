@@ -142,7 +142,7 @@ def _norm(v):
     if isinstance(v, dict):
         if set(v) == {"__emptyobj"}:
             return {}  # OMIT `.*` empty-object marker struct
-        if "__present" in v:
+        if "__present" in v or any(k.startswith("__k_") for k in v):
             from surrealdb_spark.values import strip_absent
 
             v = strip_absent(v)

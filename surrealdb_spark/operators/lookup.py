@@ -322,7 +322,6 @@ def _apply_group(joined, opts, params, compile_expr):
     for fld in opts.get("fields") or []:
         name = fld.alias or _default_name(fld.expr)
         e = _remap_idents(fld.expr)
-        e = _wrap_scalar_group(e, types)
         if _has_aggregate(e):
             post.append((_decompose(e, aggs, params, types), name))
         else:
@@ -339,23 +338,6 @@ def _apply_group(joined, opts, params, compile_expr):
                        *[F.col(a).cast("string") for a in key_aliases])
     return out.select(F.col("__rk"), ordc.alias("__ord"),
                       struct_col.alias("__grpv"))
-
-
-def _wrap_scalar_group(ast, types: dict):
-    """array::group over a SCALAR column collects+dedups (fnc/array.rs
-    group flattens array values, passes scalars through) — wrap the arg in
-    a one-element array so the flatten stays well-typed."""
-    if not isinstance(ast, tuple):
-        return ast
-    if (ast[0] == "call" and ast[1] == "array::group" and ast[2]
-            and ast[2][0][0] == "ident"
-            and not str(types.get(ast[2][0][1], "")).startswith("array")):
-        return ("call", "array::group", [("array", [ast[2][0]])])
-    return tuple(
-        _wrap_scalar_group(x, types) if isinstance(x, tuple)
-        else ([_wrap_scalar_group(e, types) for e in x]
-              if isinstance(x, list) else x)
-        for x in ast)
 
 
 def _row_expr(ast, params, compile_expr) -> Column:

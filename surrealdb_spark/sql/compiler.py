@@ -86,7 +86,9 @@ def _geom_literal_kind(ast):
 # knows the argument's inferred type; this entry is the zero-arg form.
 _AGGREGATES = {
     "count": lambda args: F.count(F.lit(1)) if not args else F.count(args[0]),
-    "math::sum": lambda args: F.sum(args[0]),
+    # sum of an empty/all-absent group is 0, not NULL (aggregates/math.rs
+    # MathSum starts at Number::Int(0))
+    "math::sum": lambda args: F.coalesce(F.sum(args[0]), F.lit(0)),
     "math::mean": lambda args: F.avg(args[0]),
     "math::min": lambda args: F.min(args[0]),
     "math::max": lambda args: F.max(args[0]),
@@ -101,7 +103,10 @@ _AGGREGATES = {
     "math::median": lambda args: F.median(args[0]),
     "time::min": lambda args: F.min(args[0]),
     "time::max": lambda args: F.max(args[0]),
-    "array::group": lambda args: F.array_distinct(F.flatten(_ocollect(args[0]))),
+    # plain ordered collect — duplicates kept, arrays NOT flattened
+    # (exec/function/builtin/aggregates/array.rs ArrayGroupAccumulator
+    # pushes each value as-is)
+    "array::group": lambda args: _ocollect(args[0]),
     "array::distinct": lambda args: F.array_distinct(_ocollect(args[0])),
     "array::join": lambda args: F.array_join(
         F.transform(_ocollect(args[0]), lambda x: x.cast("string")),
@@ -669,6 +674,10 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             from surrealdb_spark.values import duration as _mkd
 
             return _mkd(0, 2 ** 63 - 1)
+        if types and ast[1] not in types and "." not in ast[1]:
+            # a field no row carries is NONE (doc field read of an absent
+            # key) — types mirrors the frame's column set when provided
+            return F.lit(None)
         return F.col(ast[1])
     if kind == "all":
         raise ValueError("* only valid as a projection")
@@ -1864,6 +1873,13 @@ def _decompose(ast, aggs: list, params: dict, types: dict | None = None):
     """Replace aggregate calls with placeholder idents; collect agg specs
     (catalog/aggregation.rs:19-39 decomposition)."""
     types = types or {}
+    if ast[0] == "call" and ast[1] in _AGGREGATES \
+            and any(_has_aggregate(a) for a in ast[2]):
+        # aggregate-of-aggregate (`array::distinct(array::group(x))`) —
+        # the OUTER call is a post-expression over the inner aggregate's
+        # value (catalog/aggregation.rs post-expr evaluation)
+        return ("call", ast[1],
+                [_decompose(a, aggs, params, types) for a in ast[2]])
     if ast[0] == "call" and ast[1] in _AGGREGATES:
         alias = f"__agg{len(aggs)}"
         if ast[1] == "count" and ast[2]:
@@ -2508,6 +2524,12 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         from surrealdb_spark.sql.parser import Field as _Field
 
         grouped_fields = [_Field(sel.value_expr, "value")]
+    if is_grouped and sel.star:
+        # `SELECT *, agg() ... GROUP BY` — * has no aggregate meaning
+        # (exec/planner/aggregate.rs selector validation)
+        raise ValueError(
+            "Incorrect selector for aggregate selection, expression `*` "
+            "within in selector cannot be aggregated in a group.")
     if is_grouped:
         aggs: list[Column] = []
         # a group key may name an output ALIAS (`SELECT target AS city_id
@@ -2515,15 +2537,58 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         # the name isn't a source column (group.rs groups the projection)
         galias = {f.alias: f.expr for f in (grouped_fields or [])
                   if f.alias and f.expr != ("ident", f.alias)}
+        group_keys: list[tuple] = []   # duplicate keys collapse
+        for g in sel.group:            # (GROUP BY field, field)
+            if g not in group_keys:
+                group_keys.append(g)
         gexprs = [galias[g[1]] if (g[0] == "ident" and g[1] in galias
                                    and g[1] not in types) else g
-                  for g in sel.group]
-        keys = [compile_expr(g, params, types) for g in gexprs]
-        key_names = [g[1] if g[0] == "ident" else f"__k{i}" for i, g in enumerate(sel.group)]
+                  for g in group_keys]
+        keys = []
+        for g in gexprs:
+            if g[0] == "ident" and g[1] not in types:
+                # grouping by a field no row carries: one NULL group
+                # (group/group_nonexistent_fields.surql)
+                keys.append(F.lit(None).cast("string"))
+            else:
+                keys.append(compile_expr(g, params, types))
+        key_names = []
+        key_dotted: dict[int, str] = {}
+        for i, g in enumerate(group_keys):
+            if g[0] == "ident":
+                key_names.append(g[1])
+            elif (g[0] == "path" and g[1][0] == "ident"
+                  and g[2] and all(p[0] == "field" for p in g[2])):
+                # GROUP BY address.city: flat __k slot, re-nested to
+                # { address: { city } } at projection (group.rs nests
+                # the grouped projection by its idiom path)
+                key_names.append(f"__k{i}")
+                key_dotted[i] = ".".join(
+                    [g[1][1]] + [p[1] for p in g[2]])
+            else:
+                key_names.append(f"__k{i}")
+        # kinded (heterogeneous) group keys carry their kind sidecar
+        # through the aggregation so the output decodes back to values
+        # (values.py kinded columns; group_mixed_types.surql)
+        kinded_keys: list[str] = []
+        for g in gexprs:
+            if g[0] == "ident" and "__k_" + g[1] in types:
+                sc = "__k_" + g[1]
+                keys.append(F.col(sc))
+                key_names.append(sc)
+                kinded_keys.append(g[1])
         assert grouped_fields is not None, "GROUP BY requires an explicit field list"
         out_names: set[str] = set(key_names)
         for fld in grouped_fields:
             name = fld.alias or _default_name(fld.expr)
+            if fld.expr in group_keys and fld.expr[0] != "ident":
+                # a non-ident projection that IS a group key (path keys:
+                # `SELECT address.city ... GROUP BY address.city`)
+                i = group_keys.index(fld.expr)
+                post_fields.append((("ident", key_names[i]),
+                                    fld.alias or key_dotted.get(i, name)))
+                out_names.add(fld.alias or key_dotted.get(i, name))
+                continue
             if (fld.expr[0] == "ident" and fld.expr[1] in key_names) \
                     or (fld.alias and fld.alias in key_names):
                 # the key column itself (by name, or by its alias when the
@@ -2555,13 +2620,32 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         else:
             # GROUP ALL is a global aggregate: zero input rows still emit
             # the one all-group row (group/group_all_where.surql expects
-            # `[{ count: 0 }]` when WHERE filters everything)
+            # `[{ count: 0 }]` when WHERE filters everything) — UNLESS
+            # every source is permission-NONE: a denied table yields []
+            # outright (exec/permission.rs; count_group_all_permissions)
+            def _src_tbl(s):
+                if isinstance(s, str):
+                    return s
+                if isinstance(s, tuple) and s[0] in ("idrange", "idpoint"):
+                    return s[1]
+                return None
+
+            perms = getattr(cat, "permissions", {})
+            denied = sel.sources and all(
+                _src_tbl(s) is not None
+                and perms.get(_src_tbl(s)) is False for s in sel.sources)
             gb = df.groupBy()
             df = gb.agg(*aggs) if aggs else gb.agg(
                 F.count(F.lit(1)).alias("__n")).drop("__n")
+            if denied:
+                df = df.limit(0)
 
     # sort (Sort/SortTopK; with LIMIT Catalyst emits TakeOrderedAndProject)
-    if sel.order:
+    # grouped selects sort AFTER the aggregate projection — ORDER BY
+    # references output aliases whose exprs contain aggregates, which the
+    # scalar compile path can't re-express (order.rs sorts the projected
+    # document); handled below the GROUP projection
+    if sel.order and not is_grouped:
         # ORDER BY may reference an output alias (`... AS distance ORDER
         # BY distance`) — resolve to the aliased expression when the name
         # isn't a source column (order.rs sorts the projected document)
@@ -2620,7 +2704,7 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # source keeps its own (possibly ORDER BY'd) row order
     oltp_srcs = bool(str_srcs) and all(
         s in getattr(cat, "registered", ()) for s in str_srcs)
-    if (sel.start or oltp_srcs) and not sel.order \
+    if (sel.start or oltp_srcs) and not sel.order and not is_grouped \
             and "id" in df.columns and "__present" in df.columns:
         # rows come out in KV key order — the reference's table scan is
         # id-ordered (record_id/key.rs).  Only db-written (OLTP) tables,
@@ -2636,9 +2720,9 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         key = F.substring_index(F.col("id").cast("string"), ":", -1)
         df = df.orderBy(key.try_cast("bigint").asc_nulls_last(),
                         F.col("id").asc())
-    if sel.start:
+    if sel.start and not is_grouped:
         df = df.offset(sel.start)
-    if sel.limit is not None:
+    if sel.limit is not None and not is_grouped:
         df = df.limit(sel.limit)
 
     # project
@@ -2646,9 +2730,80 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         # SELECT VALUE → single bare column (operators/project_value.rs:30)
         df = df.select(compile_expr(sel.value_expr, params, types).alias("value"))
     elif is_grouped:
-        df = df.select(
-            *[compile_expr(a, params, types).alias(n) for a, n in post_fields]
-        )
+        # post-aggregate exprs dispatch on the AGGREGATED frame's types
+        # (int/int division must stay integer — number.rs Div)
+        agg_types = types_of(df)
+        sel_cols = [compile_expr(a, params, agg_types).alias(n)
+                    for a, n in post_fields]
+        out_set = {n for _a, n in post_fields}
+        for kk in kinded_keys:
+            if kk in out_set and "__k_" + kk in df.columns:
+                sel_cols.append(F.col("__k_" + kk))
+        df = df.select(*sel_cols)
+        if any("." in n for _a, n in post_fields):
+            # dotted group-key projections re-nest to objects
+            # ({ address: { city } } — group.rs idiom-path projection)
+            nests: dict[str, list[tuple[str, str]]] = {}
+            flat: list[str] = []
+            for c in df.columns:
+                if "." in c:
+                    base, sub = c.split(".", 1)
+                    nests.setdefault(base, []).append((sub, c))
+                else:
+                    flat.append(c)
+            cols = [F.col(c) for c in flat]
+            for base, subs in nests.items():
+                cols.append(F.struct(
+                    *[F.col(f"`{c}`").alias(s) for s, c in subs])
+                    .alias(base))
+            df = df.select(*cols)
+        # grouped output order: explicit ORDER BY compiles over the
+        # PROJECTED columns (aggregates are plain values now); otherwise
+        # rows come out in group-key order — the reference aggregates
+        # into an ordered map (exec/operators/aggregate.rs)
+        gtypes = types_of(df)
+        if sel.order:
+            ocols = []
+            for k in sel.order:
+                c = compile_expr(k.expr, params, gtypes)
+                if k.numeric:
+                    c = F.struct(
+                        F.regexp_extract(c.cast("string"), r"(\d+)", 1)
+                        .cast("bigint"), c.cast("string"))
+                elif k.collate:
+                    c = F.collate(c.cast("string"), "UNICODE")
+                ocols.append(c.desc() if k.desc else c.asc())
+            df = df.orderBy(*ocols)
+        elif sel.group:
+            ocols = []
+            for g in sel.group:
+                if g[0] == "ident" and g[1] in kinded_keys \
+                        and "__k_" + g[1] in df.columns:
+                    # heterogeneous key: value total order — kind rank
+                    # (bool < number < string), then numerically, then
+                    # by text (val/mod.rs Ord)
+                    kc, vc = F.col("__k_" + g[1]), F.col(g[1])
+                    rank = (F.when(kc == "none", 0)
+                            .when(kc == "null", 1)
+                            .when(kc == "bool", 2)
+                            .when(kc.isin("int", "float", "decimal",
+                                          "number"), 3)
+                            .when(kc.isin("string", "strand"), 4)
+                            .otherwise(5))
+                    ocols += [rank.asc(),
+                              vc.try_cast("double").asc_nulls_last(),
+                              vc.asc()]
+                    continue
+                try:
+                    ocols.append(compile_expr(g, params, gtypes).asc())
+                except Exception:
+                    pass
+            if ocols:
+                df = df.orderBy(*ocols)
+        if sel.start:
+            df = df.offset(sel.start)
+        if sel.limit is not None:
+            df = df.limit(sel.limit)
     elif sel.fields is not None and sel.fields:
         rec_fields = [f for f in sel.fields if _is_recurse_path(f.expr)]
         if rec_fields:

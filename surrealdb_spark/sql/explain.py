@@ -38,6 +38,17 @@ _BIN_PRINT = {
 }
 
 
+def _esc_kw_ident(name: str) -> str:
+    """Backtick an identifier that is a reserved keyword or not a plain
+    ident (sql EscapeKwFreeIdent — CountScan prints `source: \\`table\\``)."""
+    from surrealdb_spark.sql.parser import KEYWORDS
+
+    if name.upper() in KEYWORDS \
+            or not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+        return f"`{name}`"
+    return name
+
+
 def to_sql(ast) -> str:
     """Printed form of an expression AST (types ToSql; used for Filter
     predicates and TableScan predicate attrs)."""
@@ -1198,10 +1209,14 @@ def plan_new(runner, sel, params=None) -> Node:
         noindex = sel.with_hint == ("noindex",)
         has_count = any(getattr(d, "kind", "") == "count" for d in defs)
         cnt = _counter(runner, tbl, params)
+        if sel.fields[0].expr[2]:
+            # count(expr) computes per row — no key-count fast path
+            noindex = True
         if not noindex and sel.where is None:
             # a bare count() over the whole table is always a CountScan
-            # in the new executor (exec/operators/scan/count.rs)
-            n = Node("CountScan", f"[source: {tbl}]")
+            # in the new executor (exec/operators/scan/count.rs — the
+            # source renders via to_sql, which backticks reserved words)
+            n = Node("CountScan", f"[source: {_esc_kw_ident(tbl)}]")
             n.rows = 1
             return n
         if not noindex and sel.where is not None and any(
@@ -1245,7 +1260,20 @@ def plan_new(runner, sel, params=None) -> Node:
                 return str(b)
 
             rid = f"{rtb}:{_btxt(lo)}{'..=' if incl else '..'}{_btxt(hi)}"
+            bare_cnt = (sel.fields and len(sel.fields) == 1
+                        and not sel.star and sel.where is None
+                        and sel.fields[0].expr == ("call", "count", []))
+            if bare_cnt and sel.group == []:
+                # count() over a range: key-count scan, no record fetch
+                # (exec/operators/scan/count.rs range source)
+                n = Node("CountScan", f"[source: {rid}]")
+                n.rows = 1
+                return n
             scan = Node("RecordIdScan", f"[record_id: {rid}]")
+            if bare_cnt and sel.group is None:
+                # ungrouped count(): per-row value, keys-only projection
+                p0 = Node("Project", "", [scan])
+                return p0
             try:
                 import dataclasses as _dc
 
@@ -1445,8 +1473,11 @@ def plan_new(runner, sel, params=None) -> Node:
     computed = []
     if sel.fields and sel.group is None:
         for f in sel.fields:
-            if f.alias and f.expr[0] in ("call", "method"):
-                computed.append(f"{f.alias} = {f.expr[1]}(...)")
+            al = f.alias or ("count" if f.expr[0] == "call"
+                             and f.expr[1] == "count" and not f.expr[2]
+                             else None)
+            if al and f.expr[0] in ("call", "method"):
+                computed.append(f"{al} = {f.expr[1]}(...)")
     if computed:
         c = Node("Compute", "[fields: " + ", ".join(computed) + "]", [node])
         c.rows = node.rows
@@ -1590,7 +1621,8 @@ def plan_new(runner, sel, params=None) -> Node:
         if sel.star or sel.fields is None:
             projs.append("*")
         for f in (sel.fields or []):
-            nm = f.alias or to_sql(f.expr)
+            nm = f.alias or ("count" if f.expr == ("call", "count", [])
+                             else to_sql(f.expr))
             if nm != "*":
                 projs.append(nm)
         p = Node("SelectProject",
@@ -1722,10 +1754,33 @@ def plan_legacy(runner, sel, params=None) -> list:
         desc = bool(sel.order and sel.order[0].desc)
         rng = {"start": bval(lo), "end": bval(hi),
                "start_incl": True, "end_incl": bool(incl)}
+        # bare count() over a range: keys-only / count-only iteration
+        # (dbs/iterators.rs RecordStrategy::Count|KeysOnly)
+        bare_cnt = (sel.fields and len(sel.fields) == 1 and not sel.star
+                    and sel.fields[0].expr == ("call", "count", [])
+                    and sel.where is None)
+        rop = ("Iterate Range Count" if bare_cnt and sel.group == []
+               else "Iterate Range Keys" if bare_cnt and sel.group is None
+               else "Iterate Range")
         out.append({"detail": {
             "direction": "backward" if desc else "forward",
-            "range": rng, "table": rtb}, "operation": "Iterate Range"})
-        if sel.order and sel.limit is not None:
+            "range": rng, "table": rtb}, "operation": rop})
+        if sel.group is not None and sel.fields \
+                and len(sel.fields) == 1 \
+                and sel.fields[0].expr[0] == "call" \
+                and sel.fields[0].expr[1] == "count":
+            cargs = sel.fields[0].expr[2]
+            detail = ({"Aggregate expressions":
+                       {"expr0": to_sql(cargs[0])},
+                       "Aggregations": {"_a0": "CountValue(expr0)"}}
+                      if cargs else
+                      {"Aggregate expressions": {},
+                       "Aggregations": {"_a0": "Count"}})
+            out.append({"detail": {
+                **detail, "Group expressions": {},
+                "Select expression": {"count": "_a0"}, "type": "Group"},
+                "operation": "Collector"})
+        elif sel.order and sel.limit is not None:
             out.append({"detail": {"limit": sel.limit + (sel.start or 0),
                                    "type": "MemoryOrderedLimit"},
                         "operation": "Collector"})
@@ -1859,21 +1914,36 @@ def plan_legacy(runner, sel, params=None) -> list:
                     "operation": op_name})
     elif not used_index:
         # the table-count fast path only engages when no WHERE forces a
-        # full iterate (operators/explain.rs:30,103): NOINDEX + WHERE
-        # prints plain `Iterate Table`
-        tbl_count = is_count and sel.where is None
+        # full iterate AND count() has no argument (operators/
+        # explain.rs:30,103): NOINDEX + WHERE prints plain
+        # `Iterate Table`; a bare UNGROUPED count() only needs the keys
+        cargs = sel.fields[0].expr[2] if is_count else None
+        tbl_count = is_count and sel.where is None and not cargs
+        keys_only = (sel.group is None and not sel.star and sel.fields
+                     and len(sel.fields) == 1
+                     and sel.fields[0].expr == ("call", "count", [])
+                     and sel.where is None)
+        op = ("Iterate Table Count" if tbl_count
+              else "Iterate Table Keys" if keys_only else "Iterate Table")
         for t in tbls:
             out.append({"detail": {"direction": "forward", "table": t},
-                        "operation": "Iterate Table Count"
-                        if tbl_count else "Iterate Table"})
+                        "operation": op})
         if acc.fallback:
             out.append({"detail": {"reason": acc.fallback},
                         "operation": "Fallback"})
     # collector
     if sel.group is not None and is_count:
+        cargs = sel.fields[0].expr[2]
+        if cargs:
+            # count(expr): the aggregation counts the computed expr0
+            # (catalog/aggregation.rs CountValue)
+            detail = {"Aggregate expressions": {"expr0": to_sql(cargs[0])},
+                      "Aggregations": {"_a0": "CountValue(expr0)"}}
+        else:
+            detail = {"Aggregate expressions": {},
+                      "Aggregations": {"_a0": "Count"}}
         out.append({"detail": {
-            "Aggregate expressions": {}, "Aggregations": {"_a0": "Count"},
-            "Group expressions": {},
+            **detail, "Group expressions": {},
             "Select expression": {"count": "_a0"}, "type": "Group"},
             "operation": "Collector"})
     else:

@@ -5758,7 +5758,10 @@ class StatementRunner:
 
             vals = [v for v in vals if v is not None]
             if not vals:
-                return T.StringType()
+                # stay void: Database._harmonize can then take the stored
+                # side's type (time = null on a timestamp column must not
+                # degrade it); parquet writes devoid to string at the end
+                return T.NullType()
             if all(isinstance(v, list) and not v for v in vals):
                 return T.ArrayType(T.StringType())
             if all(isinstance(v, dict) and not v for v in vals):

@@ -255,7 +255,17 @@ def strip_absent(d):
     if set(d) == {"__emptyobj"}:
         return {}  # OMIT `.*` / empty-object marker struct
     if "__present" not in d:
-        return {k: strip_absent(v) for k, v in d.items()}
+        out = {}
+        for k, v in d.items():
+            if k.startswith("__k_"):
+                continue
+            kind = d.get("__k_" + k)
+            if kind is not None and isinstance(v, str):
+                # kinded-JSON cell carried through a projection without
+                # the presence spine (grouped outputs) → decode
+                v = decode_kinded_py(v, kind)
+            out[k] = strip_absent(v)
+        return out
     present = d.get("__present")
     out = {}
     for k, v in d.items():
