@@ -49,6 +49,15 @@ class FieldDef:
     # raw declared kind text ('number', 'array<int>', ...) — union kinds
     # carry no single Spark dtype but still drive member checks
     kind: str | None = None
+    # DEFAULT expression AST — write-time kind checks evaluate literal
+    # defaults driver-side (doc/field.rs default-then-coerce order)
+    default_ast: tuple | None = None
+    # ASSERT expression AST — literal writes assert driver-side so the
+    # error carries the reference's message shape and ordering
+    assert_ast: tuple | None = None
+    # VALUE expression AST — driver-side asserts check the post-VALUE
+    # value ($value after the VALUE clause, doc/field.rs stage order)
+    value_ast: tuple | None = None
 
 
 @dataclass
@@ -143,8 +152,25 @@ class Database:
 
     # -- field pipeline (doc/field.rs process_table_fields) ------------------
 
-    def _apply_fields(self, tbl: str, df: DataFrame, existing: bool) -> DataFrame:
+    def _apply_fields(self, tbl: str, df: DataFrame, existing: bool,
+                      touched: set | None = None) -> DataFrame:
         td = self.tables[tbl]
+
+        def _input_col(name: str) -> Column:
+            # $input = what THIS statement provided for the field; an
+            # update that didn't touch it binds NONE (doc/field.rs)
+            if touched is not None and name not in touched:
+                return F.lit(None)
+            return F.col(name) if name in df.columns else F.lit(None)
+
+        # stash raw inputs BEFORE value transforms overwrite the columns —
+        # ASSERT clauses bind $input to the statement's original value
+        inp_stash: dict[str, str] = {}
+        for fd in td.fields:
+            if fd.assert_fn is not None and "." not in fd.name:
+                nm = "__inp_" + fd.name
+                df = df.withColumn(nm, _input_col(fd.name))
+                inp_stash[fd.name] = nm
         for fd in td.fields:
             if fd.name.endswith(".*"):
                 # wildcard member kind (`DEFINE FIELD obj.* TYPE number`,
@@ -208,19 +234,34 @@ class Database:
             if fd.default is not None:
                 col = F.coalesce(col, fd.default())
             if fd.value_fn is not None:
-                col = fd.value_fn(col)
+                try:
+                    col = fd.value_fn(col, _input_col(fd.name))
+                except TypeError:
+                    col = fd.value_fn(col)
             if fd.dtype:
                 col = col.cast(fd.dtype)
             df = df.withColumn(fd.name, col)
         for fd in td.fields:
             if fd.assert_fn is not None:
-                bad = df.filter(~F.coalesce(fd.assert_fn(F.col(fd.name)), F.lit(False)))
+                inp = (F.col(inp_stash[fd.name])
+                       if fd.name in inp_stash else F.lit(None))
+                try:
+                    cond = fd.assert_fn(F.col(fd.name), inp)
+                except TypeError:
+                    cond = fd.assert_fn(F.col(fd.name))
+                bad = df.filter(~F.coalesce(cond, F.lit(False)))
+                if (fd.kind or "").strip().lower().startswith("option<"):
+                    # option kinds assert only when a value is present
+                    # (doc/field.rs: NONE skips the ASSERT clause)
+                    bad = bad.filter(F.col(fd.name).isNotNull())
                 n = bad.count()
                 if n:
                     sample = bad.limit(3).collect()
                     raise MutationError(
                         f"ASSERT failed for field {fd.name} on {n} records, e.g. {sample}"
                     )
+        if inp_stash:
+            df = df.drop(*inp_stash.values())
         return df
 
     # -- changefeed + events -------------------------------------------------
@@ -470,7 +511,10 @@ class Database:
         after = before
         for k, v in set_exprs.items():
             after = after.withColumn(k, v)
-        after = self._apply_fields(tbl, after, existing=True).localCheckpoint(eager=True)
+        after = self._apply_fields(
+            tbl, after, existing=True,
+            touched={k for k in set_exprs if not k.startswith("__")},
+        ).localCheckpoint(eager=True)
         untouched = current.filter(~F.coalesce(cond, F.lit(False)))
         # allowMissingColumns: SET may introduce a new field (schemaless
         # semantics — untouched records get NULL for it)

@@ -2350,6 +2350,9 @@ class StatementRunner:
         # (define/field.rs reference tracking; scan/reference.rs)
         self.ref_fields: dict[str, list] = {}
         self.computed_fields: dict[str, dict] = {}
+        # declared TYPE of a COMPUTED field — write-time coercion check
+        # (computed/typed.surql)
+        self.computed_kinds: dict[tuple[str, str], str] = {}
         # DEFINE TABLE v AS SELECT — view name → (Select AST, raw text);
         # recomputed at read in _refresh_catalog (the reference maintains
         # these incrementally per mutation, catalog/aggregation.rs — same
@@ -4633,6 +4636,9 @@ class StatementRunner:
                     cast = cast[1] if cast[0] == "block1" else cast[1][0]
                 self.computed_fields.setdefault(stmt.table, {})[
                     stmt.name] = ("expr", cast)
+                if stmt.kind_text or stmt.dtype:
+                    self.computed_kinds[(stmt.table, stmt.name)] = \
+                        stmt.kind_text or stmt.dtype
                 if stmt.table not in self.db.tables:
                     self.db.define_table(TableDef(stmt.table))
                 return None
@@ -4663,20 +4669,28 @@ class StatementRunner:
             assert_fn = None
             if stmt.assert_ is not None:
                 aast = stmt.assert_
+                # $input = the statement's raw input for the field (NONE
+                # when the write didn't touch it — doc/field.rs bindings)
                 assert_fn = (lambda a: (
-                    lambda col: self._expr(a, {"value": col, "this": col})
+                    lambda col, inp=None: self._expr(
+                        a, {"value": col, "this": col,
+                            "input": inp if inp is not None else col})
                 ))(aast)
             value_fn = None
             if stmt.value is not None:
                 vast = stmt.value
                 value_fn = (lambda a: (
-                    lambda col: self._expr(
-                        a, {"value": col, "this": col, "input": col})
+                    lambda col, inp=None: self._expr(
+                        a, {"value": col, "this": col,
+                            "input": inp if inp is not None else col})
                 ))(vast)
             td.fields = [f for f in td.fields if f.name != stmt.name]
             td.fields.append(FieldDef(stmt.name, dtype, default, assert_fn,
                                       value_fn=value_fn,
-                                      kind=stmt.kind_text or stmt.dtype))
+                                      kind=stmt.kind_text or stmt.dtype,
+                                      default_ast=stmt.default,
+                                      assert_ast=stmt.assert_,
+                                      value_ast=stmt.value))
             return None
         if isinstance(stmt, DefineAnalyzerStmt):
             from surrealdb_spark.pipeline.analyzer import define_analyzer
@@ -5453,10 +5467,14 @@ class StatementRunner:
                     out.pop(f_, None)  # SET x = NONE on create → absent
                     out.pop("__k_" + f_, None)
                     continue
-                if op == "-=" and isinstance(v, (int, float)):
+                if op in ("+=", "-="):
                     # compound ops against an absent record start from the
-                    # zero value (upsert.rs create path)
-                    v = -v
+                    # NONE base: numbers from zero, objects/values wrap to
+                    # a one-element array (val/value/increment.rs)
+                    from surrealdb_spark import pyeval as _pe
+
+                    v = (_pe.increment(out.get(f_), v) if op == "+="
+                         else _pe.decrement(out.get(f_), v))
                 out[f_] = v
             return out
         raise ValueError(f"{kind.upper()} not valid here")
@@ -5625,6 +5643,31 @@ class StatementRunner:
             return isinstance(v, list)
         return True
 
+    def _scalar_kind_check(self, fname: str, k: str, base_k: str, v,
+                           rid) -> None:
+        """Strict scalar kinds reject cross-kind values with no silent
+        cast (doc/field.rs coerce — `TYPE string` rejects 1)."""
+        if v is None:
+            return
+        if base_k in ("string", "bool", "datetime") \
+                and not self._kind_ok_py(v, base_k):
+            from surrealdb_spark.pyeval import render as _r
+
+            shown = _r(v)
+            if not isinstance(v, str):
+                shown = f"`{shown}`"
+            raise ValueError(
+                f"Couldn't coerce value for field `{fname}` of "
+                f"`{rid}`: Expected `{k}` but found {shown}")
+        if base_k in ("number", "int", "float", "decimal") \
+                and not self._kind_ok_py(v, "number"):
+            from surrealdb_spark.pyeval import render as _r
+
+            raise ValueError(
+                f"Couldn't coerce value for field `{fname}` of "
+                f"`{rid}`: Expected `{k}` but found "
+                f"{_r(v) if not isinstance(v, str) else repr(v)}")
+
     def _enforce_field_kinds(self, tbl: str, d: dict) -> dict:
         """Write-time DEFINE FIELD TYPE enforcement over a literal row
         (doc/field.rs process_table_fields): explicit NULL on a non-option
@@ -5636,6 +5679,27 @@ class StatementRunner:
         if td is None:
             return d
         rid = d.get("id", f"{tbl}:?")
+        # COMPUTED fields with a strict kind: the computed value must
+        # coerce at write (computed/typed.surql — TYPE string COMPUTED
+        # id.id() errors on typed:1)
+        for fname, (ckind, payload) in \
+                self.computed_fields.get(tbl, {}).items():
+            if ckind == "refs":
+                continue
+            ck = self.computed_kinds.get((tbl, fname))
+            if not ck:
+                continue
+            kl0 = ck.strip().lower()
+            if kl0.startswith("option<") or kl0 in ("", "any"):
+                continue
+            from surrealdb_spark import pyeval as _pe
+
+            try:
+                cv = _pe.peval(payload, {"this": d})
+            except Exception:
+                continue  # engine-side compute: checked at read
+            self._scalar_kind_check(fname, ck, kl0.split("<", 1)[0],
+                                    cv, rid)
         nested_bases = set()
         for fd in td.fields:
             k = fd.kind or ""
@@ -5671,6 +5735,27 @@ class StatementRunner:
                         f"of `{rid}`: Expected `{k}` but found {_r(v)}")
                 continue
             if fd.name not in d:
+                if fd.default_ast is not None and kl and not opt:
+                    # the DEFAULT will fill this write: a literal default
+                    # must itself coerce (default_value_does_not_match_
+                    # type.surql: TYPE string DEFAULT 0 errors at CREATE)
+                    from surrealdb_spark import pyeval as _pe
+
+                    try:
+                        dv = _pe.peval(fd.default_ast, {})
+                    except Exception:
+                        dv = None  # dynamic default: checked at read
+                    bk = kl.split("<", 1)[0]
+                    self._scalar_kind_check(fd.name, k, bk, dv, rid)
+                elif (fd.default is None and fd.value_fn is None
+                        and not opt and kl
+                        and fd.name not in ("id", "in", "out")):
+                    # required typed field absent on the write
+                    # (value_assert_failure.surql: `TYPE number` with no
+                    # DEFAULT errors on a row that never sets it)
+                    raise ValueError(
+                        f"Couldn't coerce value for field `{fd.name}` "
+                        f"of `{rid}`: Expected `{k}` but found NONE")
                 continue
             v = d[fd.name]
             if v is None and not opt and kl:
@@ -5685,6 +5770,63 @@ class StatementRunner:
                 raise ValueError(
                     f"Couldn't coerce value for field `{fd.name}` of "
                     f"`{rid}`: Expected `object` but found {_r(v)}")
+            self._scalar_kind_check(fd.name, k, base_k, v, rid)
+        # ASSERT clauses on literal writes evaluate driver-side so the
+        # error carries the reference's shape and runs BEFORE the
+        # unknown-field rejection (doc/field.rs field-then-strict order);
+        # option kinds skip the assert when the value is NONE
+        for fd in td.fields:
+            if fd.assert_ast is None or "." in fd.name:
+                continue
+            kl = (fd.kind or "").strip().lower()
+            raw = d.get(fd.name)
+            v = raw
+            from surrealdb_spark import pyeval as _pe
+
+            if v is None and fd.default_ast is not None:
+                try:
+                    v = _pe.peval(fd.default_ast, {})
+                except Exception:
+                    v = None
+            if fd.value_ast is not None:
+                # asserts check the post-VALUE value (doc/field.rs order)
+                try:
+                    v = _pe.peval(fd.value_ast,
+                                  {"value": v, "input": raw, "this": d})
+                except Exception:
+                    continue  # engine-side assert runs in _apply_fields
+            if v is None and (kl.startswith("option<") or not kl):
+                continue
+            try:
+                ok = _pe.truthy(_pe.peval(
+                    fd.assert_ast, {"value": v, "input": raw, "this": d}))
+            except Exception:
+                continue  # engine-side assert still runs in _apply_fields
+            if not ok:
+                from surrealdb_spark.pyeval import _render_inner as _ri
+                from surrealdb_spark.sql.explain import to_sql as _ts
+
+                try:
+                    cond = _ts(fd.assert_ast)
+                except Exception:
+                    cond = "ASSERT"
+                raise ValueError(
+                    f"Found {_ri(v)} for field `{fd.name}`, with record "
+                    f"`{rid}`, but field must conform to: {cond}")
+        if getattr(td, "schemafull", False):
+            declared = {f.name.split(".", 1)[0].split("[", 1)[0]
+                        for f in td.fields}
+            declared.update(f2 for (t2, f2) in self.computed_kinds
+                            if t2 == tbl)
+            declared.update(self.computed_fields.get(tbl, {}))
+            for k2 in d:
+                if k2 in ("id", "in", "out", "__present") \
+                        or k2.startswith("__"):
+                    continue
+                if k2 not in declared:
+                    raise ValueError(
+                        f"Found field '{k2}', but no such field exists "
+                        f"for table '{tbl}'")
         from pyspark.sql import Row as _Row
 
         def _rowify(x):
@@ -5770,6 +5912,24 @@ class StatementRunner:
 
         forced = {k: t for k in keys
                   if (t := _forced_type([d.get(k) for d in data])) is not None}
+        # declared `.*.` member fields pin the element struct of an
+        # all-empty array slot (DEFAULT ALWAYS [] with tags.*.name
+        # members — default_always.surql: later `+=` appends must align)
+        td0 = self.db.tables.get(tgt.table)
+        if td0 is not None:
+            from pyspark.sql import types as T
+
+            for k, t in list(forced.items()):
+                if not isinstance(t, T.ArrayType):
+                    continue
+                members = [(fd.name.split(".*.", 1)[1], fd.dtype or "string")
+                           for fd in td0.fields
+                           if fd.name.startswith(k + ".*.")
+                           and "." not in fd.name.split(".*.", 1)[1]]
+                if members:
+                    forced[k] = T.ArrayType(T.StructType(
+                        [T.StructField(n, T._parse_datatype_string(dt))
+                         for n, dt in sorted(members)]))
         if forced:
             from pyspark.sql import types as T
 
@@ -5912,6 +6072,53 @@ class StatementRunner:
                             f"`{s}`" for s in segs), rhs)
                     continue
                 dt = dtypes.get(f_, "")
+                if op == "+=" and dt.startswith("array") \
+                        and not dt.startswith("array<struct") \
+                        and isinstance(ast, tuple) and ast[0] == "object" \
+                        and isinstance(f_, str) and self.db._exists(tbl):
+                    # appending an object to an untyped (all-empty) array
+                    # slot (DEFAULT ALWAYS [] — default_always.surql):
+                    # migrate the column to the declared element struct
+                    frame = self.db.table(tbl)
+                    if f_ in frame.columns and not frame.filter(
+                            F.size(F.col(f_)) > 0).take(1):
+                        members = {
+                            fd.name.split(".*.", 1)[1]: fd.dtype or "string"
+                            for fd in (td0.fields if td0 else [])
+                            if fd.name.startswith(f_ + ".*.")
+                            and "." not in fd.name.split(".*.", 1)[1]}
+                        from surrealdb_spark.sql.compiler import \
+                            _static_of_kind as _sok2
+                        _SPK = {"string": "string", "int": "bigint",
+                                "float": "double", "bool": "boolean"}
+                        for gk, gast in ast[1]:
+                            members.setdefault(
+                                gk, _SPK.get(_sok2(gast, params, None),
+                                             "string"))
+                        target = "array<struct<" + ", ".join(
+                            f"{n}:{t}" for n, t in sorted(members.items())
+                        ) + ">>"
+                        typed = F.when(
+                            F.col(f_).isNotNull(),
+                            F.array().cast(target)).otherwise(
+                            F.lit(None).cast(target))
+                        self.db._overwrite(
+                            tbl, frame.withColumn(f_, typed))
+                        dtypes = dict(self.db.table(tbl).dtypes)
+                        dt = dtypes.get(f_, "")
+                if op == "+=" and dt.startswith("array<struct") \
+                        and isinstance(ast, tuple) and ast[0] == "object":
+                    # align the object literal to the element struct,
+                    # absent members NULL (`.*.` defaults fill after)
+                    et = self.db.table(tbl).schema[f_].dataType.elementType
+                    given = dict(ast[1])
+                    if set(given) <= {fl.name for fl in et.fields}:
+                        parts = [
+                            (compile_expr(given[fl.name], params, types)
+                             .cast(fl.dataType) if fl.name in given
+                             else F.lit(None).cast(fl.dataType))
+                            .alias(fl.name) for fl in et.fields]
+                        rhs = F.struct(*parts)
                 if op in ("+=", "-=") and dt.startswith("array"):
                     # array fields: += appends, -= removes by value
                     # (doc/data.rs Data::SetExpr on Array values)
@@ -6030,6 +6237,20 @@ class StatementRunner:
                     # += a collection concatenates element-wise
                     # (set_array_common_behaviour.surql)
                     return F.concat(base, rhs)
+                if dtype.startswith("array<struct") \
+                        and isinstance(ast, tuple) and ast[0] == "object":
+                    # appending an object literal: align to the element
+                    # struct, absent members NULL (the `.*.` member
+                    # defaults fill them afterwards — default_always)
+                    et = df.schema[f_].dataType.elementType
+                    given = dict(ast[1])
+                    if set(given) <= {fl.name for fl in et.fields}:
+                        parts = [
+                            (compile_expr(given[fl.name], params)
+                             .cast(fl.dataType) if fl.name in given
+                             else F.lit(None).cast(fl.dataType))
+                            .alias(fl.name) for fl in et.fields]
+                        return F.array_append(base, F.struct(*parts))
                 # += on an array field appends (doc/data.rs Data::SetExpr)
                 return F.array_append(base, rhs)
             return F.coalesce(F.col(f_), F.lit(0)) + rhs
