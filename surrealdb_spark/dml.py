@@ -58,6 +58,8 @@ class FieldDef:
     # VALUE expression AST — driver-side asserts check the post-VALUE
     # value ($value after the VALUE clause, doc/field.rs stage order)
     value_ast: tuple | None = None
+    # TYPE FLEXIBLE — nested members of an object kind may be undeclared
+    flexible: bool = False
 
 
 @dataclass
@@ -433,6 +435,8 @@ class Database:
                 merged = cur.unionByName(records, allowMissingColumns=True)
                 self._overwrite(tbl, merged)
                 return
+        td.kinded.update(c[4:] for c in records.columns
+                         if c.startswith("__k_"))
         self._devoid(records).write.mode("append").parquet(self._data(tbl))
 
     def create(self, tbl: str, records: DataFrame) -> DataFrame:
@@ -511,10 +515,26 @@ class Database:
         after = before
         for k, v in set_exprs.items():
             after = after.withColumn(k, v)
+        touched = {k for k in set_exprs if not k.startswith("__")}
         after = self._apply_fields(
-            tbl, after, existing=True,
-            touched={k for k in set_exprs if not k.startswith("__")},
+            tbl, after, existing=True, touched=touched,
         ).localCheckpoint(eager=True)
+        for fd in td.fields:
+            # READONLY fields may be re-set to the SAME value only
+            # (doc/field.rs readonly check)
+            if not fd.readonly or fd.name not in touched \
+                    or fd.name not in before.columns:
+                continue
+            ch = (before.select(td.id_col, F.col(fd.name).alias("__b"))
+                  .join(after.select(td.id_col,
+                                     F.col(fd.name).alias("__a")),
+                        td.id_col)
+                  .filter(~F.col("__b").eqNullSafe(F.col("__a")))
+                  .limit(1).collect())
+            if ch:
+                raise MutationError(
+                    f"Found changed value for field `{fd.name}`, with "
+                    f"record `{ch[0][td.id_col]}`, but field is readonly")
         untouched = current.filter(~F.coalesce(cond, F.lit(False)))
         # allowMissingColumns: SET may introduce a new field (schemaless
         # semantics — untouched records get NULL for it)
@@ -545,9 +565,11 @@ class Database:
         untouched = current.join(records.select(td.id_col), td.id_col, "left_anti")
         replaced = replaced.localCheckpoint(eager=True)
         fresh = fresh.localCheckpoint(eager=True)
-        merged = untouched.unionByName(replaced.select(current.columns)).unionByName(
-            fresh.select(current.columns)
-        )
+        # allowMissingColumns: a whole-row replace may DROP fields the
+        # table still carries for other rows (CONTENT removes keys)
+        merged = untouched.unionByName(
+            replaced, allowMissingColumns=True
+        ).unionByName(fresh, allowMissingColumns=True)
         self._check_unique_final(tbl, merged)
         self._overwrite(tbl, merged)
         self._post_write(tbl, "UPDATE", replaced)

@@ -4690,7 +4690,10 @@ class StatementRunner:
                                       kind=stmt.kind_text or stmt.dtype,
                                       default_ast=stmt.default,
                                       assert_ast=stmt.assert_,
-                                      value_ast=stmt.value))
+                                      value_ast=stmt.value,
+                                      flexible=bool(stmt.flexible),
+                                      readonly=bool(
+                                          stmt.texts.get("readonly"))))
             return None
         if isinstance(stmt, DefineAnalyzerStmt):
             from surrealdb_spark.pipeline.analyzer import define_analyzer
@@ -5316,6 +5319,21 @@ class StatementRunner:
                         params)
                     out = self.db.upsert(tbl, rows)
                     return self._ret(out, out, stmt.return_)
+            if stmt.target.key is not None and stmt.data \
+                    and stmt.data[0] == "set":
+                for f_, op_, ast_ in stmt.data[1]:
+                    if f_ == "id" and op_ == "=":
+                        # the id of an addressed record can't change
+                        # (doc/field.rs id immutability)
+                        from surrealdb_spark.pyeval import render as _rnd
+
+                        v_ = self._scalar(ast_, params)
+                        raise ValueError(
+                            f"Found {_rnd(v_)} for the `id` field, but "
+                            "a specific record has been specified")
+            dp = self._doc_point_update(stmt, tbl, params)
+            if dp is not None:
+                return dp
             kp = self._kinded_point_update(stmt, tbl, params)
             if kp is not None:
                 return kp
@@ -5478,6 +5496,68 @@ class StatementRunner:
                 out[f_] = v
             return out
         raise ValueError(f"{kind.upper()} not valid here")
+
+    def _doc_point_update(self, stmt, tbl: str, params: dict):
+        """Single-record MERGE/CONTENT carrying nested objects — decode
+        the ONE row driver-side, deep-merge with reference semantics
+        (doc/merge.rs: objects merge recursively, NONE removes the key),
+        write back as a whole-row replace so the column can change type
+        (string 'alive' → object).  O(1) rows by construction.  Returns
+        None when the shape doesn't apply."""
+        from surrealdb_spark.values import strip_absent
+
+        if (stmt.target.key is None or stmt.where is not None
+                or not stmt.data or stmt.data[0] not in ("merge", "content")
+                or not self.db._exists(tbl)):
+            return None
+        obj = self._obj(stmt.data[1], params)
+        null_keys = set()
+        if isinstance(stmt.data[1], tuple) and stmt.data[1][0] == "object":
+            null_keys = {k for k, vast in stmt.data[1][1]
+                         if vast == ("nulllit",)}
+        has_nested = any(isinstance(v, dict) for v in obj.values()) or \
+            any(v is None for k, v in obj.items() if k not in null_keys)
+        if not has_nested:
+            return None  # flat payload: engine column path handles it
+        rid = f"{tbl}:" + str(self._key_text(stmt.target, params))
+        cur = self.db.table(tbl)
+        rows = cur.filter(F.col("id") == rid).limit(2).collect()
+        if not rows:
+            return None  # UPDATE no-op / UPSERT create handled upstream
+        before = strip_absent(rows[0].asDict(recursive=True))
+
+        def _clean(v):
+            # NONE values REMOVE keys, recursively (objects carry no
+            # entry for NONE — types/src/value/mod.rs)
+            if isinstance(v, dict):
+                return {k: _clean(x) for k, x in v.items() if x is not None}
+            return v
+
+        def _dmerge(a, b):
+            if isinstance(a, dict) and isinstance(b, dict):
+                out = dict(a)
+                for k, v in b.items():
+                    if v is None:
+                        out.pop(k, None)
+                        continue
+                    out[k] = (_dmerge(out.get(k), v)
+                              if isinstance(v, dict) else _clean(v))
+                return out
+            return _clean(b)
+
+        if stmt.data[0] == "merge":
+            merged = _dmerge(before, obj)
+            for k in null_keys:
+                merged[k] = None
+        else:
+            merged = {k: _clean(v) for k, v in obj.items()
+                      if v is not None or k in null_keys}
+        merged["id"] = rid
+        row_df = self._literal_rows([merged], stmt.target, params)
+        before_df = cur.filter(F.col("id") == rid) \
+            .localCheckpoint(eager=True)
+        out = self.db.upsert(tbl, row_df)
+        return self._ret(before_df, out, stmt.return_)
 
     def _kinded_point_update(self, stmt, tbl: str, params: dict):
         """Single-record UPDATE touching a kinded (heterogeneous) column:
@@ -5827,6 +5907,40 @@ class StatementRunner:
                     raise ValueError(
                         f"Found field '{k2}', but no such field exists "
                         f"for table '{tbl}'")
+
+            def _check_obj_members(prefix: str, node: dict) -> None:
+                # non-FLEXIBLE object kinds: nested members must be
+                # declared (`settings.nested` — empty_nested_objects)
+                subs = set()
+                for f3 in td.fields:
+                    if f3.name.startswith(prefix + "."):
+                        subs.add(f3.name[len(prefix) + 1:]
+                                 .split(".", 1)[0].split("[", 1)[0])
+                if "*" in subs:
+                    return
+                for k3, v3 in node.items():
+                    if k3 not in subs:
+                        raise ValueError(
+                            f"Found field '{prefix}.{k3}', but no such "
+                            f"field exists for table '{tbl}'")
+                    sub_fd = next(
+                        (f3 for f3 in td.fields
+                         if f3.name == f"{prefix}.{k3}"), None)
+                    if (sub_fd is not None and isinstance(v3, dict)
+                            and not sub_fd.flexible
+                            and (sub_fd.kind or "").strip().lower()
+                            .removeprefix("option<")
+                            .split("<", 1)[0] == "object"):
+                        _check_obj_members(f"{prefix}.{k3}", v3)
+
+            for fd in td.fields:
+                if "." in fd.name or fd.flexible:
+                    continue
+                bk2 = (fd.kind or "").strip().lower() \
+                    .removeprefix("option<").split("<", 1)[0]
+                v2 = d.get(fd.name)
+                if bk2 == "object" and isinstance(v2, dict):
+                    _check_obj_members(fd.name, v2)
         from pyspark.sql import Row as _Row
 
         def _rowify(x):
@@ -5869,10 +5983,64 @@ class StatementRunner:
         conv = _D if (_D in kinds and float not in kinds) else float
         return [conv(x) if x is not None else None for x in v]
 
+    @staticmethod
+    def _drop_inner_none(v, in_dict: bool = False):
+        """Objects carry no entry for NONE, recursively — but ARRAY
+        elements keep their NONE slots (none_elimination.surql:
+        `{key: NONE}` → `{}`, `[NONE, {}]` stays two elements)."""
+        if isinstance(v, dict):
+            return {k: StatementRunner._drop_inner_none(x, True)
+                    for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [StatementRunner._drop_inner_none(x) for x in v]
+        return v
+
+    @staticmethod
+    def _needs_kinded_cell(v) -> bool:
+        """Lists Spark's static element type can't carry faithfully:
+        object elements with differing key sets, NONE-or-scalar mixed
+        with objects, or cross-kind scalar mixes."""
+        from decimal import Decimal as _D
+
+        if not isinstance(v, list):
+            return False
+        kinds: set = set()
+        keysets: set = set()
+        for x in v:
+            if x is None:
+                kinds.add("none")
+            elif isinstance(x, bool):
+                kinds.add("bool")
+            elif isinstance(x, (int, float, _D)):
+                kinds.add("num")
+            elif isinstance(x, str):
+                kinds.add("str")
+            elif isinstance(x, dict):
+                kinds.add("obj")
+                keysets.add(tuple(sorted(x)))
+            elif isinstance(x, list):
+                kinds.add("arr")
+            else:
+                kinds.add(type(x).__name__)
+        hard = kinds - {"none"}
+        if "obj" in kinds and (len(hard) > 1 or len(keysets) > 1
+                               or "none" in kinds):
+            return True
+        return len(hard) > 1
+
     def _literal_rows(self, dicts: list[dict], tgt: Target, params: dict) -> DataFrame:
+        from surrealdb_spark.values import encode_kinded_py, kind_of_py
+
         rows = []
         for i, d in enumerate(dicts):
-            d = {k: self._promote_mixed_nums(x) for k, x in d.items()}
+            d = {k: self._promote_mixed_nums(self._drop_inner_none(x))
+                 for k, x in d.items()}
+            for k in list(d):
+                if k in ("id", "__present") or k.startswith("__k_"):
+                    continue
+                if "__k_" + k not in d and self._needs_kinded_cell(d[k]):
+                    d["__k_" + k] = kind_of_py(d[k])
+                    d[k] = encode_kinded_py(d[k])
             if "id" not in d:
                 if tgt.key is not None:
                     d["id"] = f"{tgt.table}:{self._key_text(tgt, params)}"
