@@ -205,16 +205,57 @@ class Database:
                 continue
             if ".*." in fd.name:
                 # `base.*.sub` member clause over an array-of-objects
-                # field: defaults fill missing members per element
-                # (define/field.rs member defaults)
+                # field: defaults fill missing members per element;
+                # VALUE clauses recompute per element with $this bound to
+                # the element object (define/field.rs member defaults /
+                # values — nested_computed_fields.surql)
                 base, sub = fd.name.split(".*.", 1)
-                if fd.default is None or base not in df.columns \
-                        or "." in sub:
+                if (fd.default is None and fd.value_ast is None) \
+                        or base not in df.columns or "." in sub:
                     continue
                 dt = dict(df.dtypes).get(base, "")
                 if not dt.startswith("array<struct"):
                     continue
-                if f"{sub}:" in dt:
+                if fd.value_ast is not None:
+                    from surrealdb_spark.sql.compiler import compile_expr
+
+                    def _mk_fill(s, a, dtx, root):
+                        # single-arg lambda: F.transform dispatches on
+                        # the callable's arity.  $this binds the ROOT
+                        # document, not the element (doc/field.rs $this
+                        # context — nested_computed_fields expects
+                        # 'NONENONE' from root-level lookups)
+                        def fill(x):
+                            cur = (x.getField(s) if f"{s}:" in dtx
+                                   else F.lit(None))
+                            return x.withField(s, compile_expr(
+                                a, {"this": root, "value": cur,
+                                    "input": cur}))
+                        return fill
+
+                    def _this_fields(a, acc):
+                        # `$this.<f>` references — absent root fields
+                        # resolve to NONE, so pad them as NULL slots
+                        if isinstance(a, tuple):
+                            if (a[0] == "path"
+                                    and a[1] == ("param", "this")
+                                    and a[2] and a[2][0][0] == "field"):
+                                acc.add(a[2][0][1])
+                            for x in a:
+                                _this_fields(x, acc)
+                        elif isinstance(a, list):
+                            for x in a:
+                                _this_fields(x, acc)
+                        return acc
+
+                    refs = _this_fields(fd.value_ast, set())
+                    parts = [F.col(c) for c in df.columns
+                             if not c.startswith("__")]
+                    parts += [F.lit(None).alias(n)
+                              for n in sorted(refs - set(df.columns))]
+                    fill = _mk_fill(sub, fd.value_ast, dt,
+                                    F.struct(*parts))
+                elif f"{sub}:" in dt:
                     fill = (lambda s: lambda x: x.withField(
                         s, F.coalesce(x.getField(s), fd.default())))(sub)
                 else:
@@ -435,8 +476,6 @@ class Database:
                 merged = cur.unionByName(records, allowMissingColumns=True)
                 self._overwrite(tbl, merged)
                 return
-        td.kinded.update(c[4:] for c in records.columns
-                         if c.startswith("__k_"))
         self._devoid(records).write.mode("append").parquet(self._data(tbl))
 
     def create(self, tbl: str, records: DataFrame) -> DataFrame:

@@ -27,7 +27,10 @@ def _c(x) -> Column:
 
 
 def concat(*cols) -> Column:
-    return F.concat(*[_c(c) for c in cols])
+    # args stringify via Value Display — NONE renders 'NONE', it does
+    # not null out the whole result (fnc/string.rs concat)
+    return F.concat(*[
+        F.coalesce(_c(c).cast("string"), F.lit("NONE")) for c in cols])
 
 
 def contains(s, sub) -> Column:

@@ -755,14 +755,28 @@ def _render_field(name: str, tbl: str, st) -> str:
     (define/field.rs Display order)."""
     out = f"DEFINE FIELD {name} ON {tbl}"
     if st.kind_text:
-        out += (" TYPE FLEXIBLE " if st.flexible else " TYPE ") + st.kind_text
+        # `array<any>`/`set<any>` display as the bare container
+        # (expr/kind.rs Display: Any elements elide)
+        import re as _re0
+
+        kt = _re0.sub(r"\b(array|set)<any>", r"\1", st.kind_text)
+        out += (" TYPE FLEXIBLE " if st.flexible else " TYPE ") + kt
     t = st.texts
+
+    def _fl(txt: str) -> str:
+        # bare float literals re-render with the `f` suffix
+        # (types Number::Float Display — `VALUE 123.456f`)
+        import re as _re1
+
+        return txt + "f" if _re1.fullmatch(r"\d+\.\d+", txt) else txt
+
     if t.get("default"):
-        out += " DEFAULT" + (" ALWAYS " if t.get("default_always") else " ")             + t["default"]
+        out += " DEFAULT" + (" ALWAYS " if t.get("default_always")
+                             else " ") + _fl(t["default"])
     if t.get("readonly"):
         out += " READONLY"
     if t.get("value"):
-        out += " VALUE " + t["value"]
+        out += " VALUE " + _fl(t["value"])
     if t.get("assert"):
         out += " ASSERT " + t["assert"]
     if t.get("computed"):
@@ -4571,17 +4585,30 @@ class StatementRunner:
             self.table_meta.setdefault(stmt.table, {}).setdefault(
                 "fields", {})[stmt.name] = _render_field(
                     stmt.name, stmt.table, stmt)
+            if ".*." in stmt.name:
+                # defining `users.*.x` implicitly declares the element
+                # slot `users.*` (define/field.rs parent materialization)
+                parent = stmt.name.rsplit(".", 1)[0]
+                self.table_meta[stmt.table]["fields"].setdefault(
+                    parent, f"DEFINE FIELD {parent} ON {stmt.table} "
+                            "TYPE object PERMISSIONS FULL")
             # keep the parsed stmt for ALTER FIELD clause merges
             self.obj_info.setdefault("field_stmt", {})[
                 (stmt.table, stmt.name)] = stmt
+            import re as _re6
+
+            def _fl6(txt):
+                return txt + "f" if _re6.fullmatch(r"\d+\.\d+", txt) \
+                    else txt
+
             fs = {"readonly": bool(stmt.texts.get("readonly")),
                   "kind": stmt.kind_text}
             if stmt.texts.get("default"):
-                fs["default"] = stmt.texts["default"]
+                fs["default"] = _fl6(stmt.texts["default"])
                 fs["default_always"] = bool(
                     stmt.texts.get("default_always"))
             if stmt.texts.get("value"):
-                fs["value"] = stmt.texts["value"]
+                fs["value"] = _fl6(stmt.texts["value"])
             self.obj_info.setdefault("field_struct", {})[
                 (stmt.table, stmt.name)] = fs
             if stmt.texts.get("reference"):
@@ -4602,8 +4629,28 @@ class StatementRunner:
                 self.computed_fields.setdefault(stmt.table, {})[
                     stmt.name] = ("refs", stmt.computed[1])
                 return None
+            if stmt.computed is None and "." in stmt.name:
+                # nested define under a COMPUTED parent is invalid
+                # (define/field.rs nested-vs-computed checks)
+                parent = stmt.name.split(".", 1)[0]
+                if parent in self.computed_fields.get(stmt.table, {}):
+                    raise ValueError(
+                        f"Cannot define nested field `{stmt.name}` as "
+                        f"parent field `{parent}` is a `COMPUTED` field.")
             if stmt.computed is not None:
                 # COMPUTED exclusions (define/field.rs computed checks)
+                if "." in stmt.name:
+                    raise ValueError(
+                        f"Cannot define field `{stmt.name}` as `COMPUTED` "
+                        "fields must be top-level.")
+                td0 = self.db.tables.get(stmt.table)
+                nested = next(
+                    (f.name for f in (td0.fields if td0 else [])
+                     if f.name.startswith(stmt.name + ".")), None)
+                if nested is not None:
+                    raise ValueError(
+                        f"Cannot define field `{stmt.name}` as `COMPUTED` "
+                        f"since a nested field `{nested}` already exists.")
                 if stmt.name == "id":
                     raise ValueError(
                         "Cannot use the `COMPUTED` keyword on the `id` "
@@ -6041,6 +6088,12 @@ class StatementRunner:
                 if "__k_" + k not in d and self._needs_kinded_cell(d[k]):
                     d["__k_" + k] = kind_of_py(d[k])
                     d[k] = encode_kinded_py(d[k])
+                    td1 = self.db.tables.get(tgt.table)
+                    if td1 is not None:
+                        # a JSON-encoded cell makes the column kinded
+                        # (unlike geometry/regex kind STAMPS, whose
+                        # values stay natively typed)
+                        td1.kinded.add(k)
             if "id" not in d:
                 if tgt.key is not None:
                     d["id"] = f"{tgt.table}:{self._key_text(tgt, params)}"
