@@ -62,6 +62,7 @@ class UpdateStmt:
     upsert: bool = False
     # `UPSERT a:1, b:2 SET ...` — additional comma-separated targets
     extra_targets: list = dc_field(default_factory=list)
+    explain: str | None = None  # EXPLAIN [FULL] — plan only, no mutation
 
 
 @dataclass
@@ -1013,6 +1014,8 @@ def _parse_statement_body(p: Parser):
         st = UpdateStmt(tgt, data, where, _return_clause(p),
                         upsert=t.text == "UPSERT")
         st.extra_targets = extras
+        if p.eat("kw", "EXPLAIN"):
+            st.explain = "full" if p.eat_word("FULL") else "plain"
         return st
     if t.text == "DELETE":
         p.next()
@@ -5346,6 +5349,32 @@ class StatementRunner:
                     out = out.unionByName(o, allowMissingColumns=True)
                 return out
             tbl = stmt.target.table
+            if getattr(stmt, "explain", None):
+                # UPDATE/UPSERT ... EXPLAIN: plan rows only, no mutation
+                # (explain is always read-only; update/explain.surql)
+                if stmt.target.key is not None:
+                    rid = f"{tbl}:" + str(
+                        self._key_text(stmt.target, params))
+                    # UPSERT defers the record fetch (create-if-absent);
+                    # UPDATE iterates it (dbs/iterators.rs Defer/Record)
+                    op = "Iterate Defer" if stmt.upsert \
+                        else "Iterate Record"
+                    return [{"detail": {"record": rid}, "operation": op},
+                            {"detail": {"type": "Memory"},
+                             "operation": "Collector"}]
+                if stmt.upsert and stmt.where is None:
+                    # table-wide UPSERT yields the table (Iterable::Yield)
+                    return [{"detail": {"table": tbl},
+                             "operation": "Iterate Yield"},
+                            {"detail": {"type": "Memory"},
+                             "operation": "Collector"}]
+                from surrealdb_spark.sql.explain import plan_legacy
+                from surrealdb_spark.sql.parser import Select as _Sel
+
+                sel = _Sel(fields=None, value_expr=None, sources=[tbl],
+                           where=stmt.where, explain=stmt.explain)
+                self._refresh_catalog()
+                return plan_legacy(self, sel, params or {})
             if tbl not in self.db.tables:
                 # undefined table: UPSERT creates it; UPDATE is a no-op
                 # over the implicit empty table (update.rs)
