@@ -5932,6 +5932,22 @@ class StatementRunner:
         # unknown-field rejection (doc/field.rs field-then-strict order);
         # option kinds skip the assert when the value is NONE
         for fd in td.fields:
+            if fd.value_ast is None or "." in fd.name or "*" in fd.name:
+                continue
+            from surrealdb_spark import pyeval as _pe
+
+            raw0 = d.get(fd.name)
+            try:
+                _pe.peval(fd.value_ast,
+                          {"value": raw0, "input": raw0, "this": d})
+            except _pe.EvalError as e0:
+                # the VALUE clause itself errors on this input (reference
+                # evaluates it per write — 'Cannot perform multiplication
+                # with NONE and 2', type_value_order_checking.surql)
+                raise ValueError(str(e0))
+            except Exception:
+                pass  # engine-side compute path handles it
+        for fd in td.fields:
             if fd.assert_ast is None or "." in fd.name:
                 continue
             kl = (fd.kind or "").strip().lower()
