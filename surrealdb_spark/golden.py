@@ -84,12 +84,34 @@ def _strip_comments(src: str) -> str:
 
 
 def split_statements(src: str) -> list[str]:
-    """Top-level `;` split, respecting strings and bracket nesting."""
+    """Top-level `;` split, respecting strings, bracket nesting, and the
+    worded IF block form.
+
+    `IF cond THEN body; ELSE IF cond THEN body; ELSE body; END` is ONE
+    statement whose branch bodies may each end with an optional `;`
+    (syn/parser/stmt/if.rs parse_worded_tail: a single END closes the
+    whole ELSE-IF chain; the bracketed form `IF cond { .. }` has no END
+    and its braces nest normally).  `IF [NOT] EXISTS` inside DEFINE/
+    REMOVE/ALTER is not a block opener.
+    """
     src = _strip_comments(src)
     out: list[str] = []
     cur: list[str] = []
     depth = 0
+    # worded-IF tracking at bracket depth 0: each entry is "cond" (seen
+    # IF, awaiting THEN or '{') or "worded" (THEN seen — needs END)
+    ifstack: list[str] = []
+    prev_word = ""
     i, n = 0, len(src)
+
+    def _next_word(j: int) -> str:
+        while j < n and src[j].isspace():
+            j += 1
+        k = j
+        while k < n and (src[k].isalnum() or src[k] == "_"):
+            k += 1
+        return src[j:k].upper()
+
     while i < n:
         ch = src[i]
         if ch in "'\"":
@@ -107,11 +129,30 @@ def split_statements(src: str) -> list[str]:
                     break
                 i += 1
             continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            word = src[i:j].upper()
+            if depth == 0:
+                if word == "IF" and prev_word != "ELSE" \
+                        and _next_word(j) not in ("NOT", "EXISTS"):
+                    ifstack.append("cond")
+                elif word == "THEN" and ifstack and ifstack[-1] == "cond":
+                    ifstack[-1] = "worded"
+                elif word == "END" and ifstack and ifstack[-1] == "worded":
+                    ifstack.pop()
+            prev_word = word
+            cur.append(src[i:j])
+            i = j
+            continue
         if ch in "([{":
+            if ch == "{" and depth == 0 and ifstack and ifstack[-1] == "cond":
+                ifstack.pop()  # bracketed form: braces nest, no END
             depth += 1
         elif ch in ")]}":
             depth -= 1
-        if ch == ";" and depth == 0:
+        if ch == ";" and depth == 0 and not ifstack:
             stmt = "".join(cur).strip()
             if stmt:
                 out.append(stmt)
@@ -431,7 +472,9 @@ def _df_value(df, stmt_text: str = "") -> object:
         return None
     if isinstance(df, (dict, list, str)):
         return df  # INFO / EXPLAIN return the reference-shaped value
-    rows = [_norm(r) for r in df.limit(10_000).collect()]
+    rows = [_norm(r) for r in df.limit(10_001).collect()]
+    if len(rows) > 10_000:
+        raise RuntimeError("golden result exceeds the 10k comparison cap")
     bare = getattr(df, "_surql_bare", None)
     if df.columns == ["value"] and (bare or bare is None):
         return [r["value"] for r in rows]
@@ -633,6 +676,69 @@ def _fetch_deref(val, path: list[str]):
     return val
 
 
+def _absorb_txn_commit(stmts: list[str], expected: list):
+    """Insert a ("noresult",) expectation slot at the COMMIT of a
+    RETURN-terminated transaction (the reference emits no separate COMMIT
+    result there — return/breaks_nested_execution.surql).  Returns the
+    repaired expected list, or None when the shape doesn't match."""
+    in_tx = False
+    saw_return = False
+    commit_idx = None
+    for i, s in enumerate(stmts):
+        w = _stmt_word(s)
+        if w == "BEGIN":
+            in_tx, saw_return = True, False
+        elif w == "RETURN" and in_tx:
+            saw_return = True
+        elif w in ("COMMIT", "CANCEL"):
+            if in_tx and saw_return and w == "COMMIT":
+                if commit_idx is not None:
+                    return None  # more than one — can't repair by +1
+                commit_idx = i
+            in_tx = False
+    if commit_idx is None:
+        return None
+    out = list(expected)
+    out.insert(commit_idx, ("noresult",))
+    return out
+
+
+def _run_parsing_error_file(spark: SparkSession, stmts: list[str],
+                            fr: "FileResult", raw: dict, env) -> "FileResult":
+    """`[test.results] parsing-error = ...` files: the whole script is
+    parsed once by the reference and must produce (or not produce) a
+    single parse error (language-tests/README.md:185-232).  Our engine
+    parses per-statement: the file passes when SOME statement raises
+    (truthy expectation) / NONE raises (parsing-error = false)."""
+    import tempfile
+
+    from surrealdb_spark.dml import Database
+    from surrealdb_spark.sql.statements import StatementRunner
+
+    want_error = bool(raw.get("parsing-error"))
+    db = Database(spark, tempfile.mkdtemp(prefix="golden_"))
+    runner = StatementRunner(spark, db)
+    runner.planner_strategy = list((env or {}).get("planner-strategy", []))
+    runner.backend = list((env or {}).get("backend", []))
+    err: str | None = None
+    for s in stmts:
+        try:
+            _auto_define(db, s)
+            runner.run(s, params={})
+        except Exception as exc:
+            err = f"{type(exc).__name__}: {exc}"
+            break
+    ok = (err is not None) if want_error else (err is None)
+    fr.cases.append(CaseResult(
+        statement=stmts[0][:80] if stmts else "<empty>",
+        expected=("error",) if want_error else ("any",),
+        actual=err, ok=ok,
+        detail="" if ok else (
+            f"expected a parse/semantic error, none raised" if want_error
+            else f"unexpected error: {err}")))
+    return fr
+
+
 def _run_statement_file(spark: SparkSession, stmts: list[str],
                         fr: "FileResult", expected: list,
                         db=None, runner=None, env=None) -> "FileResult":
@@ -654,9 +760,18 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
     script = None  # lazy ScriptRunner for FOR/IF/THROW statements
     bindings: dict = {}
     txbuf: list = []  # statements inside an open BEGIN..COMMIT
+    tx_returned = False  # a top-level RETURN ended the open transaction
     for s, e in zip(stmts, expected):
         word = _stmt_word(s)
         a: object
+        if word in ("BEGIN", "COMMIT", "CANCEL"):
+            pass  # tx boundaries always execute; flag resets below
+        elif getattr(runner, "_tx_open", False) and tx_returned:
+            # RETURN inside a transaction stops execution of the
+            # remaining statements; they report NONE
+            # (return/breaks_nested_execution.surql)
+            txbuf.append((s, e, None))
+            continue
         try:
             if s.strip().startswith("{"):
                 # a leading `{` may be a SET LITERAL expression, not a
@@ -704,7 +819,10 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         if v is _ERR:
                             raise ValueError("LET binding failed")
                         env[lm.group(1)] = _set_tag(rhs, _norm(v))
-                    elif iw in ("FOR", "THROW") or (iw == "IF" and "{" in inner):
+                    elif iw in ("FOR", "THROW") or (
+                            iw == "IF" and ("{" in inner
+                                            or re.search(r"\bTHEN\b", inner,
+                                                         re.I))):
                         from surrealdb_spark.script import ScriptRunner
 
                         if script is None:
@@ -781,10 +899,12 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                         # re-lit as plain Python ($obj.field predicates)
                         bindings[m.group(1)] = _set_tag(rhs, _norm(v))
                 a = None
-            elif word in ("FOR", "THROW") or (word == "IF" and "{" in s):
-                # control-flow statements run through the script engine
-                # sharing this file's runner/bindings (exec/mod.rs
-                # ControlFlow)
+            elif word in ("FOR", "THROW") or (
+                    word == "IF" and ("{" in s
+                                      or re.search(r"\bTHEN\b", s, re.I))):
+                # control-flow statements (both IF forms — bracketed and
+                # worded THEN..END) run through the script engine sharing
+                # this file's runner/bindings (exec/mod.rs ControlFlow)
                 from surrealdb_spark.script import ScriptRunner
 
                 if script is None:
@@ -800,6 +920,8 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                     runner._restore_root(bk)
                     raise
                 runner._drop_backup(bk)
+                if hasattr(a, "columns"):  # DataFrame statement result
+                    a = _df_value(a, s)
             elif word in _STMT_WORDS:
                 _auto_define(db, s)
                 out_df = runner.run(s, params=bindings)
@@ -840,6 +962,10 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 # paths outside runner.run (THROW via the script engine)
                 runner._tx_failed = _LAST_ERR
         in_tx = getattr(runner, "_tx_open", False)
+        if in_tx and word == "RETURN" and a is not _ERR:
+            tx_returned = True
+        if word in ("BEGIN", "COMMIT", "CANCEL") and not in_tx:
+            tx_returned = False
         if in_tx and word != "BEGIN":
             txbuf.append((s, e, a))  # judged when the tx resolves
             continue
@@ -855,6 +981,8 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 _record_case(fr, bs, be, _ERR if failed else ba, spark)
             txbuf = []
             runner._tx_failed = None
+        if e == ("noresult",):
+            continue  # absorbed COMMIT of a RETURN-terminated txn
         _record_case(fr, s, e, a, spark)
     for bs, be, ba in txbuf:  # unterminated transaction: record as-is
         _record_case(fr, bs, be, ba, spark)
@@ -1011,7 +1139,8 @@ def _canon(v) -> str:
         return "{" + ",".join(f"{k}:{_canon(v[k])}" for k in sorted(v)) + "}"
     if isinstance(v, list):
         return "[" + ",".join(_canon(x) for x in v) + "]"
-    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+    if isinstance(v, float) and math.isfinite(v) and v == int(v) \
+            and abs(v) < 1e15:
         return repr(int(v))  # 2.5f vs Decimal/int printing
     return repr(v)
 
@@ -1049,6 +1178,11 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
         fr.skipped = "wip"
         return fr
     raw = test.get("results", [])
+    if isinstance(raw, dict):
+        # `[test.results]` single-table form (language-tests/README.md:185-
+        # 232): `parsing-error = <str|true>` expects the WHOLE script to
+        # fail parsing once; `parsing-error = false` expects it to parse.
+        return _run_parsing_error_file(spark, stmts, fr, raw, env)
     expected = []
     for r in raw:
         if isinstance(r, dict) and "value" in r:
@@ -1058,8 +1192,22 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
             expected.append(("error",))
         else:
             expected.append(("any",))
+    if expected and len(stmts) == len(expected) + 1:
+        # a RETURN-terminated transaction's COMMIT emits no result slot
+        # (return/breaks_nested_execution.surql: the txn's output IS the
+        # RETURN value; the trailing COMMIT is absorbed) — mark it so the
+        # runner executes it without consuming an expectation
+        fixed = _absorb_txn_commit(stmts, expected)
+        if fixed is not None:
+            expected = fixed
     if not expected or len(expected) != len(stmts):
-        fr.skipped = f"results/statements mismatch ({len(expected)}/{len(stmts)})"
+        # align-or-fail: a count mismatch is a FAILURE of this harness or
+        # the splitter, never a silent out-of-denominator skip
+        fr.cases.append(CaseResult(
+            statement="<alignment>", expected=("any",), actual=_ERR,
+            ok=False,
+            detail=f"results/statements mismatch ({len(expected)}/"
+                   f"{len(stmts)}) — splitter or harness bug"))
         return fr
     if env.get("imports"):
         # imported state (datasets / harness fns) → always sequential mode

@@ -1311,6 +1311,22 @@ def increment(base, rhs):
     return _arith("+", base, rhs)
 
 
+def extend(base, rhs):
+    """`+?=` semantics (val/value/extend.rs AssignOperator::Extend):
+    array target concats/pushes then uniq()s (first-occurrence order);
+    NONE target wraps the value as an array; anything else errors."""
+    if base is None:
+        return list(rhs) if isinstance(rhs, list) else [rhs]
+    if isinstance(base, (SetVal, list)):
+        items = list(rhs) if isinstance(rhs, list) else [rhs]
+        out = []
+        for x in list(base) + items:
+            if x not in out:
+                out.append(x)
+        return _mkset(out) if isinstance(base, SetVal) else out
+    raise ValueError(f"Cannot extend the value '{base!r}'")
+
+
 def decrement(base, rhs):
     """`-=` semantics (val/value/decrement.rs): arrays/sets remove every
     matching element (duplicates of others preserved), absent numbers

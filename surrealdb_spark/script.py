@@ -13,6 +13,7 @@ runner exists for SurrealQL-text scripts.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,6 +117,19 @@ class ScriptRunner:
             elif up.startswith("SELECT"):
                 result = self._eval(stmt, bindings)
             else:
+                # a parenthesized statement `(UPSERT ...)` is a subquery
+                # expression whose value is the statement's result
+                # (exec/planner.rs writable subqueries) — unwrap it for
+                # the statement runner
+                m_par = re.match(
+                    r"^\(\s*(CREATE|UPDATE|UPSERT|DELETE|INSERT|RELATE"
+                    r"|SELECT|RETURN)\b(.*)\)$", stmt, re.I | re.S)
+                if m_par and _outer_parens(stmt):
+                    stmt = stmt[1:-1].strip()
+                    up = stmt.upper()
+                    if up.startswith("SELECT"):
+                        result = self._eval(stmt, bindings)
+                        continue
                 # expression statement (may carry `{ BREAK }` control
                 # flow, control_flow/loop corpus) — driver evaluator
                 # first, then the statement runner
@@ -138,7 +152,19 @@ class ScriptRunner:
         return result
 
     def _run_if(self, stmt: str, bindings: dict):
-        """IF cond { block } [ELSE IF cond { block }]* [ELSE { block }]."""
+        """IF cond { block } [ELSE IF cond { block }]* [ELSE { block }],
+        plus the worded form IF cond THEN body [ELSE IF..THEN..] [ELSE
+        body] END (syn/parser/stmt/if.rs: one END closes the chain;
+        branch bodies may carry an optional trailing `;`)."""
+        worded = _split_worded_if(stmt)
+        if worded is not None:
+            branches, els = worded
+            for cond_src, body in branches:
+                if _truthy(self._eval_expr(cond_src.strip(), bindings)):
+                    return self._run_block(body, bindings)
+            if els is not None:
+                return self._run_block(els, bindings)
+            return None
         rest = stmt[2:]
         while True:
             cond_src, block, rest = _split_block(rest)
@@ -349,21 +375,237 @@ class ScriptRunner:
     @staticmethod
     def _statements(script: str) -> list[str]:
         """Split on top-level `;` — parens AND braces nest (IF/FOR blocks
-        carry whole statement lists)."""
+        carry whole statement lists), and worded `IF..THEN..END` chains
+        hold their interior `;` (syn/parser/stmt/if.rs: branch bodies eat
+        an optional trailing `;` before ELSE/END)."""
         out, depth, cur = [], 0, []
-        for ch in script:
+        ifdepth = 0  # open worded-IF chains awaiting END
+        i, n = 0, len(script)
+        prev_word = ""
+        while i < n:
+            ch = script[i]
+            if ch in "'\"":
+                q = ch
+                cur.append(ch)
+                i += 1
+                while i < n:
+                    cur.append(script[i])
+                    if script[i] == "\\" and i + 1 < n:
+                        cur.append(script[i + 1])
+                        i += 2
+                        continue
+                    if script[i] == q:
+                        i += 1
+                        break
+                    i += 1
+                continue
+            if ch.isalpha() or ch == "_":
+                j = i
+                while j < n and (script[j].isalnum() or script[j] == "_"):
+                    j += 1
+                w = script[i:j].upper()
+                if depth == 0:
+                    if w == "THEN" and prev_word != "ELSE":
+                        # a THEN opens/continues a worded chain only when
+                        # its IF was seen; track via pending scan below
+                        pass
+                    if w == "IF" and prev_word != "ELSE":
+                        # lookahead: worded chains have THEN before any
+                        # top-level '{'; DEFINE's IF [NOT] EXISTS has
+                        # neither — only count IFs that will see a THEN
+                        k2, d2 = j, 0
+                        worded = False
+                        while k2 < n:
+                            c2 = script[k2]
+                            if c2 in "'\"":
+                                q2 = c2
+                                k2 += 1
+                                while k2 < n and script[k2] != q2:
+                                    k2 += 2 if script[k2] == "\\" else 1
+                            elif c2 in "([{":
+                                if c2 == "{" and d2 == 0:
+                                    break  # bracketed form
+                                d2 += 1
+                            elif c2 in ")]}":
+                                d2 -= 1
+                            elif d2 == 0 and (c2.isalpha() or c2 == "_"):
+                                j2 = k2
+                                while j2 < n and (script[j2].isalnum()
+                                                  or script[j2] == "_"):
+                                    j2 += 1
+                                w2 = script[k2:j2].upper()
+                                if w2 == "THEN":
+                                    worded = True
+                                    break
+                                if w2 in ("END", "IF") or c2 == ";":
+                                    break
+                                k2 = j2 - 1
+                            elif c2 == ";" and d2 == 0:
+                                break
+                            k2 += 1
+                        if worded:
+                            ifdepth += 1
+                    elif w == "END" and ifdepth > 0:
+                        ifdepth -= 1
+                    prev_word = w
+                cur.append(script[i:j])
+                i = j
+                continue
             if ch in "({":
                 depth += 1
             elif ch in ")}":
                 depth -= 1
-            if ch == ";" and depth == 0:
+            if ch == ";" and depth == 0 and ifdepth == 0:
                 out.append("".join(cur).strip())
                 cur = []
             else:
                 cur.append(ch)
+            i += 1
         if "".join(cur).strip():
             out.append("".join(cur).strip())
         return out
+
+
+def _split_worded_if(stmt: str):
+    """Parse `IF cond THEN body (ELSE IF cond THEN body)* (ELSE body)? END`
+    into ([(cond, body), ...], else_body|None); None when the statement is
+    the bracketed form (a `{` opens the first branch before any THEN).
+
+    Mirrors syn/parser/stmt/if.rs parse_worded_tail: a SINGLE END closes
+    the whole ELSE-IF chain, each body eats one optional trailing `;`.
+    Nested worded IFs inside bodies are tracked so their ENDs don't close
+    the outer chain.
+    """
+    # tokenize: words + single chars at top level, strings opaque
+    toks: list[tuple[str, int, int]] = []  # (WORD-or-char, start, end)
+    i, n = 0, len(stmt)
+    depth = 0
+    while i < n:
+        ch = stmt[i]
+        if ch in "'\"":
+            q, j = ch, i + 1
+            while j < n:
+                if stmt[j] == "\\":
+                    j += 2
+                    continue
+                if stmt[j] == q:
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (stmt[j].isalnum() or stmt[j] == "_"):
+                j += 1
+            if depth == 0:
+                toks.append((stmt[i:j].upper(), i, j))
+            i = j
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        i += 1
+    if not toks or toks[0][0] != "IF":
+        return None
+    # bracketed form? find the first top-level '{' before the first THEN
+    first_then = next((t for t in toks if t[0] == "THEN"), None)
+    if first_then is None:
+        return None
+    brace = stmt.find("{")
+    # (a '{' inside the condition would be at depth>0 via parens; a bare
+    # top-level '{' before THEN means the bracketed form)
+    if 0 <= brace < first_then[1] and _at_top_level(stmt, brace):
+        return None
+
+    branches: list[tuple[str, str]] = []
+    els: str | None = None
+    k = 0  # token index; toks[0] == IF
+    inner = 0
+
+    def _seg(a: int, b: int) -> str:
+        s = stmt[a:b].strip()
+        return s[:-1].rstrip() if s.endswith(";") else s
+
+    # outer chain walk
+    assert toks[k][0] == "IF"
+    cond_start = toks[k][2]
+    k += 1
+    state = "cond"
+    body_start = -1
+    prev = "IF"
+    while k < len(toks):
+        w, s0, s1 = toks[k]
+        if state == "cond":
+            if w == "THEN" and inner == 0:
+                branches.append((stmt[cond_start:s0], ""))
+                body_start = s1
+                state = "body"
+        elif state in ("body", "else"):
+            if w == "IF" and prev != "ELSE":
+                inner += 1
+            elif w == "END":
+                if inner > 0:
+                    inner -= 1
+                else:
+                    seg = _seg(body_start, s0)
+                    if state == "body":
+                        branches[-1] = (branches[-1][0], seg)
+                    else:
+                        els = seg
+                    return branches, els
+            elif w == "ELSE" and inner == 0 and state == "body":
+                branches[-1] = (branches[-1][0], _seg(body_start, s0))
+                if k + 1 < len(toks) and toks[k + 1][0] == "IF":
+                    k += 2
+                    cond_start = toks[k - 1][2]
+                    state = "cond"
+                    prev = "IF"
+                    continue
+                body_start = s1
+                state = "else"
+        prev = w
+        k += 1
+    raise ValueError(f"worded IF without END: {stmt[:60]!r}")
+
+
+def _outer_parens(s: str) -> bool:
+    """True when s is one `( ... )` group — the opening paren closes at
+    the final character (strings opaque)."""
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q, i = ch, i + 1
+            while i < n and s[i] != q:
+                i += 2 if s[i] == "\\" else 1
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+            if depth == 0:
+                return i == n - 1
+        i += 1
+    return False
+
+
+def _at_top_level(s: str, pos: int) -> bool:
+    """True when s[pos] sits outside parens/brackets/strings."""
+    depth, i = 0, 0
+    while i < pos:
+        ch = s[i]
+        if ch in "'\"":
+            q, i = ch, i + 1
+            while i < pos and s[i] != q:
+                i += 2 if s[i] == "\\" else 1
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        i += 1
+    return depth == 0
 
 
 def _split_block(s: str) -> tuple[str, str, str]:

@@ -89,7 +89,10 @@ _AGGREGATES = {
     # sum of an empty/all-absent group is 0, not NULL (aggregates/math.rs
     # MathSum starts at Number::Int(0))
     "math::sum": lambda args: F.coalesce(F.sum(args[0]), F.lit(0)),
-    "math::mean": lambda args: F.avg(args[0]),
+    # mean of an empty/all-absent group is NaN, not NULL (aggregates/
+    # math.rs MeanAccumulator::finalize: count==0 → f64::NAN)
+    "math::mean": lambda args: F.coalesce(
+        F.avg(args[0]), F.lit(float("nan"))),
     "math::min": lambda args: F.min(args[0]),
     "math::max": lambda args: F.max(args[0]),
     # sample stddev/variance of a single value is 0 in the reference
@@ -1924,6 +1927,48 @@ def _has_aggregate(ast) -> bool:
     return False
 
 
+def _kv_order_sources(sources, params) -> list[str]:
+    """Table names among the SELECT sources, resolving dynamic ones.
+
+    The reference's DynamicScan (scan/dynamic.rs:53) iterates the same
+    ordered KV range as a static TableScan, so `FROM $tb` and
+    `FROM type::table(expr)` must page in record-id order under
+    LIMIT/START exactly like a plain `FROM tb` — the KV-order gate keys
+    on the RESOLVED table name, not the source's syntactic shape
+    (dbs/iterator.rs:63-65 ordered scan guarantee).
+    """
+    names: list[str] = []
+    _ident = __import__("re").compile(r"^[A-Za-z_]\w*$")
+
+    def _tbl(v):
+        return v if isinstance(v, str) and _ident.match(v) else None
+
+    for s in sources:
+        if isinstance(s, str):
+            names.append(s)
+            continue
+        if isinstance(s, tuple) and s[0] == "paramsrc":
+            t = _tbl(params.get(s[1]))
+            if t:
+                names.append(t)
+            continue
+        if isinstance(s, tuple) and s[0] == "exprsrc":
+            ast = s[1]
+            items = ast[1] if ast[0] == "array" else [ast]
+            for it in items:
+                if it[0] == "call" and it[1] == "type::table" and it[2]:
+                    arg = it[2][0]
+                    if arg[0] == "param":
+                        t = _tbl(params.get(arg[1]))
+                    elif arg[0] == "lit":
+                        t = _tbl(arg[1])
+                    else:
+                        t = None
+                    if t:
+                        names.append(t)
+    return names
+
+
 def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                    catalog: Catalog | None = None, params: dict | None = None) -> DataFrame:
     cat = catalog or Catalog(spark, sf_dir)
@@ -2699,9 +2744,12 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # Spark row order is partition-dependent, so pin it when paging.
     # (bare LIMIT keeps Spark's cheap any-N take — a global sort for every
     # LIMIT would be wrong at scale; START paging is where determinism pays)
-    str_srcs = [s for s in sel.sources if isinstance(s, str)]
-    # only plain table-name sources get the KV-order sort; a subquery
-    # source keeps its own (possibly ORDER BY'd) row order
+    str_srcs = _kv_order_sources(sel.sources, params)
+    # only table-name sources (plain strings, or dynamic sources that
+    # resolve to one: FROM $tb / type::table(expr) — scan/dynamic.rs:53
+    # scans the SAME ordered KV range as a static table scan, so LIMIT'd
+    # dynamic scans page in id order too) get the KV-order sort; a
+    # subquery source keeps its own (possibly ORDER BY'd) row order
     oltp_srcs = bool(str_srcs) and all(
         s in getattr(cat, "registered", ()) for s in str_srcs)
     if (sel.start or oltp_srcs) and not sel.order and not is_grouped \

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<bname>`[^`]*`|⟨[^⟩]*⟩)
   | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\^~#])
+  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\+\?=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\^~#])
     """,
     re.X,
 )
@@ -220,6 +220,28 @@ class Parser:
             got = self.peek()
             raise SyntaxError(f"expected {word}, got {got.text!r} at {got.pos}")
         return t
+
+    def block_contains_return(self) -> bool:
+        """Lookahead: the `{ ... }` block starting at the current token
+        carries a RETURN anywhere inside — ControlFlow::Return propagates
+        out of nested blocks (exec/mod.rs:150-155;
+        return/breaks_nested_execution.surql)."""
+        t = self.peek()
+        if not (t.kind == "op" and t.text == "{"):
+            return False
+        depth, j = 0, self.i
+        while j < len(self.toks):
+            tk = self.toks[j]
+            if tk.kind == "op" and tk.text == "{":
+                depth += 1
+            elif tk.kind == "op" and tk.text == "}":
+                depth -= 1
+                if depth == 0:
+                    return False
+            elif tk.kind == "kw" and tk.text == "RETURN" and depth >= 1:
+                return True
+            j += 1
+        return False
 
     # -- expressions --------------------------------------------------------
 

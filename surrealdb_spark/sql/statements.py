@@ -873,7 +873,13 @@ def _skip_permissions(p: Parser) -> None:
         return
     while p.eat("kw", "FOR"):
         while True:
-            p.next()  # verb
+            verb = p.next()  # verb
+            if verb.text.upper() == "DELETE":
+                # field permissions have no delete verb (syn/parser/stmt/
+                # parts.rs; define/field/permission_delete.surql)
+                raise SyntaxError(
+                    "field permissions accept select, create and update "
+                    "only — not delete")
             if not p.eat("op", ","):
                 break
         if p.eat("kw", "NONE") or p.eat("kw", "FULL"):
@@ -1281,6 +1287,15 @@ def _parse_statement_body(p: Parser):
                                            else ct.text)
                 else:
                     break
+            if st.flexible and st.dtype is not None:
+                kt = (st.kind_text or "").lower()
+                if "object" not in kt and "{" not in kt:
+                    # FLEXIBLE needs a type containing object — `any`
+                    # already admits everything (catalog/schema/field.rs;
+                    # define/field/flexible_error_{any,non_object}.surql)
+                    raise SyntaxError(
+                        "FLEXIBLE can only be used with types containing "
+                        "object")
             return st
         if what.text == "INDEX":
             # DEFINE INDEX name ON [TABLE] tbl FIELDS|COLUMNS f,...
@@ -1491,9 +1506,14 @@ def _parse_statement_body(p: Parser):
                     if not returned:
                         body, returned = e, True
                 else:
+                    # a nested `{ .. RETURN x .. }` block returns from the
+                    # whole function (ControlFlow::Return propagates,
+                    # return/breaks_nested_execution.surql)
+                    blk_ret = p.block_contains_return()
                     e = p.expr(0)
                     if not returned:
                         body = e
+                        returned = blk_ret
                 if not p.eat("op", ";"):
                     break
             p.expect("op", "}")
@@ -1525,8 +1545,15 @@ def _parse_statement_body(p: Parser):
                 if p.eat_word("ASYNC"):
                     st.is_async = True
                 elif p.eat_word("RETRY"):
+                    if not st.is_async:
+                        # RETRY/MAXDEPTH only follow ASYNC (syn/parser/
+                        # stmt/define.rs; event/invalid_retry.surql)
+                        raise SyntaxError("RETRY must be set after ASYNC")
                     st.retry = int(p.expect("num").text)
                 elif p.eat_word("MAXDEPTH"):
+                    if not st.is_async:
+                        raise SyntaxError(
+                            "MAXDEPTH must be set after ASYNC")
                     st.maxdepth = int(p.expect("num").text)
                 else:
                     break
@@ -1918,6 +1945,12 @@ def _parse_statement_body(p: Parser):
                 return st2
             if what2 in ("SYSTEM", "NAMESPACE", "DATABASE", "NS", "DB"):
                 st2 = AlterDetailStmt("system", what2.lower())
+                if p.peek().kind == "eof":
+                    # bare `ALTER SYSTEM;` — at least one clause required
+                    # (alter_system_parsing_error.surql)
+                    raise SyntaxError(
+                        f"ALTER {what2}: expected a clause, got end of "
+                        "statement")
                 while p.peek().kind != "eof":
                     if p.eat_word("COMPACT"):
                         st2.sets["compact"] = True
@@ -2218,7 +2251,7 @@ def _assignments(p: Parser) -> list:
             else:
                 break
         opt = p.next()
-        if opt.text not in ("=", "+=", "-="):
+        if opt.text not in ("=", "+=", "-=", "+?="):
             raise SyntaxError(f"expected assignment op, got {opt.text!r}")
         target = f_ if not segs else ("fpath", f_, segs)
         out.append((target, opt.text, p.expr(0)))
@@ -2468,7 +2501,7 @@ class StatementRunner:
             df = self.run(inner.strip(), params=params)
             rows = [] if df is None else \
                 [strip_absent(r.asDict(recursive=True))
-                 for r in df.limit(10_000).collect()]
+                 for r in _bounded_collect(df, "writable subquery result")]
             slot = f"__ws{n}"
             n += 1
             params[slot] = rows
@@ -2995,7 +3028,8 @@ class StatementRunner:
 
             df = self.run_select(ast[1][1], binds)
             rows: list = [strip_absent(r.asDict(recursive=True))
-                          for r in df.limit(10_000).collect()]
+                          for r in _bounded_collect(
+                              df, "postfix idiom over subquery")]
             if df.columns == ["value"] and getattr(df, "_surql_bare", True):
                 rows = [r["value"] for r in rows]
             return pyeval._walk_path(rows, ast[2], binds)
@@ -5561,13 +5595,15 @@ class StatementRunner:
                     out.pop(f_, None)  # SET x = NONE on create → absent
                     out.pop("__k_" + f_, None)
                     continue
-                if op in ("+=", "-="):
+                if op in ("+=", "-=", "+?="):
                     # compound ops against an absent record start from the
                     # NONE base: numbers from zero, objects/values wrap to
-                    # a one-element array (val/value/increment.rs)
+                    # a one-element array (val/value/increment.rs;
+                    # extend.rs for `+?=`)
                     from surrealdb_spark import pyeval as _pe
 
                     v = (_pe.increment(out.get(f_), v) if op == "+="
+                         else _pe.extend(out.get(f_), v) if op == "+?="
                          else _pe.decrement(out.get(f_), v))
                 out[f_] = v
             return out
@@ -5685,6 +5721,8 @@ class StatementRunner:
                 else None
             if op == "+=":
                 nv = pyeval.increment(base, rhs)
+            elif op == "+?=":
+                nv = pyeval.extend(base, rhs)
             elif op == "-=":
                 nv = pyeval.decrement(base, rhs)
             else:
@@ -6385,11 +6423,15 @@ class StatementRunner:
                              else F.lit(None).cast(fl.dataType))
                             .alias(fl.name) for fl in et.fields]
                         rhs = F.struct(*parts)
-                if op in ("+=", "-=") and dt.startswith("array"):
-                    # array fields: += appends, -= removes by value
-                    # (doc/data.rs Data::SetExpr on Array values)
+                if op in ("+=", "-=", "+?=") and dt.startswith("array"):
+                    # array fields: += appends, -= removes by value,
+                    # +?= appends-then-uniqs (doc/data.rs Data::SetExpr;
+                    # val/value/extend.rs — uniq keeps first occurrence,
+                    # matching array_distinct)
                     base = F.coalesce(F.col(f_), F.array().cast(dt))
                     rhs = (F.array_append(base, rhs) if op == "+="
+                           else F.array_distinct(F.array_append(base, rhs))
+                           if op == "+?="
                            else F.array_remove(base, rhs))
                 elif op in ("+=", "-=") and "months" in dt and "nanos" in dt:
                     sign = 1 if op == "+=" else -1
