@@ -83,7 +83,7 @@ def _strip_comments(src: str) -> str:
     return "".join(out)
 
 
-def split_statements(src: str) -> list[str]:
+def split_statements(src: str, lenient_keywords: bool = False) -> list[str]:
     """Top-level `;` split, respecting strings, bracket nesting, and the
     worded IF block form.
 
@@ -134,6 +134,19 @@ def split_statements(src: str) -> list[str]:
             while j < n and (src[j].isalnum() or src[j] == "_"):
                 j += 1
             word = src[i:j].upper()
+            if (lenient_keywords and depth == 0 and not ifstack
+                    and word in ("CREATE", "UPDATE", "UPSERT", "DELETE",
+                                 "INSERT", "RELATE", "DEFINE", "REMOVE",
+                                 "LET", "RETURN", "FOR", "THROW")
+                    and "".join(cur).rstrip().endswith("}")):
+                # block bodies may omit the `;` after a `}`-terminated
+                # statement (fetch/objects.surql setup block runs in the
+                # reference without one) — a following statement keyword
+                # is an implicit boundary
+                stmt0 = "".join(cur).strip()
+                if stmt0:
+                    out.append(stmt0)
+                cur = []
             if depth == 0:
                 if word == "IF" and prev_word != "ELSE" \
                         and _next_word(j) not in ("NOT", "EXISTS"):
@@ -798,7 +811,7 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 body = s.strip()[1:-1]
                 a = None
                 env = dict(bindings)  # LETs inside stay block-local
-                inners = split_statements(body)
+                inners = split_statements(body, lenient_keywords=True)
                 for idx, inner in enumerate(inners):
                     iw = _stmt_word(inner)
                     lm = re.match(r"LET\s+\$(\w+)\s*=\s*(.*)$", inner,

@@ -122,7 +122,14 @@ def _ocollect(c):
     record order in the reference (aggregates collect in scan order over
     the ordered KV store); Spark's collect_list is partition-ordered, so
     pin it."""
-    pairs = F.collect_list(F.struct(F.col("id").alias("k"), c.alias("v")))
+    key = F.substring_index(F.col("id").cast("string"), ":", -1)
+    # numeric record keys order numerically BEFORE string keys
+    # (record_id/key.rs Ord); string keys get the max sentinel and
+    # tie-break on the full id text
+    kn = F.coalesce(key.try_cast("bigint"),
+                    F.lit(9223372036854775807).cast("bigint"))
+    pairs = F.collect_list(F.struct(
+        kn.alias("kn"), F.col("id").cast("string").alias("k"), c.alias("v")))
     return F.transform(F.array_sort(pairs), lambda s: s.getField("v"))
 
 # Registry builders whose N-th parameter must be a Python literal (regex
@@ -2647,13 +2654,15 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             else:
                 # non-aggregate field under GROUP BY accumulates the group's
                 # values into an array (language-tests group/accumulate:
-                # SELECT v, g ... GROUP BY g → v: [1,2,3]); sorted ascending
-                # for a deterministic cross-engine order
+                # SELECT v, g ... GROUP BY g → v: [1,2,3]) in SCAN order —
+                # the reference collects over the id-ordered KV iterator
+                # (fetch/group_by.surql wants [Bob, Alice] for user:1,
+                # user:2); fall back to value sort without an id spine
                 alias = f"__agg{len(aggs)}"
+                c_ = compile_expr(fld.expr, params, types)
                 aggs.append(
-                    F.sort_array(
-                        F.collect_list(compile_expr(fld.expr, params, types))
-                    ).alias(alias)
+                    (_ocollect(c_) if "id" in types else
+                     F.sort_array(F.collect_list(c_))).alias(alias)
                 )
                 post_fields.append((("ident", alias), name))
             out_names.add(name)
@@ -2955,12 +2964,28 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                     df = df.withColumn(
                         base, F.col(base).dropFields(".".join(rest)))
 
-    # fetch (operators/fetch.rs) — target table inferred from id prefix
+    # fetch (operators/fetch.rs) — target table inferred from id prefix.
+    # Each path expands to all of its prefixes (`FETCH author.company`
+    # dereferences `author` on the way — fetch.rs:27 walks the idiom),
+    # processed shallowest-first so later paths re-embed INSIDE the
+    # already-fetched parent struct (dbs/iterator.rs:1125 output_fetch).
+    fetch_paths: list[str] = []
     for f_ in sel.fetch:
+        parts = f_.split(".")
+        for d in range(1, len(parts) + 1):
+            pre = ".".join(parts[:d])
+            if pre not in fetch_paths:
+                fetch_paths.append(pre)
+    fetch_paths.sort(key=lambda p: p.count("."))
+    for f_ in fetch_paths:
         from surrealdb_spark.operators.fetch import fetch
         from surrealdb_spark.operators.graph import record_id
 
-        sample = df.select(f_).filter(F.col(f_).isNotNull()).first()
+        try:
+            sample = df.select(F.col(f_).alias("__fv")) \
+                .filter(F.col(f_).isNotNull()).first()
+        except Exception:
+            continue  # path doesn't resolve on this frame (e.g. non-struct)
         if sample is None:
             continue
         sv = sample[0]
@@ -2971,7 +2996,8 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         is_arr = isinstance(sample[0], list)
         if not isinstance(sv, str) or ":" not in sv:
             # the projection already replaced this field with a non-id
-            # value (array-deref object) — nothing left to fetch
+            # value (array-deref object / plain field leaf) — nothing
+            # left to fetch at this level
             continue
         tbl = str(sv).split(":", 1)[0]
         target = cat.table(tbl)
@@ -2988,6 +3014,20 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
 
             keys = [c for c in df.columns if c == "id"] or df.columns[:1]
             df = fetch_array(df, f_, keys, target, "id")
+        elif "." in f_:
+            # nested path: left-join on the nested id, re-embed the
+            # fetched struct inside the parent via withField
+            head, rest = f_.split(".", 1)
+            t = F.broadcast(target.select(
+                F.col("id").alias("__fetch_id"),
+                F.struct(*[F.col(c) for c in target.columns])
+                .alias("__fetched")))
+            df = df.join(t, F.col(f_) == F.col("__fetch_id"), "left")
+            # unconditional withField keeps one struct type; an unmatched
+            # (dangling) id nulls the nested field, NULL parents stay NULL
+            df = df.withColumn(
+                head, F.col(head).withField(rest, F.col("__fetched"))
+            ).drop("__fetch_id", "__fetched")
         else:
             df = fetch(df, f_, target, "id")
 

@@ -1545,10 +1545,11 @@ def _parse_select_body(p: Parser) -> Select:
     if p.eat("kw", "FETCH"):
         while True:
             name = p.expect("name").text
-            # dotted fetch paths (`FETCH tags.*.name`, `FETCH tags.name`)
-            # fetch the BASE field's records; the sub-path narrows which
-            # nested links to pursue — whole-record fetch subsumes it
-            # (expr/fetch.rs Fetchs)
+            # dotted fetch paths (`FETCH author.company`) dereference
+            # every record link along the path and embed each level
+            # (expr/fetch.rs Fetchs; exec/operators/fetch.rs:27); a `*`
+            # segment keeps the base path (whole-record fetch subsumes)
+            segs = [name]
             while p.eat("op", "."):
                 nt = p.next()
                 if nt.kind == "op" and nt.text == "*":
@@ -1556,8 +1557,10 @@ def _parse_select_body(p: Parser) -> Select:
                 if nt.kind not in ("name", "kw"):
                     raise SyntaxError(
                         f"bad FETCH path segment {nt.text!r}")
-            if name not in sel.fetch:
-                sel.fetch.append(name)
+                segs.append(nt.orig or nt.text)
+            path = ".".join(segs)
+            if path not in sel.fetch:
+                sel.fetch.append(path)
             if not p.eat("op", ","):
                 break
     if p.eat_word("VERSION"):
