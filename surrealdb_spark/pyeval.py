@@ -672,6 +672,11 @@ def _call_method(name: str, recv, arg_asts, env):
         f = PY_FNS.get(f"object::{name}")
         if f:
             return f(recv, *args)
+    if isinstance(recv, str) and recv.startswith("file:/"):
+        # file-pointer methods: f"bkt:/key".put(...) etc. (fnc/file.rs)
+        f = PY_FNS.get(f"file::{name}")
+        if f:
+            return f(recv, *args)
     if isinstance(recv, str):
         f = PY_FNS.get(f"string::{name}")
         if f:
@@ -1271,6 +1276,32 @@ PY_FNS.update({
     "encoding::json::encode": _json_encode,
     "encoding::json::decode": _json_decode,
 })
+
+
+def _file_fns() -> dict:
+    """file:: driver-side dispatch (fnc/file.rs surface) — bucket I/O is
+    a driver-scoped object-store call; values stay plain Python here so
+    HOFs (`file::list(..).map(|$v| ...)`) compose."""
+    from surrealdb_spark.pipeline import filebucket as FB
+
+    return {
+        "file::put": FB.f_put,
+        "file::put_if_not_exists": FB.f_put_if_not_exists,
+        "file::get": FB.f_get,
+        "file::head": FB.f_head,
+        "file::exists": FB.f_exists,
+        "file::delete": FB.f_delete,
+        "file::copy": FB.f_copy,
+        "file::copy_if_not_exists": FB.f_copy_if_not_exists,
+        "file::rename": FB.f_rename,
+        "file::rename_if_not_exists": FB.f_rename_if_not_exists,
+        "file::list": FB.f_list,
+        "file::bucket": lambda p: p[len("file:/"):].split("/", 1)[0],
+        "file::key": lambda p: "/" + p[len("file:/"):].split("/", 1)[1],
+    }
+
+
+PY_FNS.update(_file_fns())
 
 
 def _dedup(a):

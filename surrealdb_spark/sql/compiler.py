@@ -306,6 +306,15 @@ def _resolve_method(ast, types, params):
         return ("cast", (k, []), recv)
     from surrealdb_spark.functions.registry import REGISTRY
 
+    if ((recv[0] == "lit" and isinstance(recv[1], str)
+         and recv[1].startswith("file:/"))
+        or (recv[0] == "param" and isinstance(
+            (params or {}).get(recv[1]), str)
+            and params[recv[1]].startswith("file:/"))) \
+            and f"file::{mname}" in REGISTRY:
+        # file-pointer receivers dispatch file:: (fnc/file.rs), not
+        # record:: — `f"bkt:/key"` matches the record-id shape otherwise
+        return ("call", f"file::{mname}", [recv] + list(margs))
     cat = _infer(recv, types, params)
     if isinstance(recv, tuple) and (
             recv[0] == "setlit"

@@ -2968,9 +2968,10 @@ class StatementRunner:
                 from surrealdb_spark import pyeval
                 from surrealdb_spark.sql.parser import parse_expr
 
-                ast = parse_expr("x" + path)
-                if ast[0] == "path":
-                    return pyeval._walk_path(out, ast[2], binds)
+                # evaluate the idiom tail (fields, indexes, AND method
+                # calls like `.keys()`) over the catalog object
+                ast = parse_expr("$__info" + path)
+                return pyeval.peval(ast, {**binds, "__info": out})
             return out
         take_idx = None
         m_idx = _re2.fullmatch(r"\((.*)\)\s*\[\s*(\d+)\s*\]", src, _re2.S)
@@ -3705,6 +3706,10 @@ class StatementRunner:
             reg.pop(stmt.name, None)
             self.obj_info.get(cat, {}).pop(stmt.name, None)
             self.obj_info.get(f"{k}_struct", {}).pop(stmt.name, None)
+            if k == "bucket":
+                from surrealdb_spark.pipeline.filebucket import remove_bucket
+
+                remove_bucket(stmt.name)
             return
         if k in ("namespace", "ns"):
             if stmt.name not in self.namespaces and not stmt.if_exists:
@@ -5025,7 +5030,9 @@ class StatementRunner:
             from surrealdb_spark.pipeline.filebucket import define_bucket
 
             define_bucket(stmt.name,
-                          tempfile.mkdtemp(prefix=f"bucket_{stmt.name}_"))
+                          tempfile.mkdtemp(prefix=f"bucket_{stmt.name}_"),
+                          readonly=bool(getattr(stmt, "readonly", False)),
+                          backend=getattr(stmt, "backend", None))
             self.meta["buckets"][stmt.name] = _render_bucket(
                 stmt.name, stmt.backend, stmt.readonly, stmt.comment,
                 stmt.perms)

@@ -31,8 +31,8 @@ def test_bucket_key_cannot_escape_to_sibling_dir(tmp_path):
     with pytest.raises(ValueError):
         b.get("../../etc/passwd")
     assert not (evil / "x").exists()
-    # sane keys still work
-    assert b.put("a/b.txt", b"ok").endswith("/a/b.txt")
+    # sane keys still work (put returns None — fnc/file.rs Value::None)
+    assert b.put("a/b.txt", b"ok") is None
     assert b.get("a/b.txt") == b"ok"
 
 

@@ -395,13 +395,14 @@ def test_filebucket(tmp_path):
     )
 
     define_bucket("media", str(tmp_path / "media"))
-    ptr = f_put("file:/media/img/1.bin", b"\x01\x02")
-    assert ptr == "file:/media/img/1.bin"
+    ptr = "file:/media/img/1.bin"
+    assert f_put(ptr, b"\x01\x02") is None  # mutators return Value::None
     assert f_get(ptr) == b"\x01\x02"
     assert f_exists(ptr) is True
     b = bucket("media")
-    assert b.put_if_not_exists("img/1.bin", b"zz") is False
-    assert [e["key"] for e in b.list()] == ["/img/1.bin"]
+    b.put_if_not_exists("img/1.bin", b"zz")  # no-op: already exists
+    assert b.get("img/1.bin") == b"\x01\x02"
+    assert [e["file"] for e in b.list()] == ["file:/media/img/1.bin"]
     assert b.head("img/1.bin")["size"] == 2
     b.copy("img/1.bin", "img/2.bin")
     assert b.exists("img/2.bin")
