@@ -58,6 +58,11 @@ class FieldDef:
     # VALUE expression AST — driver-side asserts check the post-VALUE
     # value ($value after the VALUE clause, doc/field.rs stage order)
     value_ast: tuple | None = None
+    # frame-level VALUE transformer for bodies a column expr can't build
+    # (graph lookups `VALUE ->contains->product` need a join —
+    # define/field/value_reference.surql); takes and returns the
+    # being-written frame
+    frame_value_fn: Callable[[DataFrame], DataFrame] | None = None
     # TYPE FLEXIBLE — nested members of an object kind may be undeclared
     flexible: bool = False
 
@@ -272,6 +277,11 @@ class Database:
                 # kinded-JSON column (values.py): casts/defaults were
                 # applied when the JSON was produced; a typed default
                 # would not unify with the string slot
+                continue
+            if fd.frame_value_fn is not None:
+                # join-backed VALUE body (graph lookup): the transformer
+                # attaches the column itself
+                df = fd.frame_value_fn(df)
                 continue
             col = F.col(fd.name) if fd.name in df.columns else F.lit(None)
             if fd.default is not None:

@@ -940,8 +940,14 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 out_df = runner.run(s, params=bindings)
                 a = _df_value(out_df, s)
                 only = getattr(out_df, "_surql_only", None)
-                if only is None:  # non-SELECT paths: textual fallback
-                    only = bool(re.search(r"\bONLY\s", s, flags=re.I))
+                if only is None:  # non-SELECT paths: textual fallback —
+                    # strip parenthesized groups first so an ONLY inside a
+                    # writable subquery (`SET x = (CREATE ONLY t).id`)
+                    # doesn't unwrap the OUTER statement's array result
+                    outer = re.sub(r"\([^()]*\)", "", s)
+                    while re.search(r"\([^()]*\)", outer):
+                        outer = re.sub(r"\([^()]*\)", "", outer)
+                    only = bool(re.search(r"\bONLY\s", outer, flags=re.I))
                 if only and isinstance(a, list):
                     # CREATE/UPDATE ONLY / FROM ONLY return the bare object
                     a = a[0] if a else None

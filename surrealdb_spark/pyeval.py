@@ -445,6 +445,12 @@ def peval(ast, env: dict | None = None):
         return ast[1]
     if kind == "nulllit":
         return None
+    if kind == "wsub":
+        # writable subquery `(UPSERT ...)` — executes ONCE through the
+        # registered statement runner (exec/planner.rs:309-336)
+        if _WSUB_RUNNER is None:
+            raise Unfoldable("writable subquery without a runner")
+        return _WSUB_RUNNER(ast[1], env)
     if kind == "dur":
         n = ast[1]
         if isinstance(n, tuple):
@@ -710,6 +716,27 @@ def _call(name: str, arg_asts, env):
         fn = PY_FNS.get("array::" + name[5:])
         wrap_set = True
     if fn is None:
+        key = name if name.startswith("fn::") else f"fn::{name}"
+        if key in USER_FNS:
+            # user-defined function: body evaluates in a fresh scope of
+            # just its params (define/function.rs), so writable
+            # subqueries inside run with driver values
+            pnames, lets, body, n_req = USER_FNS[key]
+            args = [peval(a, env) for a in arg_asts]
+            if not (n_req <= len(args) <= len(pnames)):
+                # fnc/mod.rs argument-arity error text
+                short_n = key.removeprefix("fn::")
+                want = (f"{n_req} to {len(pnames)}"
+                        if n_req != len(pnames) else str(len(pnames)))
+                raise EvalError(
+                    f"Incorrect arguments for function fn::{short_n}()."
+                    f" The function expects {want} arguments.")
+            fenv = {nm: (args[i2] if i2 < len(args) else None)
+                    for i2, nm in enumerate(pnames)}
+            for ln, last in lets:
+                fenv[ln] = peval(last, fenv)
+            return peval(body, fenv)
+    if fn is None:
         raise Unfoldable(f"function {name}")
     args = [peval(a, env) if not (isinstance(a, tuple) and a[0] == "closure")
             else PyClosure(a[1], a[2], env) for a in arg_asts]
@@ -899,6 +926,17 @@ def _closure_pred(f):
     def p(*args):
         return truthy(f(*args))
     return p
+
+
+# writable-subquery executor hook (set by StatementRunner) and
+# user-function registry: fn::name -> (param_names, lets, body_ast)
+_WSUB_RUNNER = None
+USER_FNS: dict[str, tuple] = {}
+
+
+def set_wsub_runner(fn) -> None:
+    global _WSUB_RUNNER
+    _WSUB_RUNNER = fn
 
 
 PY_FNS = {

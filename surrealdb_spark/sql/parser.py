@@ -571,6 +571,27 @@ class Parser:
                 # idioms attach to ANY expression, including a parenthesized
                 # subquery: `(SELECT ... LIMIT 3).id` (expr/part.rs Start)
                 return self.postfix(("subquery", sub))
+            if self.peek().kind == "kw" and self.peek().text in (
+                    "CREATE", "UPDATE", "UPSERT", "DELETE", "INSERT",
+                    "RELATE"):
+                # writable subquery expression `(UPSERT t SET ...).value`
+                # (exec/planner.rs:309-336): capture the raw DML text; the
+                # runner executes it ONCE at evaluation time
+                # (doc/create.rs:17-33 $input computes once per record)
+                start_tok = self.peek()
+                depth = 1
+                while depth and self.peek().kind != "eof":
+                    nt = self.next()
+                    if nt.kind == "op" and nt.text == "(":
+                        depth += 1
+                    elif nt.kind == "op" and nt.text == ")":
+                        depth -= 1
+                # tokens are position-tagged: slice the raw source span
+                end_pos = (self.peek().pos if self.peek().kind != "eof"
+                           else len(self.src))
+                raw = self.src[start_tok.pos:end_pos]
+                raw = raw[:raw.rfind(")")] if ")" in raw else raw
+                return self.postfix(("wsub", raw.strip()))
             e = self.expr(0)
             if self.peek().kind == "op" and self.peek().text == ",":
                 # `(lon, lat)` geometry point literal (sql/geometry parsing
@@ -618,9 +639,21 @@ class Parser:
                 return ("ctrl", word)
             if self.peek_word("RETURN"):
                 # `{ RETURN expr }` — a value block whose value is the
-                # RETURN payload (expr/block.rs; closure bodies)
+                # RETURN payload (expr/block.rs; closure bodies); the
+                # payload may be a bare SELECT (computed/select.surql)
                 self.next()
-                be = self.expr(0)
+                if self.peek().kind == "kw" and self.peek().text == "SELECT":
+                    be = ("subquery", _parse_select_body(self))
+                else:
+                    be = self.expr(0)
+                self.eat("op", ";")
+                self.expect("op", "}")
+                return self.postfix(("block1", be))
+            if self.peek().kind == "kw" and self.peek().text == "SELECT":
+                # `{ SELECT ... }` — single-statement value block whose
+                # value is the SELECT's result (expr/block.rs last-expr;
+                # computed/select_or_expression.surql)
+                be = ("subquery", _parse_select_body(self))
                 self.eat("op", ";")
                 self.expect("op", "}")
                 return self.postfix(("block1", be))

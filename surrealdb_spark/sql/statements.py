@@ -2346,6 +2346,28 @@ def _plain_value(v):
     return v
 
 
+def _has_wsub(ast) -> bool:
+    """True when the AST tree carries a writable-subquery node (or a
+    user-function call — its body may carry one)."""
+    if not isinstance(ast, tuple):
+        return False
+    if ast[0] == "wsub":
+        return True
+    if ast[0] == "call" and isinstance(ast[1], str):
+        from surrealdb_spark import pyeval as _pyh
+
+        nm = ast[1] if ast[1].startswith("fn::") else f"fn::{ast[1]}"
+        if nm in _pyh.USER_FNS and _has_wsub(_pyh.USER_FNS[nm][2]):
+            return True
+    for x in ast:
+        if isinstance(x, tuple) and _has_wsub(x):
+            return True
+        if isinstance(x, list) and any(
+                isinstance(y, tuple) and _has_wsub(y) for y in x):
+            return True
+    return False
+
+
 def _bounded_collect(df: DataFrame, what: str, cap: int = _OLTP_CAP) -> list:
     """Driver-side materialization with a LOUD overflow: OLTP-scoped
     reference semantics (event firing, ON DELETE enforcement, statement
@@ -2444,6 +2466,26 @@ class StatementRunner:
             return rows[0].asDict() if rows else None
 
         set_record_provider(_lookup_record)
+        from surrealdb_spark import pyeval as _pye
+
+        def _run_wsub(text: str, env: dict):
+            """Execute a writable-subquery expression driver-side and
+            shape its value (ONLY → single object, DML → row list)."""
+            import re as _rew
+
+            from surrealdb_spark.values import strip_absent
+
+            plain = {k: v for k, v in (env or {}).items()
+                     if not isinstance(v, Column)}
+            df = self.run(text, params=plain)
+            rows = [] if df is None else \
+                [strip_absent(r.asDict(recursive=True))
+                 for r in _bounded_collect(df, "writable subquery result")]
+            if _rew.search(r"\bONLY\b", text, _rew.I):
+                return rows[0] if rows else None
+            return rows
+
+        _pye.set_wsub_runner(_run_wsub)
         from surrealdb_spark.functions.extra_fns import set_schema_provider
 
         set_schema_provider(
@@ -3186,12 +3228,49 @@ class StatementRunner:
         for fname, (kind, payload) in specs.items():
             if kind == "refs":
                 df = self._attach_refs(df, tbl, payload, fname)
+            elif getattr(self, "_fold_busy", False):
+                # re-entrant catalog refresh from inside a computed-body
+                # subquery evaluation: skip generic computed attachment
+                # (the in-flight fold would recurse forever otherwise)
+                continue
             else:  # generic COMPUTED expr over the row's own columns
-                from surrealdb_spark.sql.compiler import (compile_expr,
+                from surrealdb_spark.sql.compiler import (_has_lookup,
+                                                          compile_expr,
                                                           types_of)
 
-                df = df.withColumn(
-                    fname, compile_expr(payload, {}, types_of(df)))
+                if _has_lookup(payload):
+                    # graph-lookup COMPUTED body: read-time join
+                    # (value_reference_with_computed.surql)
+                    df = self._attach_lookup_col(df, payload, fname)
+                    continue
+                folded, val = self._fold_computed(payload)
+                if folded:
+                    # row-independent body (SELECT-or-expression forms,
+                    # computed/select.surql): one driver evaluation,
+                    # attached as a broadcast literal
+                    if val is None or isinstance(
+                            val, (int, float, str, bool)):
+                        df = df.withColumn(fname, F.lit(val))
+                    elif isinstance(val, list) and not val:
+                        df = df.withColumn(
+                            fname, F.array().cast("array<string>"))
+                    else:
+                        from pyspark.sql import Row as _Row
+
+                        def _rowify(x):
+                            if isinstance(x, dict):
+                                return _Row(**{k: _rowify(v)
+                                               for k, v in x.items()})
+                            if isinstance(x, list):
+                                return [_rowify(e) for e in x]
+                            return x
+
+                        lit_df = self.spark.createDataFrame(
+                            [(_rowify(val),)]).toDF(fname)
+                        df = df.crossJoin(F.broadcast(lit_df))
+                else:
+                    df = df.withColumn(
+                        fname, compile_expr(payload, {}, types_of(df)))
                 if "__present" in df.columns:
                     df = df.withColumn(
                         "__present",
@@ -3200,6 +3279,108 @@ class StatementRunner:
                                        F.array().cast("array<string>")),
                             F.array(F.lit(fname)))))
         return df
+
+    def _attach_lookup_col(self, df: DataFrame, ast, fname: str) -> DataFrame:
+        """Attach a graph-lookup expression (`->contains->product`) as a
+        column via the join-based lookup engine (operators/lookup.py) —
+        used by VALUE/COMPUTED field bodies over the row frame."""
+        from surrealdb_spark.sql.compiler import (_attach_lookup_specs,
+                                                  _extract_lookups,
+                                                  compile_expr, types_of)
+
+        # the runner catalog may be mid-refresh/stale here (write paths,
+        # catalog materialization): overlay CURRENT db frames so the edge
+        # scan sees just-written edges, without disturbing the live
+        # catalog's registrations
+        import copy as _copy
+
+        cat = _copy.copy(self.catalog)
+        cat._cache = dict(getattr(self.catalog, "_cache", {}))
+        edge_names = set(getattr(self.catalog, "edge_names", ()) or ())
+        for name in self.db.tables:
+            if self.db._exists(name):
+                t = self.db.table(name)
+                cat._cache[name] = t
+                if "in" in t.columns and "out" in t.columns:
+                    edge_names.add(name)
+        cat.edge_names = edge_names
+
+        before_cols = list(df.columns)
+        specs: list = []
+        new = _extract_lookups(ast, specs)
+        at = _attach_lookup_specs(self.spark, df, cat, specs,
+                                  dict(self.params_defined))
+        col = compile_expr(new, dict(self.params_defined), types_of(at))
+        out = at.withColumn(fname, col)
+        temp = [c for c in out.columns
+                if c not in before_cols and c != fname]
+        if temp:
+            out = out.drop(*temp)
+        if "__present" in out.columns:
+            out = out.withColumn(
+                "__present",
+                F.array_sort(F.array_union(
+                    F.coalesce(F.col("__present"),
+                               F.array().cast("array<string>")),
+                    F.array(F.lit(fname)))))
+        return out
+
+    def _fold_computed(self, payload):
+        """Driver-fold a ROW-INDEPENDENT computed body (subquery blocks,
+        `(SELECT ..) OR [..]` literal algebra — define/field/computed
+        corpus) to a python value.  Bodies that reference row fields
+        (bare idents / $this) keep the per-row compile path.  Returns
+        (True, value) or (False, None)."""
+        from surrealdb_spark import pyeval as _pyf
+        from surrealdb_spark.values import strip_absent
+
+        def subst(a):
+            if a[0] == "subquery":
+                sel = a[1]
+                df = self.run_select(sel, dict(self.params_defined))
+                rows = [strip_absent(r.asDict(recursive=True))
+                        for r in _bounded_collect(df, "computed subquery")]
+                if df.columns == ["value"] and getattr(
+                        df, "_surql_bare", True):
+                    rows = [r.get("value") for r in rows]
+                return ("lit", rows), True
+            if a[0] in ("ident", "curr"):
+                return a, False
+            if a[0] == "param" and a[1] in ("this", "self", "value",
+                                            "input", "before", "after"):
+                return a, False
+            out, ok = [], True
+            for x in a:
+                if isinstance(x, tuple):
+                    y, o = subst(x)
+                    out.append(y)
+                    ok = ok and o
+                elif isinstance(x, list):
+                    ys = []
+                    for e in x:
+                        if isinstance(e, tuple):
+                            y, o = subst(e)
+                            ys.append(y)
+                            ok = ok and o
+                        else:
+                            ys.append(e)
+                    out.append(ys)
+                else:
+                    out.append(x)
+            return tuple(out), ok
+
+        if getattr(self, "_fold_busy", False):
+            return False, None
+        self._fold_busy = True
+        try:
+            node, ok = subst(payload)
+            if not ok:
+                return False, None
+            return True, _pyf.peval(node, {})
+        except Exception:
+            return False, None
+        finally:
+            self._fold_busy = False
 
     def _apply_on_delete(self, tbl: str, where) -> None:
         """Enforce REFERENCE ON DELETE strategies before records vanish
@@ -4766,16 +4947,29 @@ class StatementRunner:
                             "input": inp if inp is not None else col})
                 ))(aast)
             value_fn = None
+            frame_value_fn = None
             if stmt.value is not None:
+                from surrealdb_spark.sql.compiler import _has_lookup
+
                 vast = stmt.value
-                value_fn = (lambda a: (
-                    lambda col, inp=None: self._expr(
-                        a, {"value": col, "this": col,
-                            "input": inp if inp is not None else col})
-                ))(vast)
+                if _has_lookup(vast):
+                    # graph-lookup VALUE body: recomputed per WRITE over
+                    # the written rows via the lookup-join engine
+                    # (value_reference.surql — stored, so un-written
+                    # records keep their stale value like the reference)
+                    frame_value_fn = (lambda a, n: (
+                        lambda fdf: self._attach_lookup_col(fdf, a, n)
+                    ))(vast, stmt.name)
+                else:
+                    value_fn = (lambda a: (
+                        lambda col, inp=None: self._expr(
+                            a, {"value": col, "this": col,
+                                "input": inp if inp is not None else col})
+                    ))(vast)
             td.fields = [f for f in td.fields if f.name != stmt.name]
             td.fields.append(FieldDef(stmt.name, dtype, default, assert_fn,
                                       value_fn=value_fn,
+                                      frame_value_fn=frame_value_fn,
                                       kind=stmt.kind_text or stmt.dtype,
                                       default_ast=stmt.default,
                                       assert_ast=stmt.assert_,
@@ -4959,6 +5153,11 @@ class StatementRunner:
             key = stmt.name if stmt.name.startswith("fn::") \
                 else f"fn::{stmt.name}"
             REGISTRY[key] = call
+            # driver-value twin: pyeval runs the body with python args so
+            # writable subqueries inside the body execute for real
+            from surrealdb_spark import pyeval as _pye2
+
+            _pye2.USER_FNS[key] = (list(names), list(lets), body, n_req)
             return None
         if isinstance(stmt, NoopStmt):
             return None
@@ -5461,7 +5660,12 @@ class StatementRunner:
                 self.db.update(tbl, set_exprs, where, "NONE", capture=cap)
                 return self._ret_expr_static(cap["before"], cap["after"],
                                              ret, params)
-            return self.db.update(tbl, set_exprs, where, ret)
+            out = self.db.update(tbl, set_exprs, where, ret)
+            if self.computed_fields.get(tbl):
+                # statement output shows computed columns too
+                # (value_reference_with_computed.surql UPDATE output)
+                out = self._with_computed(tbl, out)
+            return out
         if isinstance(stmt, DeleteStmt):
             tbl = stmt.target.table
             if stmt.explain:
@@ -5528,6 +5732,12 @@ class StatementRunner:
 
     def _scalar(self, ast, params: dict):
         """Evaluate a driver-side literal expression (record ids, constants)."""
+        if _has_wsub(ast):
+            # writable subqueries (and paths/calls over them) must run
+            # exactly once, driver-side (doc/create.rs compute-once)
+            from surrealdb_spark import pyeval as _pyw
+
+            return _pyw.peval(ast, dict(params))
         if ast[0] == "lit":
             return ast[1]
         if ast[0] == "param":
@@ -5585,7 +5795,16 @@ class StatementRunner:
         if kind == "set":
             out = {}
             for f_, op, ast in payload:
-                v = self._scalar(ast, params)
+                try:
+                    v = self._scalar(ast, params)
+                except Exception:
+                    # field references in creation data read the
+                    # being-created document — absent fields are NONE
+                    # (doc/create.rs stage order: `SET count = IF count
+                    # THEN count + 1 ELSE 1 END` on a new record)
+                    from surrealdb_spark import pyeval as _pyc
+
+                    v = _pyc.peval(ast, {**params, "this": dict(out)})
                 if isinstance(f_, str):
                     sk = _static_of_kind(ast, params, None)
                     if _stampable(sk) and v is not None:
@@ -5723,7 +5942,17 @@ class StatementRunner:
         after = dict(before)
         set_exprs: dict[str, Column] = {}
         for f_, op, ast in assigns:
-            rhs = self._scalar(ast, params)
+            try:
+                # field references in the rhs read the CURRENT record
+                # state (`SET count = IF count THEN count + 1 ELSE 1 END`
+                # — doc/alter.rs evaluates against the working document)
+                from surrealdb_spark import pyeval as _pyu
+
+                cur_doc = {k: v for k, v in after.items()
+                           if k in present and not k.startswith("__")}
+                rhs = _pyu.peval(ast, {**params, "this": cur_doc})
+            except Exception:
+                rhs = self._scalar(ast, params)
             base = after.get(f_) if f_ in present or after.get(f_) is not None \
                 else None
             if op == "+=":
