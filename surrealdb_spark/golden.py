@@ -451,8 +451,26 @@ def _py_fallback(body: str, bindings: dict):
 
     if SessionContext.get("db") is None or SessionContext.get("ns") is None:
         return _ERR  # no database selected: queries error (outside_database)
+
+    def _to_py(v):
+        # compile-flavored ClosureValue → pyeval PyClosure so closures
+        # survive the fallback boundary ($obj.b($fnc) — idiom/
+        # function_argument_computation.surql)
+        from surrealdb_spark.values import ClosureValue
+
+        if isinstance(v, ClosureValue):
+            return pyeval.PyClosure(
+                v.names, v.body,
+                {k: _to_py(x) for k, x in (v.captured or {}).items()})
+        if isinstance(v, dict):
+            return {k: _to_py(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return type(v)(_to_py(x) for x in v)
+        return v
+
     try:
-        return pyeval.eval_text(body, bindings)
+        return pyeval.eval_text(body, {k: _to_py(v)
+                                       for k, v in bindings.items()})
     except pyeval.Unfoldable:
         return _ERR
     except pyeval.EvalError as exc:

@@ -861,6 +861,147 @@ def recursive_destructure_trees(spark, cat, start_rids: list, bounds,
 RECURSION_LIMIT = 256
 
 
+def validate_recursion_bounds(lo, hi) -> None:
+    """Reference bound checks (cnf/mod.rs IDIOM_RECURSION_LIMIT;
+    idiom/recursion_limits.surql error shapes)."""
+    if lo is not None and lo < 1:
+        raise LookupError_(
+            f"Found {lo} for bound but expected at least 1.")
+    if hi is not None and hi > RECURSION_LIMIT:
+        raise LookupError_(
+            f"Found {hi} for bound but expected {RECURSION_LIMIT} at most.")
+
+
+def _driver_chain_recurse(df: DataFrame, cat, slot: str, base, rng, instr,
+                        steps, trailing_field, params, compile_expr):
+    """OLTP fast path: `{n..m}` repeat over SCALAR record-link fields
+    (`a:1.{..}.link`) walks driver-side over ONE bounded collect of the
+    link columns instead of up-to-256 sequential Spark joins — the
+    reference's KV pointer-chase equivalent (recursion.rs repeat over
+    Thing values).  Returns None (bail to the distributed level loop)
+    when the shape doesn't apply or a cap trips; the distributed loop
+    remains the 100 TB path for real graph frontiers.
+    """
+    lo, hi = rng
+    lo_eff = max(1 if lo is None else lo, 1)
+    unbounded = hi is None
+    hi_eff = RECURSION_LIMIT if unbounded else min(hi, RECURSION_LIMIT)
+    if instr.get("kind", "last") != "last" or "shortest" in instr \
+            or instr.get("inclusive") or trailing_field is not None:
+        return None
+    if not steps or not all(s[0] == "link" for s in steps):
+        return None
+    fields = [s[1] for s in steps]
+    spark = df.sparkSession
+
+    try:
+        seed = _seed_col(base, params, compile_expr)
+        roots = df.select(F.col("id").alias("__rk"),
+                          seed.alias("__seed")).distinct() \
+            .limit(10_001).collect()
+    except Exception:
+        return None
+    if len(roots) > 10_000:
+        return None
+
+    maps: dict[str, dict] = {}
+
+    def table_map(tb: str) -> dict | None:
+        if tb in maps:
+            return maps[tb]
+        if len(maps) >= 8:
+            return None
+        try:
+            t = cat.table(tb)
+        except Exception:
+            maps[tb] = {}
+            return maps[tb]
+        if "id" not in t.columns:
+            maps[tb] = {}
+            return maps[tb]
+        rows = t.limit(20_001).collect()
+        if len(rows) > 20_000:
+            return None  # too big for a driver map — distributed path
+        maps[tb] = {r["id"]: r.asDict(recursive=True) for r in rows}
+        return maps[tb]
+
+    out_rows = []
+    for r in roots:
+        node = r["__seed"]
+        if not isinstance(node, str) or ":" not in node:
+            out_rows.append((r["__rk"], None))
+            continue
+        visited = {node}
+        depth = 0
+        while depth < hi_eff:
+            cur = node
+            dead = False
+            for chain in fields:
+                # one link hop: deref the current record, follow the
+                # field chain (nested structs deref record ids en route)
+                tb = str(cur).partition(":")[0]
+                m = table_map(tb)
+                if m is None:
+                    return None  # cap tripped: distributed path
+                val = m.get(cur)
+                for f_ in chain:
+                    if isinstance(val, str) and ":" in val:
+                        m2 = table_map(str(val).partition(":")[0])
+                        if m2 is None:
+                            return None
+                        val = m2.get(val)
+                    if not isinstance(val, dict):
+                        val = None
+                        break
+                    val = val.get(f_)
+                if isinstance(val, list):
+                    return None  # array hop: not a scalar chain
+                if not isinstance(val, str) or ":" not in val:
+                    dead = True
+                    break
+                cur = val
+            if dead:
+                break
+            if unbounded and cur in visited:
+                break  # cycle rule: a path never revisits its own node
+            depth += 1
+            node = cur
+            visited.add(cur)
+        if unbounded and depth >= RECURSION_LIMIT:
+            # one more live hop means the reference would keep going —
+            # that's the recursion limit error (cnf/mod.rs:53)
+            cur, alive = node, True
+            for chain in fields:
+                tb = str(cur).partition(":")[0]
+                m = table_map(tb)
+                if m is None:
+                    return None
+                val = m.get(cur)
+                for f_ in chain:
+                    if isinstance(val, str) and ":" in val:
+                        m2 = table_map(str(val).partition(":")[0])
+                        if m2 is None:
+                            return None
+                        val = m2.get(val)
+                    if not isinstance(val, dict):
+                        val = None
+                        break
+                    val = val.get(f_)
+                if isinstance(val, str) and ":" in val:
+                    cur = val
+                else:
+                    alive = False
+                    break
+            if alive and cur not in visited:
+                raise LookupError_(
+                    f"Exceeded the idiom recursion limit of "
+                    f"{RECURSION_LIMIT}.")
+        out_rows.append((r["__rk"], node if depth >= lo_eff else None))
+
+    res = spark.createDataFrame(out_rows, f"__rk string, `{slot}` string")
+    return df.join(res, df["id"] == res["__rk"], "left").drop("__rk")
+
+
 def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
                   trailing_field: str | None, params, compile_expr):
     """Attach the recursion result for each row of ``df`` as ``slot``.
@@ -871,10 +1012,16 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
     frontier.
     """
     lo, hi = rng
+    validate_recursion_bounds(lo, hi)
     lo = 0 if lo is None else lo
     unbounded = hi is None
     hi_eff = RECURSION_LIMIT if unbounded else min(hi, RECURSION_LIMIT)
     kind = instr.get("kind", "last")
+    fast = _driver_chain_recurse(df, cat, slot, base, (lo, hi), instr,
+                                 steps, trailing_field, params,
+                                 compile_expr)
+    if fast is not None:
+        return fast
     if "shortest" in instr:
         kind = "shortest"
     no_revisit = unbounded
@@ -1014,7 +1161,12 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
             F.col(slot), F.array().cast("array<array<string>>")))
     if kind == "shortest":
         tgt = instr["shortest"]
-        tgt_val = tgt[1] if tgt[0] in ("lit", "ulit") else str(tgt[1])
+        if tgt[0] == "param":
+            # `+shortest=$rid` — the target resolves from the bound
+            # parameter (recursion_shortest_path.surql)
+            tgt_val = str(params.get(tgt[1]))
+        else:
+            tgt_val = tgt[1] if tgt[0] in ("lit", "ulit") else str(tgt[1])
         hits = None
         for lv in levels:
             h = lv.filter(F.col("__node") == F.lit(tgt_val)).select(

@@ -335,6 +335,12 @@ def _index(base, i):
 
 
 def _walk_path(base, parts, env):
+    # idiom continuity (expr/idiom.rs): once a part MAPS over an array
+    # (`.field` / `.*` over elements), later index/slice parts apply
+    # PER ELEMENT until a whole-list part (first/last/paren) resets —
+    # `[{a:[..]},..].a[0]` picks each element's [0], while
+    # `([..].a)[0]` indexes the outer list (idiom/continuity.surql)
+    mapped = False
     for p in parts:
         kind = p[0]
         if base is None:
@@ -354,13 +360,29 @@ def _walk_path(base, parts, env):
                 base = rec.get(p[1]) if isinstance(rec, dict) else None
                 continue
             if isinstance(base, list):
-                base = [_index(x, p[1]) for x in base]
+                def _fget(x, f=p[1]):
+                    if hasattr(x, "asDict"):  # collected Spark Row
+                        x = x.asDict(recursive=True)
+                    if isinstance(x, str) and _is_ridish(x):
+                        # record-id elements deref to pick the field
+                        # (value/idiom.rs Field over Thing)
+                        from surrealdb_spark.functions.misc_fns import (
+                            _lookup_record)
+
+                        rec = _lookup_record(x)
+                        return rec.get(f) if isinstance(rec, dict) else None
+                    return _index(x, f)
+                base = [_fget(x) for x in base]
+                mapped = True
             elif isinstance(base, dict):
                 base = base.get(p[1])
             else:
                 return None
         elif kind == "index":
             idx = p[1] if isinstance(p[1], int) else peval(p[1], env)
+            if mapped and isinstance(base, list):
+                base = [_index(x, idx) for x in base]
+                continue
             if isinstance(base, str) and _is_ridish(base):
                 # index on a record id indexes its parsed KEY — only
                 # array keys index; scalar keys give NONE
@@ -370,9 +392,28 @@ def _walk_path(base, parts, env):
                 base = _index(k, idx) if isinstance(k, list) else None
                 continue
             base = _index(base, idx)
+            mapped = False
         elif kind == "iexpr":
-            base = _index(base, peval(p[1], env))
+            if mapped and isinstance(base, list):
+                base = [_index(x, peval(p[1], env)) for x in base]
+            else:
+                base = _index(base, peval(p[1], env))
+                mapped = False
         elif kind == "all":
+            if isinstance(base, list):
+                # `.*` over an array maps; record-id elements deref to
+                # their full records (a:1->edge.out.* — value/idiom.rs
+                # All over Thing values)
+                if any(isinstance(x, str) and _is_ridish(x)
+                       for x in base):
+                    from surrealdb_spark.functions.misc_fns import (
+                        _lookup_record)
+
+                    base = [(_lookup_record(x) or x)
+                            if isinstance(x, str) and _is_ridish(x)
+                            else x for x in base]
+                mapped = True
+                continue
             if isinstance(base, str) and _is_ridish(base):
                 # `rid.*` derefs the whole record (value/idiom.rs over
                 # Thing — RETURN $obj.{ one: one.* })
@@ -391,8 +432,10 @@ def _walk_path(base, parts, env):
                 base = out
         elif kind == "first":
             base = base[0] if isinstance(base, list) and base else None
+            mapped = False
         elif kind == "last":
             base = base[-1] if isinstance(base, list) and base else None
+            mapped = False
         elif kind == "where":
             if isinstance(base, list):
                 base = [x for x in base
@@ -401,9 +444,25 @@ def _walk_path(base, parts, env):
             if base is None:
                 return None
         elif kind == "slice":
-            lo = peval(p[1], env) if p[1] is not None else None
-            hi = peval(p[2], env) if p[2] is not None else None
-            if isinstance(base, (list, str)):
+            if len(p) == 2:
+                # `[lo..hi]` range-expression form: evaluate the range
+                # value ({'start','end',incl flags})
+                rng = peval(p[1], env)
+                lo = rng.get("start") if isinstance(rng, dict) else None
+                hi = rng.get("end") if isinstance(rng, dict) else None
+                if hi is not None and isinstance(rng, dict) \
+                        and rng.get("end_incl"):
+                    hi += 1
+                if lo is not None and isinstance(rng, dict) \
+                        and not rng.get("start_incl", True):
+                    lo += 1
+            else:
+                lo = peval(p[1], env) if p[1] is not None else None
+                hi = peval(p[2], env) if p[2] is not None else None
+            if mapped and isinstance(base, list):
+                base = [x[lo:hi] if isinstance(x, (list, str)) else x
+                        for x in base]
+            elif isinstance(base, (list, str)):
                 base = base[lo:hi]
         elif kind == "destructure":
             def _destr(obj):
@@ -527,6 +586,22 @@ def peval(ast, env: dict | None = None):
             raise EvalError("call target is not a closure")
         return f(*[peval(a, env) for a in ast[2]])
     if kind == "method":
+        recv_ast = ast[2]
+        if isinstance(recv_ast, tuple) and recv_ast[0] == "path":
+            rv = peval(recv_ast, env)
+            if rv is None and recv_ast[2] \
+                    and recv_ast[2][-1] == ("optional",):
+                # `x.?.method()` — NONE short-circuits the method too
+                # (part.rs Optional; idiom/chain_part_optional.surql)
+                return None
+            if (isinstance(rv, list) and rv
+                    and all(isinstance(x, list) for x in rv)
+                    and any(p[0] == "all" for p in recv_ast[2])):
+                # mapped context continuity: after `.*`, a method over
+                # array ELEMENTS applies per element
+                # (idiom/array_range.surql `.*[0..1].min()`)
+                return [_call_method(ast[1], x, ast[3], env) for x in rv]
+            return _call_method(ast[1], rv, ast[3], env)
         return _call_method(ast[1], peval(ast[2], env), ast[3], env)
     if kind == "call":
         return _call(ast[1], ast[2], env)
@@ -661,7 +736,11 @@ def _call_method(name: str, recv, arg_asts, env):
     args = [peval(a, env) if not (isinstance(a, tuple) and a[0] == "closure")
             else PyClosure(a[1], a[2], env) for a in arg_asts]
     if isinstance(recv, dict) and name in recv and isinstance(
-            recv[name], PyClosure):
+            recv[name], PyClosure) and PY_FNS.get(f"object::{name}") is None:
+        # closure-valued field invokes as a method — but a BUILTIN
+        # object:: function of the same name wins ($obj.keys() lists
+        # keys even when `keys` is a closure field; use ($obj.keys)()
+        # for the field — idiom/fallback_function.surql)
         return recv[name](*args)
     if name == "type_of":
         return typeof(recv)
@@ -1340,6 +1419,32 @@ def _file_fns() -> dict:
 
 
 PY_FNS.update(_file_fns())
+
+
+def _type_record(tb, key=None):
+    """type::record / type::thing — record-id string from table + key
+    (fnc/type.rs; record_id/key.rs rendering)."""
+    s = str(tb)
+    if key is None:
+        return s
+    if isinstance(key, bool):
+        from surrealdb_spark.values import render_rid_vals
+
+        return f"{s}:{render_rid_vals([key])}"
+    if isinstance(key, int):
+        return f"{s}:{key}"
+    if isinstance(key, str):
+        import re as _re_t
+
+        return (f"{s}:{key}" if _re_t.fullmatch(r"\w+", key)
+                else f"{s}:⟨{key}⟩")
+    from surrealdb_spark.values import render_rid_vals
+
+    return f"{s}:{render_rid_vals([key] if not isinstance(key, list) else key)}"
+
+
+PY_FNS["type::record"] = _type_record
+PY_FNS["type::thing"] = _type_record
 
 
 def _dedup(a):

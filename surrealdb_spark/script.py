@@ -223,18 +223,27 @@ class ScriptRunner:
                 continue
 
     def _bulk_create(self, block: str, var: str, items, bindings) -> bool:
-        """Recognize a FOR body that is ONE CREATE with driver-evaluable
-        expressions; build every row in Python and insert once."""
-        from surrealdb_spark.sql.statements import CreateStmt, parse_statement
+        """Recognize a FOR body that is ONE CREATE (or fresh-key UPSERT)
+        with driver-evaluable expressions; build every row in Python and
+        insert once — a 300-iteration loop of Spark writes is a scale
+        bug, not a semantic requirement (recursion_limits.surql setup)."""
+        from surrealdb_spark.sql.statements import (CreateStmt, UpdateStmt,
+                                                    parse_statement)
 
         stmts = [s for s in self._statements(block) if s.strip()]
-        if len(stmts) != 1 or not stmts[0].strip().upper().startswith("CREATE"):
+        if len(stmts) != 1 or not stmts[0].strip().upper().startswith(
+                ("CREATE", "UPSERT")):
             return False
         try:
             st = parse_statement(stmts[0])
         except Exception:
             return False
-        if not isinstance(st, CreateStmt) or st.target.mock or \
+        is_upsert = isinstance(st, UpdateStmt) and st.upsert
+        if is_upsert and (st.where is not None or st.return_ != "AFTER"
+                          or st.extra_targets):
+            return False
+        if not (isinstance(st, CreateStmt) or is_upsert) \
+                or getattr(st.target, "mock", None) or \
                 (st.data is not None and st.data[0] not in
                  ("set", "content")):
             return False
@@ -255,7 +264,14 @@ class ScriptRunner:
                         "%": l % r if r else None}[ast[1]]
             if k == "array":
                 return [ev(e, env) for e in ast[1]]
-            raise ValueError("not driver-evaluable")
+            # general pure expressions (type::record, string fns, ...)
+            # fold through the driver evaluator; table reads / writable
+            # subqueries raise Unfoldable and bail to the slow path
+            from surrealdb_spark import pyeval as _pyb
+
+            if k in ("wsub", "subquery"):
+                raise ValueError("not driver-evaluable")
+            return _pyb.peval(ast, env)
 
         from surrealdb_spark.values import render_rid_vals
 
@@ -284,7 +300,8 @@ class ScriptRunner:
                 if isinstance(key, tuple) and key[0] == "texpr":
                     # CREATE type::record('tb', $i) — per-item record id
                     ka = key[1]
-                    if not (ka[0] == "call" and ka[1] == "type::record"
+                    if not (ka[0] == "call"
+                            and ka[1] in ("type::record", "type::thing")
                             and len(ka[2]) == 2):
                         return False
                     tb = ev(ka[2][0], env)
@@ -310,6 +327,16 @@ class ScriptRunner:
             return False
         if table not in runner.db.tables:
             runner.db.define_table(TableDef(table))
+        if runner.db._exists(table):
+            # key overlap → per-row slow path: CREATE must error on a
+            # duplicate, UPSERT must MERGE into the existing record
+            ids = [d.get("id") for d in dicts if d.get("id")]
+            if ids:
+                idc = runner.db.tables[table].id_col
+                hit = (runner.db.table(table)
+                       .filter(F.col(idc).isin(ids)).take(1))
+                if hit:
+                    return False
         rows = runner._literal_rows(dicts, Target(table), bindings)
         runner.db.create(table, rows)
         return True

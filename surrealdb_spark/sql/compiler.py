@@ -819,6 +819,11 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 parts.append(("where", (lambda cond: lambda el:
                               _compile_lambda(cond, el, params))(p[1])))
             elif p[0] == "slice":
+                if parts and parts[-1] == ("all",):
+                    # slice PER ELEMENT after `.*` (idiom continuity,
+                    # idiom/array_range.surql `.*[0..1]`) — the driver
+                    # evaluator carries the mapped context
+                    raise ValueError("slice under .* needs driver eval")
                 # arr[lo..hi] — range index lowers to array slicing, then
                 # the remaining path continues over the sliced array
                 rng = p[1]
@@ -1128,7 +1133,15 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         cm = _closure_method(ast, params, types)
         if cm is not None:
             return cm
-        return compile_expr(_resolve_method(ast, types, params), params, types)
+        out_m = compile_expr(_resolve_method(ast, types, params),
+                             params, types)
+        if (isinstance(ast[2], tuple) and ast[2][0] == "path"
+                and ast[2][2] and ast[2][2][-1] == ("optional",)):
+            # `x.?.method()` — the optional marker short-circuits the
+            # method too (part.rs Optional: NONE stops the idiom)
+            recv_c = compile_expr(ast[2], params, types)
+            return F.when(recv_c.isNull(), F.lit(None)).otherwise(out_m)
+        return out_m
     if kind == "call":
         name, args = ast[1], ast[2]
         if (
@@ -1329,8 +1342,21 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
         from surrealdb_spark.values import ClosureValue
 
         tgt = ast[1]
-        while isinstance(tgt, tuple) and tgt[0] == "block1":
+        while isinstance(tgt, tuple) and tgt[0] in ("block1", "paren"):
             tgt = tgt[1]
+        if isinstance(tgt, tuple) and tgt[0] == "path" \
+                and tgt[1][0] == "param" \
+                and all(p[0] == "field" for p in tgt[2]):
+            # `($obj.fnc)()` — a path whose VALUE is a closure
+            # (callable values, idiom/fallback_function.surql)
+            v = (params or {}).get(tgt[1][1])
+            for p in tgt[2]:
+                v = v.get(p[1]) if isinstance(v, dict) else None
+            from surrealdb_spark.values import ClosureValue as _CVx
+
+            if isinstance(v, _CVx):
+                return _invoke_closure_value(v, ast[2], params, types)
+            raise ValueError("call target is not a closure")
         if not (isinstance(tgt, tuple) and tgt[0] == "closure"):
             raise ValueError("call target is not a closure")
         cv = ClosureValue(tgt[1], tgt[3] if len(tgt) > 3 else None,
@@ -1367,6 +1393,13 @@ def _closure_method(ast, params: dict, types: dict | None):
     from surrealdb_spark.values import ClosureValue
 
     _, name, recv, margs = ast
+    from surrealdb_spark.functions.registry import REGISTRY as _REG_CM
+
+    if f"object::{name}" in _REG_CM:
+        # a BUILTIN object:: function shadows a closure-valued field of
+        # the same name ($obj.keys() lists keys; `($obj.keys)()` calls
+        # the field — idiom/fallback_function.surql)
+        return None
     if isinstance(recv, tuple) and recv[0] == "object":
         for k, v in recv[1]:
             if k != name:
@@ -2871,22 +2904,43 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         if sel.limit is not None:
             df = df.limit(sel.limit)
     elif sel.fields is not None and sel.fields:
-        rec_fields = [f for f in sel.fields if _is_recurse_path(f.expr)]
+        # dotted aliases nest the output path (`(SELECT ..) AS a.b` —
+        # project.rs:118): rewrite to temp slots up front so EVERY
+        # projection path (corr subqueries, lookups, plain exprs) works
+        # unchanged, then re-embed after the select
+        import dataclasses as _dc_f
+
+        dotted_alias: list[tuple[str, str, str]] = []
+        sel_fields = []
+        for fld in sel.fields:
+            if fld.alias and "." in fld.alias:
+                slot = f"__da{len(dotted_alias)}"
+                base_, rest_ = fld.alias.split(".", 1)
+                dotted_alias.append((base_, rest_, slot))
+                fld = _dc_f.replace(fld, alias=slot)
+            sel_fields.append(fld)
+        rec_fields = [f for f in sel_fields if _is_recurse_path(f.expr)]
         if rec_fields:
             df = _attach_recurse_fields(df, cat, rec_fields, params)
-        corr_fields = [f for f in sel.fields if _is_corr_subquery(f.expr)]
+        corr_fields = [f for f in sel_fields if _is_corr_subquery(f.expr)]
         for f in corr_fields:
             df = _attach_corr_subquery(
                 spark, df, cat, f, f.alias or _default_name(f.expr),
                 params, sf_dir
             )
+        for f in sel_fields:
+            if (isinstance(f.expr, tuple) and f.expr[0] == "subquery"
+                    and not _is_corr_subquery(f.expr)):
+                df = _attach_uncorr_subquery(
+                    spark, df, cat, f, f.alias or _default_name(f.expr),
+                    params, sf_dir)
         # unaliased dotted field paths re-nest and merge by base object:
         # SELECT name.first, name.last → { name: { first, last } }
         # (the reference preserves idiom structure in output — see
         # statements/select/version_field_dereference_schema.surql)
         nested: dict[str, list] = {}
         plain_fields = []
-        for fld in sel.fields:
+        for fld in sel_fields:
             e = fld.expr
             if (fld.alias is None and isinstance(e, tuple)
                     and e[0] == "path" and e[1][0] == "ident" and e[2]
@@ -2907,8 +2961,10 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         else:
             cols = []
         for fld, name in zip(plain_fields, names):
-            if _is_recurse_path(fld.expr) or _is_corr_subquery(fld.expr):
-                cols.append(F.col(name))
+            if _is_recurse_path(fld.expr) or (
+                    isinstance(fld.expr, tuple)
+                    and fld.expr[0] == "subquery"):
+                cols.append(F.col(name))  # attached column (corr/uncorr)
             else:
                 cols.append(compile_expr(fld.expr, params, types).alias(name))
         for base, entries in nested.items():
@@ -2926,6 +2982,16 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
 
             cols.append(_build(tree).alias(base))
         df = df.select(*cols)
+        for base_, rest_, slot in dotted_alias:
+            if base_ in df.columns:
+                df = df.withColumn(
+                    base_, F.col(base_).withField(rest_, F.col(slot)))
+            else:
+                c = F.col(slot)
+                for seg in reversed(rest_.split(".")):
+                    c = F.struct(c.alias(seg))
+                df = df.withColumn(base_, c)
+            df = df.drop(slot)
         if sel.star and lookup_slots:
             df = df.drop(*lookup_slots)
     elif lookup_slots:
@@ -3136,6 +3202,25 @@ def _split_conjuncts(ast):
     if isinstance(ast, tuple) and ast[0] == "bin" and ast[1] in ("AND", "&&"):
         return _split_conjuncts(ast[2]) + _split_conjuncts(ast[3])
     return [ast]
+
+
+def _attach_uncorr_subquery(spark, df, cat: Catalog, fld, name: str,
+                            params: dict, sf_dir):
+    """Uncorrelated subquery projection (`(SELECT a, b FROM t LIMIT n)
+    AS x`): the inner plan runs ONCE, its rows collect into an array,
+    and a broadcast cross join attaches the single-row result to every
+    outer row (planner.rs subquery evaluation — constant per outer row)."""
+    sub = compile_select(spark, fld.expr[1], sf_dir, cat, params)
+    keep = [c for c in sub.columns if not c.startswith("__")]
+    if sub.columns == ["value"] and getattr(sub, "_surql_bare", True):
+        arr = F.collect_list(F.col("value"))
+    else:
+        arr = F.collect_list(F.struct(*[F.col(c) for c in keep]))
+    # collect_list never returns NULL (empty list for zero rows) — no
+    # coalesce; a typed empty-array default wouldn't unify with the
+    # struct element type anyway
+    one = sub.agg(arr.alias(name))
+    return df.crossJoin(F.broadcast(one))
 
 
 def _attach_corr_subquery(spark, df, cat: Catalog, fld, name: str,
@@ -3608,6 +3693,17 @@ def eval_lookup_value(spark, cat, ast, params: dict):
         df = _attach_recurse_fields(df, cat,
                                     [_F2(new, "__rv")], params)
         new = ("ident", "__rv")
+    if (specs and isinstance(new, tuple) and new[0] == "path"
+            and new[1][0] == "ident" and str(new[1][1]).startswith("__")
+            and any(p[0] == "all" for p in new[2])):
+        # `rid->edge.out.*` — `.*` over looked-up record ids derefs each
+        # to its record (value/idiom.rs All over Thing values); collect
+        # the slot and walk the tail driver-side where deref is possible
+        from surrealdb_spark import pyeval as _pyl
+
+        row = df.select(F.col(new[1][1]).alias("v")).first()
+        return _pyl._walk_path(row["v"], list(new[2]),
+                               dict(params or {}))
     row = df.select(
         compile_expr(new, params, types_of(df)).alias("v")).first()
     return row["v"]

@@ -1140,9 +1140,12 @@ class Parser:
                     self.expect("op", ")")
                     break
             base = ("pcall", base[1], cargs)
-        elif (isinstance(base, tuple) and base[0] in ("closure", "block1")
+        elif (isinstance(base, tuple)
+                and base[0] in ("closure", "block1", "path", "paren")
                 and self.peek().kind == "op" and self.peek().text == "("):
-            # `(||1)()` / `{||2}()` — immediate closure invocation
+            # `(||1)()` / `{||2}()` — immediate closure invocation; a
+            # parenthesized PATH value invokes too (`($obj.fnc)()` —
+            # idiom/fallback_function.surql callable values)
             self.next()
             cargs = []
             while not self.eat("op", ")"):
@@ -1369,8 +1372,16 @@ def _parse_select_body(p: Parser) -> Select:
                     at = p.next()
                     if at.kind not in ("name", "kw"):
                         raise SyntaxError(f"bad alias {at.text!r}")
-                    # keywords are soft in alias position (`AS content`)
+                    # keywords are soft in alias position (`AS content`);
+                    # dotted aliases nest the output path (`AS a.b` —
+                    # exec/operators/project.rs:118 output paths)
                     alias = at.orig or at.text.lower()
+                    while p.eat("op", "."):
+                        nt = p.next()
+                        if nt.kind not in ("name", "kw"):
+                            raise SyntaxError(
+                                f"bad alias segment {nt.text!r}")
+                        alias += "." + (nt.orig or nt.text.lower())
                 # verbatim field text: the reference names unaliased
                 # lookup projections by their PRINTED form — strings
                 # render single-quoted regardless of source quoting
