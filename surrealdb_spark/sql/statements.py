@@ -2882,92 +2882,92 @@ class StatementRunner:
             node["destr"] = list(destr)
 
         import dataclasses as _dc
-        import json as _json
 
+        from surrealdb_spark.operators.lookup import _kv_key
         from surrealdb_spark.sql.compiler import compile_select
 
         base = _dc.replace(sel, fields=None, value_expr=None, star=False)
         src = compile_select(self.spark, base, catalog=self.catalog,
                              params=params)
-        src_rows = _bounded_collect(src.select("id"),
-                                    "nested graph projection source")
 
-        # bounded edge/record maps, one per table in the trie
-        edge_maps: dict[str, list] = {}
-        rec_maps: dict[str, dict] = {}
+        # join-based assembly, bottom-up over the trie: each target-table
+        # node becomes a (id, __elem struct) frame; each edge level is ONE
+        # hop join + ONE groupBy collect, elements KV-key ordered — the
+        # same frontier pattern as operators/lookup.py, so the plan scales
+        # with the edge tables instead of a driver edge walk.
+        spark = self.spark
 
-        def edge_rows(name):
-            if name not in edge_maps:
-                if self.db._exists(name):
-                    rows = _bounded_collect(
-                        self.db.table(name).select("in", "out"),
-                        f"edge table {name}")
-                    edge_maps[name] = [(r["in"], r["out"]) for r in rows]
-                else:
-                    edge_maps[name] = []
-            return edge_maps[name]
+        def _edges(name: str, d1: str):
+            if self.db._exists(name):
+                e = self.db.table(name)
+            else:
+                e = spark.createDataFrame([], "`in` string, `out` string")
+            here, there = ("in", "out") if d1 == "out" else ("out", "in")
+            return e.select(F.col(here).cast("string").alias("__src"),
+                            F.col(there).cast("string").alias("__dst"))
 
-        def record_of(rid):
-            tbl = rid.split(":", 1)[0]
-            if tbl not in rec_maps:
-                if self.db._exists(tbl):
-                    rows = _bounded_collect(self.db.table(tbl),
-                                            f"table {tbl}")
-                    rec_maps[tbl] = {r["id"]: r.asDict() for r in rows}
-                else:
-                    rec_maps[tbl] = {}
-            return rec_maps[tbl].get(rid, {})
+        def _arr_branch(d1, edge, d2, tbl2, deeper):
+            """(__src, arr) — per source node, the KV-ordered array of
+            elements for one (edge, target-table) branch."""
+            sub = _elem_df(deeper, tbl2).select(
+                F.col("id").alias("__did"), F.col("__elem").alias("__de"))
+            hop = _edges(edge, d1).filter(
+                F.col("__dst").startswith(tbl2 + ":"))
+            joined = (hop.join(sub, F.col("__dst") == F.col("__did"))
+                      .dropDuplicates(["__src", "__did"]))
+            kk = _kv_key(F.col("__did"))
+            return joined.groupBy("__src").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(kk.alias("k"), F.col("__de").alias("v")))),
+                    lambda s: s.getField("v"),
+                ).alias("__arr"))
 
-        from surrealdb_spark.values import key_sort_text
+        def _attach_edges(frame, node, make_elem: bool,
+                          destr: list | None):
+            """Join every trie branch onto ``frame`` (keyed by id) and
+            build the per-edge struct columns; returns (frame, edge_cols)."""
+            edge_cols = []
+            for (d1, edge), enode in node["kids"].items():
+                tbl_cols = []
+                for (d2, tbl2), deeper in enode["kids"].items():
+                    slot = f"__ng{len(edge_cols)}_{len(tbl_cols)}"
+                    br = _arr_branch(d1, edge, d2, tbl2, deeper) \
+                        .withColumnRenamed("__arr", slot)
+                    frame = frame.join(
+                        br, frame["id"] == br["__src"], "left").drop("__src")
+                    at = frame.schema[slot].dataType
+                    arr = F.coalesce(F.col(slot), F.array().cast(at))
+                    tbl_cols.append(
+                        (slot, arr.alias(("->" if d2 == "out" else "<-")
+                                         + tbl2)))
+                edge_cols.append(
+                    ([s for s, _ in tbl_cols],
+                     F.struct(*[c for _, c in tbl_cols])
+                     .alias(("->" if d1 == "out" else "<-") + edge)))
+            return frame, edge_cols
 
-        def rid_sort_key(rid: str):
-            return key_sort_text(rid.split(":", 1)[1]) \
-                if ":" in rid else rid
+        def _elem_df(tnode, tbl):
+            """(id, __elem) for every record of ``tbl``: destructure
+            fields + nested deeper-hop structs."""
+            if self.db._exists(tbl):
+                t = self.db.table(tbl)
+            else:
+                t = spark.createDataFrame([], "id string")
+            cur = t.select(F.col("id").cast("string").alias("id"),
+                           *[(F.col(f) if f in t.columns else F.lit(None))
+                             .alias(f"__d_{f}")
+                             for f in (tnode["destr"] or [])])
+            cur, edge_cols = _attach_edges(cur, tnode, True,
+                                           tnode["destr"])
+            fields_ = [F.col(f"__d_{f}").alias(f)
+                       for f in (tnode["destr"] or [])]
+            fields_ += [c for _, c in edge_cols]
+            return cur.select("id", F.struct(*fields_).alias("__elem"))
 
-        def walk(rid, node) -> dict:
-            out: dict = {}
-            kids = node["kids"]
-            for (d1, edge), enode in kids.items():
-                hits = [(o if d1 == "out" else i)
-                        for i, o in edge_rows(edge)
-                        if (i if d1 == "out" else o) == rid]
-                sub: dict = {}
-                for (d2, tbl), tnode in enode["kids"].items():
-                    tgts = sorted(
-                        {h for h in hits
-                         if isinstance(h, str)
-                         and h.startswith(tbl + ":")},
-                        key=rid_sort_key)
-                    elems = []
-                    for t in tgts:
-                        el = walk(t, tnode)
-                        if tnode["destr"]:
-                            rec = record_of(t)
-                            for fld in tnode["destr"]:
-                                el[fld] = rec.get(fld)
-                        elems.append(el)
-                    sub[("->" if d2 == "out" else "<-") + tbl] = elems
-                out[("->" if d1 == "out" else "<-") + edge] = sub
-            return out
-
-        def plain(v):
-            # Row / nested containers -> JSON-able plain Python values
-            if hasattr(v, "asDict"):
-                return {k: plain(x) for k, x in v.asDict().items()}
-            if isinstance(v, dict):
-                return {k: plain(x) for k, x in v.items()}
-            if isinstance(v, (list, tuple)):
-                return [plain(x) for x in v]
-            return v
-
-        rows = [plain(walk(r["id"], trie)) for r in src_rows]
-        if not rows:
-            # read.json on an empty RDD raises "Unable to infer schema"
-            return self.spark.createDataFrame([], "id string").drop("id") \
-                .limit(0)
-        rdd = self.spark.sparkContext.parallelize(
-            [_json.dumps(r, default=str) for r in rows], 1)
-        return self.spark.read.json(rdd)
+        out = src.select(F.col("id").cast("string").alias("id"))
+        out, edge_cols = _attach_edges(out, trie, False, None)
+        return out.select(*[c for _, c in edge_cols])
 
     def run_block(self, body: str, params: dict | None = None):
         """Inner statements of a `{ ... }` block, sequentially, with a
