@@ -108,6 +108,10 @@ class Database:
     # -- catalog ------------------------------------------------------------
 
     def define_table(self, td: TableDef) -> None:
+        if getattr(self, "versioned_default", False):
+            # harness/session opted into versioned reads ([test]
+            # versioned = true — VERSION clause snapshots)
+            td.versioned = True
         self.tables[td.name] = td
         os.makedirs(self._data(td.name), exist_ok=True)
 

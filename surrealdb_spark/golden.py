@@ -788,6 +788,10 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
     # new-executor behavioral switches ([env] planner-strategy)
     runner.planner_strategy = list((env or {}).get("planner-strategy", []))
     runner.backend = list((env or {}).get("backend", []))
+    if (env or {}).get("versioned"):
+        # [test] versioned = true: tables snapshot pre-mutation state
+        # so VERSION clauses can time-travel (version_scope.rs)
+        db.versioned_default = True
     script = None  # lazy ScriptRunner for FOR/IF/THROW statements
     bindings: dict = {}
     txbuf: list = []  # statements inside an open BEGIN..COMMIT
@@ -1204,6 +1208,11 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     config, stmts = parse_test_file(text)
     test = config.get("test", {})
     env = config.get("env", {})
+    # behavioral switches may sit in [test] instead of [env]
+    # (version_clauses.surql: `versioned = true`, `backend = [...]`)
+    for key in ("versioned", "backend", "planner-strategy"):
+        if key not in env and key in config.get("test", {}):
+            env[key] = config["test"][key]
     SessionContext.configure(
         ns=None if env.get("namespace") is False else "test",
         db=None if env.get("database") is False else "test")

@@ -1976,6 +1976,53 @@ def _has_aggregate(ast) -> bool:
     return False
 
 
+def _apply_omit(df: DataFrame, omit: list) -> DataFrame:
+    """OMIT application (part.rs omit semantics): plain names drop
+    columns, dotted paths drop struct members, `.*` tails and last-member
+    drops leave the empty-object marker struct."""
+    df = df.drop(*[o for o in omit if isinstance(o, str)])
+    empty_obj = F.struct(F.lit(None).alias("__emptyobj"))
+
+    def _struct_at(segs):
+        from pyspark.sql.types import StructType
+
+        cur = df.schema
+        for seg in segs:
+            if not isinstance(cur, StructType) or seg not in \
+                    cur.fieldNames():
+                return None
+            cur = cur[seg].dataType
+        return cur if hasattr(cur, "fieldNames") else None
+
+    for path in omit:
+        if isinstance(path, str):
+            continue
+        base, rest = path[0], list(path[1:])
+        if base not in df.columns:
+            continue
+        if rest and rest[-1] == "*":
+            # `opts.nested.*` — empty the struct (part.rs All omit)
+            inner = ".".join(rest[:-1])
+            df = df.withColumn(
+                base,
+                F.col(base).withField(inner, empty_obj)
+                if inner else empty_obj)
+        elif rest:
+            parent = _struct_at([base] + rest[:-1])
+            if parent is not None and \
+                    set(parent.fieldNames()) <= {rest[-1]}:
+                # dropping the struct's only field → empty object
+                inner = ".".join(rest[:-1])
+                df = df.withColumn(
+                    base,
+                    F.col(base).withField(inner, empty_obj)
+                    if inner else empty_obj)
+            else:
+                df = df.withColumn(
+                    base, F.col(base).dropFields(".".join(rest)))
+    return df
+
+
 def _kv_order_sources(sources, params) -> list[str]:
     """Table names among the SELECT sources, resolving dynamic ones.
 
@@ -2826,8 +2873,19 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
 
     # project
     if sel.value_expr is not None and not is_grouped:
-        # SELECT VALUE → single bare column (operators/project_value.rs:30)
-        df = df.select(compile_expr(sel.value_expr, params, types).alias("value"))
+        # SELECT VALUE → single bare column (operators/project_value.rs:30).
+        # OMIT strips the document BEFORE the VALUE expression reads it
+        # (`SELECT VALUE name OMIT name` → NONE; `SELECT VALUE opts OMIT
+        # opts.nested.data` drops the member — select_value_omit_
+        # record_id.surql), so apply it here and null out now-absent
+        # idents
+        vexpr = sel.value_expr
+        if sel.omit:
+            df = _apply_omit(df, sel.omit)
+            vexpr = _null_unknown_idents(vexpr, types_of(df))
+        df = df.select(compile_expr(vexpr, params,
+                                    types_of(df) if sel.omit else types)
+                       .alias("value"))
     elif is_grouped:
         # post-aggregate exprs dispatch on the AGGREGATED frame's types
         # (int/int division must stay integer — number.rs Div)
@@ -2997,47 +3055,8 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     elif lookup_slots:
         # SELECT * with WHERE/ORDER lookups: hidden slots must not leak
         df = df.drop(*lookup_slots)
-    if sel.omit:
-        df = df.drop(*[o for o in sel.omit if isinstance(o, str)])
-        empty_obj = F.struct(F.lit(None).alias("__emptyobj"))
-
-        def _struct_at(segs):
-            from pyspark.sql.types import StructType
-
-            cur = df.schema
-            for seg in segs:
-                if not isinstance(cur, StructType) or seg not in \
-                        cur.fieldNames():
-                    return None
-                cur = cur[seg].dataType
-            return cur if hasattr(cur, "fieldNames") else None
-
-        for path in sel.omit:
-            if isinstance(path, str):
-                continue
-            base, rest = path[0], list(path[1:])
-            if base not in df.columns:
-                continue
-            if rest and rest[-1] == "*":
-                # `opts.nested.*` — empty the struct (part.rs All omit)
-                inner = ".".join(rest[:-1])
-                df = df.withColumn(
-                    base,
-                    F.col(base).withField(inner, empty_obj)
-                    if inner else empty_obj)
-            elif rest:
-                parent = _struct_at([base] + rest[:-1])
-                if parent is not None and \
-                        set(parent.fieldNames()) <= {rest[-1]}:
-                    # dropping the struct's only field → empty object
-                    inner = ".".join(rest[:-1])
-                    df = df.withColumn(
-                        base,
-                        F.col(base).withField(inner, empty_obj)
-                        if inner else empty_obj)
-                else:
-                    df = df.withColumn(
-                        base, F.col(base).dropFields(".".join(rest)))
+    if sel.omit and not (sel.value_expr is not None and not is_grouped):
+        df = _apply_omit(df, sel.omit)
 
     # fetch (operators/fetch.rs) — target table inferred from id prefix.
     # Each path expands to all of its prefixes (`FETCH author.company`
