@@ -2236,6 +2236,12 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             # predicate so parquet min/max pruning + PushedFilters apply —
             # Catalyst's answer to the reference's ordered-KV range seek.
             t = resolve(src[1])
+            lo_excl = False
+            if (src[0] == "idrange" and isinstance(src[2], tuple)
+                    and src[2][0] == "xlo"):
+                # `tb:lo>..hi` exclusive lower bound (record_id/key.rs)
+                lo_excl = True
+                src = (src[0], src[1], src[2][1], src[3], src[4])
             bounds = [b for b in (src[2], src[3] if src[0] == "idrange" else None)
                       if b is not None]
             if any(isinstance(b, tuple) and b[0] == "karr" for b in bounds):
@@ -2267,7 +2273,8 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 _, _tb, lo, hi, incl = src
                 enc = key_sort_udf()(F.col("id"))
                 if lo is not None:
-                    t = t.filter(enc >= F.lit(_bound(lo)[0]))
+                    b1 = F.lit(_bound(lo)[0])
+                    t = t.filter(enc > b1 if lo_excl else enc >= b1)
                 if hi is not None:
                     b2 = F.lit(_bound(hi)[0])
                     t = t.filter(enc <= b2 if incl else enc < b2)
@@ -2278,7 +2285,7 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 return t.filter(kc == F.lit(src[2]))
             _, _tb, lo, hi, incl = src
             if lo is not None:
-                t = t.filter(kc >= F.lit(lo))
+                t = t.filter(kc > F.lit(lo) if lo_excl else kc >= F.lit(lo))
             if hi is not None:
                 t = t.filter(kc <= F.lit(hi) if incl else kc < F.lit(hi))
             return t

@@ -288,9 +288,14 @@ class Parser:
                 continue
             if op == "<~":
                 # value<~(table FIELD f) — reverse-reference lookup on a
-                # record value (scan/reference.rs:48)
+                # record value (scan/reference.rs:48); idiom parts may
+                # follow (`chat:bla<~(message FIELD chat).message` —
+                # reference/range.surql)
                 self.next()
                 lhs = ("refscan_on", lhs, self._refscan_entries())
+                nt = self.peek()
+                if nt.kind == "op" and nt.text in (".", "[", "?."):
+                    lhs = self.postfix(lhs)
                 continue
             if op == "@" and self.toks[self.i + 1].kind in ("num", "name",
                                                             "kw"):
@@ -1504,6 +1509,11 @@ def _parse_select_body(p: Parser) -> Select:
                         if obj[0] == "object" and rid_obj_literal(obj):
                             return render_rid_obj(obj)
                         return ("karr", obj)
+                    if p.peek().kind == "kw" and p.peek().text in (
+                            "WHERE", "ORDER", "LIMIT", "START", "GROUP",
+                            "SPLIT", "FETCH", "OMIT", "WITH", "TIMEOUT",
+                            "PARALLEL", "EXPLAIN"):
+                        return None  # open-ended range before a clause
                     if p.peek().kind in ("name", "str", "kw"):
                         t_ = p.next()
                         if t_.kind == "str":
@@ -1512,12 +1522,22 @@ def _parse_select_body(p: Parser) -> Select:
                     return None
 
                 lo = None
+                lo_excl = False
                 if not (p.peek().kind == "op" and p.peek().text in ("..", "..=")):
                     lo = _key()
+                    if (p.peek().kind == "op" and p.peek().text == ">"
+                            and p.toks[p.i + 1].kind == "op"
+                            and p.toks[p.i + 1].text in ("..", "..=")):
+                        # `tb:lo>..hi` — exclusive lower bound
+                        # (record_id/key.rs Range; reference/range.surql)
+                        p.next()
+                        lo_excl = True
                 if p.peek().kind == "op" and p.peek().text in ("..", "..="):
                     incl = p.next().text == "..="
                     hi = _key()
-                    sel.sources.append(("idrange", tb, lo, hi, incl))
+                    sel.sources.append(("idrange", tb,
+                                        ("xlo", lo) if lo_excl else lo,
+                                        hi, incl))
                 else:
                     sel.sources.append(("idpoint", tb, lo))
                 if p.peek().kind == "op" and p.peek().text in (

@@ -3056,6 +3056,13 @@ class StatementRunner:
             return eval_lookup_value(self.spark, self.catalog, ast, binds)
         if ast[0] == "refscan_on":
             return self._refscan_on(ast, binds)
+        if ast[0] == "path" and ast[1][0] == "refscan_on":
+            # `rid<~(tbl FIELD f).g` — walk the idiom tail over the
+            # reverse-reference rows (reference/range.surql)
+            from surrealdb_spark import pyeval
+
+            rows = self._refscan_on(ast[1], binds)
+            return pyeval._walk_path(rows, list(ast[2]), binds)
         if ast[0] == "path" and ast[1][0] in ("lit", "ulit") \
                 and isinstance(ast[1][1], str) and ":" in str(ast[1][1]):
             got = self._walk_record_path(str(ast[1][1]), ast[2])
