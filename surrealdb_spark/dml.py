@@ -91,6 +91,9 @@ class TableDef:
     # rows — values.py "kinded columns"; the reference stores Value per
     # cell, types/src/value/mod.rs:84-122)
     kinded: set[str] = field(default_factory=set)
+    # TYPE RELATION (or implicitly defined by RELATE): edge records keep
+    # their in/out pointers under CONTENT/REPLACE (doc/relate.rs)
+    is_edge: bool = False
 
 
 class MutationError(Exception):
@@ -531,9 +534,13 @@ class Database:
         if on_duplicate is None:
             merged = current.unionByName(fresh)
             touched = fresh.localCheckpoint(eager=True)
+            dup_before = None
         else:
             dup_ids = records.select(td.id_col)
             updated = current.join(dup_ids, td.id_col, "left_semi")
+            dup_before = None
+            if td.events or td.changefeed:
+                dup_before = updated.localCheckpoint(eager=True)
             for k, v in on_duplicate.items():
                 updated = updated.withColumn(k, v)
             untouched = current.join(dup_ids, td.id_col, "left_anti")
@@ -541,7 +548,7 @@ class Database:
             touched = updated.unionByName(fresh).localCheckpoint(eager=True)
             self._check_unique_final(tbl, merged)
         self._overwrite(tbl, merged)
-        self._post_write(tbl, "UPDATE", touched)
+        self._post_write(tbl, "UPDATE", touched, before=dup_before)
         return touched
 
     def update(
@@ -612,6 +619,14 @@ class Database:
         current, records = self._harmonize(tbl, current, records)
         fresh = records.join(current.select(td.id_col), td.id_col, "left_anti")
         replaced = records.join(current.select(td.id_col), td.id_col, "left_semi")
+        rep_before = None
+        if td.events or td.changefeed:
+            # pre-images of the replaced ids — events bind the real
+            # $before (doc/event.rs self.initial); checkpointed before the
+            # overwrite invalidates the lazy read
+            rep_before = current.join(
+                records.select(td.id_col), td.id_col, "left_semi"
+            ).localCheckpoint(eager=True)
         if set_exprs:
             for k, v in set_exprs.items():
                 replaced = replaced.withColumn(k, v)
@@ -625,7 +640,7 @@ class Database:
         ).unionByName(fresh, allowMissingColumns=True)
         self._check_unique_final(tbl, merged)
         self._overwrite(tbl, merged)
-        self._post_write(tbl, "UPDATE", replaced)
+        self._post_write(tbl, "UPDATE", replaced, before=rep_before)
         self._post_write(tbl, "CREATE", fresh)
         return replaced.unionByName(fresh)
 
@@ -654,13 +669,22 @@ class Database:
         """RELATE a->e->b — append edge records carrying in/out
         (doc/relate.rs; operators/graph.relate builds the rows)."""
         if edge_tbl not in self.tables:
-            self.define_table(TableDef(edge_tbl, id_col="id"))
+            self.define_table(TableDef(edge_tbl, id_col="id", is_edge=True))
+        self.tables[edge_tbl].is_edge = True
         td = self.tables[edge_tbl]
         if td.id_col not in edges.columns:
             edges = edges.withColumn(
                 td.id_col, F.concat(F.lit(edge_tbl), F.lit(":"), F.md5(F.concat_ws("|", "in", "out")))
             )
         edges = edges.localCheckpoint(eager=True)
+        if self._exists(edge_tbl):
+            clash = edges.join(
+                self.table(edge_tbl).select(td.id_col), td.id_col,
+                "left_semi").count()
+            if clash:
+                # RELATE with an existing edge id replaces the edge
+                # (doc/relate.rs — the edge key is an upsert key)
+                return self.upsert(edge_tbl, edges)
         self._append(edge_tbl, edges)
         self._post_write(edge_tbl, "CREATE", edges)
         return edges

@@ -461,7 +461,8 @@ def _py_fallback(body: str, bindings: dict):
         if isinstance(v, ClosureValue):
             return pyeval.PyClosure(
                 v.names, v.body,
-                {k: _to_py(x) for k, x in (v.captured or {}).items()})
+                {k: _to_py(x) for k, x in (v.captured or {}).items()},
+                kinds=v.kinds, ret=v.ret)
         if isinstance(v, dict):
             return {k: _to_py(x) for k, x in v.items()}
         if isinstance(v, list):

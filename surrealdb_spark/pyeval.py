@@ -64,21 +64,42 @@ class RegexVal:
 
 
 class PyClosure:
-    __slots__ = ("names", "body", "env")
+    __slots__ = ("names", "body", "env", "kinds", "ret")
 
-    def __init__(self, names, body, env):
+    def __init__(self, names, body, env, kinds=None, ret=None):
         self.names, self.body, self.env = list(names), body, dict(env)
+        self.kinds, self.ret = kinds, ret
 
     def __call__(self, *args):
         env = dict(self.env)
+        if self.kinds:
+            # declared param kinds reject cross-kind args
+            # (expr/closure.rs; closure/basic.surql `|$arg: string|`)
+            from surrealdb_spark.sql.compiler import _kind_accepts
+
+            for i, n in enumerate(self.names):
+                k = self.kinds[i] if i < len(self.kinds) else None
+                if k is not None and _kind_accepts(
+                        k, typeof(args[i] if i < len(args) else None)
+                ) is False:
+                    raise EvalError(
+                        "Incorrect arguments for function ANONYMOUS(): "
+                        f"argument ${n} expects {k!r}")
         for i, n in enumerate(self.names):
             env[n] = args[i] if i < len(args) else None
         try:
-            return peval(self.body, env)
+            out = peval(self.body, env)
         except (BreakSignal, ContinueSignal):
             # closures are function boundaries: control flow cannot cross
             # them (statements/for/break_in_closure.surql)
             raise EvalError("Break/Continue inside a closure")
+        if self.ret is not None:
+            from surrealdb_spark.sql.compiler import _kind_accepts
+
+            if _kind_accepts(self.ret, typeof(out)) is False:
+                raise EvalError(
+                    "Couldn't coerce return value from function ANONYMOUS")
+        return out
 
 
 def is_duration(v) -> bool:

@@ -145,7 +145,9 @@ class ScriptRunner:
                 except Exception:
                     pass
                 if self._stmts is not None:
-                    result = self._stmts.run(stmt, bindings)
+                    hide = getattr(self, "_dml_hide", ())
+                    result = self._stmts.run(stmt, {
+                        k: v for k, v in bindings.items() if k not in hide})
                 else:
                     raise ValueError(
                         f"unsupported statement: {stmt[:40]!r}")

@@ -823,7 +823,10 @@ class Parser:
                     self.next()
                     return self.postfix(
                         ("lit", f"{t.text}:-{self.next().text}"))
-                if nxt.kind in ("name", "num") and nxt.pos == colon.pos + 1:
+                if nxt.kind in ("name", "num", "kw") \
+                        and nxt.pos == colon.pos + 1:
+                    # keyword keys glue too: log:CREATE (record_id/key.rs
+                    # — key text is an arbitrary ident)
                     self.next()
                     parts = [self.next()]
                     while True:

@@ -88,6 +88,9 @@ class DefineTableStmt:
     name: str
     schemafull: bool = False
     ttype: str = "ANY"           # TYPE ANY | NORMAL | RELATION (table.rs)
+    enforced: bool = False       # TYPE RELATION ENFORCED (table.rs:151-156)
+    rel_in: list | None = None   # TYPE RELATION IN/FROM tables
+    rel_out: list | None = None  # TYPE RELATION OUT/TO tables
     perms_text: str = "NONE"     # canonical PERMISSIONS text for INFO
     changefeed: str | None = None
     # SELECT permission: "full" | "none" | WHERE-expr AST
@@ -832,7 +835,10 @@ def _render_field(name: str, tbl: str, st) -> str:
 
 
 def _render_table(name: str, i: dict) -> str:
-    out = (f"DEFINE TABLE {name} TYPE {i.get('type', 'ANY')} "
+    ttxt = i.get("type", "ANY")
+    if i.get("enforced"):
+        ttxt += " ENFORCED"  # catalog/table.rs Display for TableType
+    out = (f"DEFINE TABLE {name} TYPE {ttxt} "
            + ("SCHEMAFULL" if i.get("schemafull") else "SCHEMALESS"))
     if i.get("as_text"):
         out += f" AS {i['as_text']}"
@@ -1035,10 +1041,19 @@ def _parse_statement_body(p: Parser):
         return st
     if t.text == "RELATE":
         p.next()
+        p.eat("kw", "ONLY")  # single-object output (textual unwrap)
         p.no_graph += 1  # arrows here are RELATE syntax, not lookups
         frm = p.expr(9)  # bind tighter than -> steps
         p.expect("op", "->")
-        edge = _name(p)
+        if p.peek().kind == "param":
+            # RELATE a->$kind->b — edge table (or record id) from a bound
+            # param (expr/statements/relate.rs computed `kind`)
+            edge: object = ("param", p.next().text[1:])
+        elif p.peek().kind == "op" and p.peek().text == "(":
+            # RELATE a->(type::table("knows"))->b — expression edge
+            edge = ("texpr", p.prefix())
+        else:
+            edge = _name(p)
         edge_key: object | None = None
         if p.peek().kind == "op" and p.peek().text == ":":
             # RELATE a->edge:key->b — explicit edge record id (relate.rs)
@@ -1126,13 +1141,20 @@ def _parse_statement_body(p: Parser):
                     st._type_set = True
                     if st.ttype == "RELATION":
                         # TYPE RELATION [IN a OUT b | FROM a TO b]
+                        # [ENFORCED] (catalog/table.rs:151-156)
                         while p.peek().text.upper() in ("IN", "OUT", "FROM",
                                                         "TO", "ENFORCED"):
                             w = p.next().text.upper()
-                            if w != "ENFORCED":
-                                _name(p)
+                            if w == "ENFORCED":
+                                st.enforced = True
+                            else:
+                                names = [_name(p)]
                                 while p.eat("op", "|"):
-                                    _name(p)
+                                    names.append(_name(p))
+                                if w in ("IN", "FROM"):
+                                    st.rel_in = names
+                                else:
+                                    st.rel_out = names
                 elif p.eat("kw", "AS"):
                     # DEFINE TABLE v AS SELECT ... — view definition
                     t0 = p.peek()
@@ -2203,6 +2225,11 @@ def _target(p: Parser) -> Target:
         keys = _mock_ids(spec)
         return Target(tb, mock=len(keys), mock_keys=keys)
     if p.peek().kind == "param":
+        nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
+        if nxt is not None and nxt.kind == "op" and nxt.text in (".", "["):
+            # UPSERT $before.city — idiom-path target resolved at
+            # execution (self-referential events, doc/event.rs)
+            return Target(None, ("texpr", p.prefix()))
         # UPDATE $record / DELETE $record — resolved at execution from the
         # bound record (or record-id string)
         return Target(None, ("param", p.next().text[1:]))
@@ -2346,9 +2373,11 @@ def _plain_value(v):
     return v
 
 
-def _has_wsub(ast) -> bool:
+def _has_wsub(ast, _seen: frozenset = frozenset()) -> bool:
     """True when the AST tree carries a writable-subquery node (or a
-    user-function call — its body may carry one)."""
+    user-function call — its body may carry one).  `_seen` tracks
+    user-function names already being expanded so a recursive fn::f
+    terminates instead of overflowing the stack."""
     if not isinstance(ast, tuple):
         return False
     if ast[0] == "wsub":
@@ -2357,13 +2386,14 @@ def _has_wsub(ast) -> bool:
         from surrealdb_spark import pyeval as _pyh
 
         nm = ast[1] if ast[1].startswith("fn::") else f"fn::{ast[1]}"
-        if nm in _pyh.USER_FNS and _has_wsub(_pyh.USER_FNS[nm][2]):
+        if nm in _pyh.USER_FNS and nm not in _seen and _has_wsub(
+                _pyh.USER_FNS[nm][2], _seen | {nm}):
             return True
     for x in ast:
-        if isinstance(x, tuple) and _has_wsub(x):
+        if isinstance(x, tuple) and _has_wsub(x, _seen):
             return True
         if isinstance(x, list) and any(
-                isinstance(y, tuple) and _has_wsub(y) for y in x):
+                isinstance(y, tuple) and _has_wsub(y, _seen) for y in x):
             return True
     return False
 
@@ -3388,6 +3418,30 @@ class StatementRunner:
             return False, None
         finally:
             self._fold_busy = False
+
+    def _purge_edges(self, tbl: str, doomed: DataFrame | None) -> None:
+        """doc/purge.rs: deleting records removes the edges whose in/out
+        pointers reference them — through db.delete so the edge tables'
+        DELETE events fire.  Skipped entirely when no edge tables exist
+        (the analytics path); the doomed id set is OLTP-bounded."""
+        if doomed is None or "id" not in doomed.columns:
+            return
+        edge_tbls = [et for et, td in self.db.tables.items()
+                     if getattr(td, "is_edge", False) and et != tbl
+                     and self.db._exists(et)]
+        if not edge_tbls:
+            return
+        ids = [str(r["id"]) for r in _bounded_collect(
+            doomed.select("id"), "edge purge (doomed ids)")]
+        if not ids:
+            return
+        for et in edge_tbls:
+            e = self.db.table(et)
+            if "in" not in e.columns or "out" not in e.columns:
+                continue
+            cond = (F.col("in").cast("string").isin(ids)
+                    | F.col("out").cast("string").isin(ids))
+            self.db.delete(et, F.coalesce(cond, F.lit(False)))
 
     def _apply_on_delete(self, tbl: str, where) -> None:
         """Enforce REFERENCE ON DELETE strategies before records vanish
@@ -4707,6 +4761,7 @@ class StatementRunner:
                     self.run(txt, params=binds)
 
     def _execute_inner(self, stmt, params: dict) -> DataFrame | None:
+        self._evt_input = None  # per-statement $input for event scope
         tgt = getattr(stmt, "target", None)
         if tgt is not None:
             self._check_strict(getattr(tgt, "table", None))
@@ -4715,9 +4770,15 @@ class StatementRunner:
         if (tgt is not None and tgt.table is None
                 and isinstance(tgt.key, tuple) and tgt.key[0] == "texpr"):
             # expression target (CREATE type::record('tb', $i)): evaluate
-            # to the record id, then run as a point target
-            rid = self.spark.range(1).select(
-                self._expr(tgt.key[1], params).alias("v")).first()["v"]
+            # to the record id, then run as a point target.  Param-path
+            # targets ($before.city) carry python dicts — driver eval.
+            try:
+                rid = self.spark.range(1).select(
+                    self._expr(tgt.key[1], params).alias("v")).first()["v"]
+            except Exception:
+                from surrealdb_spark import pyeval as _pt
+
+                rid = _pt.peval(tgt.key[1], dict(params or {}))
             tb, _, key = str(rid).partition(":")
             tgt.table = tb
             tgt.key = (int(key) if key.lstrip("-").isdigit() else key) \
@@ -4736,11 +4797,15 @@ class StatementRunner:
         if isinstance(stmt, DefineTableStmt):
             self.db.define_table(TableDef(stmt.name))
             self.db.tables[stmt.name].schemafull = stmt.schemafull
+            if stmt.ttype == "RELATION":
+                self.db.tables[stmt.name].is_edge = True
             if stmt.as_select is not None:
                 self.view_defs[stmt.name] = (stmt.as_select, stmt.as_text)
             elif stmt.name in self.view_defs:
                 self.view_defs.pop(stmt.name)  # redefined as a plain table
             info_t = {"type": stmt.ttype, "schemafull": stmt.schemafull,
+                      "enforced": stmt.enforced,
+                      "rel_in": stmt.rel_in, "rel_out": stmt.rel_out,
                       "changefeed": stmt.changefeed,
                       "as_text": stmt.as_text,
                       "comment": stmt.comment,
@@ -5249,47 +5314,19 @@ class StatementRunner:
         if isinstance(stmt, DefineEventStmt):
             if stmt.table not in self.db.tables:
                 self.db.define_table(TableDef(stmt.table))
-            # doc/event.rs: fires per affected record with $event/$after;
-            # the THEN statements re-enter this runner per matched row.
-            # Driver-side per-row execution — events are an OLTP feature for
-            # modest mutation batches, not the 100 TB analytics hot path.
+            # doc/event.rs: fires per affected record with real before/
+            # after images; THEN bodies execute via the script engine so
+            # IF/FOR/THROW work.  Driver-side per-row execution — events
+            # are an OLTP feature for modest mutation batches, not the
+            # 100 TB analytics hot path; bulk CREATE keeps a distributed
+            # fast path (_event_fast_path).
             td = self.db.tables[stmt.table]
             when_ast, then_stmts = stmt.when, list(stmt.then)
+            ev_name = stmt.name
 
             def hook(action, df, before=None):
-                _w, _t = when_ast, then_stmts
-                cols = [F.col(c).alias(c) for c in df.columns]
-                s = F.struct(*cols)
-                # $before is NONE on CREATE, $after NONE on DELETE
-                # (doc/event.rs); the single post-image stands in for the
-                # UPDATE pre-image (documented approximation)
-                # a struct of typed NULLs keeps `$before.id` resolvable
-                null_s = F.struct(*[F.lit(None).alias(c) for c in df.columns])
-                aft = null_s if action == "DELETE" else s
-                bef = s if action == "DELETE" else null_s
-                cur = s
-                binds = {"event": F.lit(action), "after": aft, "value": cur,
-                         "before": bef, "this": cur}
-                matched = df if _w is None else df.filter(self._expr(_w, binds))
-                if self._event_fast_path(matched, binds, _t):
-                    return
-                for row in _bounded_collect(matched, "DEFINE EVENT firing"):
-                    d = row.asDict(recursive=True)
-                    flat = [F.lit(v).alias(k) for k, v in d.items()
-                            if not isinstance(v, (dict, list))]
-                    rb: dict = {"event": action}
-                    if flat:
-                        rs = F.struct(*flat)
-                        rn = F.struct(*[F.lit(None).alias(k) for k in d
-                                        if not isinstance(d[k], (dict, list))])
-                        rb.update(value=rs, this=rs,
-                                  after=rn if action == "DELETE" else rs,
-                                  before=rs if action == "DELETE" else rn)
-                    for text in _t:
-                        txt = text.strip()
-                        if txt.startswith("(") and txt.endswith(")"):
-                            txt = txt[1:-1]
-                        self.run(txt, params=rb)
+                self._fire_event(ev_name, action, df, before,
+                                 when_ast, then_stmts)
 
             td.events.append(hook)
             self.events[stmt.name] = (stmt.table, hook)
@@ -5526,11 +5563,17 @@ class StatementRunner:
             if stmt.target.mock_keys is not None:
                 for d, k in zip(dicts, stmt.target.mock_keys):
                     d["id"] = f"{stmt.target.table}:{k}"
+            if dicts and self._tbl_has_events(stmt.target.table):
+                # $input = the raw data object (doc/alter.rs) — all rows
+                # of one CREATE share the data clause
+                self._evt_input = dict(dicts[0])
             rows = self._literal_rows(dicts, stmt.target, params)
             out = self.db.create(stmt.target.table, rows)
             if stmt.target.table in self.computed_fields:
                 out = self._with_computed(stmt.target.table, out)
-            return self._ret(out, out, stmt.return_)
+            if isinstance(stmt.return_, tuple):
+                return self._ret_expr_static(None, out, stmt.return_, params)
+            return self._ret_created(out, stmt.return_)
         if isinstance(stmt, InsertStmt):
             if stmt.table is None:
                 # table-less INSERT: each row routes to its id's table, in
@@ -5627,6 +5670,7 @@ class StatementRunner:
                 # over the implicit empty table (update.rs)
                 self.db.define_table(TableDef(tbl))
             where = self._where(stmt.target, stmt.where, tbl, params)
+            self._stash_event_input(tbl, stmt.data, params)
             if stmt.upsert:
                 # create-if-absent applies to the KEY (or, unkeyed, to a
                 # WHERE with no matches); an existing record that fails the
@@ -5696,22 +5740,85 @@ class StatementRunner:
             where = self._where(stmt.target, stmt.where, tbl, params)
             self._apply_on_delete(tbl, where)
             ret = stmt.return_
+            cap: dict = {}
             if isinstance(ret, tuple):
-                cap = {}
                 self.db.delete(tbl, where, "NONE", capture=cap)
-                return self._ret_expr_static(cap["before"], None, ret, params)
-            return self.db.delete(tbl, where, ret)
+                out = self._ret_expr_static(cap["before"], None, ret, params)
+            else:
+                out = self.db.delete(tbl, where, ret, capture=cap)
+            self._purge_edges(tbl, cap.get("before"))
+            return out
         if isinstance(stmt, RelateStmt):
             frm = self._scalar(stmt.from_expr, params)
             to = self._scalar(stmt.to_expr, params)
+            import re as _rr
+
+            for prop, ep in (("in", frm), ("out", to)):
+                # endpoints must be records (expr/statements/relate.rs)
+                for r in (ep if isinstance(ep, list) else [ep]):
+                    rid = r.get("id") if isinstance(r, dict) else r
+                    if not (isinstance(rid, str) and _rr.fullmatch(
+                            r"[A-Za-z_][A-Za-z0-9_]*:.+", rid, _rr.S)):
+                        from surrealdb_spark.pyeval import render as _rnd
+
+                        raise ValueError(
+                            "Cannot execute RELATE statement where "
+                            f"property '{prop}' is: {_rnd(rid)}")
+            edge_tb, edge_key = stmt.edge, stmt.edge_key
+            if isinstance(edge_tb, tuple):
+                # RELATE a->$kind->b / a->(expr)->b: the computed value is
+                # a table name or a full edge record id (relate.rs kind)
+                if edge_tb[0] == "param":
+                    v = params.get(edge_tb[1])
+                    if v is None:
+                        raise KeyError(
+                            f"unbound edge parameter ${edge_tb[1]}")
+                else:
+                    v = self._scalar(edge_tb[1], params)
+                v = str(v.get("id") if isinstance(v, dict) else v)
+                if ":" in v:
+                    edge_tb, _, k = v.partition(":")
+                    edge_key = int(k) if k.lstrip("-").isdigit() else k
+                else:
+                    edge_tb = v
+            ti = self.obj_info["tables"].get(edge_tb, {})
+            if ti.get("enforced"):
+                # TYPE RELATION ENFORCED: both endpoints must exist
+                # (catalog/table.rs:151-156; doc/relate.rs)
+                for ep in (frm, to):
+                    for r in (ep if isinstance(ep, list) else [ep]):
+                        rid = str(r.get("id") if isinstance(r, dict) else r)
+                        tb0 = rid.partition(":")[0]
+                        if not self._matches(
+                                tb0, F.col("id") == rid):
+                            raise ValueError(
+                                f"The record '{rid}' does not exist")
+            for prop, ep, allowed in (("in", frm, ti.get("rel_in")),
+                                      ("out", to, ti.get("rel_out"))):
+                # TYPE RELATION FROM a TO b endpoint-table constraint
+                if not allowed:
+                    continue
+                for r in (ep if isinstance(ep, list) else [ep]):
+                    rid = str(r.get("id") if isinstance(r, dict) else r)
+                    if rid.partition(":")[0] not in allowed:
+                        raise ValueError(
+                            f"Found {rid} for field `{prop}`, with record "
+                            f"`{edge_tb}`, but expected a "
+                            f"record<{' | '.join(allowed)}>")
             extra = self._data_obj(stmt.data, params) if stmt.data else {}
             row = {"in": frm, "out": to, **extra}
-            if stmt.edge_key is not None:
-                row["id"] = f"{stmt.edge}:" + str(
-                    self._key_text(Target(stmt.edge, stmt.edge_key), params))
-            edges = self.spark.createDataFrame([row])
-            out = self.db.relate(stmt.edge, edges)
-            return self._ret(out, out, stmt.return_)
+            if edge_key is not None:
+                row["id"] = f"{edge_tb}:" + str(
+                    self._key_text(Target(edge_tb, edge_key), params))
+            if self.db.tables.get(edge_tb) is None:
+                self.db.define_table(TableDef(edge_tb, is_edge=True))
+            # _literal_rows normalizes the id (CONTENT {id: 1} →
+            # likes:1) and encodes kinded cells like CREATE does
+            edges = self._literal_rows([row], Target(edge_tb), params)
+            out = self.db.relate(edge_tb, edges)
+            if isinstance(stmt.return_, tuple):
+                return self._ret_expr_static(None, out, stmt.return_, params)
+            return self._ret_created(out, stmt.return_)
         raise ValueError(f"unhandled statement {stmt!r}")
 
     # helpers --------------------------------------------------------------
@@ -5787,6 +5894,22 @@ class StatementRunner:
         if data is None:
             return {}
         kind, payload = data
+
+        def _none_this(a):
+            # data-clause expressions compute with the NEW document's
+            # cursor ($this = the being-created doc = NONE at input time,
+            # doc/alter.rs) — an unbound $this/$self is NONE, not the
+            # enclosing row
+            if isinstance(a, tuple):
+                if a[0] == "param" and a[1] in ("this", "self") \
+                        and "this" not in params:
+                    return ("lit", None)
+                return tuple(_none_this(x) for x in a)
+            if isinstance(a, list):
+                return [_none_this(x) for x in a]
+            return a
+
+        payload = _none_this(payload)
         if kind == "content":
             out = self._obj(payload, params)
             if isinstance(payload, tuple) and payload[0] == "object":
@@ -6491,6 +6614,137 @@ class StatementRunner:
                 schema)
         return self.spark.createDataFrame(data)
 
+    def _tbl_has_events(self, tbl) -> bool:
+        return any(t == tbl for t, _h in self.events.values())
+
+    def _stash_event_input(self, tbl: str, data, params: dict) -> None:
+        """Stash the statement's raw input object for $input in event
+        scope (doc/alter.rs compute_input_data: CONTENT/MERGE/REPLACE
+        bind the payload; SET binds initial-doc + assignments — the
+        before-merge happens per row in _fire_event).  Only computed when
+        the target table has events; writable-subquery assignments are
+        skipped (they must not execute twice)."""
+        if not data or not self._tbl_has_events(tbl):
+            return
+        try:
+            if data[0] in ("content", "merge", "replace"):
+                self._evt_input = self._obj(data[1], params)
+            elif data[0] == "set":
+                inp: dict = {}
+                for f_, op_, ast_ in data[1]:
+                    if not isinstance(f_, str) or op_ != "=" \
+                            or "." in f_ or _has_wsub(ast_):
+                        continue
+                    try:
+                        inp[f_] = self._scalar(ast_, params)
+                    except Exception:
+                        continue
+                self._evt_input = inp
+        except Exception:
+            self._evt_input = None
+
+    def _event_script(self):
+        """Lazy ScriptRunner for event THEN bodies — shares this runner so
+        DML inside events sees the same catalog/registries."""
+        sr = getattr(self, "_evt_script", None)
+        if sr is None:
+            from surrealdb_spark.script import ScriptRunner
+
+            sr = ScriptRunner(self.spark, catalog=self.catalog,
+                              db=self.db, stmts=self)
+            # $this does NOT leak into nested DML data clauses — the
+            # inner statement's own cursor governs (this_parent.surql)
+            sr._dml_hide = ("this",)
+            self._evt_script = sr
+        return sr
+
+    def _fire_event(self, name: str, action: str, df: DataFrame,
+                    before: DataFrame | None, when_ast, then_stmts: list):
+        """One DEFINE EVENT firing pass (doc/event.rs process_events):
+        bind $event/$value/$after/$before/$input per affected record,
+        gate on WHEN, and run the THEN statements through the script
+        engine.  CREATE batches try the distributed fast path first;
+        UPDATE/DELETE collect the (OLTP-sized) affected rows so the real
+        pre-image drives $before and the changed() gate."""
+        from surrealdb_spark.script import ScriptError, _truthy
+        from surrealdb_spark.values import strip_absent
+
+        data_cols = [c for c in df.columns if not c.startswith("__")]
+        when_checked = False
+        matched = df
+        if action == "CREATE":
+            s = F.struct(*[F.col(c).alias(c) for c in data_cols])
+            # $before is NONE on CREATE — typed NULL slots keep
+            # `$before.x` resolvable in the Spark filter
+            null_s = F.struct(*[F.lit(None).alias(c) for c in data_cols])
+            binds_c = {"event": F.lit(action), "after": s, "value": s,
+                       "before": null_s, "this": s, "parent": s}
+            if when_ast is not None:
+                try:
+                    matched = df.filter(self._expr(when_ast, binds_c))
+                    when_checked = True
+                except Exception:
+                    matched = df  # driver loop re-checks per row
+            if when_checked or when_ast is None:
+                # nested-DML data clauses see $this as NONE (the inner
+                # statement's own cursor — this_parent.surql)
+                fp_binds = {**binds_c, "this": F.lit(None)}
+                if self._event_fast_path(matched, fp_binds, then_stmts):
+                    return
+        # real pre-images keyed by record id (self.initial in
+        # doc/event.rs) — callers pass the before frame on UPDATE/DELETE
+        bmap: dict = {}
+        if before is not None:
+            for r in _bounded_collect(before, "DEFINE EVENT before-image"):
+                d0 = strip_absent(r.asDict(recursive=True))
+                bmap[str(d0.get("id"))] = {
+                    k: v for k, v in d0.items() if not k.startswith("__")}
+        inputs = getattr(self, "_evt_input", None)
+        from surrealdb_spark import pyeval
+
+        texts = []
+        for t in then_stmts:
+            t = t.strip()
+            if t.startswith("(") and t.endswith(")"):
+                t = t[1:-1].strip()
+            texts.append(t)
+        script = ";\n".join(texts)
+        for row in _bounded_collect(matched, "DEFINE EVENT firing"):
+            d = strip_absent(row.asDict(recursive=True))
+            d = {k: v for k, v in d.items() if not k.startswith("__")}
+            bef = bmap.get(str(d.get("id")))
+            if action == "UPDATE" and bef is not None and bef == d:
+                continue  # unchanged document (doc/event.rs changed())
+            aft = None if action == "DELETE" else d
+            cur = bef if (action == "DELETE" and bef is not None) else d
+            inp = None
+            if isinstance(inputs, dict):
+                # SET input = initial doc + assignments
+                # (doc/alter.rs compute_input_data)
+                inp = ({**bef, **inputs} if action != "CREATE"
+                       and bef is not None else inputs)
+            binds = {"event": action, "after": aft, "before": bef,
+                     "value": cur, "this": cur, "parent": cur,
+                     "input": inp}
+            if when_ast is not None and not when_checked:
+                try:
+                    keep = pyeval.peval(when_ast, dict(binds))
+                except Exception:
+                    keep = True
+                if not _truthy(keep):
+                    continue
+            # bare identifiers in THEN bodies resolve against the cursor
+            # doc (`IF fail { ... }` — doc fields as script bindings)
+            fields = {k: v for k, v in (cur or {}).items()
+                      if isinstance(k, str) and k.isidentifier()
+                      and k not in binds}
+            try:
+                self._event_script().run(script, **{**fields, **binds})
+            except ScriptError as exc:
+                raise ValueError(
+                    f"Error while processing event {name}: "
+                    f"An error occurred: {exc.value}") from None
+
     def _event_fast_path(self, matched: DataFrame, binds: dict,
                          then_stmts: list) -> bool:
         """Distributed THEN execution for the common simple shape: ONE
@@ -6526,8 +6780,12 @@ class StatementRunner:
             F.lit(tbl + ":"),
             F.substring(F.regexp_replace(F.expr("uuid()"), "-", ""), 1, 16)
         ).alias("id"))
-        names = sorted([f_ for f_, _ in fields] + ["id"])
-        cols.append(F.array(*[F.lit(n) for n in names]).alias("__present"))
+        # per-row presence: NONE-valued assignments drop their field
+        # (objects carry no entry for NONE — types/src/value/mod.rs)
+        pres = [F.when(c.isNotNull(), F.lit(f_)) for f_, c in fields]
+        pres.append(F.lit("id"))
+        cols.append(F.array_sort(F.array_compact(F.array(*pres)))
+                    .alias("__present"))
         try:
             self.db.create(tbl, matched.select(*cols))
         except Exception:
@@ -6709,15 +6967,22 @@ class StatementRunner:
             out = {k: F.lit(v) for k, v in obj.items()
                    if v is not None or k in null_keys}
             if kind == "content":
-                # CONTENT replaces the document: non-listed fields → NULL
+                # CONTENT replaces the document: non-listed fields → NULL.
+                # Edge records keep their in/out pointers (doc/relate.rs:
+                # the endpoints are part of the edge identity)
                 existing = set(self.db.table(tbl).columns) if self.db._exists(tbl) else set()
                 td = self.db.tables[tbl]
-                for c in existing - set(obj) - {td.id_col, "__present"}:
+                protected = {td.id_col, "__present"}
+                if getattr(td, "is_edge", False):
+                    protected |= {"in", "out"}
+                for c in existing - set(obj) - protected:
                     out[c] = F.lit(None)
+                keep = set(obj) | {td.id_col}
+                if getattr(td, "is_edge", False):
+                    keep |= {"in", "out"} & existing
                 out["__present"] = F.array(
-                    *[F.lit(k) for k in
-                      sorted(set(obj) | {td.id_col})
-                      if k in out or k == td.id_col])
+                    *[F.lit(k) for k in sorted(keep)
+                      if k in out or k not in set(obj)])
             else:
                 removed = [k for k, v in obj.items()
                            if v is None and k not in null_keys]
@@ -6829,6 +7094,22 @@ class StatementRunner:
         if mode == "BEFORE":
             return before
         return after
+
+    @staticmethod
+    def _ret_created(out: DataFrame, mode) -> DataFrame:
+        """RETURN modes for freshly-created records (CREATE/RELATE):
+        there is no pre-image, so BEFORE yields NONE per record and DIFF
+        a single whole-document `replace` op (expr/output.rs +
+        val/value/diff.rs on an empty initial)."""
+        if mode == "BEFORE":
+            return out.select(F.lit(None).cast("string").alias("value"))
+        if mode == "DIFF":
+            cols = [c for c in out.columns if not c.startswith("__")]
+            return out.select(F.array(F.struct(
+                F.lit("replace").alias("op"), F.lit("").alias("path"),
+                F.struct(*[F.col(c) for c in cols]).alias("value"),
+            )).alias("value"))
+        return StatementRunner._ret(out, out, mode)
 
     @staticmethod
     def _ret_expr_static(before: DataFrame | None, after: DataFrame | None,
