@@ -615,6 +615,9 @@ def _replay_dataset(spark, db, runner, stmts: list[str]) -> None:
                         _auto_define(db, inner)
                         runner.run(inner)
             continue
+        if _stmt_word(s) not in _STMT_WORDS \
+                and _stmt_word(s) not in ("LET", "FOR", "IF", "THROW"):
+            continue  # bare assertion expression — value-only noise
         _auto_define(db, s)
         runner.run(s)
 
@@ -684,6 +687,10 @@ def _prepare_imports(spark: SparkSession, test_path: str,
         # metadata-only DDL; light imports (harness fns, DEFINE PARAM
         # fixtures): replay all
         for s in (entry["ddl"] if entry["heavy"] else entry["stmts"]):
+            w = _stmt_word(s)
+            if w not in _STMT_WORDS and w not in ("LET", "FOR", "IF",
+                                                  "THROW", "RETURN"):
+                continue  # bare assertion expression — value-only noise
             _auto_define(db, s)
             runner.run(s)
     return db, runner
@@ -833,7 +840,9 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 # or the final expression statement's value
                 body = s.strip()[1:-1]
                 a = None
-                env = dict(bindings)  # LETs inside stay block-local
+                # LETs inside stay block-local; DEFINE PARAM bindings are
+                # in scope
+                env = {**runner.params_defined, **bindings}
                 inners = split_statements(body, lenient_keywords=True)
                 for idx, inner in enumerate(inners):
                     iw = _stmt_word(inner)
@@ -951,7 +960,9 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 # FOR/IF rolls its writes back (exec statement atomicity)
                 bk = runner._snapshot_root()
                 try:
-                    a = script.run(s, **bindings).value
+                    # DEFINE PARAM bindings are in scope for scripts too
+                    a = script.run(
+                        s, **{**runner.params_defined, **bindings}).value
                 except Exception:
                     runner._restore_root(bk)
                     raise
@@ -989,7 +1000,11 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                 try:
                     a = _norm(runner._scalar_text(body, bindings))
                 except Exception:
-                    v = _eval_statements(spark, [body], bindings)[0]
+                    # merge DEFINE PARAM bindings — the fallback
+                    # evaluator sees the same scope _scalar_text did
+                    v = _eval_statements(
+                        spark, [body],
+                        {**runner.params_defined, **bindings})[0]
                     a = _ERR if v is _ERR else v
                 if fetches and a is not _ERR:
                     for fp in fetches:

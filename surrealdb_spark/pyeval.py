@@ -113,11 +113,35 @@ _TAGS = [
 ]
 
 
+_GEO_TYPES = {"Point", "LineString", "Polygon", "MultiPoint",
+              "MultiLineString", "MultiPolygon", "GeometryCollection"}
+_UUID_RE = __import__("re").compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{12}$")
+_RIDSTR_RE = __import__("re").compile(r"^[A-Za-z_]\w*:(?!//)\S+$")
+
+
 def _tag(v) -> int:
+    """Cross-type total-order rank (types/src/value/mod.rs:156-158:
+    None < Null < Bool < Number < String < Duration < Datetime < Uuid
+    < Array < Object < Geometry < Bytes < RecordId < File < Range <
+    Regex).  Uuids/record ids live in strings here, so shape-classify."""
     if is_duration(v):
         return 5
     if isinstance(v, RegexVal):
-        return 17
+        return 16
+    if isinstance(v, str):
+        if _UUID_RE.match(v):
+            return 7
+        if _RIDSTR_RE.match(v):
+            return 13
+        return 4
+    if isinstance(v, dict) and not isinstance(v, SetVal):
+        if _is_range(v):
+            return 17
+        if v.get("type") in _GEO_TYPES and ("coordinates" in v
+                                            or "geometries" in v):
+            return 11
     for ty, t in _TAGS:
         if isinstance(v, ty):
             return t
@@ -137,8 +161,13 @@ def order_key(v):
         return (t, sorted((k, order_key(x)) for k, x in v.items()))
     if t == 0:
         return (t, 0)
+    if t == 16:
+        return (t, v.pattern)  # regex
     if t == 17:
-        return (t, v.pattern)
+        return (t, (order_key(v["start"]), order_key(v["end"]),
+                    v.get("start_incl", True), bool(v.get("end_incl"))))
+    if t == 11:
+        return (t, render(v))
     return (t, v)
 
 
@@ -342,8 +371,19 @@ def _range_list(v) -> list:
     return list(range(lo, hi))
 
 
+def _arg_type_err(fn: str, v):
+    raise EvalError(
+        f"Incorrect arguments for function {fn}(). Argument 1 was the "
+        f"wrong type. Expected `array` but found `{render(v)}`")
+
+
 def _index(base, i):
     if isinstance(base, (list, SetVal)):
+        if _is_range(i):
+            # array[range] slices (part.rs Part::Value over Range)
+            lo = i["start"] + (0 if i.get("start_incl", True) else 1)
+            hi = i["end"] + (1 if i.get("end_incl") else 0)
+            return list(base[int(lo):int(hi)])
         if not isinstance(i, int):
             raise EvalError(f"non-integer index {i!r}")
         if -len(base) <= i < len(base):
@@ -734,12 +774,41 @@ def _cast(kind_ast, v):
     k = kind_ast[0]
     if k == "array":
         if _is_range(v):
-            return _range_list(v)
-        if isinstance(v, list):
-            return list(v)
-        return [v]
+            out = _range_list(v)
+        elif isinstance(v, list):
+            out = list(v)
+        else:
+            # scalars don't cast to containers (val/value/cast.rs)
+            raise EvalError(
+                f"Expected `array` but found `{render(v)}`")
+        args = kind_ast[1] if len(kind_ast) > 1 else []
+        if len(args) > 1 and args[1][0] == "lit" \
+                and len(out) != int(args[1][1]):
+            # sized kind `<array<int, 3>>` (types/src/kind.rs
+            # Kind::Array(_, Some(n)))
+            raise EvalError(
+                f"Expected `array<{args[0][0]}, {args[1][1]}>` but the "
+                f"value's length is {len(out)}")
+        return out
+    if k in ("litobj", "litarr"):
+        # literal kind cast: the value must structurally coerce
+        # (types/src/kind/mod.rs:17-80)
+        from surrealdb_spark.sql.compiler import litkind_ok, render_kind
+
+        r = litkind_ok((k, kind_ast[1]), v)
+        if r is False:
+            raise EvalError(
+                f"Expected `{render_kind((k, kind_ast[1]))}` but found "
+                f"{render(v)}")
+        if r is True:
+            return v
+        raise Unfoldable("undecidable literal-kind cast")
     if k == "set":
-        return _mkset(v if isinstance(v, list) else [v])
+        if _is_range(v):
+            return _mkset(_range_list(v))
+        if not isinstance(v, list):
+            raise EvalError(f"Expected `set` but found `{render(v)}`")
+        return _mkset(v)
     if k == "string":
         return render(v)
     if k == "int":
@@ -817,6 +886,10 @@ def _call(name: str, arg_asts, env):
         wrap_set = True
     if fn is None:
         key = name if name.startswith("fn::") else f"fn::{name}"
+        if key in SCRIPT_FNS:
+            # statement-shaped user function (IF/FOR/THROW/DML body):
+            # dispatch to the registered script-engine callable
+            return SCRIPT_FNS[key]([peval(a, env) for a in arg_asts])
         if key in USER_FNS:
             # user-defined function: body evaluates in a fresh scope of
             # just its params (define/function.rs), so writable
@@ -1032,6 +1105,10 @@ def _closure_pred(f):
 # user-function registry: fn::name -> (param_names, lets, body_ast)
 _WSUB_RUNNER = None
 USER_FNS: dict[str, tuple] = {}
+# statement-shaped user functions: name → callable(args) registered by
+# the statement runner (bodies with IF/FOR/THROW/DML run via the script
+# engine — define/function.rs full-statement bodies)
+SCRIPT_FNS: dict[str, object] = {}
 
 
 def set_wsub_runner(fn) -> None:
@@ -1091,8 +1168,10 @@ PY_FNS = {
     "array::some": lambda a, f: any(truthy(f(x, i))
                                     for i, x in enumerate(a)),
     "array::transpose": _f_transpose,
-    "array::max": lambda a: max(a, key=order_key) if a else None,
-    "array::min": lambda a: min(a, key=order_key) if a else None,
+    "array::max": lambda a: (max(a, key=order_key) if a else None)
+    if isinstance(a, list) else _arg_type_err("array::max", a),
+    "array::min": lambda a: (min(a, key=order_key) if a else None)
+    if isinstance(a, list) else _arg_type_err("array::min", a),
     "array::sort": lambda a, d=True: _sorted(a, d),
     "array::sort::asc": lambda a: _sorted(a, True),
     "array::sort::desc": lambda a: _sorted(a, False),

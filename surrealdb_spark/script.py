@@ -368,7 +368,9 @@ class ScriptRunner:
 
     def _eval(self, rhs: str, bindings: dict):
         rhs = rhs.strip().rstrip(";")
-        if rhs.startswith("(") and rhs.endswith(")"):
+        if rhs.startswith("(") and rhs.endswith(")") and _outer_parens(rhs):
+            # only a MATCHING outer pair strips — `(a).map(b)` keeps its
+            # parens (the first `(` closes before the end)
             rhs = rhs[1:-1].strip()
         if rhs.upper().startswith("SELECT"):
             df = compile_select(
@@ -386,6 +388,14 @@ class ScriptRunner:
                 vals = [r.value for r in head]
                 return vals[0] if len(vals) == 1 else vals
             return df
+        head0 = rhs.split(None, 1)[0].upper() if rhs.strip() else ""
+        if head0 in ("CREATE", "INSERT", "UPDATE", "UPSERT", "DELETE",
+                     "RELATE") and self._stmts is not None:
+            # DML in expression position (RETURN CREATE ... in function
+            # bodies): statement-runner eval, ONLY unwraps
+            hide = getattr(self, "_dml_hide", ())
+            return self._stmts._scalar_text(
+                rhs, {k: v for k, v in bindings.items() if k not in hide})
         if rhs.startswith("$") and rhs[1:].isidentifier():
             return bindings[rhs[1:]]
         try:

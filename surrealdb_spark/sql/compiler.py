@@ -342,6 +342,9 @@ def _resolve_method(ast, types, params):
 def _compile_cast(kind_spec, operand, params, types) -> Column:
     """`<kind> expr` cast (expr/cast.rs; types/src/kind.rs coercions)."""
     name, args = kind_spec
+    if name in ("litobj", "litarr"):
+        # literal-kind casts validate driver-side (pyeval._cast)
+        raise ValueError("literal kind casts evaluate driver-side")
     if name == "union":
         return _compile_union_cast(args, operand, params, types)
     if name == "lit":
@@ -360,6 +363,14 @@ def _compile_cast(kind_spec, operand, params, types) -> Column:
         if args:
             seq = F.transform(seq, lambda x: _cast_scalar(x, args[0][0]))
         return F.array_distinct(seq) if name == "set" else seq
+    if name == "geometry" and args:
+        # `<geometry<point>>` behaves like `<point>`; a bare coordinate
+        # array can't cast to the other geometry kinds (cast.rs)
+        g = args[0][0].lower()
+        if g == "point":
+            return _compile_cast(("point", []), operand, params, types)
+        if _infer(operand, types, params) == "array":
+            raise ValueError(f"cannot cast array to geometry<{g}>")
     # static strictness (cast.rs errors): scalars don't cast to containers /
     # temporal / identity kinds
     src = _infer(operand, types, params)
@@ -380,7 +391,29 @@ def _compile_cast(kind_spec, operand, params, types) -> Column:
     if name == "datetime" and src in _SCALARS:
         raise ValueError(f"cannot cast {src} to datetime")
     c = compile_expr(operand, params, types)
+    if name in ("table", "record") and args:
+        # `<table<a | b>>` / `<record<a | b>>`: the value's table must be
+        # one of the named tables (types/src/kind/mod.rs coerce — cast.rs
+        # errors otherwise)
+        def _names(ms):
+            out = []
+            for m in ms:
+                out.extend(_names(m[1]) if m[0] == "union" else [m[0]])
+            return out
+
+        allowed = _names(args)
+        subj = (F.split(c.cast("string"), ":", 2).getItem(0)
+                if name == "record" else c.cast("string"))
+        chk = F.assert_true(
+            subj.isin(allowed),
+            F.lit(f"Expected `{name}<{' | '.join(allowed)}>` but the "
+                  "value's table is not in the set"))
+        c = F.when(chk.isNull(), c)
     if name == "string":
+        if operand == ("lit", None):
+            return F.lit("NONE")  # <string> none (val/value/cast.rs)
+        if operand[0] == "nulllit":
+            return F.lit("NULL")
         if _infer(operand, types, params) == "decimal":
             # decimal→string prints the mathematical value, not the padded
             # scale ('1', not '1.0000000000')
@@ -395,7 +428,17 @@ def _compile_cast(kind_spec, operand, params, types) -> Column:
         if args:
             out = F.transform(out, lambda x: _cast_scalar(x, args[0][0]))
         # sets are BTree-ordered in the reference (val/set.rs) — sorted here
-        return F.array_sort(F.array_distinct(out)) if name == "set" else out
+        out = F.array_sort(F.array_distinct(out)) if name == "set" else out
+        if len(args) > 1 and args[1][0] == "lit":
+            # sized kind `<array<int, 3>>`: length must match exactly
+            # (types/src/kind.rs Kind::Array(_, Some(n)) coercion)
+            n = int(args[1][1])
+            chk = F.assert_true(
+                F.size(out) == F.lit(n),
+                F.lit(f"Expected `{name}<{args[0][0]}, {n}>` but the "
+                      f"value's length is not {n}"))
+            out = F.when(chk.isNull(), out)
+        return out
     return _cast_scalar(c, name)
 
 
@@ -1500,6 +1543,79 @@ _KIND_FAMILY = {
 }
 
 
+def litkind_ok(kast, v):
+    """Does a python VALUE coerce to a declared kind AST?  Strict per
+    types/src/kind/mod.rs:17-80: literal-object kinds require every
+    non-optional member and reject extra members.  True/False when
+    decidable, None = no check (undecidable cases stay permissive)."""
+    from surrealdb_spark.pyeval import typeof
+
+    k = kast[0]
+    if k == "litobj":
+        if not isinstance(v, dict):
+            return False
+        members = dict(kast[1])
+        for key in v:
+            if key not in members:
+                return False
+        for key, mk in members.items():
+            if litkind_ok(mk, v.get(key)) is False:
+                return False
+        return True
+    if k == "litarr":
+        if not isinstance(v, list) or len(v) != len(kast[1]):
+            return False
+        for mk, x in zip(kast[1], v):
+            if litkind_ok(mk, x) is False:
+                return False
+        return True
+    if k == "option":
+        if v is None:
+            return True
+        return litkind_ok(kast[1][0], v) if kast[1] else None
+    if k == "union":
+        rs = [litkind_ok(m, v) for m in kast[1]]
+        if any(r is True for r in rs):
+            return True
+        if all(r is False for r in rs):
+            return False
+        return None
+    if k == "lit":
+        if isinstance(kast[1], bool) or isinstance(v, bool):
+            return v is kast[1]
+        return v == kast[1]
+    if k in ("any", "none") and v is None:
+        return True
+    if v is None:
+        return False  # absent member on a non-optional kind
+    return _kind_accepts(kast, typeof(v))
+
+
+def render_kind(kast) -> str:
+    """Canonical kind text (types/src/kind.rs Display): literal objects
+    alpha-sort members, option<x> prints `none | x`."""
+    k = kast[0]
+    if k == "litobj":
+        if not kast[1]:
+            return "{  }"
+        inner = ", ".join(f"{key}: {render_kind(mk)}"
+                          for key, mk in sorted(kast[1]))
+        return "{ " + inner + " }"
+    if k == "litarr":
+        return "[" + ", ".join(render_kind(m) for m in kast[1]) + "]"
+    if k == "option":
+        return ("none | " + render_kind(kast[1][0])) if kast[1] else "none"
+    if k == "union":
+        return " | ".join(render_kind(m) for m in kast[1])
+    if k == "lit":
+        from surrealdb_spark.pyeval import render as _r
+
+        return _r(kast[1])
+    if kast[1]:
+        return f"{k}<{', '.join(render_kind(a) for a in kast[1])}>"
+    return k
+
+
 def _kind_accepts(kind_ast, static: str | None):
     """Does a value of statically-known kind satisfy a declared kind AST?
     True/False when decidable, None (no check) when not."""
@@ -1508,6 +1624,8 @@ def _kind_accepts(kind_ast, static: str | None):
     k = kind_ast[0]
     if k in ("any",):
         return True
+    if k == "litobj":
+        return None if static == "object" else False
     if k == "option":
         if static in ("none", "null"):
             return True
@@ -3032,6 +3150,13 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 cols.append(F.col(name))  # attached column (corr/uncorr)
             else:
                 cols.append(compile_expr(fld.expr, params, types).alias(name))
+            e0 = fld.expr
+            if (isinstance(e0, tuple) and e0[0] == "ident"
+                    and "__k_" + e0[1] in df.columns
+                    and not (sel.star and name == e0[1])):
+                # kinded column projected bare: carry its kind sidecar so
+                # the output decode keeps per-row kinds (values.py)
+                cols.append(F.col("__k_" + e0[1]).alias("__k_" + name))
         for base, entries in nested.items():
             tree: dict = {}
             for segs, col in entries:

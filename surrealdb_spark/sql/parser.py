@@ -346,7 +346,67 @@ class Parser:
         kinds (`<123>`, `<"a">`, `<true>`), and `|` unions
         (types/src/kind.rs; syn kind parser).  `no_union` disables `|`
         unions where `|` is structural (closure param/return kinds)."""
+        mark = self.i
         t = self.next()
+        if t.kind == "op" and t.text == "[":
+            # literal-array (tuple) kind `[number, "abc"]`
+            # (types/src/kind.rs Literal::Array)
+            elems: list = []
+            if not (self.peek().kind == "op" and self.peek().text == "]"):
+                while True:
+                    elems.append(self._parse_kind())
+                    if not self.eat("op", ","):
+                        break
+            self.expect("op", "]")
+            k = ("litarr", elems)
+            if not no_union and self.peek().kind == "op" \
+                    and self.peek().text == "|":
+                mem = [k]
+                while self.eat("op", "|"):
+                    mem.append(self._parse_kind(no_union=True))
+                return ("union", mem)
+            return k
+        if t.kind == "num" and self.peek().kind == "name" \
+                and self.peek().pos == t.pos + len(t.text):
+            # duration literal kind (`1d | 2h`): re-parse through the
+            # expression path's duration gluing (types/kind.rs Literal)
+            self.i = mark
+            val_ast = self.prefix()
+            if val_ast[0] == "dur":
+                from surrealdb_spark import pyeval as _pk
+
+                k = ("lit", _pk.peval(val_ast, {}))
+                if not no_union and self.peek().kind == "op" \
+                        and self.peek().text == "|":
+                    mem = [k]
+                    while self.eat("op", "|"):
+                        mem.append(self._parse_kind(no_union=True))
+                    return ("union", mem)
+                return k
+            self.i = mark
+            t = self.next()
+        if t.kind == "op" and t.text == "{":
+            # literal-object kind `{ a: string, b: option<int> }`
+            # (types/src/kind.rs Literal::Object)
+            members: list = []
+            if not (self.peek().kind == "op" and self.peek().text == "}"):
+                while True:
+                    kt = self.next()
+                    key = (_unescape(kt.text[1:-1]) if kt.kind == "str"
+                           else (kt.orig or kt.text))
+                    self.expect("op", ":")
+                    members.append((key, self._parse_kind()))
+                    if not self.eat("op", ","):
+                        break
+            self.expect("op", "}")
+            k = ("litobj", members)
+            if not no_union and self.peek().kind == "op" \
+                    and self.peek().text == "|":
+                mem = [k]
+                while self.eat("op", "|"):
+                    mem.append(self._parse_kind(no_union=True))
+                return ("union", mem)
+            return k
         if t.kind == "num":
             txt = t.text
             v = (float(txt[:-1]) if txt.endswith("f")
@@ -735,8 +795,9 @@ class Parser:
                     return self.postfix(("lit", bytes.fromhex(body)))
                 if t.text == "u":
                     # uuid-typed string: same compiled value, tagged AST so
-                    # type::of answers 'uuid'
-                    return self.postfix(("ulit", body))
+                    # type::of answers 'uuid'; uuids canonicalize to
+                    # lowercase (types/src/value/uuid.rs Display)
+                    return self.postfix(("ulit", body.lower()))
                 import datetime as _dt
                 import re as _re_dt
 
@@ -1344,6 +1405,15 @@ def parse_expr(src: str):
     e = p.expr(0)
     p.expect("eof")
     return e
+
+
+def parse_kind(src: str):
+    """Kind text → kind AST (types/src/kind.rs) — used by the write-time
+    literal-kind validator."""
+    p = Parser(src)
+    k = p._parse_kind()
+    p.expect("eof")
+    return k
 
 
 def parse_select(src: str) -> Select:

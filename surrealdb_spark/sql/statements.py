@@ -168,6 +168,9 @@ class DefineFunctionStmt:
     lets: list = dc_field(default_factory=list)     # [(name, expr_ast), ...]
     text: str | None = None   # canonical `($args) { body }` source span
     comment: str | None = None
+    # statement-shaped body (IF/FOR/THROW/DML) — raw text run through the
+    # script engine per call instead of the expression evaluator
+    script_src: str | None = None
 
 
 @dataclass
@@ -1510,35 +1513,57 @@ def _parse_statement_body(p: Parser):
                         t2 = p.next()
                         depth += (t2.text == "<") - (t2.text == ">")
             p.expect("op", "{")
+            body_mark = p.i
             lets = []
-            while p.peek().kind == "kw" and p.peek().text == "LET":
-                p.next()
-                ln = p.expect("param").text[1:]
-                p.expect("op", "=")
-                lets.append((ln, p.expr(0)))
-                p.eat("op", ";")
-            # statement sequence: the body's value is the FIRST RETURN's
-            # expression, else the final expression (expr/block.rs;
-            # define/function/{no_returns,second_return}.surql)
-            body = ("lit", None)  # empty body `{}` returns NONE
-            returned = False
-            while not (p.peek().kind == "op" and p.peek().text == "}"):
-                if p.eat("kw", "RETURN"):
-                    e = p.expr(0)
-                    if not returned:
-                        body, returned = e, True
-                else:
-                    # a nested `{ .. RETURN x .. }` block returns from the
-                    # whole function (ControlFlow::Return propagates,
-                    # return/breaks_nested_execution.surql)
-                    blk_ret = p.block_contains_return()
-                    e = p.expr(0)
-                    if not returned:
-                        body = e
-                        returned = blk_ret
-                if not p.eat("op", ";"):
-                    break
-            p.expect("op", "}")
+            script_src: str | None = None
+            try:
+                while p.peek().kind == "kw" and p.peek().text == "LET":
+                    p.next()
+                    ln = p.expect("param").text[1:]
+                    p.expect("op", "=")
+                    lets.append((ln, p.expr(0)))
+                    p.eat("op", ";")
+                # statement sequence: the body's value is the FIRST
+                # RETURN's expression, else the final expression
+                # (expr/block.rs; define/function/{no_returns,
+                # second_return}.surql)
+                body = ("lit", None)  # empty body `{}` returns NONE
+                returned = False
+                while not (p.peek().kind == "op" and p.peek().text == "}"):
+                    if p.eat("kw", "RETURN"):
+                        e = p.expr(0)
+                        if not returned:
+                            body, returned = e, True
+                    else:
+                        # a nested `{ .. RETURN x .. }` block returns from
+                        # the whole function (ControlFlow::Return
+                        # propagates, return/breaks_nested_execution.surql)
+                        blk_ret = p.block_contains_return()
+                        e = p.expr(0)
+                        if not returned:
+                            body = e
+                            returned = blk_ret
+                    if not p.eat("op", ";"):
+                        break
+                p.expect("op", "}")
+            except SyntaxError:
+                # statement-shaped body (IF/FOR/THROW/DML): capture the
+                # raw block text and run it through the script engine per
+                # call (define/function bodies with control flow)
+                p.i = body_mark
+                lets, body = [], ("lit", None)
+                start_pos = p.peek().pos
+                depth, end_pos = 1, start_pos
+                while depth:
+                    t3 = p.next()
+                    if t3.kind == "eof":
+                        raise SyntaxError("unbalanced function body")
+                    if t3.kind == "op" and t3.text == "{":
+                        depth += 1
+                    elif t3.kind == "op" and t3.text == "}":
+                        depth -= 1
+                        end_pos = t3.pos
+                script_src = p.src[start_pos:end_pos]
             fn_text = p.span_text(t0, p.peek())
             comment = None
             perms = None
@@ -1553,6 +1578,7 @@ def _parse_statement_body(p: Parser):
                     break
             st = DefineFunctionStmt(name, params, body, ptypes, lets,
                                     text=fn_text, comment=comment)
+            st.script_src = script_src
             st.perms = perms
             return st
         if what.text.upper() == "EVENT":
@@ -2254,6 +2280,13 @@ def _target(p: Parser) -> Target:
                 return Target(tb, render_rid_obj(obj))
             return Target(tb, ("kexpr", obj))
         kt = p.next()
+        if kt.kind == "name" and kt.text in ("ulid", "uuid", "rand") \
+                and p.peek().kind == "op" and p.peek().text == "(":
+            # generated key `tb:ulid()` / `tb:uuid()` / `tb:rand()`
+            # (record_id/key.rs Generate)
+            p.next()
+            p.expect("op", ")")
+            return Target(tb, ("genkey", kt.text))
         key: object = (int(kt.text) if kt.kind == "num"
                        else (kt.orig or kt.text.lower()) if kt.kind == "kw"
                        else kt.text)
@@ -2386,6 +2419,8 @@ def _has_wsub(ast, _seen: frozenset = frozenset()) -> bool:
         from surrealdb_spark import pyeval as _pyh
 
         nm = ast[1] if ast[1].startswith("fn::") else f"fn::{ast[1]}"
+        if nm in _pyh.SCRIPT_FNS:
+            return True  # statement-shaped body: may write
         if nm in _pyh.USER_FNS and nm not in _seen and _has_wsub(
                 _pyh.USER_FNS[nm][2], _seen | {nm}):
             return True
@@ -5224,11 +5259,45 @@ class StatementRunner:
 
             key = stmt.name if stmt.name.startswith("fn::") \
                 else f"fn::{stmt.name}"
+            from surrealdb_spark import pyeval as _pye2
+
+            if stmt.script_src is not None:
+                # statement-shaped body: run through the script engine
+                # per call (IF/FOR/THROW/DML bodies — doc parity with
+                # define/function.rs full-statement bodies)
+                src_txt, fn_names, fn_nreq = stmt.script_src, names, n_req
+
+                def script_call(args, _src=src_txt, _names=fn_names,
+                                _nreq=fn_nreq, _key=key):
+                    if not (_nreq <= len(args) <= len(_names)):
+                        short_n = _key.removeprefix("fn::")
+                        want = (f"{_nreq} to {len(_names)}"
+                                if _nreq != len(_names)
+                                else str(len(_names)))
+                        raise _pye2.EvalError(
+                            f"Incorrect arguments for function "
+                            f"fn::{short_n}(). The function expects "
+                            f"{want} arguments.")
+                    from surrealdb_spark.script import ScriptError
+
+                    binds = {nm: (args[i3] if i3 < len(args) else None)
+                             for i3, nm in enumerate(_names)}
+                    try:
+                        return self._event_script().run(
+                            _src, **binds).value
+                    except ScriptError as exc:
+                        raise _pye2.EvalError(
+                            f"An error occurred: "
+                            f"{_pye2.render(exc.value)}") from None
+
+                _pye2.SCRIPT_FNS[key] = script_call
+                REGISTRY.pop(key, None)
+                _pye2.USER_FNS.pop(key, None)
+                return None
+            _pye2.SCRIPT_FNS.pop(key, None)
             REGISTRY[key] = call
             # driver-value twin: pyeval runs the body with python args so
             # writable subqueries inside the body execute for real
-            from surrealdb_spark import pyeval as _pye2
-
             _pye2.USER_FNS[key] = (list(names), list(lets), body, n_req)
             return None
         if isinstance(stmt, NoopStmt):
@@ -5356,9 +5425,17 @@ class StatementRunner:
                 est["maxdepth"], when_txt, then_txt, stmt.comment)
             return None
         if isinstance(stmt, DefineParamStmt):
-            v = self.spark.range(1).select(
-                self._expr(stmt.value, {}).alias("v")
-            ).first()["v"]
+            try:
+                v = self.spark.range(1).select(
+                    self._expr(stmt.value, {}).alias("v")
+                ).first()["v"]
+            except Exception:
+                # heterogeneous literal arrays don't unify as one Spark
+                # array type — the kinded driver evaluator keeps each
+                # element's kind (values.py; type_order dataset)
+                from surrealdb_spark import pyeval as _pp
+
+                v = _pp.peval(stmt.value, dict(self.params_defined))
             self.params_defined[stmt.name] = v
             self.meta["params"][stmt.name] = _render_param(
                 stmt.name, v, stmt.comment, stmt.perms)
@@ -6228,6 +6305,24 @@ class StatementRunner:
                 f"`{rid}`: Expected `{k}` but found "
                 f"{_r(v) if not isinstance(v, str) else repr(v)}")
 
+    def _litobj_check(self, fname: str, ktext: str, v, rid) -> None:
+        """Literal-object kind coercion on a literal write
+        (types/src/kind/mod.rs:17-80): required members present, no extra
+        members, member kinds recurse."""
+        from surrealdb_spark.sql.compiler import litkind_ok, render_kind
+        from surrealdb_spark.sql.parser import parse_kind
+
+        try:
+            kast = parse_kind(ktext)
+        except Exception:
+            return  # unparseable kind text: no driver-side check
+        if litkind_ok(kast, v) is False:
+            from surrealdb_spark.pyeval import render as _r
+
+            raise ValueError(
+                f"Couldn't coerce value for field `{fname}` of `{rid}`: "
+                f"Expected `{render_kind(kast)}` but found {_r(v)}")
+
     def _enforce_field_kinds(self, tbl: str, d: dict) -> dict:
         """Write-time DEFINE FIELD TYPE enforcement over a literal row
         (doc/field.rs process_table_fields): explicit NULL on a non-option
@@ -6323,6 +6418,12 @@ class StatementRunner:
                     f"Couldn't coerce value for field `{fd.name}` of "
                     f"`{rid}`: Expected `{k}` but found NULL")
             base_k = kl.removeprefix("option<").split("<", 1)[0]
+            if v is not None and "{" in kl and (
+                    kl.startswith("{") or base_k.startswith("{")):
+                # literal-object kind: strict member check
+                # (types/src/kind/mod.rs:17-80)
+                self._litobj_check(fd.name, k, v, rid)
+                continue
             if v is not None and base_k == "object" \
                     and not self._kind_ok_py(v, "object"):
                 from surrealdb_spark.pyeval import render as _r
@@ -6492,6 +6593,21 @@ class StatementRunner:
         return v
 
     @staticmethod
+    def _non_sparkable(v) -> bool:
+        """Values Spark's row inference can't type (regex values) — they
+        must store as kinded JSON cells."""
+        from surrealdb_spark.pyeval import RegexVal
+
+        if isinstance(v, RegexVal):
+            return True
+        if isinstance(v, list):
+            return any(StatementRunner._non_sparkable(x) for x in v)
+        if isinstance(v, dict):
+            return any(StatementRunner._non_sparkable(x)
+                       for x in v.values())
+        return False
+
+    @staticmethod
     def _needs_kinded_cell(v) -> bool:
         """Lists Spark's static element type can't carry faithfully:
         object elements with differing key sets, NONE-or-scalar mixed
@@ -6534,7 +6650,9 @@ class StatementRunner:
             for k in list(d):
                 if k in ("id", "__present") or k.startswith("__k_"):
                     continue
-                if "__k_" + k not in d and self._needs_kinded_cell(d[k]):
+                if "__k_" + k not in d and (
+                        self._needs_kinded_cell(d[k])
+                        or self._non_sparkable(d[k])):
                     d["__k_" + k] = kind_of_py(d[k])
                     d[k] = encode_kinded_py(d[k])
                     td1 = self.db.tables.get(tgt.table)
@@ -6796,6 +6914,14 @@ class StatementRunner:
         """Key part of a record-id target; array keys (`("kexpr", ast)`)
         render canonically after evaluation (record_id/key.rs Array)."""
         k = tgt.key
+        if isinstance(k, tuple) and k[0] == "genkey":
+            # generated record key (record_id/key.rs Generate) — ulid/
+            # uuid/rand shapes; tests mask keys via skip-record-id-key
+            import uuid as _u
+
+            if k[1] == "uuid":
+                return f"⟨{_u.uuid4()}⟩"
+            return _u.uuid4().hex[:20]
         if isinstance(k, tuple) and k[0] == "kexpr":
             from surrealdb_spark.values import render_rid_vals
 

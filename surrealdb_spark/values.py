@@ -668,6 +668,13 @@ def kind_of_py(v, static_kind: str | None = None) -> str | None:
         if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:[^\s]+", v):
             return "record"
         return "string"
+    try:
+        from surrealdb_spark.pyeval import RegexVal
+
+        if isinstance(v, RegexVal):
+            return "regex"
+    except Exception:
+        pass
     return None
 
 
@@ -686,6 +693,13 @@ def encode_kinded_py(v) -> str | None:
             return float(x)
         if isinstance(x, (bytes, bytearray)):
             return base64.b64encode(bytes(x)).decode()
+        try:
+            from surrealdb_spark.pyeval import RegexVal
+
+            if isinstance(x, RegexVal):
+                return x.pattern
+        except Exception:
+            pass
         return str(x)
 
     if v is None:
@@ -724,4 +738,8 @@ def decode_kinded_py(txt, kind: str | None):
         from surrealdb_spark.pyeval import SetVal
 
         return SetVal(v)
+    if kind == "regex" and isinstance(v, str):
+        from surrealdb_spark.pyeval import RegexVal
+
+        return RegexVal(v)
     return v
