@@ -368,24 +368,65 @@ class Database:
 
     # -- statements ----------------------------------------------------------
 
+    @staticmethod
+    def _uniq_entries(df: DataFrame, cols: list[str],
+                      extra: list[str] | None = None) -> DataFrame | None:
+        """Index-entry tuples for a unique index (idx/index.rs Indexable/
+        Combinator): a PLAIN column holding an array unrolls one entry
+        per element; a `...`-suffixed (Part::Flatten) column keeps the
+        whole (mapped) array as a single entry value.  None when a column
+        is absent from the frame (nothing to check)."""
+        names: list[str] = []
+        out = df
+        for i, c in enumerate(cols):
+            slot = f"__ux{i}"
+            if c.endswith("..."):
+                base = c[:-3]
+                if ".*." in base:
+                    b0, sub = base.split(".*.", 1)
+                    if b0 not in out.columns:
+                        return None
+                    col = F.transform(
+                        F.col(b0),
+                        (lambda s: lambda x: x.getField(s))(sub))
+                else:
+                    if base not in out.columns:
+                        return None
+                    col = F.col(base)
+                # whole-array entry value: hash to a comparable scalar
+                out = out.withColumn(slot, F.to_json(F.struct(col)))
+            else:
+                if c not in out.columns:
+                    return None
+                if dict(df.dtypes).get(c, "").startswith("array"):
+                    # plain array column: one entry per element
+                    out = out.withColumn(slot, F.explode(F.col(c)))
+                else:
+                    out = out.withColumn(slot, F.col(c))
+            names.append(slot)
+        return out.select(*(names + list(extra or [])))
+
     def _check_unique(self, tbl: str, records: DataFrame) -> None:
         """Uniq index enforcement (catalog/schema/index.rs Uniq): one
         semi-join per index against stored rows + an intra-batch groupBy."""
         td = self.tables[tbl]
         for cols in td.unique_indexes:
-            if any(c not in records.columns for c in cols):
+            ent = self._uniq_entries(records, cols)
+            if ent is None:
                 continue
+            keys = ent.columns
             dup_batch = (
-                records.groupBy(*cols).count().filter(F.col("count") > 1).count()
+                ent.groupBy(*keys).count().filter(F.col("count") > 1).count()
             )
             if dup_batch:
                 raise MutationError(
                     f"unique index on {cols} violated within the batch"
                 )
             if self._exists(tbl):
-                n = records.join(
-                    self.table(tbl).select(*cols), cols, "left_semi"
-                ).count()
+                stored = self._uniq_entries(self.table(tbl), cols)
+                if stored is None:
+                    continue
+                n = ent.join(stored, keys, "left_semi").count()
                 if n:
                     raise MutationError(
                         f"unique index on {cols}: {n} clashing value(s) in {tbl}"
@@ -398,9 +439,11 @@ class Database:
         overwrite lands."""
         td = self.tables[tbl]
         for cols in td.unique_indexes:
-            if any(c not in merged.columns for c in cols):
+            ent = self._uniq_entries(merged, cols)
+            if ent is None:
                 continue
-            n = merged.groupBy(*cols).count().filter(F.col("count") > 1).count()
+            keys = ent.columns
+            n = ent.groupBy(*keys).count().filter(F.col("count") > 1).count()
             if n:
                 raise MutationError(
                     f"unique index on {cols}: mutation violates uniqueness in {tbl}"

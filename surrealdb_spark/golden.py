@@ -548,6 +548,30 @@ _MUTATING_RE = re.compile(
     r"|DEFINE)\b", re.I)
 
 
+_ENGINE_VERSION = (3, 1, 0)  # tracks the reference 3.1.0-alpha
+
+
+def _version_applies(spec: str) -> bool:
+    """Does a `[test] version` range include the engine version?
+    Comma-separated comparators, semver-ish (`<3.0.0`, `>=2.0.0`)."""
+    import re as _rv
+
+    for part in spec.split(","):
+        m = _rv.match(r"\s*(<=|>=|<|>|=|\^)?\s*(\d+)(?:\.(\d+))?"
+                      r"(?:\.(\d+))?", part.strip())
+        if not m:
+            continue
+        op = m.group(1) or "="
+        v = (int(m.group(2)), int(m.group(3) or 0), int(m.group(4) or 0))
+        e = _ENGINE_VERSION
+        ok = {"<": e < v, "<=": e <= v, ">": e > v, ">=": e >= v,
+              "=": e[:1] == v[:1] if op == "^" else e == v,
+              "^": e[0] == v[0] and e >= v}[op]
+        if not ok:
+            return False
+    return True
+
+
 def _resolve_import(test_path: str, imp: str) -> str:
     from pathlib import Path
 
@@ -1238,6 +1262,12 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
         return fr
     if test.get("wip"):
         fr.skipped = "wip"
+        return fr
+    ver = test.get("version")
+    if isinstance(ver, str) and not _version_applies(ver):
+        # `[test] version = "<3.0.0"`: the test targets other engine
+        # versions (language-tests runner version gating)
+        fr.skipped = f"version {ver!r} excludes 3.1.0"
         return fr
     raw = test.get("results", [])
     if isinstance(raw, dict):

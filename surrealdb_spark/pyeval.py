@@ -978,6 +978,8 @@ def typeof(v) -> str:
         return "bytes"
     if isinstance(v, RegexVal):
         return "regex"
+    if isinstance(v, PyClosure) or hasattr(v, "body"):
+        return "function"  # closures (types/src/kind.rs Function)
     return "object"
 
 

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<bname>`[^`]*`|⟨[^⟩]*⟩)
   | (?P<name>[A-Za-z_µ][A-Za-z0-9_µ]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\+\?=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\^~#])
+  | (?P<op><->|<~|<\||\|>|\?\?|\?:|\*=|\+\?=|\?=|==|!=|<=|>=|&&|\|\||\+=|-=|->|<-|\.\.\.|…|\.\.=|\.\.|\*\*|\?\.|@@|@|[-+*/%=<>!(),\[\].$:*|{};?\\^~#])
     """,
     re.X,
 )

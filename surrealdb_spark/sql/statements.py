@@ -51,6 +51,7 @@ class InsertStmt:
     select: Select | None = None      # INSERT INTO t (SELECT ...)
     on_duplicate: list = dc_field(default_factory=list)  # [(f,op,expr)]
     return_: str = "AFTER"
+    ignore: bool = False              # INSERT IGNORE (insert.rs)
 
 
 @dataclass
@@ -125,6 +126,7 @@ class DefineFieldStmt:
 class DefineIndexStmt:
     name: str
     table: str
+    mode: str | None = None     # OVERWRITE / IF NOT EXISTS
     fields: list = dc_field(default_factory=list)
     kind: str = "idx"           # idx | uniq | fulltext | hnsw | count
     analyzer: str | None = None
@@ -134,6 +136,8 @@ class DefineIndexStmt:
     initial_rows: int = 0       # rows indexed at (re)build (INFO building)
     dist: str | None = None     # HNSW DIST metric name
     efc: int | None = None      # HNSW EFC (construction ef; plan default)
+    concurrently: bool = False  # async build: failures surface via INFO
+    build_error: str | None = None  # concurrent build failure message
 
 
 @dataclass
@@ -967,6 +971,7 @@ def _parse_statement_body(p: Parser):
         return [CreateStmt(tg, data, ret) for tg in tgts]
     if t.text == "INSERT":
         p.next()
+        ins_ignore = p.eat_word("IGNORE")
         # INSERT RELATION [INTO tb]: rows carry in/out edge pointers
         # (insert.rs relation mode — idiom/recursion_graph.surql)
         p.eat_word("RELATION")
@@ -979,6 +984,7 @@ def _parse_statement_body(p: Parser):
         else:
             tbl = _name(p)
         st = InsertStmt(tbl)
+        st.ignore = ins_ignore
         if p.peek().kind == "op" and p.peek().text == "(":
             p.next()
             if p.peek().kind == "kw" and p.peek().text == "SELECT":
@@ -1331,6 +1337,7 @@ def _parse_statement_body(p: Parser):
             p.eat("kw", "TABLE")
             tbl = _name(p)
             st = DefineIndexStmt(name, tbl)
+            st.mode = mode
             if p.eat("kw", "FIELDS") or p.eat("kw", "COLUMNS"):
                 # index columns may be full idiom paths (`marks.*.subject`,
                 # `id[1]`, `id.id().r` — catalog/schema/index.rs cols):
@@ -1402,6 +1409,8 @@ def _parse_statement_body(p: Parser):
                     st.highlights = True
                 elif w in ("CONCURRENTLY", "OVERWRITE"):
                     p.next()
+                    if w == "CONCURRENTLY":
+                        st.concurrently = True
                 elif w in ("DIMENSION", "EFC", "M", "M0", "LM", "CAPACITY",
                            "DOC_IDS_ORDER", "DOC_IDS_CACHE", "DOC_LENGTHS_ORDER",
                            "DOC_LENGTHS_CACHE", "POSTINGS_ORDER",
@@ -4598,6 +4607,9 @@ class StatementRunner:
         d = self.index_defs[stmt.name]
         # `{building: {...}}` status shape (expr/statements/info.rs;
         # initial = rows indexed at (re)build time, async build done)
+        if getattr(d, "build_error", None):
+            return {"building": {"error": d.build_error,
+                                 "status": "error"}}
         return {"building": {"initial": getattr(d, "initial_rows", 0),
                              "pending": 0, "status": "ready",
                              "updated": 0}}
@@ -5118,6 +5130,8 @@ class StatementRunner:
                 return [str(x) for x in v] if isinstance(v, list) \
                     else [str(v)]
 
+            # `…` is the flatten marker's unicode spelling (index.rs)
+            stmt.fields = [f.replace("…", "...") for f in stmt.fields]
             stmt.fields = [r for f in stmt.fields for r in _resolve_ixf(f)]
             # computed fields have no stored value to index
             # (define/index.rs computed check)
@@ -5127,17 +5141,96 @@ class StatementRunner:
                     raise ValueError(
                         f"Computed fields cannot be indexed. "
                         f"Index: '{stmt.name}' - Field: '{root}'")
-            self.index_defs[stmt.name] = stmt
+            prev_ix = self.index_defs.get(stmt.name)
+            if prev_ix is not None and prev_ix.table == stmt.table:
+                # redefinition needs OVERWRITE; IF NOT EXISTS keeps the
+                # existing (define/index.rs existence check)
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The index '{stmt.name}' already exists")
+            td_s = self.db.tables.get(stmt.table)
+            if td_s is not None and getattr(td_s, "schemafull", False):
+                # schemafull tables index declared fields only
+                # (define/index.rs field check)
+                import re as _re7
+
+                declared = {fd.name: (fd.kind or "") for fd in td_s.fields}
+                for f in stmt.fields:
+                    fn = _re7.sub(r"\[\s*\*?\d*\s*\]", ".*",
+                                  str(f).replace("...", ""))
+                    if fn in ("id", "in", "out") or fn in declared:
+                        continue
+                    segs = fn.split(".")
+                    ok = False
+                    for j in range(len(segs) - 1, 0, -1):
+                        anc = ".".join(s for s in segs[:j] if s != "*")
+                        k0 = declared.get(anc)
+                        if k0 is None:
+                            continue
+                        kb = k0.strip().lower().removeprefix("option<")
+                        if (kb.startswith(("object", "array", "{", "any"))
+                                or kb == ""):
+                            # object/array ancestors admit sub-paths;
+                            # literal-object kinds must declare the member
+                            if kb.startswith("{"):
+                                from surrealdb_spark.sql.parser import \
+                                    parse_kind
+
+                                try:
+                                    ka = parse_kind(k0)
+                                except Exception:
+                                    ok = True
+                                    break
+                                mem = dict(ka[1]) if ka[0] == "litobj" \
+                                    else {}
+                                ok = segs[j] if j < len(segs) else None
+                                ok = ok in mem
+                            else:
+                                ok = True
+                            break
+                    if not ok:
+                        raise ValueError(
+                            f"The field '{f}' does not exist")
             if stmt.table not in self.db.tables:
                 self.db.define_table(TableDef(stmt.table))
             td = self.db.tables[stmt.table]
+            if stmt.kind == "uniq" and self.db._exists(stmt.table):
+                # existing data must already be unique (define/index.rs:
+                # a synchronous build fails; CONCURRENTLY records the
+                # failure for INFO FOR INDEX instead)
+                ent = self.db._uniq_entries(
+                    self.db.table(stmt.table), list(stmt.fields),
+                    extra=[td.id_col])
+                if ent is not None:
+                    keys = [c for c in ent.columns if c != td.id_col]
+                    dup = (ent.groupBy(*keys)
+                           .agg(F.count("*").alias("__n"),
+                                F.min(td.id_col).alias("__rid"))
+                           .filter(F.col("__n") > 1).limit(1).collect())
+                    if dup:
+                        from surrealdb_spark.pyeval import render as _rx
+
+                        vals = [dup[0][k] for k in keys]
+                        shown = (_rx(vals[0]) if len(vals) == 1
+                                 else "[" + ", ".join(_rx(v) for v in vals)
+                                 + "]")
+                        msg = (f"Database index `{stmt.name}` already "
+                               f"contains {shown}, with record "
+                               f"`{dup[0]['__rid']}`")
+                        if not stmt.concurrently:
+                            raise ValueError(msg)
+                        stmt.build_error = msg
+            self.index_defs[stmt.name] = stmt
             try:
                 stmt.initial_rows = (self.db.table(stmt.table).count()
                                      if self.db._exists(stmt.table) else 0)
             except Exception:
                 stmt.initial_rows = 0
             if stmt.kind == "uniq":
-                td.unique_indexes.append(list(stmt.fields))
+                if stmt.build_error is None:
+                    td.unique_indexes.append(list(stmt.fields))
                 return None
             if stmt.kind in ("idx", "count"):
                 # Catalyst's pushdown/pruning subsumes value/count indexes —
@@ -5697,6 +5790,13 @@ class StatementRunner:
             if stmt.table not in self.db.tables:
                 # schemaless-by-default: first write defines the table
                 self.db.define_table(TableDef(stmt.table))
+            if stmt.ignore:
+                # INSERT IGNORE: rows whose id or unique-index entries
+                # clash with stored data are silently skipped — IGNORE
+                # wins over ON DUPLICATE KEY UPDATE (insert.rs ignore)
+                df = self._insert_ignore_filter(stmt.table, df)
+                out = self.db.insert(stmt.table, df)
+                return self._ret(out, out, stmt.return_)
             out = self.db.insert(stmt.table, df, on_duplicate=dup)
             return self._ret(out, out, stmt.return_)
         if isinstance(stmt, UpdateStmt):
@@ -6731,6 +6831,27 @@ class StatementRunner:
                 [tuple(d[f.name] for f in schema.fields) for d in data],
                 schema)
         return self.spark.createDataFrame(data)
+
+    def _insert_ignore_filter(self, tbl: str, df: DataFrame) -> DataFrame:
+        """Drop rows an INSERT IGNORE must skip: existing ids and rows
+        whose unique-index entries clash with stored data
+        (expr/statements/insert.rs ignore mode)."""
+        td = self.db.tables[tbl]
+        if not self.db._exists(tbl):
+            return df
+        cur = self.db.table(tbl)
+        keep = df
+        if td.id_col in keep.columns:
+            keep = keep.join(cur.select(td.id_col), td.id_col, "left_anti")
+        for cols in td.unique_indexes:
+            ent = self.db._uniq_entries(keep, cols, extra=[td.id_col])
+            stored = self.db._uniq_entries(cur, cols)
+            if ent is None or stored is None:
+                continue
+            keys = [c for c in ent.columns if c != td.id_col]
+            bad = ent.join(stored, keys, "left_semi").select(td.id_col)
+            keep = keep.join(bad, td.id_col, "left_anti")
+        return keep
 
     def _tbl_has_events(self, tbl) -> bool:
         return any(t == tbl for t, _h in self.events.values())
