@@ -371,6 +371,133 @@ def _range_list(v) -> list:
     return list(range(lo, hi))
 
 
+def _fn_search_rrf(results, limit, k=60):
+    """search::rrf over literal result arrays (fnc/search.rs rrf):
+    score = Σ 1/(k + rank + 1) per id, merged objects, top-limit desc."""
+    if isinstance(limit, bool) or not isinstance(limit, int) or limit < 1:
+        raise EvalError("Incorrect arguments for function search::rrf(). "
+                        "limit must be at least 1")
+    if k is None:
+        k = 60
+    if isinstance(k, bool) or not isinstance(k, (int, float, Decimal)) \
+            or k < 0:
+        raise EvalError("Incorrect arguments for function search::rrf(). "
+                        "RRF constant must be at least 0")
+    if not isinstance(results, list) or not results:
+        return []
+    docs: dict = {}
+    for lst in results:
+        if not isinstance(lst, list):
+            continue
+        for rank, doc in enumerate(lst):
+            if not isinstance(doc, dict) or "id" not in doc:
+                continue
+            rid = doc["id"]
+            obj = {kk: vv for kk, vv in doc.items() if kk != "id"}
+            contrib = 1.0 / (float(k) + rank + 1)
+            if rid in docs:
+                docs[rid][0] += contrib
+                docs[rid][1].append(obj)
+            else:
+                docs[rid] = [contrib, [obj]]
+    top = sorted(docs.items(), key=lambda kv: -kv[1][0])[:limit]
+    out = []
+    for rid, (score, objs) in top:
+        merged: dict = {}
+        for o in objs:
+            merged.update(o)
+        merged["id"] = rid
+        merged["rrf_score"] = score
+        out.append(merged)
+    return out
+
+
+def _fn_search_linear(results, weights, limit, norm):
+    """search::linear over literal result arrays (fnc/search.rs linear):
+    per-list score extraction (distance→1/(1+d), ft_score, score),
+    minmax/zscore normalization, weighted sum, top-limit desc."""
+    _nm = "Incorrect arguments for function search::linear(). "
+    if isinstance(limit, bool) or not isinstance(limit, int) or limit < 1:
+        raise EvalError(_nm + "Limit must be at least 1")
+    results = results if isinstance(results, list) else []
+    weights = weights if isinstance(weights, list) else []
+    if len(weights) != len(results):
+        raise EvalError(_nm + "The results and the weights array should "
+                        "have the same length")
+    for i, w in enumerate(weights):
+        if isinstance(w, bool) or not isinstance(w, (int, float, Decimal)):
+            raise EvalError(_nm + f"Weight at index {i} must be a number")
+    if norm not in ("minmax", "zscore"):
+        raise EvalError(_nm + "Norm must be 'minmax' or 'zscore'")
+    if not results:
+        return []
+    n_lists = len(results)
+    docs: dict = {}
+    count = 0
+    for li, lst in enumerate(results):
+        if not isinstance(lst, list):
+            continue
+        for doc in lst:
+            if not isinstance(doc, dict) or "id" not in doc:
+                count += 1
+                continue
+            rid = doc["id"]
+            obj = {kk: vv for kk, vv in doc.items() if kk != "id"}
+            if isinstance(obj.get("distance"),
+                          (int, float, Decimal)) \
+                    and not isinstance(obj.get("distance"), bool):
+                s = 1.0 / (1.0 + float(obj["distance"]))
+            elif isinstance(obj.get("ft_score"), (int, float, Decimal)) \
+                    and not isinstance(obj.get("ft_score"), bool):
+                s = float(obj["ft_score"])
+            elif isinstance(obj.get("score"), (int, float, Decimal)) \
+                    and not isinstance(obj.get("score"), bool):
+                s = float(obj["score"])
+            else:
+                s = 1.0 / (1.0 + count)
+            if rid in docs:
+                docs[rid][0][li] = s
+                docs[rid][1].append(obj)
+            else:
+                scores = [0.0] * n_lists
+                scores[li] = s
+                docs[rid] = [scores, [obj]]
+            count += 1
+    # per-list normalization params over positive scores
+    params = []
+    for li in range(n_lists):
+        vals = [sc[li] for sc, _ in docs.values() if sc[li] > 0.0]
+        if not vals:
+            params.append((0.0, 1.0))
+        elif norm == "minmax":
+            lo, hi = min(vals), max(vals)
+            params.append((lo, (hi - lo) if hi > lo else 1.0))
+        else:
+            mean = sum(vals) / len(vals)
+            var = sum((x - mean) ** 2 for x in vals) / len(vals)
+            sd = var ** 0.5
+            params.append((mean, sd if sd > 0 else 1.0))
+    scored = []
+    for rid, (scores, objs) in docs.items():
+        total = 0.0
+        for li, s in enumerate(scores):
+            if s > 0.0:
+                w = weights[li] if li < len(weights) else 1.0
+                a, b = params[li]
+                total += float(w) * ((s - a) / b)
+        scored.append((total, rid, objs))
+    scored.sort(key=lambda t: -t[0])
+    out = []
+    for score, rid, objs in scored[:limit]:
+        merged: dict = {}
+        for o in objs:
+            merged.update(o)
+        merged["id"] = rid
+        merged["linear_score"] = score
+        out.append(merged)
+    return out
+
+
 def _arg_type_err(fn: str, v):
     raise EvalError(
         f"Incorrect arguments for function {fn}(). Argument 1 was the "
@@ -1170,6 +1297,8 @@ PY_FNS = {
     "array::some": lambda a, f: any(truthy(f(x, i))
                                     for i, x in enumerate(a)),
     "array::transpose": _f_transpose,
+    "search::rrf": _fn_search_rrf,
+    "search::linear": _fn_search_linear,
     "array::max": lambda a: (max(a, key=order_key) if a else None)
     if isinstance(a, list) else _arg_type_err("array::max", a),
     "array::min": lambda a: (min(a, key=order_key) if a else None)

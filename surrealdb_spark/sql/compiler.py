@@ -2902,9 +2902,19 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             denied = sel.sources and all(
                 _src_tbl(s) is not None
                 and perms.get(_src_tbl(s)) is False for s in sel.sources)
-            gb = df.groupBy()
-            df = gb.agg(*aggs) if aggs else gb.agg(
-                F.count(F.lit(1)).alias("__n")).drop("__n")
+            if params.get("__compute_only"):
+                # compute-only planner strategy streams the aggregate
+                # per-record: zero input rows emit NO all-group row
+                # (5581_select_count_with_index.surql) — groupBy over a
+                # constant key gives exactly those semantics
+                gb = df.groupBy(F.lit(1).alias("__g1"))
+                df = (gb.agg(*aggs) if aggs else gb.agg(
+                    F.count(F.lit(1)).alias("__n")).drop("__n"))
+                df = df.drop("__g1")
+            else:
+                gb = df.groupBy()
+                df = gb.agg(*aggs) if aggs else gb.agg(
+                    F.count(F.lit(1)).alias("__n")).drop("__n")
             if denied:
                 df = df.limit(0)
 

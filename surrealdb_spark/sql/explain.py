@@ -1219,8 +1219,24 @@ def plan_new(runner, sel, params=None) -> Node:
             n = Node("CountScan", f"[source: {_esc_kw_ident(tbl)}]")
             n.rows = 1
             return n
+        def _cfield(c):
+            if isinstance(c, tuple) and c[0] == "bin":
+                for side in (c[2], c[3]):
+                    if isinstance(side, tuple) and side[0] == "ident":
+                        return side[1]
+            return None
+
+        def _full_cover(d):
+            # IndexCountScan streams the count off the index ONLY when
+            # every conjunct is on the index's fields; a residual
+            # predicate filters per record (select.rs:1269-1293)
+            if not _match_compound(d, conj):
+                return False
+            flds = {str(f) for f in getattr(d, "fields", [])}
+            return all((_cfield(c) or "\x00") in flds for c in conj)
+
         if not noindex and sel.where is not None and any(
-                _match_compound(d, conj) for d in defs
+                _full_cover(d) for d in defs
                 if getattr(d, "kind", "idx") in ("idx", "uniq")):
             n = Node("IndexCountScan",
                      f"[source: {tbl}, condition: {to_sql(sel.where)}]")
@@ -1232,6 +1248,23 @@ def plan_new(runner, sel, params=None) -> Node:
             acc.direction = "Forward"
         acc.predicate = sel.where if acc.kind == "table" else acc.predicate
         scan = _scan_nodes(runner, sel, tbl, acc, params)
+        if acc.kind in ("index", "unionidx") and sel.where is not None:
+            # residual conjuncts filter per record above the index scan
+            # (select.rs:1269-1293 — Filter node between Aggregate and
+            # IndexScan)
+            d0 = next((d for d in defs
+                       if getattr(d, "name", None) == acc.index), None)
+            flds = {str(f) for f in getattr(d0, "fields", [])} \
+                if d0 is not None else set()
+            resid = [c for c in conj if (_cfield(c) or "\x00") not in flds]
+            if resid:
+                pred_ast = resid[0]
+                for c in resid[1:]:
+                    pred_ast = ("bin", "AND", pred_ast, c)
+                flt = Node("Filter",
+                           f"[predicate: {to_sql(pred_ast)}]", [scan])
+                flt.rows = cnt(sel.where, None, None)
+                scan = flt
         agg = Node("Aggregate", "[mode: GROUP ALL]", [scan])
         agg.rows = 1
         return agg
@@ -1908,7 +1941,15 @@ def plan_legacy(runner, sel, params=None) -> list:
                        "value": _lit_value(hi[0]) if hi else None}},
                 "table": tbl}, "operation": "Iterate Index"})
     elif used_index and acc.kind != "count" and jp is None:
-        op_name = "Iterate Index Count" if is_count else "Iterate Index"
+        # a residual (non-index) conjunct forces per-record filtering:
+        # the count can't stream off the index alone
+        # (5581_select_count_with_index.surql)
+        covered = len(getattr(acc, "eq_values", []) or [])
+        if getattr(acc, "range_", None) is not None:
+            covered += 1
+        residual = len(conj or []) > covered
+        op_name = ("Iterate Index Count"
+                   if is_count and not residual else "Iterate Index")
         out.append({"detail": {"plan": iterate_index_detail(acc),
                                "table": tbl},
                     "operation": op_name})

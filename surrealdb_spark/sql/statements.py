@@ -1411,6 +1411,10 @@ def _parse_statement_body(p: Parser):
                     p.next()
                     if w == "CONCURRENTLY":
                         st.concurrently = True
+                elif w is not None and w.startswith("HASHED_"):
+                    # HASHED_VECTOR etc. — hashed HNSW storage knob
+                    # (catalog/schema/index.rs HnswParams)
+                    p.next()
                 elif w in ("DIMENSION", "EFC", "M", "M0", "LM", "CAPACITY",
                            "DOC_IDS_ORDER", "DOC_IDS_CACHE", "DOC_LENGTHS_ORDER",
                            "DOC_LENGTHS_CACHE", "POSTINGS_ORDER",
@@ -2823,6 +2827,10 @@ class StatementRunner:
         rdtrees = self._recursive_destructure_select(stmt, params)
         if rdtrees is not None:
             return rdtrees
+        if "compute-only" in getattr(self, "planner_strategy", ()):
+            # compute-only strategy: GROUP ALL streams per record (no
+            # all-group row on empty input — 5581 count files)
+            params = {**params, "__compute_only": True}
         try:
             return compile_select(self.spark, stmt, catalog=self.catalog,
                                   params=params)
