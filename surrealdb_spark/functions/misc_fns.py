@@ -454,6 +454,25 @@ def _lookup_record(rid: str):
     return None if _RECORD_PROVIDER is None else _RECORD_PROVIDER(rid)
 
 
+# batched variant: fn(list[rid]) -> {rid: dict} in O(tables) Spark jobs
+# (one isin-filter per referenced table, not one scan per id)
+_RECORD_BATCH_PROVIDER = None
+
+
+def set_record_batch_provider(fn) -> None:
+    global _RECORD_BATCH_PROVIDER
+    _RECORD_BATCH_PROVIDER = fn
+
+
+def _lookup_records(rids: list) -> dict:
+    """Resolve many record ids at once; falls back to per-id point reads
+    when no batch provider is registered."""
+    rids = [str(r) for r in rids]
+    if _RECORD_BATCH_PROVIDER is not None:
+        return _RECORD_BATCH_PROVIDER(rids)
+    return {r: _lookup_record(r) for r in dict.fromkeys(rids)}
+
+
 def record_exists(r) -> Column:
     """record::exists — the record resolves to a row (fnc/record.rs)."""
     if not isinstance(r, str):

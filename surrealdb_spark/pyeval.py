@@ -548,16 +548,23 @@ def _walk_path(base, parts, env):
                 base = rec.get(p[1]) if isinstance(rec, dict) else None
                 continue
             if isinstance(base, list):
+                # record-id elements deref to pick the field — batched
+                # through ONE isin-filter per table, not a point read
+                # per element (value/idiom.rs Field over Thing)
+                rid_elems = [x for x in base
+                             if isinstance(x, str) and _is_ridish(x)]
+                recs: dict = {}
+                if rid_elems:
+                    from surrealdb_spark.functions.misc_fns import (
+                        _lookup_records)
+
+                    recs = _lookup_records(rid_elems)
+
                 def _fget(x, f=p[1]):
                     if hasattr(x, "asDict"):  # collected Spark Row
                         x = x.asDict(recursive=True)
                     if isinstance(x, str) and _is_ridish(x):
-                        # record-id elements deref to pick the field
-                        # (value/idiom.rs Field over Thing)
-                        from surrealdb_spark.functions.misc_fns import (
-                            _lookup_record)
-
-                        rec = _lookup_record(x)
+                        rec = recs.get(x)
                         return rec.get(f) if isinstance(rec, dict) else None
                     return _index(x, f)
                 base = [_fget(x) for x in base]
@@ -595,9 +602,12 @@ def _walk_path(base, parts, env):
                 if any(isinstance(x, str) and _is_ridish(x)
                        for x in base):
                     from surrealdb_spark.functions.misc_fns import (
-                        _lookup_record)
+                        _lookup_records)
 
-                    base = [(_lookup_record(x) or x)
+                    recs = _lookup_records(
+                        [x for x in base
+                         if isinstance(x, str) and _is_ridish(x)])
+                    base = [(recs.get(x) or x)
                             if isinstance(x, str) and _is_ridish(x)
                             else x for x in base]
                 mapped = True
@@ -1652,26 +1662,45 @@ def _file_fns() -> dict:
 PY_FNS.update(_file_fns())
 
 
+def _esc_rid_key(txt: str) -> str:
+    """EscapeRecordKey (types/src/value/record_id/key.rs Display):
+    escape when empty, containing non-[A-Za-z0-9_] chars, or all
+    digits/underscores (would collide with a numeric key)."""
+    import re as _re_k
+
+    if not txt or not _re_k.fullmatch(r"\w+", txt) \
+            or _re_k.fullmatch(r"[0-9_]+", txt):
+        return f"⟨{txt}⟩"
+    return txt
+
+
 def _type_record(tb, key=None):
     """type::record / type::thing — record-id string from table + key
-    (fnc/type.rs; record_id/key.rs rendering)."""
+    (fnc/type.rs: an int key stays numeric; array/object keys render
+    structurally; everything else becomes a STRING key through the
+    EscapeRecordKey rule, so bools print t:true, floats t:⟨1.5⟩ and
+    all-digit strings t:⟨123⟩)."""
     s = str(tb)
     if key is None:
         return s
     if isinstance(key, bool):
-        from surrealdb_spark.values import render_rid_vals
-
-        return f"{s}:{render_rid_vals([key])}"
+        return f"{s}:{_esc_rid_key('true' if key else 'false')}"
     if isinstance(key, int):
         return f"{s}:{key}"
-    if isinstance(key, str):
-        import re as _re_t
+    if isinstance(key, dict) and not is_duration(key):
+        # object key renders as an object literal, keys BTree-sorted
+        # (record_id/key.rs RecordIdKey::Object)
+        from surrealdb_spark.values import render_rid_vals
 
-        return (f"{s}:{key}" if _re_t.fullmatch(r"\w+", key)
-                else f"{s}:⟨{key}⟩")
-    from surrealdb_spark.values import render_rid_vals
+        inner = ", ".join(
+            f"{k2}: {render_rid_vals([v2])[1:-1]}"
+            for k2, v2 in sorted(key.items()))
+        return f"{s}:{{ {inner} }}"
+    if isinstance(key, list):
+        from surrealdb_spark.values import render_rid_vals
 
-    return f"{s}:{render_rid_vals([key] if not isinstance(key, list) else key)}"
+        return f"{s}:{render_rid_vals(key)}"
+    return f"{s}:{_esc_rid_key(key if isinstance(key, str) else render(key))}"
 
 
 PY_FNS["type::record"] = _type_record
