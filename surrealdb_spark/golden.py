@@ -961,7 +961,9 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                     if cv is not None:
                         bindings[m.group(1)] = cv
                     else:
-                        v = _eval_statements(spark, [rhs], bindings)[0]
+                        v = _eval_statements(
+                            spark, [rhs],
+                            {**runner.params_defined, **bindings})[0]
                         if v is _ERR:
                             raise ValueError("LET binding failed")
                         # Rows → dicts: bound objects must walk/compare/

@@ -94,6 +94,7 @@ class DefineTableStmt:
     enforced: bool = False       # TYPE RELATION ENFORCED (table.rs:151-156)
     rel_in: list | None = None   # TYPE RELATION IN/FROM tables
     rel_out: list | None = None  # TYPE RELATION OUT/TO tables
+    drop: bool = False           # DROP table: writes are discarded
     perms_text: str = "NONE"     # canonical PERMISSIONS text for INFO
     changefeed: str | None = None
     # SELECT permission: "full" | "none" | WHERE-expr AST
@@ -293,6 +294,7 @@ class DefineSequenceStmt:
     start: int = 0
     batch: int = 1000
     timeout: str | None = None
+    mode: str | None = None  # OVERWRITE / IF NOT EXISTS
 
 
 @dataclass
@@ -477,6 +479,11 @@ def _parse_kind(p: Parser, bases: list | None = None) -> str:
 
     def one() -> str:
         t = p.peek()
+        if t.kind in ("str", "num"):
+            # literal kind (`TYPE 'make'` / `TYPE 123`): no Spark cast —
+            # write-time litkind validation enforces it
+            p.next()
+            return ""
         if t.kind == "op" and t.text == "{":
             depth = 0
             while True:
@@ -838,6 +845,11 @@ def _render_field(name: str, tbl: str, st) -> str:
             groups.append((missing, "FULL"))
         if all(lvl == "FULL" for _, lvl in groups):
             return out + " PERMISSIONS FULL"
+        # canonical group order: by the first verb's (select, create,
+        # update) rank (define/field.rs Display — recursive_types.surql
+        # prints 'FOR select, create FULL, FOR update NONE')
+        vrank = {"select": 0, "create": 1, "update": 2}
+        groups.sort(key=lambda g: min(vrank.get(v, 3) for v in g[0]))
         return out + " PERMISSIONS " + ", ".join(
             f"FOR {', '.join(vs)} {lvl}" for vs, lvl in groups)
     return out + " PERMISSIONS FULL"
@@ -847,6 +859,8 @@ def _render_table(name: str, i: dict) -> str:
     ttxt = i.get("type", "ANY")
     if i.get("enforced"):
         ttxt += " ENFORCED"  # catalog/table.rs Display for TableType
+    if i.get("drop"):
+        ttxt += " DROP"  # define/table.rs Display: DROP before schema
     out = (f"DEFINE TABLE {name} TYPE {ttxt} "
            + ("SCHEMAFULL" if i.get("schemafull") else "SCHEMALESS"))
     if i.get("as_text"):
@@ -1148,6 +1162,9 @@ def _parse_statement_body(p: Parser):
                     st.schemafull = True
                 elif p.eat("kw", "SCHEMALESS"):
                     st.schemafull = False
+                elif p.eat_word("DROP"):
+                    # DROP tables discard writes (define/table.rs)
+                    st.drop = True
                 elif p.eat("kw", "TYPE"):
                     st.ttype = p.next().text.upper()
                     st._type_set = True
@@ -1656,6 +1673,7 @@ def _parse_statement_body(p: Parser):
         if what.text.upper() == "SEQUENCE":
             name = _name(p)
             st = DefineSequenceStmt(name)
+            st.mode = mode
             while True:
                 if p.eat_word("BATCH"):
                     st.batch = int(p.expect("num").text)
@@ -2060,6 +2078,13 @@ def _parse_statement_body(p: Parser):
                     ast_.sets["READONLY"] = True
                 elif p.eat_word("BATCH"):
                     ast_.sets["BATCH"] = int(p.expect("num").text)
+                elif p.eat("kw", "TIMEOUT") or p.eat_word("TIMEOUT"):
+                    # ALTER SEQUENCE ... TIMEOUT 5s | NONE
+                    # (statements/alter/sequence.rs)
+                    if p.eat("kw", "NONE"):
+                        ast_.sets["TIMEOUT"] = None
+                    else:
+                        ast_.sets["TIMEOUT"] = _duration_text(p)
                 elif p.eat("kw", "START"):
                     neg = bool(p.eat("op", "-"))
                     ast_.sets["START"] = int(p.expect("num").text) * (
@@ -3978,6 +4003,7 @@ class StatementRunner:
                 self.index_defs.pop(ixn, None)
                 self.indexes.pop(ixn, None)
             self.table_meta.pop(name, None)
+            self.obj_info["tables"].pop(name, None)
             return
         if k == "field":
             tbl = stmt.table
@@ -3991,6 +4017,14 @@ class StatementRunner:
             self.table_meta.get(tbl, {}).get("fields", {}).pop(name, None)
             self.computed_fields.get(tbl, {}).pop(name, None)
             if len(td.fields) == before:
+                ti0 = self.obj_info["tables"].get(tbl, {})
+                if name in ("in", "out") and (ti0.get("rel_in")
+                                              or ti0.get("rel_out")):
+                    # in/out on relation tables are implicit fields;
+                    # removing one drops its endpoint-table constraint
+                    # (table/redefinition.surql)
+                    ti0["rel_in" if name == "in" else "rel_out"] = None
+                    return
                 raise KeyError(f"no such field {name}")
             return
         if k == "index":
@@ -4588,10 +4622,35 @@ class StatementRunner:
                              + (getattr(fstmt, 'perms', None) or "FULL"))
                 out["functions"].setdefault(n.removeprefix("fn::"), ftxt)
             if stmt.structure:
-                # `INFO FOR DB STRUCTURE` — configs as structured objects
-                # (info.rs structure rendering)
-                out["configs"] = list(
-                    self.obj_info.get("configs", {}).values())
+                # `INFO FOR DB STRUCTURE` — every category is an ARRAY of
+                # structured objects (info.rs structure rendering)
+                from surrealdb_spark import pyeval as _pst
+
+                structured: dict = {}
+                for cat_n, entries in out.items():
+                    if cat_n == "sequences":
+                        seqs = []
+                        for n in sorted(self.obj_info["sequences"]):
+                            i2 = self.obj_info["sequences"][n]
+                            to = i2.get("timeout")
+                            if isinstance(to, str):
+                                try:
+                                    to = _pst.eval_text(to, {})
+                                except Exception:
+                                    pass
+                            seqs.append({"batch": str(i2.get("batch")),
+                                         "name": n,
+                                         "start": str(i2.get("start")),
+                                         "timeout": to})
+                        structured[cat_n] = seqs
+                    elif cat_n == "configs":
+                        structured[cat_n] = list(
+                            self.obj_info.get("configs", {}).values())
+                    elif isinstance(entries, dict):
+                        structured[cat_n] = list(entries.values())
+                    else:
+                        structured[cat_n] = entries
+                return structured
             return out
         if stmt.level == "table":
             td = self.db.tables[stmt.table]
@@ -4918,7 +4977,7 @@ class StatementRunner:
             elif stmt.name in self.view_defs:
                 self.view_defs.pop(stmt.name)  # redefined as a plain table
             info_t = {"type": stmt.ttype, "schemafull": stmt.schemafull,
-                      "enforced": stmt.enforced,
+                      "enforced": stmt.enforced, "drop": stmt.drop,
                       "rel_in": stmt.rel_in, "rel_out": stmt.rel_out,
                       "changefeed": stmt.changefeed,
                       "as_text": stmt.as_text,
@@ -4952,6 +5011,11 @@ class StatementRunner:
                 raise ValueError(
                     "FLEXIBLE only applies to SCHEMAFULL tables "
                     "(define/field.rs)")
+            if (stmt.computed is not None
+                    or stmt.texts.get("computed")) and "." in stmt.name:
+                raise ValueError(
+                    f"Cannot define field `{stmt.name}` as `COMPUTED` "
+                    "fields must be top-level.")
             if stmt.name == "id" and stmt.kind_text:
                 # only record-key shapes may type `id` (define/field.rs
                 # id-kind check; statements/define/field/id_kind.surql):
@@ -4994,6 +5058,55 @@ class StatementRunner:
             self.table_meta.setdefault(stmt.table, {}).setdefault(
                 "fields", {})[stmt.name] = _render_field(
                     stmt.name, stmt.table, stmt)
+            if stmt.kind_text and "." not in stmt.name \
+                    and "[" not in stmt.name:
+                # array/set kinds recursively declare their element slots
+                # (foo.* / foo.*.* — define/field.rs recursive types; a
+                # pre-declared slot keeps its PERMISSIONS, its TYPE is
+                # overwritten)
+                from surrealdb_spark.sql.compiler import render_kind
+                from surrealdb_spark.sql.parser import parse_kind
+
+                def _elem_kinds(ka):
+                    if ka[0] == "union":
+                        out8 = []
+                        for m8 in ka[1]:
+                            out8.extend(_elem_kinds(m8))
+                        return out8
+                    if ka[0] in ("array", "set"):
+                        return [ka[1][0]] if ka[1] else [("any", [])]
+                    if ka[0] == "option" and ka[1]:
+                        return _elem_kinds(ka[1][0])
+                    return []
+
+                try:
+                    cur_k = parse_kind(stmt.kind_text)
+                except Exception:
+                    cur_k = None
+                sub_n = stmt.name
+                fm = self.table_meta[stmt.table]["fields"]
+                for _ in range(8):  # recursion guard
+                    if cur_k is None:
+                        break
+                    elems = _elem_kinds(cur_k)
+                    if not elems:
+                        break
+                    sub_n += ".*"
+                    cur_k = elems[0] if len(elems) == 1 \
+                        else ("union", elems)
+                    ktxt = render_kind(cur_k)
+                    if ktxt in ("any",):
+                        break
+                    prev = self.obj_info.get("field_stmt", {}).get(
+                        (stmt.table, sub_n))
+                    if prev is not None:
+                        import dataclasses as _dcf
+
+                        sub_stmt = _dcf.replace(prev, kind_text=ktxt)
+                    else:
+                        sub_stmt = DefineFieldStmt(stmt.table, sub_n)
+                        sub_stmt.kind_text = ktxt
+                    fm[sub_n] = _render_field(sub_n, stmt.table, sub_stmt)
             if ".*." in stmt.name:
                 # defining `users.*.x` implicitly declares the element
                 # slot `users.*` (define/field.rs parent materialization)
@@ -5472,6 +5585,9 @@ class StatementRunner:
                 self._tx_open = True
                 self._tx_failed = None
                 self._tx_backup = self._snapshot_root()
+                # catalog params roll back with the data (DEFINE PARAM
+                # inside a cancelled tx is undone — param/cancel_commit)
+                self._tx_params = dict(self.params_defined)
             else:
                 if not getattr(self, "_tx_open", False):
                     raise ValueError(
@@ -5480,9 +5596,13 @@ class StatementRunner:
                 self._tx_open = False
                 if stmt.word == "CANCEL":
                     self._restore_root(self._tx_backup)
+                    self.params_defined = dict(
+                        getattr(self, "_tx_params", self.params_defined))
                     return None
                 if getattr(self, "_tx_failed", None):
                     self._restore_root(self._tx_backup)
+                    self.params_defined = dict(
+                        getattr(self, "_tx_params", self.params_defined))
                     raise ValueError(
                         "Cannot COMMIT: the transaction was aborted due "
                         "to a prior error")
@@ -5605,6 +5725,13 @@ class StatementRunner:
         if isinstance(stmt, DefineSequenceStmt):
             from surrealdb_spark.export import define_sequence
 
+            if stmt.name in self.sequences:
+                # redefinition needs OVERWRITE (define/sequence.rs)
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The sequence '{stmt.name}' already exists")
             self.sequences[stmt.name] = define_sequence(stmt.name, start=stmt.start)
             txt = f"DEFINE SEQUENCE {stmt.name} BATCH {stmt.batch} START {stmt.start}"
             if stmt.timeout:
@@ -5671,6 +5798,8 @@ class StatementRunner:
                     info["batch"] = v
                 elif k == "START":
                     info["start"] = v
+                elif k == "TIMEOUT":
+                    info["timeout"] = v
             if cat == "analyzers":
                 from surrealdb_spark.pipeline.analyzer import define_analyzer
 
@@ -5797,6 +5926,15 @@ class StatementRunner:
             n = stmt.target.mock or 1
             dicts = [dict(self._data_obj(stmt.data, params))
                      for _ in range(n)]
+            ti_c = self.obj_info["tables"].get(stmt.target.table, {})
+            if ti_c.get("type") == "RELATION" and any(
+                    "in" not in d or "out" not in d for d in dicts):
+                # relation tables take edges only (doc/relate.rs; CREATE
+                # without in/out is rejected — table/relation.surql)
+                raise ValueError(
+                    f"Found record: `{stmt.target.table}` which is a "
+                    "relation, but found a record without in and out "
+                    "fields")
             if stmt.target.mock_keys is not None:
                 for d, k in zip(dicts, stmt.target.mock_keys):
                     d["id"] = f"{stmt.target.table}:{k}"
@@ -5995,6 +6133,20 @@ class StatementRunner:
         if isinstance(stmt, RelateStmt):
             frm = self._scalar(stmt.from_expr, params)
             to = self._scalar(stmt.to_expr, params)
+
+            def _norm_ep(v):
+                # record objects (and single-element statement results)
+                # collapse to their ids — edges store POINTERS
+                # (doc/relate.rs)
+                if isinstance(v, dict):
+                    return v.get("id")
+                if isinstance(v, list):
+                    ids = [x.get("id") if isinstance(x, dict) else x
+                           for x in v]
+                    return ids[0] if len(ids) == 1 else ids
+                return v
+
+            frm, to = _norm_ep(frm), _norm_ep(to)
             import re as _rr
 
             for prop, ep in (("in", frm), ("out", to)):
@@ -6037,18 +6189,6 @@ class StatementRunner:
                                 tb0, F.col("id") == rid):
                             raise ValueError(
                                 f"The record '{rid}' does not exist")
-            for prop, ep, allowed in (("in", frm, ti.get("rel_in")),
-                                      ("out", to, ti.get("rel_out"))):
-                # TYPE RELATION FROM a TO b endpoint-table constraint
-                if not allowed:
-                    continue
-                for r in (ep if isinstance(ep, list) else [ep]):
-                    rid = str(r.get("id") if isinstance(r, dict) else r)
-                    if rid.partition(":")[0] not in allowed:
-                        raise ValueError(
-                            f"Found {rid} for field `{prop}`, with record "
-                            f"`{edge_tb}`, but expected a "
-                            f"record<{' | '.join(allowed)}>")
             extra = self._data_obj(stmt.data, params) if stmt.data else {}
             row = {"in": frm, "out": to, **extra}
             if edge_key is not None:
@@ -6059,6 +6199,26 @@ class StatementRunner:
             # _literal_rows normalizes the id (CONTENT {id: 1} →
             # likes:1) and encodes kinded cells like CREATE does
             edges = self._literal_rows([row], Target(edge_tb), params)
+            if ti.get("rel_in") or ti.get("rel_out"):
+                # TYPE RELATION IN/OUT endpoint-table constraint — the
+                # error carries the edge's generated id (doc/relate.rs)
+                eid = row.get("id")
+                if eid is None:
+                    r0 = edges.select("id").first()
+                    eid = r0["id"] if r0 else edge_tb
+                for prop, ep, allowed in (("in", frm, ti.get("rel_in")),
+                                          ("out", to, ti.get("rel_out"))):
+                    if not allowed:
+                        continue
+                    for r in (ep if isinstance(ep, list) else [ep]):
+                        rid = str(r.get("id") if isinstance(r, dict)
+                                  else r)
+                        if rid.partition(":")[0] not in allowed:
+                            raise ValueError(
+                                f"Couldn't coerce value for field "
+                                f"`{prop}` of `{eid}`: Expected "
+                                f"`record<{'|'.join(allowed)}>` but "
+                                f"found `{rid}`")
             out = self.db.relate(edge_tb, edges)
             if isinstance(stmt.return_, tuple):
                 return self._ret_expr_static(None, out, stmt.return_, params)
@@ -6142,11 +6302,12 @@ class StatementRunner:
         def _none_this(a):
             # data-clause expressions compute with the NEW document's
             # cursor ($this = the being-created doc = NONE at input time,
-            # doc/alter.rs) — an unbound $this/$self is NONE, not the
-            # enclosing row
+            # doc/alter.rs) — an unbound $this/$self/$parent is NONE,
+            # not the enclosing row
             if isinstance(a, tuple):
-                if a[0] == "param" and a[1] in ("this", "self") \
-                        and "this" not in params:
+                if a[0] == "param" and a[1] in ("this", "self", "parent") \
+                        and ("this" if a[1] == "self" else a[1]) \
+                        not in params:
                     return ("lit", None)
                 return tuple(_none_this(x) for x in a)
             if isinstance(a, list):
@@ -6585,10 +6746,11 @@ class StatementRunner:
                     f"Couldn't coerce value for field `{fd.name}` of "
                     f"`{rid}`: Expected `{k}` but found NULL")
             base_k = kl.removeprefix("option<").split("<", 1)[0]
-            if v is not None and "{" in kl and (
-                    kl.startswith("{") or base_k.startswith("{")):
-                # literal-object kind: strict member check
-                # (types/src/kind/mod.rs:17-80)
+            lead = base_k.lstrip()[:1]
+            if v is not None and (lead in ("'", '"', "{", "[")
+                                  or lead.isdigit()):
+                # literal kind (object/array/scalar literals + unions):
+                # strict value check (types/src/kind/mod.rs:17-80)
                 self._litobj_check(fd.name, k, v, rid)
                 continue
             if v is not None and base_k == "object" \
