@@ -276,6 +276,9 @@ _ns(
     },
 )
 
+# bare rand() — a random float (fnc/rand.rs rand; ORDER BY rand())
+REGISTRY["rand"] = lambda: F.rand()
+
 _ns(
     "rand",
     {

@@ -898,7 +898,13 @@ def _run_statement_file(spark: SparkSession, stmts: list[str],
                             script = ScriptRunner(spark, db=db,
                                                   catalog=runner.catalog,
                                                   stmts=runner)
-                        script.run(inner, **env)
+                        res = script.run(
+                            inner, **{**runner.params_defined, **env})
+                        if res.returned:
+                            # RETURN inside IF/FOR ends the whole block
+                            # with its value (exec ControlFlow::Return)
+                            a = res.value
+                            break
                     elif iw in _STMT_WORDS:
                         _auto_define(db, inner)
                         out_df = runner.run(inner, params=env)
@@ -1316,6 +1322,10 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
            or (s.lstrip().startswith("{")
                and re.search(r"\b(LET|RETURN|CREATE|UPDATE|DELETE|INSERT"
                              r"|UPSERT|RELATE|DEFINE|REMOVE)\b", s, re.I))
+           # IF statements with LET/RETURN bodies are script-engine work
+           # (basic_execution.surql), not batchable expressions
+           or (_stmt_word(s) == "IF"
+               and re.search(r"\b(LET|RETURN)\b", s, re.I))
            # writable subqueries (`LET $x = (UPSERT ...)`) need the
            # sequential runner (exec/planner.rs:309-336)
            or re.search(r"\(\s*(CREATE|UPDATE|UPSERT|DELETE|INSERT"

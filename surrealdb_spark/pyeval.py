@@ -239,8 +239,13 @@ def _arith(op: str, a, b):
         out = [x for x in a if not any(_eq(x, y) for y in b)]
         return SetVal(out) if isinstance(a, SetVal) else out
     if op == "-" and is_duration(a) and is_duration(b):
-        return {"months": a["months"] - b["months"],
-                "nanos": a["nanos"] - b["nanos"]}
+        out = {"months": a["months"] - b["months"],
+               "nanos": a["nanos"] - b["nanos"]}
+        if out["months"] < 0 or out["nanos"] < 0:
+            # durations are unsigned (val/duration.rs checked_sub)
+            raise EvalError("Failed to compute: the operation results in "
+                            "a negative duration")
+        return out
     a, b = _num(a, op), _num(b, op)
     dec = isinstance(a, Decimal) or isinstance(b, Decimal)
     if dec:

@@ -27,6 +27,9 @@ from surrealdb_spark.sql.parser import parse_select
 class ScriptResult:
     value: object  # DataFrame | scalar | list
     bindings: dict
+    # a RETURN fired inside (ControlFlow::Return) — enclosing blocks
+    # stop early with this value
+    returned: bool = False
 
 
 class ScriptError(Exception):
@@ -82,13 +85,14 @@ class ScriptRunner:
 
     def run(self, script: str, **params) -> ScriptResult:
         bindings: dict = dict(params)
+        returned = False
         try:
             result = self._run_block(script, bindings)
         except _Return as r:
-            result = r.value
+            result, returned = r.value, True
         except (_Break, _Continue):
             raise ValueError("BREAK/CONTINUE outside a FOR loop") from None
-        return ScriptResult(result, bindings)
+        return ScriptResult(result, bindings, returned)
 
     # block execution -------------------------------------------------------
 

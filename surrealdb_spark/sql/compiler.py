@@ -627,6 +627,10 @@ def _truthy_col(col: Column, cat: str | None) -> Column:
             F.coalesce(s.try_cast("double") == 0, F.lit(False)),
         )
         .when(t == "string", s == "")
+        .when(t.startswith("struct<months:"),
+              # durations: zero-length is falsy (val/mod.rs:146);
+              # struct→string casts print "{0, 0}"
+              s == "{0, 0}")
         .otherwise(s.isin("[]", "{}"))
     )
     return col.isNotNull() & ~F.coalesce(falsy, F.lit(False))
@@ -991,10 +995,18 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
             rm, rn = rc.getField("months"), rc.getField("nanos")
             if op in ("+", "-"):
                 sign = 1 if op == "+" else -1
-                return F.struct(
-                    (lm + sign * rm).cast("long").alias("months"),
-                    (ln + sign * rn).cast("long").alias("nanos"),
-                )
+                out_m = (lm + sign * rm).cast("long")
+                out_n = (ln + sign * rn).cast("long")
+                if op == "-":
+                    # durations are unsigned: underflow errors
+                    # (val/duration.rs checked_sub)
+                    chk = F.assert_true(
+                        (out_m >= 0) & (out_n >= 0),
+                        F.lit("Failed to compute: the operation results "
+                              "in a negative duration"))
+                    out_n = F.when(chk.isNull(), out_n)
+                return F.struct(out_m.alias("months"),
+                                out_n.alias("nanos"))
             if op in ("<", "<=", ">", ">=", "=", "==", "!="):
                 key_l = lm * F.lit(2_630_016_000_000_000) + ln  # ~month in ns
                 key_r = rm * F.lit(2_630_016_000_000_000) + rn
@@ -1003,10 +1015,9 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 # Duration / Duration is NaN (val/duration.rs try_div)
                 return F.lit(float("nan"))
             if op == "%":
-                key_l = lm * F.lit(2_630_016_000_000_000) + ln
-                key_r = rm * F.lit(2_630_016_000_000_000) + rn
-                return F.struct(F.lit(0).cast("long").alias("months"),
-                                (key_l % key_r).cast("long").alias("nanos"))
+                # Duration % Duration is unsupported (val/duration.rs has
+                # no Rem impl — try_rem errors)
+                raise ValueError("cannot take the remainder of durations")
             if op in ("*", "**"):
                 raise ValueError(f"cannot {op} two durations")
         lt0, rt0 = _infer(l, types, params), _infer(r, types, params)
@@ -2745,11 +2756,23 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
 
         lhs = compile_expr(lhs_ast, params, types)
         rhs = compile_expr(rhs_ast, params, types)
+        mname = (metric or "euclidean").lower()
+        if mname.isdigit():
+            # `<|k, ef|>`: the 2nd arg is the HNSW ef parameter — the
+            # metric comes from the field's index DIST (scan/knn.rs)
+            mname = "euclidean"
+            hd = getattr(cat, "hnsw_dist", {})
+            if isinstance(lhs_ast, tuple) and lhs_ast[0] == "ident":
+                for (tb0, f0), mm in hd.items():
+                    if f0 == lhs_ast[1] and (
+                            not sel.sources or tb0 in sel.sources):
+                        mname = mm
+                        break
         dist = {
             "cosine": lambda a, b: 1 - V.cosine_similarity(a, b),
             "manhattan": V.manhattan,
             "chebyshev": V.chebyshev,
-        }.get((metric or "euclidean").lower(), V.euclidean)(lhs, rhs)
+        }.get(mname, V.euclidean)(lhs, rhs)
         # keep the computed distance as `_distance` so
         # vector::distance::knn() (fnc/vector.rs knn) can reference it;
         # dropped again unless the query mentions the function
@@ -2762,6 +2785,8 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # split (explode, operators/split.rs:13-20; non-array fields pass
     # through as single-element)
     for f_ in sel.split:
+        if f_ not in df.columns:
+            continue  # SPLIT on an absent field passes rows through
         dt = dict(df.dtypes).get(f_, "")
         col = F.col(f_) if dt.startswith("array") else F.array(F.col(f_))
         df = df.withColumn(f_, F.explode(col))

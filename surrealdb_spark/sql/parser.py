@@ -1717,6 +1717,8 @@ def _parse_select_body(p: Parser) -> Select:
             sel.timeout = _parse_duration_nanos(chain)
     if p.eat("kw", "PARALLEL"):
         pass  # Spark parallelizes everything already
+    if p.eat_word("TEMPFILES"):
+        pass  # external-sort hint: Spark spills automatically
     if p.eat("kw", "EXPLAIN"):
         sel.explain = "full" if p.eat_word("FULL") else "plain"
     return sel

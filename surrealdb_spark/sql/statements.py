@@ -95,6 +95,7 @@ class DefineTableStmt:
     rel_in: list | None = None   # TYPE RELATION IN/FROM tables
     rel_out: list | None = None  # TYPE RELATION OUT/TO tables
     drop: bool = False           # DROP table: writes are discarded
+    mode: str | None = None      # OVERWRITE / IF NOT EXISTS
     perms_text: str = "NONE"     # canonical PERMISSIONS text for INFO
     changefeed: str | None = None
     # SELECT permission: "full" | "none" | WHERE-expr AST
@@ -123,6 +124,7 @@ class DefineFieldStmt:
     flexible: bool = False
     kind_text: str | None = None   # raw TYPE text for INFO rendering
     texts: dict = dc_field(default_factory=dict)  # raw clause texts/flags
+    mode: str | None = None        # OVERWRITE / IF NOT EXISTS
 
 
 @dataclass
@@ -164,6 +166,7 @@ class DefineAnalyzerStmt:
     raw_filters: list | None = None
     comment: str | None = None
     function: str | None = None  # FUNCTION fn::name preprocessing hook
+    mode: str | None = None      # OVERWRITE / IF NOT EXISTS
 
 
 @dataclass
@@ -178,6 +181,7 @@ class DefineFunctionStmt:
     # statement-shaped body (IF/FOR/THROW/DML) — raw text run through the
     # script engine per call instead of the expression evaluator
     script_src: str | None = None
+    fn_mode: str | None = None  # OVERWRITE / IF NOT EXISTS
 
 
 @dataclass
@@ -274,6 +278,7 @@ class DefineEventStmt:
     is_async: bool = False  # ASYNC [RETRY n] [MAXDEPTH n] (define/event.rs)
     retry: int | None = None
     maxdepth: int | None = None
+    mode: str | None = None  # OVERWRITE / IF NOT EXISTS
 
 
 @dataclass
@@ -284,6 +289,7 @@ class DefineParamStmt:
     value: tuple = None
     comment: str | None = None
     perms: str = "FULL"
+    mode: str | None = None  # OVERWRITE / IF NOT EXISTS
 
 
 @dataclass
@@ -1157,6 +1163,7 @@ def _parse_statement_body(p: Parser):
         if what.text == "TABLE":
             name = _name(p)
             st = DefineTableStmt(name)
+            st.mode = mode
             while True:
                 if p.eat("kw", "SCHEMAFULL") or p.eat_word("SCHEMAFUL"):
                     st.schemafull = True
@@ -1267,6 +1274,7 @@ def _parse_statement_body(p: Parser):
             p.eat("kw", "TABLE")
             tbl = _name(p)
             st = DefineFieldStmt(tbl, name)
+            st.mode = mode
             kind_bases: list = []
             # clauses in any order (statements/define/field.rs)
             while True:
@@ -1484,6 +1492,7 @@ def _parse_statement_body(p: Parser):
             # (define/analyzer.rs; sql/tokenizer.rs, sql/filter.rs)
             name = _name(p)
             st = DefineAnalyzerStmt(name)
+            st.mode = mode
             if p.eat_word("FUNCTION"):
                 # FUNCTION fn::name preprocessing hook — the function
                 # must exist (define/analyzer.rs;
@@ -1611,6 +1620,7 @@ def _parse_statement_body(p: Parser):
                     break
             st = DefineFunctionStmt(name, params, body, ptypes, lets,
                                     text=fn_text, comment=comment)
+            st.fn_mode = mode
             st.script_src = script_src
             st.perms = perms
             return st
@@ -1622,6 +1632,7 @@ def _parse_statement_body(p: Parser):
             p.eat("kw", "TABLE")
             tbl = _name(p)
             st = DefineEventStmt(name, tbl)
+            st.mode = mode
             while True:
                 if p.eat_word("ASYNC"):
                     st.is_async = True
@@ -1660,6 +1671,7 @@ def _parse_statement_body(p: Parser):
             name = p.expect("param").text[1:]
             p.expect("kw", "VALUE")
             st = DefineParamStmt(name, p.expr(0))
+            st.mode = mode
             while True:
                 if p.eat_word("COMMENT"):
                     ct = p.next()
@@ -1692,6 +1704,7 @@ def _parse_statement_body(p: Parser):
             kindw = what.text.lower()
             nm = _name(p)
             st = DefineMiscStmt(kindw, nm)
+            st.mode = mode
             if p.eat("kw", "ON"):
                 st.level = p.next().text.upper()
             cl = st.clauses
@@ -4016,6 +4029,11 @@ class StatementRunner:
             td.fields = [f for f in td.fields if f.name != name]
             self.table_meta.get(tbl, {}).get("fields", {}).pop(name, None)
             self.computed_fields.get(tbl, {}).pop(name, None)
+            had_def = self.obj_info.get("field_stmt", {}).pop(
+                (tbl, name), None) is not None
+            self.obj_info.get("field_struct", {}).pop((tbl, name), None)
+            if had_def and len(td.fields) == before:
+                return  # clause-less field: registry entry only
             if len(td.fields) == before:
                 ti0 = self.obj_info["tables"].get(tbl, {})
                 if name in ("in", "out") and (ti0.get("rel_in")
@@ -4188,6 +4206,18 @@ class StatementRunner:
         canonical text (Display impls in define/{access,user,api}.rs),
         store for INFO."""
         from surrealdb_spark import pyeval
+
+        if stmt.kind in ("access", "user"):
+            reg0 = self._level_cat(
+                "accesses" if stmt.kind == "access" else "users",
+                stmt.level)
+            if stmt.name in reg0:
+                # redefinition needs OVERWRITE (define/access.rs)
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The {stmt.kind} '{stmt.name}' already exists")
 
         def rv(v):
             if isinstance(v, tuple) and v[0] == "param":
@@ -4747,6 +4777,13 @@ class StatementRunner:
         return sorted(ANALYZERS)
 
     def _refresh_catalog(self) -> None:
+        # HNSW index metrics: `<|k, ef|>` searches use the INDEX's
+        # declared DIST (exec/operators/scan/knn.rs)
+        self.catalog.hnsw_dist = {
+            (d.table, str(d.fields[0]) if d.fields else ""):
+                (d.dist or "euclidean").lower()
+            for d in self.index_defs.values()
+            if getattr(d, "kind", "") == "hnsw"}
         edge_names = set()
         for name in self.db.tables:
             if self.db._exists(name):
@@ -4968,6 +5005,14 @@ class StatementRunner:
             tgt.table = tb
             tgt.key = int(key) if key.isdigit() else key
         if isinstance(stmt, DefineTableStmt):
+            if stmt.name in self.obj_info["tables"]:
+                # explicit redefinition needs OVERWRITE (define/table.rs;
+                # implicitly-created tables can still be DEFINEd once)
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The table '{stmt.name}' already exists")
             self.db.define_table(TableDef(stmt.name))
             self.db.tables[stmt.name].schemafull = stmt.schemafull
             if stmt.ttype == "RELATION":
@@ -5016,6 +5061,14 @@ class StatementRunner:
                 raise ValueError(
                     f"Cannot define field `{stmt.name}` as `COMPUTED` "
                     "fields must be top-level.")
+            if (stmt.table, stmt.name) in self.obj_info.get(
+                    "field_stmt", {}):
+                # redefinition needs OVERWRITE (define/field.rs)
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The field '{stmt.name}' already exists")
             if stmt.name == "id" and stmt.kind_text:
                 # only record-key shapes may type `id` (define/field.rs
                 # id-kind check; statements/define/field/id_kind.surql):
@@ -5280,6 +5333,13 @@ class StatementRunner:
         if isinstance(stmt, DefineAnalyzerStmt):
             from surrealdb_spark.pipeline.analyzer import define_analyzer
 
+            if stmt.name in self.obj_info["analyzers"]:
+                # redefinition needs OVERWRITE (define/analyzer.rs)
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The analyzer '{stmt.name}' already exists")
             poison = None
             if stmt.function is not None:
                 fname = stmt.function if stmt.function.startswith("fn::") \
@@ -5486,6 +5546,13 @@ class StatementRunner:
         if isinstance(stmt, DefineFunctionStmt):
             # UDF-as-macro: the body is inlined at call sites
             # (define/function.rs — the reference stores the AST too).
+            if stmt.name in self.functions:
+                # redefinition needs OVERWRITE (define/function.rs)
+                if stmt.fn_mode == "ine":
+                    return None
+                if stmt.fn_mode != "overwrite":
+                    raise ValueError(
+                        f"The function '{stmt.name}' already exists")
             self.functions[stmt.name] = stmt
             from surrealdb_spark.functions.registry import REGISTRY
 
@@ -5661,6 +5728,19 @@ class StatementRunner:
                 "comment": stmt.comment, "perms": stmt.perms}
             return None
         if isinstance(stmt, DefineEventStmt):
+            if stmt.name in self.events \
+                    and self.events[stmt.name][0] == stmt.table:
+                # redefinition needs OVERWRITE (define/event.rs); the
+                # old hook unhooks so the event doesn't double-fire
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The event '{stmt.name}' already exists")
+                old_t, old_h = self.events[stmt.name]
+                td_o = self.db.tables.get(old_t)
+                if td_o is not None and old_h in td_o.events:
+                    td_o.events.remove(old_h)
             if stmt.table not in self.db.tables:
                 self.db.define_table(TableDef(stmt.table))
             # doc/event.rs: fires per affected record with real before/
@@ -5705,6 +5785,13 @@ class StatementRunner:
                 est["maxdepth"], when_txt, then_txt, stmt.comment)
             return None
         if isinstance(stmt, DefineParamStmt):
+            if stmt.name in self.obj_info["params"]:
+                # redefinition needs OVERWRITE (define/param.rs)
+                if stmt.mode == "ine":
+                    return None
+                if stmt.mode != "overwrite":
+                    raise ValueError(
+                        f"The param '${stmt.name}' already exists")
             try:
                 v = self.spark.range(1).select(
                     self._expr(stmt.value, {}).alias("v")
