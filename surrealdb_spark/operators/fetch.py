@@ -73,3 +73,49 @@ def fetch_array(
         ).alias(field)
     )
     return df.drop(field).join(renested, key_cols, "left")
+
+
+def fetch_array_nested(
+    df: DataFrame,
+    head: str,
+    rest: str,
+    key_cols: list[str],
+    target: DataFrame,
+    target_id: str,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Nested FETCH inside an array of structs: ``head`` is an
+    array<struct> column whose elements carry a record-id field ``rest``;
+    each element's ``rest`` becomes the full target row
+    (fetch.rs:27 walks the idiom into array elements — `FETCH
+    purchases.out` re-embeds INSIDE the already-fetched parent).
+
+    posexplode → join on elem.rest → withField replace → re-nest; one
+    shuffle keyed on ``key_cols``.
+    """
+    exploded = df.select(
+        *key_cols, F.posexplode_outer(F.col(head)).alias("__pos", "__elem")
+    )
+    t = target.select(
+        F.col(target_id).alias("__fetch_id"),
+        F.struct(*[F.col(c) for c in target.columns]).alias("__fetched"),
+    )
+    if broadcast:
+        t = F.broadcast(t)
+    joined = exploded.join(
+        t, F.col(f"__elem.{rest}").cast("string") == t.__fetch_id, "left")
+    joined = joined.withColumn(
+        "__elem2",
+        F.when(F.col("__elem").isNull(), F.lit(None)).otherwise(
+            F.col("__elem").withField(rest, F.col("__fetched"))),
+    )
+    renested = joined.groupBy(*key_cols).agg(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("__pos", "__elem2"))),
+                lambda s: s.getField("__pos").isNotNull(),
+            ),
+            lambda s: s.getField("__elem2"),
+        ).alias(head)
+    )
+    return df.drop(head).join(renested, key_cols, "left")

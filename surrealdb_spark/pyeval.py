@@ -1050,7 +1050,14 @@ def _call(name: str, arg_asts, env):
                     for i2, nm in enumerate(pnames)}
             for ln, last in lets:
                 fenv[ln] = peval(last, fenv)
-            return peval(body, fenv)
+            try:
+                return peval(body, fenv)
+            except (BreakSignal, ContinueSignal):
+                # function bodies are control-flow boundaries
+                # (exec/mod.rs:150-155)
+                raise EvalError(
+                    "Invalid control flow statement, break or continue "
+                    "statement found outside of loop.") from None
     if fn is None:
         raise Unfoldable(f"function {name}")
     args = [peval(a, env) if not (isinstance(a, tuple) and a[0] == "closure")

@@ -3230,8 +3230,48 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
     # dereferences `author` on the way — fetch.rs:27 walks the idiom),
     # processed shallowest-first so later paths re-embed INSIDE the
     # already-fetched parent struct (dbs/iterator.rs:1125 output_fetch).
-    fetch_paths: list[str] = []
+    # param / type::field(s) fetch targets resolve to path strings first
+    # (fetch.rs Fetch::compute; non-idiom values are a FETCH error)
+    def _resolve_fetch_entry(entry) -> list:
+        if isinstance(entry, str):
+            return [entry]
+        from surrealdb_spark import pyeval as _pyf
+
+        def _fetch_err(v):
+            if isinstance(v, float):
+                # Value::Float Display: `1f` (types/src/value)
+                txt = (str(int(v)) if v.is_integer() else str(v)) + "f"
+            else:
+                txt = _pyf.render(v)
+            raise ValueError(
+                f"Found {txt} on FETCH CLAUSE, but FETCH expects an "
+                f"idiom, a string or fields")
+
+        if entry[0] == "param":
+            v = params.get(entry[1])
+        else:
+            ast_f = entry[1]
+            if ast_f[0] == "call" and ast_f[1] in ("type::field",
+                                                   "type::fields"):
+                try:
+                    v = _pyf.peval(ast_f[2][0], dict(params))
+                except Exception:
+                    _fetch_err(None)
+            else:
+                _fetch_err(None)
+        if isinstance(v, str):
+            return [v]
+        if isinstance(v, list) and all(isinstance(x, str) for x in v):
+            return v
+        _fetch_err(v)
+
+    resolved_fetch: list[str] = []
     for f_ in sel.fetch:
+        for pth in _resolve_fetch_entry(f_):
+            if pth not in resolved_fetch:
+                resolved_fetch.append(pth)
+    fetch_paths: list[str] = []
+    for f_ in resolved_fetch:
         parts = f_.split(".")
         for d in range(1, len(parts) + 1):
             pre = ".".join(parts[:d])
@@ -3270,7 +3310,17 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             record_id(tbl, idc))
         target = target.withColumn("id", rid_c)
         target = target.drop(id_col) if id_col != "id" else target
-        if is_arr:
+        if "." in f_ and f_.split(".", 1)[0] in df.columns and \
+                dict(df.dtypes).get(f_.split(".", 1)[0], "").startswith(
+                    "array<struct"):
+            # path into an already-fetched ARRAY of structs
+            # (`FETCH purchases.out`): re-embed inside each element
+            from surrealdb_spark.operators.fetch import fetch_array_nested
+
+            head, rest = f_.split(".", 1)
+            keys = [c for c in df.columns if c == "id"] or df.columns[:1]
+            df = fetch_array_nested(df, head, rest, keys, target, "id")
+        elif is_arr:
             from surrealdb_spark.operators.fetch import fetch_array
 
             keys = [c for c in df.columns if c == "id"] or df.columns[:1]
@@ -3602,6 +3652,13 @@ def _extract_lookups(ast, specs: list, bool_ctx: bool = False,
             elif t0[0] == "field":
                 if t0[1] == "id":
                     mode, trailing = ("id",), trailing[1:]
+                elif t0[1] in ("in", "out") and len(trailing) > 1 \
+                        and trailing[1] == ("all",):
+                    # `->e.out.*` — Part::All on a Thing dereferences the
+                    # endpoint record (expr/lookup.rs; equivalent to a
+                    # wildcard second hop `->e->?` row projection)
+                    steps.append((t0[1], None, {}))
+                    mode, trailing = ("rows",), trailing[2:]
                 else:
                     mode = ("rows",)
             elif t0[0] == "where":

@@ -1551,7 +1551,7 @@ def plan_new(runner, sel, params=None) -> Node:
                            if sel.start is not None else "]"), [node])
         if sel.fetch:
             node = Node("Fetch",
-                        "[fields: " + ", ".join(sel.fetch) + "]", [node])
+                        "[fields: " + ", ".join(f if isinstance(f, str) else ("$" + f[1] if f[0] == "param" else "<expr>") for f in sel.fetch) + "]", [node])
         return node
 
     # Sort — with a LIMIT this is a TopK (SortTopKByKey under a Limit);
@@ -1664,7 +1664,7 @@ def plan_new(runner, sel, params=None) -> Node:
     if sel.limit is not None and acc0.limit is None:
         p.rows = min(p.rows or 0, sel.limit)
     if sel.fetch:
-        fch = Node("Fetch", "[fields: " + ", ".join(sel.fetch) + "]", [p])
+        fch = Node("Fetch", "[fields: " + ", ".join(f if isinstance(f, str) else ("$" + f[1] if f[0] == "param" else "<expr>") for f in sel.fetch) + "]", [p])
         fch.rows = p.rows
         p = fch
     return p

@@ -1132,6 +1132,13 @@ class Parser:
                 while self.eat("op", "|") or self.eat("op", ","):
                     tn = self.next()
                     tables.append(tn.orig or tn.text)
+                if self.eat("kw", "AS"):
+                    # `->(bought AS purchases)` — lookup alias names the
+                    # projected field (expr/lookup.rs:63 alias)
+                    at = self.next()
+                    if at.kind not in ("name", "kw"):
+                        raise SyntaxError(f"bad lookup alias {at.text!r}")
+                    opts["alias"] = at.orig or at.text.lower()
             while True:
                 nt = self.peek()
                 if nt.kind == "kw" and nt.text == "WHERE":
@@ -1423,6 +1430,20 @@ def parse_select(src: str) -> Select:
     return sel
 
 
+def _lookup_alias(e) -> str | None:
+    """Alias carried inside a lookup segment `->(edge AS alias)`
+    (expr/lookup.rs:63 Lookup alias names the projected field)."""
+    if not isinstance(e, tuple):
+        return None
+    if e[0] == "path":
+        for part in e[2]:
+            if isinstance(part, tuple) and part[0] == "graph" \
+                    and isinstance(part[1][2], dict) \
+                    and "alias" in part[1][2]:
+                return part[1][2]["alias"]
+    return None
+
+
 def _parse_select_body(p: Parser) -> Select:
     p.expect("kw", "SELECT")
     sel = Select(fields=None, value_expr=None)
@@ -1465,6 +1486,10 @@ def _parse_select_body(p: Parser) -> Select:
                 # render single-quoted regardless of source quoting
                 txt = re.sub(r'"([^"\']*)"', r"'\1'",
                                   p.src[t0.pos:t1.pos].strip())
+                if alias is None:
+                    # `->(bought AS purchases)` — in-lookup alias names
+                    # the field (expr/lookup.rs:63)
+                    alias = _lookup_alias(e)
                 fields.append(Field(e, alias, txt))
                 if not p.eat("op", ","):
                     break
@@ -1681,6 +1706,27 @@ def _parse_select_body(p: Parser) -> Select:
             sel.start = int(p.expect("num").text)
     if p.eat("kw", "FETCH"):
         while True:
+            if p.peek().kind == "param":
+                # `FETCH $param` — resolved to an idiom/string at
+                # execution (fetch.rs Fetch::compute on Value::Param)
+                sel.fetch.append(("param", p.next().text[1:]))
+                if not p.eat("op", ","):
+                    break
+                continue
+            if p.peek().kind == "name" and p.peek().text.startswith(
+                    "type::"):
+                # `FETCH type::field('x')` / `type::fields([...])` —
+                # computed fetch targets (fetch.rs on Value::Function)
+                sel.fetch.append(("expr", p.expr(0)))
+                if not p.eat("op", ","):
+                    break
+                continue
+            if p.peek().kind == "str":
+                t_s = p.next()
+                sel.fetch.append(t_s.text[1:-1])
+                if not p.eat("op", ","):
+                    break
+                continue
             name = p.expect("name").text
             # dotted fetch paths (`FETCH author.company`) dereference
             # every record link along the path and embed each level

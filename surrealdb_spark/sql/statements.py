@@ -1576,6 +1576,13 @@ def _parse_statement_body(p: Parser):
                         e = p.expr(0)
                         if not returned:
                             body, returned = e, True
+                    elif p.peek_word("BREAK") or p.peek_word("CONTINUE"):
+                        # bare BREAK/CONTINUE in a function body: a
+                        # control-flow node that errors at call time
+                        # (exec/mod.rs:150-155, break_in_function.surql)
+                        w = p.next().text.lower()
+                        if not returned:
+                            body, returned = ("ctrl", w), True
                     else:
                         # a nested `{ .. RETURN x .. }` block returns from
                         # the whole function (ControlFlow::Return
@@ -2570,6 +2577,10 @@ class StatementRunner:
         self.ns_meta: dict[str, dict] = {}
         self.root_meta: dict[str, dict] = {}
         self.kv_defaults: dict = {}
+        # root-level config objects (DEFINE CONFIG DEFAULT stores at ROOT;
+        # ALTER CONFIG DEFAULT stores at DB — REMOVE checks ROOT only,
+        # statements/remove/config/default.surql vs alter_config.surql)
+        self.root_configs: set = set()
         # connecting with a ns/db selected auto-defines both (the
         # reference creates them lazily on first use in non-strict mode)
         from surrealdb_spark.functions.extra_fns import SessionContext
@@ -2726,6 +2737,12 @@ class StatementRunner:
         dst = tempfile.mkdtemp(prefix="txbk_")
         shutil.rmtree(dst)
         shutil.copytree(self.db.root, dst)
+        # a rolled-back statement also rolls back the table definitions it
+        # implicitly created (exec statement atomicity — a failed FOR's
+        # CREATEs leave no table behind, break_in_function.surql)
+        if not hasattr(self, "_snap_meta"):
+            self._snap_meta: dict[str, set] = {}
+        self._snap_meta[dst] = set(self.db.tables)
         return dst
 
     def _restore_root(self, backup: str | None) -> None:
@@ -2736,6 +2753,13 @@ class StatementRunner:
         shutil.rmtree(self.db.root, ignore_errors=True)
         shutil.copytree(backup, self.db.root)
         shutil.rmtree(backup, ignore_errors=True)
+        pre = getattr(self, "_snap_meta", {}).pop(backup, None)
+        if pre is not None:
+            for tb in [t for t in self.db.tables if t not in pre]:
+                self.db.tables.pop(tb, None)
+                self.meta.get("tables", {}).pop(tb, None)
+                self.catalog._cache.pop(tb, None)
+                getattr(self.catalog, "registered", set()).discard(tb)
         self._tx_backup = None
 
     @staticmethod
@@ -3979,8 +4003,17 @@ class StatementRunner:
                                                str(name))
             # ALTER stores Default at DB level; REMOVE checks ROOT
             # (alter_config.surql: removing default always errors)
-            if canon == "Default" or canon not in self.meta["configs"]:
-                if stmt.if_exists and canon != "Default":
+            if canon == "Default":
+                if canon in self.root_configs:
+                    self.root_configs.discard(canon)
+                    self.kv_defaults = {}
+                    return None
+                if stmt.if_exists:
+                    return None
+                raise ValueError(
+                    "The config for default does not exist")
+            if canon not in self.meta["configs"]:
+                if stmt.if_exists:
                     return None
                 raise ValueError(
                     f"The config for {str(name).lower()} does not exist")
@@ -4017,6 +4050,13 @@ class StatementRunner:
                 self.indexes.pop(ixn, None)
             self.table_meta.pop(name, None)
             self.obj_info["tables"].pop(name, None)
+            # field definitions go with the table: a later re-DEFINE FIELD
+            # must not hit the duplicate check (remove/table.rs drops the
+            # table's field metadata)
+            for reg in ("field_stmt", "field_struct"):
+                fs = self.obj_info.get(reg, {})
+                for key in [k for k in fs if k[0] == name]:
+                    fs.pop(key, None)
             return
         if k == "field":
             tbl = stmt.table
@@ -4323,14 +4363,23 @@ class StatementRunner:
                 txt += f" MIDDLEWARE {_canon_stmt_text(cl['middleware'])}"
             txt += f" PERMISSIONS {cl.get('perms', 'FULL')}"
             self.meta["configs"]["API"] = txt
-            self.obj_info.setdefault("configs", {})["API"] = {
-                "api": {"middleware": cl.get("middleware"),
-                        "permissions": cl.get("perms", "FULL")}}
+            # STRUCTURE form: permissions render as booleans (FULL→true,
+            # NONE→false, info.rs Permission::structure); middleware is
+            # omitted when unset (remove/config/api.surql)
+            _api_s: dict = {}
+            if cl.get("middleware"):
+                _api_s["middleware"] = cl.get("middleware")
+            _p = cl.get("perms", "FULL")
+            _api_s["permissions"] = (True if str(_p).upper() == "FULL"
+                                     else False if str(_p).upper() == "NONE"
+                                     else _p)
+            self.obj_info.setdefault("configs", {})["API"] = {"api": _api_s}
             return None
         if stmt.kind == "config":
             self.kv_defaults = {
                 "namespace": rv(cl.get("namespace")),
                 "database": rv(cl.get("database"))}
+            self.root_configs.add("Default")
             return None
         if stmt.kind == "api":
             path = str(rv(stmt.name))
@@ -4620,6 +4669,11 @@ class StatementRunner:
                         "namespaces": {n: d["text"]
                                        for n, d in self.namespaces.items()}}
             return {"accesses": dict(self.root_meta.get("accesses", {})),
+                    # root-level DEFAULT config (define/config.rs DEFAULT
+                    # stores at root; shown only when defined there)
+                    "defaults": ({k: v for k, v in self.kv_defaults.items()
+                                  if v is not None}
+                                 if "Default" in self.root_configs else {}),
                     "nodes": {},
                     "users": dict(self.root_meta.get("users", {})),
                     "system": {"available_parallelism": 0,
@@ -5618,7 +5672,8 @@ class StatementRunner:
                             f"Incorrect arguments for function "
                             f"fn::{short_n}(). The function expects "
                             f"{want} arguments.")
-                    from surrealdb_spark.script import ScriptError
+                    from surrealdb_spark.script import (
+                        ScriptError, _Break, _Continue)
 
                     binds = {nm: (args[i3] if i3 < len(args) else None)
                              for i3, nm in enumerate(_names)}
@@ -5629,6 +5684,15 @@ class StatementRunner:
                         raise _pye2.EvalError(
                             f"An error occurred: "
                             f"{_pye2.render(exc.value)}") from None
+                    except (_Break, _Continue, _pye2.BreakSignal,
+                            _pye2.ContinueSignal):
+                        # functions are control-flow boundaries: a BREAK/
+                        # CONTINUE inside the body cannot cross the call
+                        # (exec/mod.rs:150-155 ControlFlow check)
+                        raise _pye2.EvalError(
+                            "Invalid control flow statement, break or "
+                            "continue statement found outside of loop."
+                        ) from None
 
                 _pye2.SCRIPT_FNS[key] = script_call
                 REGISTRY.pop(key, None)
@@ -5956,7 +6020,15 @@ class StatementRunner:
                     return None
                 raise KeyError(f"no such index {stmt.name}")
             if d.kind not in ("uniq", "idx", "count"):
-                self._execute(d, {})  # rebuild the stored artifact
+                # rebuild re-runs the stored definition; the existence
+                # check must not fire (rebuild.rs re-runs the build, never
+                # the duplicate check) — execute with overwrite semantics
+                _saved_mode = getattr(d, "mode", None)
+                try:
+                    d.mode = "overwrite"
+                    self._execute(d, {})  # rebuild the stored artifact
+                finally:
+                    d.mode = _saved_mode
             try:
                 d.initial_rows = (self.db.table(d.table).count()
                                   if self.db._exists(d.table) else 0)
