@@ -403,7 +403,23 @@ def _search_analyze(a, s=None) -> Column:
 
     if s is None:
         a, s = "default", a
-    return get_analyzer(a)(s if isinstance(s, Column) else F.lit(s))
+    an = get_analyzer(a)
+    fname = getattr(an, "function", None)
+    if fname and not isinstance(s, Column):
+        # FUNCTION preprocessing hook runs on the raw text first
+        # (define/analyzer.rs; fnc/search.rs analyze): arity errors
+        # surface from the call, non-string returns are an error
+        from surrealdb_spark import pyeval as _pya
+
+        key = fname if str(fname).startswith("fn::") else f"fn::{fname}"
+        out = _pya.peval(("call", key, [("lit", s)]), {})
+        if not isinstance(out, str):
+            short = key.removeprefix("fn::")
+            raise _pya.EvalError(
+                f"There was a problem running the {short}() function. "
+                "The function should return a string.")
+        s = out
+    return an(s if isinstance(s, Column) else F.lit(s))
 
 
 def _search_ns() -> dict[str, Callable]:

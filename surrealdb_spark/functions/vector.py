@@ -157,3 +157,42 @@ METRICS = {
     "chebyshev": chebyshev,
     "hamming": hamming,
 }
+
+
+# -- f32-accumulated variants (HNSW stores vectors at the index's declared
+# TYPE, default F32 — catalog/schema/index.rs VectorType; idx/trees/vector.rs
+# accumulates dot/norm sums at storage precision, final math in f64) -------
+
+
+def _p32(a: Column | str, b: Column | str) -> Column:
+    """Element products accumulated as f32 then summed as f32."""
+    prods = F.zip_with(
+        _c(a), _c(b),
+        lambda x, y: (x.cast("float") * y.cast("float")).cast("float"))
+    return F.aggregate(
+        prods, F.lit(0.0).cast("float"),
+        lambda acc, x: (acc + x).cast("float"))
+
+
+def cosine_distance_f32(a: Column | str, b: Column | str) -> Column:
+    """1 - dot32/sqrt(n1_32 * n2_32), division/sqrt in f64."""
+    return F.lit(1.0) - _p32(a, b).cast("double") / F.sqrt(
+        _p32(a, a).cast("double") * _p32(b, b).cast("double"))
+
+
+def euclidean_f32(a: Column | str, b: Column | str) -> Column:
+    diffs = F.zip_with(
+        _c(a), _c(b),
+        lambda x, y: ((x.cast("float") - y.cast("float"))
+                      * (x.cast("float") - y.cast("float"))).cast("float"))
+    s = F.aggregate(diffs, F.lit(0.0).cast("float"),
+                    lambda acc, x: (acc + x).cast("float"))
+    return F.sqrt(s.cast("double"))
+
+
+def manhattan_f32(a: Column | str, b: Column | str) -> Column:
+    diffs = F.zip_with(
+        _c(a), _c(b),
+        lambda x, y: F.abs(x.cast("float") - y.cast("float")).cast("float"))
+    return F.aggregate(diffs, F.lit(0.0).cast("float"),
+                       lambda acc, x: (acc + x).cast("float")).cast("double")

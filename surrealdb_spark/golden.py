@@ -1252,6 +1252,13 @@ def run_file(spark: SparkSession, path: str) -> FileResult:
     # (language-tests/src/runner) — session fns and USE report against that
     from surrealdb_spark.functions.extra_fns import SessionContext
 
+    # relative analyzer-mapper paths resolve against the reference
+    # runner's cwd (the language-tests crate dir above tests/)
+    if "/tests/" in path:
+        from surrealdb_spark.pipeline import analyzer as _an
+
+        _an.MAPPER_BASE = path.split("/tests/")[0]
+
     text = open(path).read()
     config, stmts = parse_test_file(text)
     test = config.get("test", {})

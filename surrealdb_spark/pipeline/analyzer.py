@@ -34,10 +34,6 @@ _CLASS_BOUNDARY = (
     r"|(?<=[\p{L}\p{N}])(?=[\p{P}\p{S}])|(?<=[\p{P}\p{S}])(?=[\p{L}\p{N}])"
 )
 
-_SPLIT_CLASSES = {
-    "blank": r"\s",
-    "punct": r"\p{P}\p{S}",
-}
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -234,9 +230,16 @@ class Analyzer:
             s = F.regexp_replace(s, _CAMEL_BOUNDARY, _SEP)
         if "class" in self.tokenizers:
             s = F.regexp_replace(s, _CLASS_BOUNDARY, _SEP)
-        classes = _SEP + "".join(
-            _SPLIT_CLASSES[t] for t in self.tokenizers if t in _SPLIT_CLASSES
-        )
+        if "punct" in self.tokenizers:
+            # punct_role: each punctuation char is an IsolatedToken
+            # (idx/ft/analyzer/tokenizer.rs:380-388) — kept as a token,
+            # not dropped as a separator
+            s = F.regexp_replace(s, r"([\p{P}\p{S}])", _SEP + "$1" + _SEP)
+        classes = _SEP
+        if "blank" in self.tokenizers or "class" in self.tokenizers:
+            # blank_role / class_role: Whitespace is NotTokenizable
+            # (tokenizer.rs:355-378) — a separator, never a token
+            classes += r"\s"
         arr = F.split(s, f"[{classes}]+")
         arr = F.filter(arr, lambda x: x != "")
         for f in self.filters:
@@ -305,8 +308,24 @@ def _edgengrams(t: Column, lo: int, hi: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# base dir for relative mapper paths — the reference runner resolves them
+# against its working directory (the language-tests crate dir); the golden
+# harness sets this to the corpus root's crate dir
+MAPPER_BASE: str | None = None
+
+
 def _load_mapper(path: str) -> dict[str, str]:
     """mapper.rs TSV: `word<TAB>term` per line → {term: word}."""
+    import os as _os
+
+    if not _os.path.isabs(path) and not _os.path.exists(path) \
+            and MAPPER_BASE:
+        cand = _os.path.normpath(_os.path.join(MAPPER_BASE, path))
+        if _os.path.exists(cand):
+            path = cand
+    if not _os.path.exists(path):
+        # classified engine error, not a raw IO crash (mapper.rs read err)
+        raise ValueError(f"The analyzer mapper file '{path}' was not found")
     out: dict[str, str] = {}
     with open(path, encoding="utf-8") as fh:
         for ln, line in enumerate(fh):
@@ -332,9 +351,12 @@ POISONED: dict[str, str] = {}
 
 
 def define_analyzer(name: str, tokenizers=("blank", "punct"),
-                    filters=("lowercase",), poison: str | None = None
-                    ) -> Analyzer:
+                    filters=("lowercase",), poison: str | None = None,
+                    function: str | None = None) -> Analyzer:
     a = Analyzer(tokenizers, filters, name=name)
+    # FUNCTION preprocessing hook (define/analyzer.rs): text runs through
+    # fn::<function> before tokenization; must return a string
+    a.function = function
     ANALYZERS[name] = a
     if poison:
         POISONED[name] = poison

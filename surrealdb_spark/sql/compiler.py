@@ -152,7 +152,7 @@ _RAW_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "encoding::json::decode": (0, 1),
     "vector::distance::minkowski": (2,),
     "geo::hash::encode": (1,),
-    "search::analyze": (0,), "sequence::nextval": (0,),
+    "search::analyze": (0, 1), "sequence::nextval": (0,),
     "rand::id": (0,), "schema::table::exists": (0,),
     "rand::time": (0, 1), "rand::duration": (0, 1),
     # file:: I/O runs driver-side on pointer strings (pipeline/filebucket)
@@ -2757,22 +2757,34 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
         lhs = compile_expr(lhs_ast, params, types)
         rhs = compile_expr(rhs_ast, params, types)
         mname = (metric or "euclidean").lower()
+        use_f32 = False
         if mname.isdigit():
             # `<|k, ef|>`: the 2nd arg is the HNSW ef parameter — the
-            # metric comes from the field's index DIST (scan/knn.rs)
+            # metric comes from the field's index DIST (scan/knn.rs);
+            # vectors are stored at the index TYPE (F32 default —
+            # schema/index.rs VectorType), so sums accumulate in f32
             mname = "euclidean"
             hd = getattr(cat, "hnsw_dist", {})
+            hv = getattr(cat, "hnsw_vtype", {})
             if isinstance(lhs_ast, tuple) and lhs_ast[0] == "ident":
                 for (tb0, f0), mm in hd.items():
                     if f0 == lhs_ast[1] and (
                             not sel.sources or tb0 in sel.sources):
                         mname = mm
+                        use_f32 = hv.get((tb0, f0), "F32") != "F64"
                         break
-        dist = {
-            "cosine": lambda a, b: 1 - V.cosine_similarity(a, b),
-            "manhattan": V.manhattan,
-            "chebyshev": V.chebyshev,
-        }.get(mname, V.euclidean)(lhs, rhs)
+        if use_f32:
+            dist = {
+                "cosine": V.cosine_distance_f32,
+                "manhattan": V.manhattan_f32,
+                "chebyshev": V.chebyshev,
+            }.get(mname, V.euclidean_f32)(lhs, rhs)
+        else:
+            dist = {
+                "cosine": lambda a, b: 1 - V.cosine_similarity(a, b),
+                "manhattan": V.manhattan,
+                "chebyshev": V.chebyshev,
+            }.get(mname, V.euclidean)(lhs, rhs)
         # keep the computed distance as `_distance` so
         # vector::distance::knn() (fnc/vector.rs knn) can reference it;
         # dropped again unless the query mentions the function

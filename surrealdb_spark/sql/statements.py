@@ -140,6 +140,7 @@ class DefineIndexStmt:
     highlights: bool = False
     initial_rows: int = 0       # rows indexed at (re)build (INFO building)
     dist: str | None = None     # HNSW DIST metric name
+    vtype: str | None = None    # HNSW TYPE (F32 default — schema/index.rs)
     efc: int | None = None      # HNSW EFC (construction ef; plan default)
     concurrently: bool = False  # async build: failures surface via INFO
     build_error: str | None = None  # concurrent build failure message
@@ -647,12 +648,33 @@ def _duration_text(p: Parser) -> str:
     return "".join(x.text for x in parts)
 
 
-def _render_analyzer(name: str, toks, filts, comment) -> str:
+def _render_analyzer(name: str, toks, filts, comment,
+                     function: str | None = None) -> str:
+    """Display for DEFINE ANALYZER (define/analyzer.rs): tokenizers join
+    bare-comma, filters comma-space with uppercased args —
+    `FILTERS LOWERCASE, SNOWBALL(ENGLISH)`, string args stay quoted."""
     out = f"DEFINE ANALYZER {name}"
+    if function:
+        fn = function if str(function).startswith("fn::") \
+            else f"fn::{function}"
+        out += f" FUNCTION {fn}"
     if toks:
         out += " TOKENIZERS " + ",".join(t.upper() for t in toks)
+
+    def _flt(f) -> str:
+        if isinstance(f, str):
+            return f.upper()
+        fname, *args = f
+        if not args:
+            return fname.upper()
+        rendered = ",".join(
+            f"'{a}'" if isinstance(a, str) and fname == "mapper"
+            else (str(a).upper() if isinstance(a, str) else str(a))
+            for a in args)
+        return f"{fname.upper()}({rendered})"
+
     if filts:
-        out += " FILTERS " + ",".join(f.upper() for f in filts)
+        out += " FILTERS " + ", ".join(_flt(f) for f in filts)
     if comment:
         out += f" COMMENT {_surql_literal(comment)}"
     return out
@@ -1460,6 +1482,8 @@ def _parse_statement_body(p: Parser):
                     t2 = p.next()
                     if w == "DIST":
                         st.dist = (t2.orig or t2.text)
+                    else:
+                        st.vtype = (t2.orig or t2.text).upper()
                 elif w == "COMMENT":
                     p.next()
                     p.next()
@@ -4747,10 +4771,18 @@ class StatementRunner:
                     + (f" TYPE {f.dtype}" if f.dtype else "")
                     + " PERMISSIONS FULL")
             indexes = {}
+
+            def _bt(x: str) -> str:
+                # non-plain identifiers render backticked (Display for
+                # Ident — `user.csv` in index/concurrently.surql)
+                import re as _re9
+
+                return x if _re9.fullmatch(r"\w+", x) else f"`{x}`"
+
             for n, d in self.index_defs.items():
                 if d.table != stmt.table:
                     continue
-                t = f"DEFINE INDEX {n} ON {d.table}" + (
+                t = f"DEFINE INDEX {_bt(n)} ON {_bt(d.table)}" + (
                     f" FIELDS {', '.join(d.fields)}" if d.fields else "")
                 if d.kind == "uniq":
                     t += " UNIQUE"
@@ -4836,6 +4868,13 @@ class StatementRunner:
         self.catalog.hnsw_dist = {
             (d.table, str(d.fields[0]) if d.fields else ""):
                 (d.dist or "euclidean").lower()
+            for d in self.index_defs.values()
+            if getattr(d, "kind", "") == "hnsw"}
+        # HNSW vector storage type: F32 is the DEFAULT (schema/index.rs
+        # VectorType) — distances accumulate in f32 unless TYPE F64
+        self.catalog.hnsw_vtype = {
+            (d.table, str(d.fields[0]) if d.fields else ""):
+                (getattr(d, "vtype", None) or "F32").upper()
             for d in self.index_defs.values()
             if getattr(d, "kind", "") == "hnsw"}
         edge_names = set()
@@ -5403,11 +5442,13 @@ class StatementRunner:
                     # lazy validation: DEFINE succeeds, first USE errors
                     poison = fname
             define_analyzer(stmt.name, stmt.tokenizers, stmt.filters,
-                            poison=poison)
+                            poison=poison,
+                            function=getattr(stmt, "function", None))
             self.meta["analyzers"][stmt.name] = _render_analyzer(
-                stmt.name, stmt.raw_tokenizers, stmt.raw_filters, stmt.comment)
+                stmt.name, stmt.raw_tokenizers, stmt.filters, stmt.comment,
+                function=getattr(stmt, "function", None))
             self.obj_info["analyzers"][stmt.name] = {
-                "toks": stmt.raw_tokenizers, "filts": stmt.raw_filters,
+                "toks": stmt.raw_tokenizers, "filts": stmt.filters,
                 "comment": stmt.comment}
             return None
         if isinstance(stmt, DefineIndexStmt):

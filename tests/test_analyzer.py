@@ -22,7 +22,10 @@ def run(spark, a, s):
 
 
 def test_tokenizers(spark):
-    assert run(spark, Analyzer(), "Hello, World-Wide!") == ["hello", "world", "wide"]
+    # punct chars are isolated TOKENS, not separators
+    # (tokenizer.rs punct_role: Punctuation → IsolatedToken)
+    assert run(spark, Analyzer(), "Hello, World-Wide!") == \
+        ["hello", ",", "world", "-", "wide", "!"]
     assert run(spark, Analyzer(("blank", "camel"), ("lowercase",)),
                "camelCaseToken") == ["camel", "case", "token"]
     assert run(spark, Analyzer(("class",), ()), "abc123!x") == \
@@ -90,4 +93,4 @@ def test_search_analyze_fn(spark):
     got = spark.range(1).select(
         REGISTRY["search::analyze"]("stemmy", F.lit("Running, quickly!")).alias("t")
     ).first()["t"]
-    assert got == ["run", "quickli"]
+    assert got == ["run", ",", "quickli", "!"]
