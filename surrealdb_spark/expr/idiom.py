@@ -57,6 +57,15 @@ def _walk(col: Column, parts: list[Part], mapped: bool) -> Column:
         pos = i + 1 if i >= 0 else i
         return _walk(F.try_element_at(col, F.lit(pos)), rest, mapped=False)
 
+    if kind == "field_col":
+        # dynamic object key obj[keyexpr] over a struct with KNOWN fields
+        # (value/idiom.rs object index): chained whens, unmatched → NONE
+        ((keyc, names),) = args
+        out = F.lit(None)
+        for nm in names:
+            out = F.when(keyc == F.lit(nm), col.getField(nm)).otherwise(out)
+        return _walk(out, rest, mapped=False)
+
     if kind == "index_col":
         (c,) = args
         pos = F.when(c >= 0, c + 1).otherwise(c).cast("int")

@@ -182,6 +182,49 @@ def split_statements(src: str, lenient_keywords: bool = False) -> list[str]:
 # -- value comparison ---------------------------------------------------------
 
 
+_GEO_KINDS = {"point", "line", "polygon", "multipoint", "multiline",
+              "multipolygon", "collection"}
+
+_GEO_NAMES = {"point": "Point", "line": "LineString", "polygon": "Polygon",
+              "multipoint": "MultiPoint", "multiline": "MultiLineString",
+              "multipolygon": "MultiPolygon"}
+
+
+def _geo_display(v, kind: str):
+    """Internal geometry ({kind, polys} struct / collection array) →
+    GeoJSON display dict (types/src/value/geometry.rs Display)."""
+    def _pt(p):
+        if isinstance(p, dict):
+            return [p.get("lon"), p.get("lat")]
+        try:
+            return [p["lon"], p["lat"]]
+        except Exception:
+            return p
+
+    if hasattr(v, "asDict"):
+        v = v.asDict(recursive=True)
+    try:
+        if kind == "collection":
+            return {"type": "GeometryCollection",
+                    "geometries": [_geo_display(m, m.get("kind"))
+                                   for m in (v or [])]}
+        if isinstance(v, dict) and hasattr(v.get("polys"), "__iter__"):
+            polys = [[[_pt(p) for p in ring] for ring in poly]
+                     for poly in v["polys"]]
+            if kind == "point":
+                coords = polys[0][0][0]
+            elif kind in ("line", "multipoint"):
+                coords = polys[0][0]
+            elif kind in ("polygon", "multiline"):
+                coords = polys[0]
+            else:  # multipolygon
+                coords = polys
+            return {"type": _GEO_NAMES[kind], "coordinates": coords}
+    except Exception:
+        pass
+    return v
+
+
 def _norm(v):
     """Normalize a collected Spark value for comparison.  Row dicts pass
     through the absent-field filter (values.strip_absent): fields not
@@ -199,7 +242,16 @@ def _norm(v):
         if "__present" in v or any(k.startswith("__k_") for k in v):
             from surrealdb_spark.values import strip_absent
 
+            sidecars = {k[4:]: kv for k, kv in v.items()
+                        if k.startswith("__k_") and isinstance(kv, str)}
             v = strip_absent(v)
+            for f, kd in sidecars.items():
+                # kinded geometry columns normalize to GeoJSON display
+                # (types/src/value/geometry.rs Display) for comparison
+                if kd.startswith("geometry<") and f in v:
+                    v = {**v, f: _geo_display(v[f], kd[9:-1])}
+        if set(v) == {"kind", "polys"} and v.get("kind") in _GEO_KINDS:
+            return _geo_display(v, v["kind"])
         return {k: _norm(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_norm(x) for x in v]

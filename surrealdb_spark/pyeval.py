@@ -102,6 +102,10 @@ class PyClosure:
         return out
 
 
+# u64 seconds + u32 nanos ceiling (val/duration.rs; constant.rs DurationMax)
+DUR_MAX_NANOS = 18446744073709551615 * 10 ** 9 + 999_999_999
+
+
 def is_duration(v) -> bool:
     return isinstance(v, dict) and set(v) == {"months", "nanos"}
 
@@ -227,8 +231,14 @@ def _arith(op: str, a, b):
         if isinstance(a, list) and isinstance(b, list):
             return list(a) + list(b)
         if is_duration(a) and is_duration(b):
-            return {"months": a["months"] + b["months"],
-                    "nanos": a["nanos"] + b["nanos"]}
+            out = {"months": a["months"] + b["months"],
+                   "nanos": a["nanos"] + b["nanos"]}
+            if out["nanos"] > DUR_MAX_NANOS:
+                # u64-seconds checked_add overflow (val/duration.rs)
+                raise EvalError(
+                    f'Failed to compute: "{render(a)} + {render(b)}", as '
+                    "the operation results in an arithmetic overflow.")
+            return out
     if op in ("+", "-") and isinstance(a, list) != isinstance(b, list):
         # collection ± scalar is a type error (val/value.rs try_add)
         word = "addition" if op == "+" else "subtraction"
@@ -246,6 +256,23 @@ def _arith(op: str, a, b):
             raise EvalError("Failed to compute: the operation results in "
                             "a negative duration")
         return out
+    if op in ("*", "/") and is_duration(a) and not is_duration(b) \
+            and isinstance(b, (int, float, Decimal)) \
+            and not isinstance(b, bool):
+        # duration × / ÷ scalar (val/duration.rs checked_mul/div)
+        total = a["nanos"] + a["months"] * 2_630_016 * 10 ** 9
+        if op == "*":
+            out_n = int(total * b) if not isinstance(b, int) else total * b
+        else:
+            if b == 0:
+                raise EvalError("division by zero")
+            out_n = int(total / float(b)) if not isinstance(b, int) \
+                else total // b
+        if out_n > DUR_MAX_NANOS or out_n < 0:
+            raise EvalError(
+                f'Failed to compute: "{render(a)} {op} {render(b)}", as '
+                "the operation results in an arithmetic overflow.")
+        return {"months": 0, "nanos": out_n}
     a, b = _num(a, op), _num(b, op)
     dec = isinstance(a, Decimal) or isinstance(b, Decimal)
     if dec:
@@ -830,6 +857,10 @@ def peval(ast, env: dict | None = None):
         this = env.get("this")
         if isinstance(this, dict) and ast[1] in this:
             return this[ast[1]]
+        if ast[1].lower() == "duration::max":
+            # DurationMax (constant.rs:32) — u64 seconds + u32 nanos max;
+            # python ints keep the exact value (beyond_max.surql)
+            return {"months": 0, "nanos": DUR_MAX_NANOS}
         return None  # scalar context: bare idents are NONE (no row)
     if kind == "ifexpr":
         for cond, then in ast[1]:

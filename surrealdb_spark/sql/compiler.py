@@ -895,8 +895,21 @@ def compile_expr(ast, params: dict | None = None, types: dict | None = None) -> 
                 if ik[0] == "lit" and isinstance(ik[1], str):
                     parts.append(("field", ik[1]))
                 else:
-                    parts.append(("index_col",
-                                  compile_expr(ik, params, types)))
+                    bt = (types.get("__simple__", {}).get(ast[1][1], "")
+                          if isinstance(ast[1], tuple)
+                          and ast[1][0] == "ident" and not parts else "")
+                    if bt.startswith("struct<") \
+                            and _infer(ik, types, params) == "string":
+                        # obj[field] — a string-valued key picks the
+                        # struct field dynamically (value/idiom.rs object
+                        # index): chained whens over the known fields
+                        parts.append((
+                            "field_col",
+                            (compile_expr(ik, params, types),
+                             _struct_top_fields(bt))))
+                    else:
+                        parts.append(("index_col",
+                                      compile_expr(ik, params, types)))
             else:
                 parts.append(p)
         return compile_idiom(base, parts)
@@ -1966,10 +1979,17 @@ def _compile_type_call(name: str, args, params: dict, types: dict) -> Column | N
             return F.col(fld)
         raise ValueError("type::field requires a literal/parameter field name")
     if short == "fields":
+        names = None
         if args and args[0][0] == "array":
             names = [_literal_str(a, params) for a in args[0][1]]
-            if all(n is not None for n in names):
-                return F.array(*[F.col(n).cast("string") for n in names])
+        elif args and args[0][0] == "param" and isinstance(
+                params.get(args[0][1]), list):
+            # variable fields list (fnc/type.rs fields on a param value —
+            # functions/type/field/variable_fields_projection.surql)
+            names = [n if isinstance(n, str) else None
+                     for n in params[args[0][1]]]
+        if names is not None and all(n is not None for n in names):
+            return F.array(*[F.col(n).cast("string") for n in names])
         raise ValueError("type::fields requires a literal array of field names")
     if short == "array":
         col = compile_expr(args[0], params, types)
@@ -2255,6 +2275,28 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
             # one-row-per-value frames (select.rs source exprs)
             ast = src[1]
             items = ast[1] if ast[0] == "array" else [ast]
+            if len(items) == 1:
+                it0 = items[0]
+                if it0[0] == "object":
+                    # an object SOURCE iterates as one document whose
+                    # fields resolve directly — incl. geometry-shaped
+                    # objects reading type/coordinates (value/idiom on
+                    # Geometry; primitive/geometry/inner_access.surql)
+                    return spark.range(1).select(
+                        *[compile_expr(v, params).alias(k)
+                          for k, v in it0[1]])
+                if it0[0] == "geom_point" or (
+                        it0[0] == "call" and it0[1] == "type::point"
+                        and it0[2]):
+                    if it0[0] == "geom_point":
+                        coords = F.array(
+                            compile_expr(it0[1], params).cast("double"),
+                            compile_expr(it0[2], params).cast("double"))
+                    else:
+                        coords = compile_expr(it0[2][0], params)
+                    return spark.range(1).select(
+                        F.lit("Point").alias("type"),
+                        coords.alias("coordinates"))
             rec_outs, val_cols = [], []
             for it in items:
                 if it in (("lit", None), ("nulllit",)):
@@ -2987,6 +3029,23 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                 # ORDER COLLATE: locale-aware unicode collation (order.rs
                 # Ordering::collate) — Spark 4 ICU collations, JVM-side
                 c = F.collate(c.cast("string"), "UNICODE")
+            if (k.expr[0] == "ident"
+                    and "__k_" + k.expr[1] in df.columns):
+                # geometry kinds carry a TYPE rank ahead of the value:
+                # Point < Line < Polygon < MultiPoint < MultiLine <
+                # MultiPolygon < Collection (types/src/value/geometry.rs
+                # PartialOrd; order_geometry_mixed.surql)
+                kc2 = F.col("__k_" + k.expr[1])
+                grank = F.lit(7)
+                for rank_i, gk in enumerate(
+                        ("point", "line", "polygon", "multipoint",
+                         "multiline", "multipolygon", "collection")):
+                    grank = F.when(kc2 == F.lit(f"geometry<{gk}>"),
+                                   F.lit(rank_i)).otherwise(grank)
+                has_geo = kc2.startswith("geometry<")
+                gleg = F.when(has_geo, grank).otherwise(F.lit(None))
+                order_cols.append(gleg.desc_nulls_last() if k.desc
+                                  else gleg.asc_nulls_first())
             if ("__present" in df.columns and k.expr[0] == "ident"
                     and k.expr[1] in df.columns and k.expr[1] != "id"):
                 # NONE < NULL < value rank ahead of the key itself
@@ -3119,9 +3178,15 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                                           "number"), 3)
                             .when(kc.isin("string", "strand"), 4)
                             .otherwise(5))
-                    ocols += [rank.asc(),
-                              vc.try_cast("double").asc_nulls_last(),
-                              vc.asc()]
+                    vdt = gtypes.get("__simple__", {}).get(g[1], "")
+                    if vdt.startswith(("struct", "array", "map")):
+                        # complex-typed key (geometry struct): no numeric
+                        # leg — cast struct→double is an analysis error
+                        ocols += [rank.asc(), vc.asc()]
+                    else:
+                        ocols += [rank.asc(),
+                                  vc.try_cast("double").asc_nulls_last(),
+                                  vc.asc()]
                     continue
                 try:
                     ocols.append(compile_expr(g, params, gtypes).asc())
@@ -3179,6 +3244,20 @@ def compile_select(spark: SparkSession, sel: Select, sf_dir: str | None = None,
                     and not _is_corr_subquery(e)):
                 nested.setdefault(e[1][1], []).append(
                     ([p[1] for p in e[2]],
+                     compile_expr(e, params, types)))
+            elif (fld.alias is None and isinstance(e, tuple)
+                    and e[0] == "path" and e[1][0] == "ident" and e[2]
+                    and any(p[0] == "field" for p in e[2])
+                    and e[2][-1][0] == "field"
+                    and all(p[0] in ("field", "index", "where", "all",
+                                     "optional", "first") for p in e[2])
+                    and not _is_recurse_path(e)
+                    and not _is_corr_subquery(e)):
+                # mixed path `tags[WHERE ..][0].value` — output nests at
+                # the SIMPLIFIED idiom (field parts only): {tags: {value:
+                # v}} (expr/idiom.rs simplify; Document::set output path)
+                nested.setdefault(e[1][1], []).append(
+                    ([p[1] for p in e[2] if p[0] == "field"],
                      compile_expr(e, params, types)))
             else:
                 plain_fields.append(fld)
@@ -4142,6 +4221,27 @@ def _ast_text(ast) -> str | None:
         e = _ast_text(ast[2])
         return None if e is None else f"{ast[1]}{e}"
     return None
+
+
+def _struct_top_fields(dtype: str) -> list[str]:
+    """Top-level field names of a `struct<...>` simpleString dtype."""
+    inner = dtype[len("struct<"):-1]
+    names, depth, start = [], 0, 0
+    i = 0
+    while i < len(inner):
+        ch = inner[i]
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            seg = inner[start:i]
+            names.append(seg.split(":", 1)[0].strip())
+            start = i + 1
+        i += 1
+    if inner[start:].strip():
+        names.append(inner[start:].split(":", 1)[0].strip())
+    return names
 
 
 def _default_name(ast) -> str:

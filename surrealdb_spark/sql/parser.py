@@ -1528,9 +1528,17 @@ def _parse_select_body(p: Parser) -> Select:
     sel.only = bool(p.eat("kw", "ONLY"))
     while True:
         if p.peek().kind == "op" and p.peek().text == "(":
-            p.next()
-            sel.sources.append(_parse_select_body(p))
-            p.expect("op", ")")
+            # `FROM (lon, lat)` — geometry point literal source
+            # (primitive/geometry/inner_access.surql); otherwise a
+            # parenthesized subquery
+            nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
+            if nxt is not None and (nxt.kind == "num" or (
+                    nxt.kind == "op" and nxt.text == "-")):
+                sel.sources.append(("exprsrc", p.prefix()))
+            else:
+                p.next()
+                sel.sources.append(_parse_select_body(p))
+                p.expect("op", ")")
         elif p.peek().kind == "param":
             # FROM $source — DynamicScan: the target resolves at execution
             # from the bound parameter (exec/operators/scan/dynamic.rs:53).
