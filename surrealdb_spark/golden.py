@@ -370,7 +370,32 @@ def _try_py_literal(text: str):
     try:
         return True, _py_literal(parse_expr(text))
     except Exception:
-        return False, None
+        pass
+    # a couple of corpus files carry unbalanced trailing closers in the
+    # expected literal (fetch/group_by.surql `}]]`); drop surplus ones
+    t = text.rstrip()
+    depth = 0
+    in_s: str | None = None
+    for ch in t:
+        if in_s:
+            if ch == in_s:
+                in_s = None
+            continue
+        if ch in "'\"":
+            in_s = ch
+        elif ch in "[{(":
+            depth += 1
+        elif ch in "]})":
+            depth -= 1
+    if depth < 0:
+        t2 = t
+        while depth < 0 and t2 and t2[-1] in "]})":
+            t2, depth = t2[:-1].rstrip(), depth + 1
+        try:
+            return True, _py_literal(parse_expr(t2))
+        except Exception:
+            pass
+    return False, None
 
 
 def _closure_rhs(rhs: str, bindings: dict):
