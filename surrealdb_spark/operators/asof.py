@@ -25,11 +25,17 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     right_ts <= left_ts within the same keys (backward as-of join).
 
-    Right side must be unique per (keys, right_ts) — pre-dedupe if not.
+    Right side must be unique per (keys, right_ts) — pre-dedupe if not, OR
+    pass ``right_tiebreak`` (value columns, ascending): among right rows
+    tied on (keys, right_ts) the LAST under the tiebreak order wins, i.e.
+    the max.  The tiebreak makes a pre-dedupe ``groupBy(keys, ts).max(v)``
+    redundant — same winner, one Exchange less (r12 optimization, guide
+    §2.4: the window's shuffle subsumes the dedup's).
     """
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = right.select(
@@ -41,9 +47,14 @@ def asof_join(
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # Right rows sort before left rows at the same timestamp (__side 0 < 1)
     # so an exactly-simultaneous right row IS visible to the left row.
+    # Left rows carry NULL in the tiebreak columns (NULLS FIRST), so the
+    # tiebreak never reorders a left row relative to right rows.
+    order = [F.col("__t").asc(), F.col("__side").asc()] + [
+        F.col(f"{c}{suffix}").asc() for c in (right_tiebreak or [])
+    ]
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = unioned

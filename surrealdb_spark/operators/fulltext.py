@@ -64,11 +64,18 @@ class FulltextIndex:
         self.postings = build_postings(
             df, id_col, text_col, analyzer
         ).localCheckpoint(eager=True)
-        self.doc_lengths = self.postings.groupBy("doc").agg(
-            F.sum("tf").alias("dl")
+        # Doc lengths are INDEX STATE (the reference stores them beside the
+        # postings, idx/ft/fulltext.rs): materialize at DDL time so each
+        # search joins the stored table instead of re-running the groupBy —
+        # one Exchange+HashAggregate dropped from every measured search
+        # (r12 optimization, guide §2.4).  Integer Σtf — exact.
+        self.doc_lengths = (
+            self.postings.groupBy("doc")
+            .agg(F.sum("tf").alias("dl"))
+            .localCheckpoint(eager=True)
         )
         self.n_docs = df.count()
-        sum_dl = self.postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
+        sum_dl = self.doc_lengths.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
         self.avgdl = sum_dl / self.n_docs
 
     def search(self, terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:

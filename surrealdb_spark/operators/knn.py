@@ -9,11 +9,13 @@ on Spark the scale path is scan + local top-k (below) or LSH bucketing
 Plan shape:
   1. broadcast the (small) query set; nested-loop join against the corpus —
      corpus rows never shuffle for the join;
-  2. salted per-(partition, query) local top-k window, then a global top-k
-     over the k·|partitions| survivors.  The salted window still shuffles
-     the scored pairs once, but into many small groups (parallel, skew-free)
-     instead of |queries| giant groups, and the final per-query shuffle sees
-     only survivors.
+  2. one per-query row_number window with rank <= k: Spark's
+     WindowGroupLimit rewrite (rank-limit pushdown) inserts a PARTIAL
+     group-limit before the exchange, so each map partition forwards at
+     most k rows per query — the partition-local top-k the old hand-rolled
+     salted window computed, but without its extra Exchange+Sort (the
+     (spark_partition_id, q_id) window itself required a shuffle, doubling
+     the exchanges; r12 optimization, guide §2.4).
 At 100 TB the win comes from pruning candidates BEFORE scoring — LSH
 bucketing in surrealdb_spark.pipeline.similarity — with this operator as
 the exact re-scorer inside each bucket.
@@ -53,14 +55,8 @@ def knn_join(
         "q_id", "c_id", dist_fn("__qv", "__cv").alias("dist")
     )
     order = [F.col("dist").asc(), F.col("c_id").asc()]
-    local = W.partitionBy(F.spark_partition_id(), "q_id").orderBy(*order)
-    survivors = (
-        scored.withColumn("__lr", F.row_number().over(local))
-        .filter(F.col("__lr") <= k)
-        .drop("__lr")
-    )
     top = W.partitionBy("q_id").orderBy(*order)
     return (
-        survivors.withColumn("rank", F.row_number().over(top))
+        scored.withColumn("rank", F.row_number().over(top))
         .filter(F.col("rank") <= k)
     )

@@ -18,14 +18,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from surrealdb_spark.pipeline.text import fingerprint, words
+from surrealdb_spark.pipeline.text import distinct_words, fingerprint
 
 
 def doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, word) distinct pairs — the set representation of each doc."""
+    """(id, word) distinct pairs — the set representation of each doc.
+
+    Dedup happens INSIDE the row (array_distinct before the explode), not
+    with a (doc, w)-keyed ``.distinct()`` after it: the per-doc word set is
+    tiny, so the set semantics cost nothing row-locally and the downstream
+    consumer (simhash/minhash groupBy doc) shuffles once instead of twice
+    (r12 optimization, guide §2.4 — dedup_simhash plan: 2 Exchange → 1).
+    """
     return df.select(
-        F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("w")
-    ).distinct()
+        F.col(id_col).alias("doc"), F.explode(distinct_words(text_col)).alias("w")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

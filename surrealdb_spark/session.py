@@ -42,9 +42,30 @@ def get_spark(
         # is UTC-instant (values.py), so keep parquet reads on TIMESTAMP.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scalar @udf lanes cross the Python boundary as Arrow batches, not
+        # pickled rows (guide §4.3; the pipeline's heavy lanes are already
+        # pandas_udf/mapInPandas — this covers the long tail).
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan-split sizing (guide §2.5/§6): maxSplitBytes = min(maxPartition
+        # Bytes, max(openCostInBytes, totalBytes/defaultParallelism)).  The
+        # 4 MiB openCost default is a floor that leaves a CPU-bound scan
+        # stage at a handful of tasks whenever bytes-per-core < 4 MiB (any
+        # small-input run, any core count); 512 KiB keeps the floor (tiny-
+        # file packing still bounded) while letting split size track
+        # input-bytes/cores — at cluster scale bytes-per-core >> 4 MiB so
+        # this is a no-op there (maxPartitionBytes governs).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(512 * 1024)),
+        )
+        # Let the planner pick shuffled-hash over sort-merge when a side's
+        # per-partition build fits (guide §3.1/§9): skips both sorts; AQE
+        # skew-split still applies.  Sort-merge remains the fallback for
+        # oversized builds via the size conditions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

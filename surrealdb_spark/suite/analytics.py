@@ -29,15 +29,17 @@ from surrealdb_spark.suite._util import sql_bm25
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Backward as-of join: each click gets the user's most recent prior (or
     # simultaneous) purchase.  Millisecond keys so Spark(µs)/DuckDB(ns) agree.
+    # Simultaneous-purchase dedup (max event_id per (user, tms)) rides the
+    # window's tiebreak order instead of a separate groupBy — same winner,
+    # one Exchange less (r12; oracle unchanged, results bit-identical).
     ev = Catalog(spark, sf_dir).events.withColumn("tms", F.unix_millis("ts"))
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "tms")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "tms")
-        .agg(F.max("event_id").alias("purchase_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tms", F.col("event_id").alias("purchase_id")
     )
     out = asof_join(
-        clicks, purchases, ["user_id"], "tms", "tms", ["purchase_id"]
+        clicks, purchases, ["user_id"], "tms", "tms", ["purchase_id"],
+        right_tiebreak=["purchase_id"],
     )
     return out.select("event_id", "user_id", "purchase_id_asof")
 
