@@ -89,6 +89,55 @@ class Catalog:
             self._cache[name] = df
         return self._cache[name]
 
+    # -- scan-spread escape hatch (r12, guide §2: derive partitioning from
+    # input size).  A parquet scan cannot parallelize below row-group
+    # granularity; the testdata files are single-row-group, so every
+    # scan+map stage is pinned to one task per file no matter the split
+    # config.  ``spread(df, table, key)`` inserts a hash repartition across
+    # the cores ONLY when the table's own layout caps scan parallelism
+    # below the core count AND the table is small enough that the extra
+    # exchange is cheap (<1 GiB default).  At 100 TB inputs have many row
+    # groups / exceed the cap → identity, plan unchanged.  Callers use it
+    # where map-side work is CPU-heavy per byte (decimal aggregation,
+    # hash fingerprinting) — not blanket, because the extra stage taxes
+    # cheap scans more than single-threading does.
+    _SPREAD_MAX_BYTES = int(
+        os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(1 << 30))
+    )
+    _layout_cache: dict[str, tuple[int, int]] = {}
+
+    def _layout(self, name: str) -> tuple[int, int]:
+        """(row_groups, total_bytes) for a table path, footer-metadata only."""
+        path = self.path(name)
+        ent = Catalog._layout_cache.get(path)
+        if ent is None:
+            files = (
+                [path]
+                if os.path.isfile(path)
+                else [
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ]
+            )
+            import pyarrow.parquet as pq
+
+            rg = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+            nbytes = sum(os.path.getsize(f) for f in files)
+            ent = (rg, nbytes)
+            Catalog._layout_cache[path] = ent
+        return ent
+
+    def spread(self, df: DataFrame, table: str, key: str) -> DataFrame:
+        try:
+            row_groups, nbytes = self._layout(table)
+        except Exception:
+            return df
+        cores = self.spark.sparkContext.defaultParallelism
+        if row_groups >= cores or nbytes > self._SPREAD_MAX_BYTES:
+            return df
+        return df.repartition(cores, df[key])
+
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
             return self.table(name)

@@ -49,18 +49,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # Scan-split sizing (guide §2.5/§6): maxSplitBytes = min(maxPartition
-        # Bytes, max(openCostInBytes, totalBytes/defaultParallelism)).  The
-        # 4 MiB openCost default is a floor that leaves a CPU-bound scan
-        # stage at a handful of tasks whenever bytes-per-core < 4 MiB (any
-        # small-input run, any core count); 512 KiB keeps the floor (tiny-
-        # file packing still bounded) while letting split size track
-        # input-bytes/cores — at cluster scale bytes-per-core >> 4 MiB so
-        # this is a no-op there (maxPartitionBytes governs).
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", str(512 * 1024)),
-        )
+        # NOTE on scan splits (r12 finding): the testdata parquet files are
+        # single-row-group, so a scan can never parallelize below 1 task
+        # per file regardless of openCostInBytes/maxPartitionBytes — extra
+        # splits are phantom tasks (footer open, zero rows, ~30 ms each).
+        # Lowering openCostInBytes was measured a net LOSS here; splits are
+        # left at defaults and CPU-heavy map work above tiny single-group
+        # inputs is parallelized explicitly at the operator level instead.
         # Let the planner pick shuffled-hash over sort-merge when a side's
         # per-partition build fits (guide §3.1/§9): skips both sorts; AQE
         # skew-split still applies.  Sort-merge remains the fallback for

@@ -115,5 +115,10 @@ def _simhash_oracle(n_planes: int = 32) -> str:
 
 @query("dedup_simhash", oracle=_simhash_oracle(), bench=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 32-plane SimHash fingerprints (hamming-space near-dup tier).
-    return simhash(Catalog(spark, sf_dir).documents, "doc_id", "text")
+    # 32-plane SimHash fingerprints (hamming-space near-dup tier).  The
+    # tokenize+md5+32-plane partial agg is CPU-heavy per input byte —
+    # spread the map side when the input layout caps scan parallelism
+    # (identity at scale — r12, measured 1.46 s → 1.26 s at sf0.1).
+    cat = Catalog(spark, sf_dir)
+    return simhash(cat.spread(cat.documents, "documents", "doc_id"),
+                   "doc_id", "text")

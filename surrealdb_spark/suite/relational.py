@@ -76,10 +76,16 @@ _SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(12,4))"
     bench=True,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).lineitem
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    # Decimal aggregation is CPU-heavy per byte; spread the map side when
+    # the input layout caps scan parallelism (identity at scale — r12,
+    # measured 1.32 s → 0.86 s at sf0.1).
+    li = cat.spread(li, "lineitem", "l_orderkey")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
@@ -128,6 +134,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
     li = cat.lineitem.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    # Broadcast joins + decimal partial-agg all run in the scan stage;
+    # spread it when the layout caps parallelism (identity at scale — r12,
+    # measured 0.91 s → 0.75 s at sf0.1).
+    li = cat.spread(li, "lineitem", "l_orderkey")
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
