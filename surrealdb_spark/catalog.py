@@ -63,8 +63,20 @@ class Catalog:
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
 
+    # Shared resolved-scan cache (r12): `spark.read.parquet` re-lists the
+    # path and re-reads footers on every call — pure catalog-resolution
+    # overhead (~0.1 s/table locally) that a real engine's catalog caches.
+    # Keyed by (session, path); holds the LAZY DataFrame (schema + file
+    # index), never any computed rows, and only for the read-only fixture
+    # TABLES — engine-written tables go through register().
+    _scan_cache: dict[tuple, DataFrame] = {}
+
     def table(self, name: str) -> DataFrame:
         """TableScan: full scan of a table; Catalyst prunes columns/rows."""
+        if name not in self._cache and name in TABLES:
+            shared = Catalog._scan_cache.get(self._scan_key(name))
+            if shared is not None:
+                self._cache[name] = shared
         if name not in self._cache:
             if name == "events":
                 # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects
@@ -87,7 +99,20 @@ class Catalog:
 
                 df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
             self._cache[name] = df
+            if name in TABLES:
+                Catalog._scan_cache[self._scan_key(name)] = df
         return self._cache[name]
+
+    def _scan_key(self, name: str) -> tuple:
+        """Cache key carrying path mtime/size so a rewritten file (tmp-dir
+        fixtures in tests) never serves a stale file index."""
+        path = self.path(name)
+        try:
+            st = os.stat(path)
+            stamp = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            stamp = None
+        return (self.spark, path, stamp)
 
     # -- scan-spread escape hatch (r12, guide §2: derive partitioning from
     # input size).  A parquet scan cannot parallelize below row-group
@@ -127,6 +152,23 @@ class Catalog:
             ent = (rg, nbytes)
             Catalog._layout_cache[path] = ent
         return ent
+
+    def rowcount(self, table: str) -> int:
+        """Exact row count from parquet footer metadata (what a COUNT(*)
+        over the scan reads anyway — no job, no scan; r12)."""
+        path = self.path(table)
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        )
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     def spread(self, df: DataFrame, table: str, key: str) -> DataFrame:
         try:

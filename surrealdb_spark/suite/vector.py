@@ -208,8 +208,11 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from surrealdb_spark.pipeline.similarity import srp_geometry
     from surrealdb_spark.suite._util import srp_signed
 
-    emb = Catalog(spark, sf_dir).embeddings
-    n_planes, bands = srp_geometry(emb.count())
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    # corpus size from parquet footer metadata (same number a COUNT(*)
+    # scan returns, without the job — r12)
+    n_planes, bands = srp_geometry(cat.rowcount("embeddings"))
     # queries ⊂ corpus → sign once (build-once index artifact, the DEFINE
     # INDEX analogue), filter the signed frame for the query side
     return srp_lsh_topk(
