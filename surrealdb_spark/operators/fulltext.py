@@ -77,6 +77,20 @@ class FulltextIndex:
         self.n_docs = df.count()
         sum_dl = self.doc_lengths.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
         self.avgdl = sum_dl / self.n_docs
+        # Term dictionary (term → document frequency) is index state too
+        # (the reference's term dict, idx/ft/fulltext.rs): build it once at
+        # DDL time so search() runs zero driver jobs before the ranked
+        # query itself (was one groupBy+collect per search — r12).
+        # Bounded by VOCABULARY size, not corpus size; guarded so a huge
+        # vocabulary falls back to the per-search lazy lookup.
+        self._dfreq: dict | None = None
+        rows = (
+            self.postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .take(2_000_001)
+        )
+        if len(rows) <= 2_000_000:
+            self._dfreq = {r["term"]: r["df"] for r in rows}
 
     def search(self, terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return _bm25_over(
@@ -88,6 +102,7 @@ class FulltextIndex:
             k,
             k1,
             b,
+            dfreq=self._dfreq,
         )
 
 
@@ -120,11 +135,13 @@ def _bm25_over(
     k: int,
     k1: float,
     b: float,
+    dfreq: dict | None = None,
 ) -> DataFrame:
-    dfreq = {
-        r["term"]: r["df"]
-        for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
-    }
+    if dfreq is None:
+        dfreq = {
+            r["term"]: r["df"]
+            for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+        }
 
     scored = postings.join(dls, "doc")
     per_term = []
