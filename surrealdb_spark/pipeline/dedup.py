@@ -100,13 +100,25 @@ def minhash_signatures(dw: DataFrame, n_hashes: int) -> DataFrame:
 
     Min-over-md5-hex is a valid MinHash family (each seed permutes the word
     universe independently); hex-string min is engine-portable.
+
+    Shape (r12, guide §2.3 "shuffle fewer bytes"): one MIN aggregate per
+    seed over a single groupBy(doc) — the old form exploded every (doc, w)
+    row ×n_hashes and shuffled the seeded tokens to a (doc, seed) grouping,
+    i.e. n_hashes× the shuffle rows and an extra exchange, for the same
+    minima.  Map-side partial MIN now reduces each doc's tokens before any
+    shuffle.  (sf0.1: dedup_minhash_lsh 36 s → see OPTIMIZATION_r12.md.)
+    The (doc, seed, mh) long shape is restored with one stack() for
+    callers; values are bit-identical (min over the same md5 set).
     """
-    seeded = dw.select(
-        "doc", F.explode(F.array(*[F.lit(s) for s in range(n_hashes)])).alias("seed"), "w"
+    wide = dw.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("w")))).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
     )
-    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("w")))
-    return seeded.select("doc", "seed", h.alias("h")).groupBy("doc", "seed").agg(
-        F.min("h").alias("mh")
+    stack = ", ".join(f"{s}, mh{s}" for s in range(n_hashes))
+    return wide.selectExpr(
+        "doc", f"stack({n_hashes}, {stack}) AS (seed, mh)"
     )
 
 
@@ -127,43 +139,60 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     dw = doc_words(df, id_col, text_col)
-    sig = minhash_signatures(dw, n_hashes)
-    buckets = (
-        sig.withColumn("band", F.expr(f"seed div {rows}"))
-        .groupBy("doc", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s.mh,
-                ),
-            ).alias("bucket")
-        )
+    # Wide per-doc signature (one groupBy(doc), map-side partial MIN — see
+    # minhash_signatures), banded directly from the n_hashes min columns:
+    # no seeded explode, no (doc, seed) shuffle, no second (doc, band)
+    # aggregation.  Bucket strings identical to the old collect_list path
+    # (mh values concatenated in seed order).
+    wide = dw.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("w")))).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
     )
-    b1 = buckets.select(F.col("doc").alias("id1"), "band", "bucket")
-    b2 = buckets.select(F.col("doc").alias("id2"), "band", "bucket")
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws(',', {cols}) AS bucket)".format(
+            b=b, cols=", ".join(f"mh{s}" for s in range(b * rows, (b + 1) * rows))
+        )
+        for b in range(bands)
+    )
+    buckets = wide.selectExpr(
+        "doc", "n", f"explode(array({band_structs})) AS __b"
+    ).selectExpr("doc", "n", "__b.band AS band", "__b.bucket AS bucket")
+    b1 = buckets.select(F.col("doc").alias("id1"), F.col("n").alias("n1"),
+                        "band", "bucket")
+    b2 = buckets.select(F.col("doc").alias("id2"), F.col("n").alias("n2"),
+                        "band", "bucket")
+    # Size-compatibility prefilter (r12): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so a pair whose set sizes differ by more than the threshold ratio can
+    # NEVER qualify — drop it straight out of the bucket join, before the
+    # candidate distinct and the word joins.  The banding threshold curve
+    # ((1/b)^(1/r) ≈ 0.63 at 4×3) admits far more candidates than a 0.99
+    # verify keeps; measured at sf0.1 this cut the verify join input from
+    # ~166M rows to the near-dup survivors (results identical: only
+    # provably-sub-threshold pairs are dropped).  |set| rides the same
+    # signature aggregation (one more count per doc) — no size table, no
+    # corpus-sized broadcast (guide §3.1).
     cand = (
         b1.join(b2, ["band", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (
+                F.least("n1", "n2").cast("double")
+                >= F.lit(threshold) * F.greatest("n1", "n2").cast("double")
+            )
+        )
+        .select("id1", "id2", "n1", "n2")
         .distinct()
     )
-    # Verify: exact Jaccard restricted to candidate pairs.
-    sizes = dw.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = dw.select(F.col("doc").alias("id1"), "w")
     b = dw.select(F.col("doc").alias("id2"), "w")
-    inter = (
+    return (
         cand.join(a, "id1")
         .join(b, ["id2", "w"])
-        .groupBy("id1", "id2")
+        .groupBy("id1", "id2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1 = sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
-    return (
-        inter.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
         .select(
             "id1",
             "id2",

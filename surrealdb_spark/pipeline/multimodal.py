@@ -135,10 +135,14 @@ def sample_frames(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # itertuples, not iterrows: no per-row Series construction
+            # (guide §4.2 — keep the Python inner loop lean)
             rows = []
-            for _, r in pdf.iterrows():
-                for i, frame in enumerate(fn(r[payload_col], every_ms)):
-                    row = {c: r[c] for c in id_cols}
+            payloads = pdf[payload_col].to_numpy()
+            ids = {c: pdf[c].to_numpy() for c in id_cols}
+            for j in range(len(pdf)):
+                for i, frame in enumerate(fn(payloads[j], every_ms)):
+                    row = {c: ids[c][j] for c in id_cols}
                     row["frame_idx"] = i
                     row["frame"] = frame
                     rows.append(row)

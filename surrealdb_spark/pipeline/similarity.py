@@ -60,11 +60,25 @@ def cosine_pairs(
             "allow_quadratic=True for small verify scopes, or use "
             "srp_lsh_topk for the scale path"
         )
-    e1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    e2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # Per-row norm precompute (r12): |a| is a projection on each SIDE of
+    # the join, so each row's sqrt-fold runs once instead of once per pair
+    # — the pair expression keeps the exact arithmetic dot/(|a|·|b|)
+    # (same folds, same order → bit-identical sims; 3× fewer folds in the
+    # O(N²) stage.  sf0.1: 73 s → see OPTIMIZATION_r12.md).
+    e1 = emb.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+        V.magnitude(vec_col).alias("__m1"),
+    )
+    e2 = emb.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+        V.magnitude(vec_col).alias("__m2"),
+    )
     return (
         e1.join(e2, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", V.cosine_similarity("v1", "v2").alias("sim"))
+        .select(
+            "id1", "id2",
+            (V.dot("v1", "v2") / (F.col("__m1") * F.col("__m2"))).alias("sim"),
+        )
         .filter(F.col("sim") > threshold)
     )
 

@@ -148,7 +148,10 @@ def decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL fields — exact decimal sum / product / int⊕decimal promotion,
     # re-quantized to scale 4 and cast to DOUBLE only at the end (sums and
     # products carry full decimal precision through the aggregation).
-    li = Catalog(spark, sf_dir).lineitem
+    cat = Catalog(spark, sf_dir)
+    # decimal-heavy map side; spread when layout caps scan parallelism
+    # (identity at scale — r12, same rationale as q1)
+    li = cat.spread(cat.lineitem, "lineitem", "l_orderkey")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     qty = F.col("l_quantity").cast("decimal(18,4)")

@@ -66,8 +66,9 @@ hidden=True)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact word-set Jaccard near-dup pairs (n-gram Jaccard tier).
     # allow_quadratic: hidden tiny-SF oracle-verify scope, not a bench path.
-    return jaccard_pairs(Catalog(spark, sf_dir).documents, "doc_id", "text",
-                         0.99, allow_quadratic=True)
+    cat = Catalog(spark, sf_dir)
+    return jaccard_pairs(cat.spread(cat.documents, "documents", "doc_id"),
+                         "doc_id", "text", 0.99, allow_quadratic=True)
 
 
 @query(
@@ -94,8 +95,10 @@ hidden=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash (12 hashes) + LSH (4 bands × 3 rows) + exact-Jaccard verify:
     # the shuffle-on-(band,bucket) scale path — no full cross product.
+    cat = Catalog(spark, sf_dir)
     return minhash_lsh_pairs(
-        Catalog(spark, sf_dir).documents, "doc_id", "text", 0.99, n_hashes=12, bands=4
+        cat.spread(cat.documents, "documents", "doc_id"),
+        "doc_id", "text", 0.99, n_hashes=12, bands=4
     )
 
 

@@ -129,7 +129,9 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus n-gram mining: explode 2-shingles, count, deterministic top-k.
-    docs = Catalog(spark, sf_dir).documents
+    # spread: shingle construction is CPU-heavy per byte (identity at scale)
+    cat = Catalog(spark, sf_dir)
+    docs = cat.spread(cat.documents, "documents", "doc_id")
     return (
         docs.select(F.explode(T.shingles("text", 2)).alias("bigram"))
         .groupBy("bigram")

@@ -126,7 +126,10 @@ def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path).  allow_quadratic: hidden tiny-SF oracle-verify scope only.
     from surrealdb_spark.pipeline.similarity import cosine_pairs
 
-    emb = Catalog(spark, sf_dir).embeddings
+    cat = Catalog(spark, sf_dir)
+    # spread: the O(N²) scoring runs on the nested-loop stream side, which
+    # otherwise inherits the scan's single partition (identity at scale)
+    emb = cat.spread(cat.embeddings, "embeddings", "vec_id")
     return cosine_pairs(emb, "vec_id", "embedding", 0.35,
                         allow_quadratic=True)
 
