@@ -36,8 +36,15 @@ def _d(x: Column) -> Column:
 # fall back to the lambda form.
 
 
+import re as _re
+
+_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _name(col: Column | str) -> str | None:
-    if isinstance(col, str):
+    # simple identifiers only: a dotted string means a nested-field path
+    # under F.col() semantics, which a backticked SQL name would NOT match
+    if isinstance(col, str) and _IDENT.match(col):
         return f"`{col}`"
     return None
 
