@@ -209,13 +209,24 @@ def _graph_recursion_oracle() -> str:
 
 @query("graph_recursion", oracle=_graph_recursion_oracle())
 def graph_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """@{min..max} recursion: +collect, +path, +shortest (graph.py BFS)."""
-    a = _align_df(_run("graph_recurse_ancestors", spark, sf_dir), "ancestors",
-                  s1="start", s2="node", i1="depth")
-    b = _align_df(_run("graph_recurse_paths", spark, sf_dir), "paths",
-                  s1="start", s2="node", s3="path", i1="depth")
-    c = _align_df(_run("graph_shortest_to_root", spark, sf_dir), "shortest",
-                  s1="start", i1="depth")
+    """@{min..max} recursion: +collect, +path, +shortest (graph.py BFS).
+
+    The three children are independent driver-side BFS loops (a dozen
+    tiny jobs each); building them from a small thread pool overlaps the
+    loops so each round's stragglers back-fill idle cores (r12, guide
+    §2.6).  Results are unchanged: each child is built exactly as before
+    and the union order is fixed.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fa = pool.submit(_run, "graph_recurse_ancestors", spark, sf_dir)
+        fb = pool.submit(_run, "graph_recurse_paths", spark, sf_dir)
+        fc = pool.submit(_run, "graph_shortest_to_root", spark, sf_dir)
+        a = _align_df(fa.result(), "ancestors", s1="start", s2="node", i1="depth")
+        b = _align_df(fb.result(), "paths", s1="start", s2="node", s3="path",
+                      i1="depth")
+        c = _align_df(fc.result(), "shortest", s1="start", i1="depth")
     return a.unionAll(b).unionAll(c)
 
 
