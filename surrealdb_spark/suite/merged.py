@@ -449,17 +449,26 @@ def _surql_mapped_sql(children: dict) -> str:
 
 
 def _surql_mapped_df(children: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
-    for name, mapping in children.items():
-        tag = name.replace("surql_", "")
-        df_map = {}
-        for col, expr in mapping.items():
-            if isinstance(expr, str) and expr.startswith("__join:"):
-                df_map[col] = _join_arr(expr[7:])
-            else:
-                df_map[col] = expr
-        piece = _align_df(_run(name, spark, sf_dir), tag, **df_map)
-        out = piece if out is None else out.unionAll(piece)
+    # The children are independent read-only SELECT compilations; some run
+    # driver-side jobs while compiling (recursion checkpoints).  Build them
+    # from a small thread pool so those jobs overlap (r12, guide §2.6);
+    # union order stays the dict order, results unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = {name: pool.submit(_run, name, spark, sf_dir)
+                   for name in children}
+        out = None
+        for name, mapping in children.items():
+            tag = name.replace("surql_", "")
+            df_map = {}
+            for col, expr in mapping.items():
+                if isinstance(expr, str) and expr.startswith("__join:"):
+                    df_map[col] = _join_arr(expr[7:])
+                else:
+                    df_map[col] = expr
+            piece = _align_df(futures[name].result(), tag, **df_map)
+            out = piece if out is None else out.unionAll(piece)
     return out
 
 
