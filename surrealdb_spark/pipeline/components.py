@@ -55,9 +55,13 @@ def connected_components(
                     "__changed"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = updated.filter(F.col("__changed")).isEmpty() is False
+        # one job per round: counting the changed subset materializes the
+        # lazily-marked checkpoint (the filter sits above the RDD scan, so
+        # every row is computed and persisted) AND yields the convergence
+        # test — no separate eager-checkpoint + isEmpty job pair
+        changed = updated.filter(F.col("__changed")).count() > 0
         labels = updated.drop("__changed")
         if not changed:
             break
