@@ -126,20 +126,12 @@ def recurse(
     re-expanding a node already on the path (recursion.rs:8-15; BFS min-depth
     is the +collect reading).
 
-    Every frontier is localCheckpointed: each round's result is
+    Every frontier is eagerly localCheckpointed: each round's result is
     referenced by the next frontier, the visited set, AND the output union —
     without materialization the lineage re-executes prior rounds 2^depth
     times (and grows unboundedly at scale).  One materialized frontier per
-    round is the GraphFrames-style iteration pattern.
-
-    Driver-round cost (the dominant cost of a traversal at bench scale —
-    each round is a handful of tiny jobs): (a) the frontier is checkpointed
-    lazily and materialized BY the round's count() job, so each round runs
-    ONE job, not checkpoint + isEmpty; (b) dedup and the visited-set
-    anti-join are fused into a single union + aggregate — one Exchange
-    carrying candidates+visited instead of a distinct Exchange plus an
-    anti-join's two (candidates never in-visited survive with max(__old)
-    = false, exactly the old distinct ∘ left_anti result).
+    round is the GraphFrames-style iteration pattern; an early-exit check
+    (frontier.isEmpty) stops dead traversals.
     """
     if max_depth > RECURSION_LIMIT:
         raise ValueError(f"max_depth {max_depth} exceeds IDIOM_RECURSION_LIMIT {RECURSION_LIMIT}")
@@ -152,19 +144,14 @@ def recurse(
     visited = frontier  # depth-0 nodes are visited but not emitted
     steps: list[DataFrame] = []
     for depth in range(1, max_depth + 1):
-        cand = frontier.join(e, frontier.node == e.__here).select(
-            "start", F.col("__there").alias("node")
-        )
         nxt = (
-            cand.withColumn("__old", F.lit(False))
-            .unionByName(visited.withColumn("__old", F.lit(True)))
-            .groupBy("start", "node")
-            .agg(F.max("__old").alias("__old"))
-            .filter(~F.col("__old"))
-            .drop("__old")
-            .localCheckpoint(eager=False)
+            frontier.join(e, frontier.node == e.__here)
+            .select("start", F.col("__there").alias("node"))
+            .distinct()
+            .join(visited, ["start", "node"], "left_anti")
+            .localCheckpoint(eager=True)
         )
-        if not nxt.count():
+        if nxt.isEmpty():
             break
         if depth >= min_depth:
             steps.append(nxt.select("start", "node", F.lit(depth).alias("depth")))
@@ -215,9 +202,8 @@ def recurse_paths(
     Cycle rule: a path never revisits one of its own nodes
     (recursion.rs:8-15) — checked with array_contains against the path
     accumulator.  No cross-path visited set: distinct paths to the same
-    node are all kept (that's the +path semantics).  One localCheckpoint
-    per round, as in recurse(), materialized lazily by the round's single
-    count() job (no separate isEmpty job).
+    node are all kept (that's the +path semantics).  One eager
+    localCheckpoint per round, as in recurse().
     """
     if max_depth > RECURSION_LIMIT:
         raise ValueError(f"max_depth {max_depth} exceeds IDIOM_RECURSION_LIMIT {RECURSION_LIMIT}")
@@ -239,9 +225,9 @@ def recurse_paths(
                 F.col("__there").alias("node"),
                 F.array_append(F.col("__path"), F.col("__there")).alias("__path"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        if not nxt.count():
+        if nxt.isEmpty():
             break
         if depth >= min_depth:
             steps.append(

@@ -55,13 +55,9 @@ def connected_components(
                     "__changed"
                 ),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        # one job per round: counting the changed subset materializes the
-        # lazily-marked checkpoint (the filter sits above the RDD scan, so
-        # every row is computed and persisted) AND yields the convergence
-        # test — no separate eager-checkpoint + isEmpty job pair
-        changed = updated.filter(F.col("__changed")).count() > 0
+        changed = updated.filter(F.col("__changed")).isEmpty() is False
         labels = updated.drop("__changed")
         if not changed:
             break
