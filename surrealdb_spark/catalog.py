@@ -13,6 +13,7 @@ subsuming the reference's IndexScan/UnionIndexScan/CountScan fast paths
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,15 +67,27 @@ class Catalog:
     # Shared resolved-scan cache (r12): `spark.read.parquet` re-lists the
     # path and re-reads footers on every call — pure catalog-resolution
     # overhead (~0.1 s/table locally) that a real engine's catalog caches.
-    # Keyed by (session, path); holds the LAZY DataFrame (schema + file
+    # Keyed per-session (weakly — a stopped, dropped session releases its
+    # whole sub-cache instead of being pinned for the process lifetime)
+    # then by (path, mtime, size); holds the LAZY DataFrame (schema + file
     # index), never any computed rows, and only for the read-only fixture
-    # TABLES — engine-written tables go through register().
-    _scan_cache: dict[tuple, DataFrame] = {}
+    # TABLES — engine-written tables go through register().  Bounded: a
+    # long-lived service re-pointing at many sf dirs evicts oldest-first.
+    _scan_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+        weakref.WeakKeyDictionary()
+    )
+    _CACHE_MAX_ENTRIES = 256
+
+    def _session_scans(self) -> dict:
+        sub = Catalog._scan_cache.get(self.spark)
+        if sub is None:
+            sub = Catalog._scan_cache[self.spark] = {}
+        return sub
 
     def table(self, name: str) -> DataFrame:
         """TableScan: full scan of a table; Catalyst prunes columns/rows."""
         if name not in self._cache and name in TABLES:
-            shared = Catalog._scan_cache.get(self._scan_key(name))
+            shared = self._session_scans().get(self._scan_key(name))
             if shared is not None:
                 self._cache[name] = shared
         if name not in self._cache:
@@ -100,19 +113,25 @@ class Catalog:
                 df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
             self._cache[name] = df
             if name in TABLES:
-                Catalog._scan_cache[self._scan_key(name)] = df
+                sub = self._session_scans()
+                if len(sub) >= Catalog._CACHE_MAX_ENTRIES:
+                    sub.pop(next(iter(sub)))
+                sub[self._scan_key(name)] = df
         return self._cache[name]
 
     def _scan_key(self, name: str) -> tuple:
         """Cache key carrying path mtime/size so a rewritten file (tmp-dir
         fixtures in tests) never serves a stale file index."""
         path = self.path(name)
+        return (path, self._stamp(path))
+
+    @staticmethod
+    def _stamp(path: str) -> tuple | None:
         try:
             st = os.stat(path)
-            stamp = (st.st_mtime_ns, st.st_size)
+            return (st.st_mtime_ns, st.st_size)
         except OSError:
-            stamp = None
-        return (self.spark, path, stamp)
+            return None
 
     # -- scan-spread escape hatch (r12, guide §2: derive partitioning from
     # input size).  A parquet scan cannot parallelize below row-group
@@ -129,12 +148,16 @@ class Catalog:
     _SPREAD_MAX_BYTES = int(
         os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(1 << 30))
     )
-    _layout_cache: dict[str, tuple[int, int]] = {}
+    # Keyed by (path, mtime, size) — same stamp as the scan cache, so a
+    # rewritten fixture at the same path never serves a stale layout —
+    # and bounded like it.
+    _layout_cache: dict[tuple, tuple[int, int]] = {}
 
     def _layout(self, name: str) -> tuple[int, int]:
         """(row_groups, total_bytes) for a table path, footer-metadata only."""
         path = self.path(name)
-        ent = Catalog._layout_cache.get(path)
+        key = (path, self._stamp(path))
+        ent = Catalog._layout_cache.get(key)
         if ent is None:
             files = (
                 [path]
@@ -150,7 +173,9 @@ class Catalog:
             rg = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
             nbytes = sum(os.path.getsize(f) for f in files)
             ent = (rg, nbytes)
-            Catalog._layout_cache[path] = ent
+            if len(Catalog._layout_cache) >= Catalog._CACHE_MAX_ENTRIES:
+                Catalog._layout_cache.pop(next(iter(Catalog._layout_cache)))
+            Catalog._layout_cache[key] = ent
         return ent
 
     def rowcount(self, table: str) -> int:

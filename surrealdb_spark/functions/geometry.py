@@ -38,6 +38,8 @@ semantics for `intersects`).  ``Collection`` is not supported (documented).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -48,7 +50,24 @@ GEOM_T = f"struct<kind:string,polys:array<array<array<{PT_T}>>>>"
 KINDS = ("point", "line", "polygon", "multipoint", "multiline", "multipolygon")
 
 
+class Frag(str):
+    """A geometry VALUE as a SQL expression fragment (r13 fast path).
+
+    Building the spatial predicates out of pyspark Column calls costs
+    thousands of py4j round-trips per predicate (~0.5-1.4 s of pure
+    construction each, measured); the same expression emitted as one SQL
+    string is a single parse.  Callers that can express their operands as
+    SQL (literal GeoJSON via ``frag_from_coords``, computed points via
+    ``frag_point``) get predicates compiled through ``F.expr`` in one
+    call; any operand that is NOT a Frag falls back to the original
+    Column construction — semantics identical either way (the string
+    builders mirror the Column builders expression-for-expression).
+    """
+
+
 def _c(x) -> Column:
+    if isinstance(x, Frag):
+        return F.expr(str(x))
     if isinstance(x, Column):
         return x
     if isinstance(x, str):
@@ -254,11 +273,193 @@ def _point_in_geom(p: Column, g: Column) -> Column:
     )
 
 
+# -- SQL-fragment builders (r13 fast path; see Frag) --------------------------
+#
+# Each `_s_*` mirrors the Column builder of the same name expression-for-
+# expression (same operations, same order, same CASE/when structure) so a
+# fragment-built predicate computes bit-identical results.  Lambda variable
+# names are gensym'd per call so nested/composed predicates never capture
+# each other's variables.
+
+_SYM = itertools.count()
+
+
+def _sv(prefix: str) -> str:
+    return f"__g{prefix}{next(_SYM)}"
+
+
+def _s_pt(lon, lat) -> str:
+    lon = f"{lon!r}D" if isinstance(lon, (int, float)) else lon
+    lat = f"{lat!r}D" if isinstance(lat, (int, float)) else lat
+    return (
+        f"named_struct('lon', CAST({lon} AS DOUBLE), 'lat', CAST({lat} AS DOUBLE))"
+    )
+
+
+def _s_points(g: str) -> str:
+    return f"flatten(flatten({g}.polys))"
+
+
+def _s_ring_edges(ring: str) -> str:
+    p, i = _sv("p"), _sv("i")
+    return (
+        f"CASE WHEN size({ring}) < 2 THEN CAST(array() AS array<{EDGE_T}>) "
+        f"ELSE transform(slice({ring}, 1, size({ring}) - 1), "
+        f"({p}, {i}) -> named_struct('a', {p}, 'b', element_at({ring}, {i} + 2))) END"
+    )
+
+
+def _s_edges(g: str) -> str:
+    r = _sv("r")
+    return (
+        f"CASE WHEN {g}.kind IN ('point', 'multipoint') "
+        f"THEN CAST(array() AS array<{EDGE_T}>) "
+        f"ELSE flatten(transform(flatten({g}.polys), {r} -> {_s_ring_edges(r)})) END"
+    )
+
+
+def _s_orient(p: str, q: str, r: str) -> str:
+    return (
+        f"(({q}.lon - {p}.lon) * ({r}.lat - {p}.lat)"
+        f" - ({q}.lat - {p}.lat) * ({r}.lon - {p}.lon))"
+    )
+
+
+def _s_in_bbox(p: str, q: str, r: str) -> str:
+    return (
+        f"({r}.lon >= least({p}.lon, {q}.lon)"
+        f" AND {r}.lon <= greatest({p}.lon, {q}.lon)"
+        f" AND {r}.lat >= least({p}.lat, {q}.lat)"
+        f" AND {r}.lat <= greatest({p}.lat, {q}.lat))"
+    )
+
+
+def _s_on_segment(e: str, r: str) -> str:
+    a, b = f"{e}.a", f"{e}.b"
+    return f"({_s_orient(a, b, r)} = 0 AND {_s_in_bbox(a, b, r)})"
+
+
+def _s_seg_intersects(e1: str, e2: str, proper_only: bool = False) -> str:
+    a, b, c, d = f"{e1}.a", f"{e1}.b", f"{e2}.a", f"{e2}.b"
+    d1, d2 = _s_orient(c, d, a), _s_orient(c, d, b)
+    d3, d4 = _s_orient(a, b, c), _s_orient(a, b, d)
+    proper = (
+        f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+        f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    if proper_only:
+        return proper
+    touch = (
+        f"(({d1} = 0 AND {_s_in_bbox(c, d, a)})"
+        f" OR ({d2} = 0 AND {_s_in_bbox(c, d, b)})"
+        f" OR ({d3} = 0 AND {_s_in_bbox(a, b, c)})"
+        f" OR ({d4} = 0 AND {_s_in_bbox(a, b, d)}))"
+    )
+    return f"({proper} OR {touch})"
+
+
+def _s_point_in_poly(p: str, poly: str) -> str:
+    r, e, e2 = _sv("r"), _sv("e"), _sv("e")
+    edges = f"flatten(transform({poly}, {r} -> {_s_ring_edges(r)}))"
+    ea, eb = f"{e}.a", f"{e}.b"
+    crossing = (
+        f"size(filter({edges}, {e} -> "
+        f"(({ea}.lat > {p}.lat) != ({eb}.lat > {p}.lat))"
+        f" AND ({p}.lon < (({eb}.lon - {ea}.lon) * ({p}.lat - {ea}.lat))"
+        f" / ({eb}.lat - {ea}.lat) + {ea}.lon)))"
+    )
+    on_boundary = f"exists({edges}, {e2} -> {_s_on_segment(e2, p)})"
+    return f"(({crossing} % 2 = 1) OR {on_boundary})"
+
+
+def _s_point_in_geom(p: str, g: str) -> str:
+    x, e, poly = _sv("x"), _sv("e"), _sv("pl")
+    return (
+        f"CASE WHEN {g}.kind IN ('point', 'multipoint') "
+        f"THEN exists({_s_points(g)}, {x} -> {x} = {p}) "
+        f"WHEN {g}.kind IN ('line', 'multiline') "
+        f"THEN exists({_s_edges(g)}, {e} -> {_s_on_segment(e, p)}) "
+        f"ELSE exists({g}.polys, {poly} -> {_s_point_in_poly(p, poly)}) END"
+    )
+
+
+def _s_intersects(a: str, b: str) -> str:
+    p1, p2, e1, e2 = _sv("p"), _sv("p"), _sv("e"), _sv("e")
+    return (
+        f"(exists({_s_points(a)}, {p1} -> {_s_point_in_geom(p1, b)})"
+        f" OR exists({_s_points(b)}, {p2} -> {_s_point_in_geom(p2, a)})"
+        f" OR exists({_s_edges(a)}, {e1} -> exists({_s_edges(b)}, {e2} -> "
+        f"{_s_seg_intersects(e1, e2)})))"
+    )
+
+
+def _s_contains(container: str, inner: str) -> str:
+    p, e1, e2 = _sv("p"), _sv("e"), _sv("e")
+    return (
+        f"(forall({_s_points(inner)}, {p} -> {_s_point_in_geom(p, container)})"
+        f" AND NOT exists({_s_edges(inner)}, {e1} -> "
+        f"exists({_s_edges(container)}, {e2} -> "
+        f"{_s_seg_intersects(e1, e2, proper_only=True)})))"
+    )
+
+
+def frag_point(lon, lat) -> Frag:
+    """Point geometry as a SQL fragment; lon/lat are SQL fragments or
+    numbers."""
+    return Frag(
+        f"(named_struct('kind', 'point', 'polys', "
+        f"array(array(array({_s_pt(lon, lat)})))))"
+    )
+
+
+def frag_from_coords(kind: str, coords) -> Frag:
+    """``from_coords`` emitting a SQL fragment (literal coordinates only).
+
+    Polygon rings are closed HERE (python-side append of the first vertex
+    when missing) — same result as the Column path's runtime _close_ring
+    on these literals."""
+    k = {"point": "point", "linestring": "line", "line": "line",
+         "polygon": "polygon", "multipoint": "multipoint",
+         "multilinestring": "multiline", "multiline": "multiline",
+         "multipolygon": "multipolygon"}.get(kind.lower())
+    if k is None:
+        raise ValueError(f"unsupported geometry kind {kind!r}")
+
+    def pt(c) -> str:
+        return _s_pt(float(c[0]), float(c[1]))
+
+    def arr(items) -> str:
+        return f"array({', '.join(items)})"
+
+    def closed(ring):
+        ring = [[float(c[0]), float(c[1])] for c in ring]
+        return ring if ring and ring[0] == ring[-1] else ring + [ring[0]]
+
+    if k == "point":
+        return frag_point(float(coords[0]), float(coords[1]))
+    if k == "multipoint":
+        polys = arr([arr([arr([pt(c) for c in coords])])])
+    elif k == "line":
+        polys = arr([arr([arr([pt(c) for c in coords])])])
+    elif k == "multiline":
+        polys = arr([arr([arr([pt(c) for c in ln]) for ln in coords])])
+    elif k == "polygon":
+        polys = arr([arr([arr([pt(c) for c in closed(r)]) for r in coords])])
+    else:
+        polys = arr([
+            arr([arr([pt(c) for c in closed(r)]) for r in poly])
+            for poly in coords
+        ])
+    return Frag(f"(named_struct('kind', '{k}', 'polys', {polys}))")
+
+
 # -- predicates (operator surface) -------------------------------------------
 
 
 def intersects(a, b) -> Column:
     """`INTERSECTS` — geometry a ∩ b ≠ ∅ (val/geometry.rs:347)."""
+    if isinstance(a, Frag) and isinstance(b, Frag):
+        return F.expr(_s_intersects(str(a), str(b)))
     a, b = _c(a), _c(b)
     return (
         F.exists(_points(a), lambda p: _point_in_geom(p, b))
@@ -278,6 +479,8 @@ def contains(container, inner) -> Column:
     """container ⊇ inner — every vertex of inner inside container and no
     edge of inner properly crossing container's boundary (exact for simple
     polygons; `INSIDE a, b` lowers to contains(b, a))."""
+    if isinstance(container, Frag) and isinstance(inner, Frag):
+        return F.expr(_s_contains(str(container), str(inner)))
     container, inner = _c(container), _c(inner)
     return F.forall(_points(inner), lambda p: _point_in_geom(p, container)) & ~F.exists(
         _edges(inner),

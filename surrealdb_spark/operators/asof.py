@@ -57,11 +57,17 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = unioned
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-        )
+    # All carries in ONE projection: every window expression (including the
+    # tiebreak order's column references) resolves against the union's
+    # original attributes.  A sequential withColumn loop would overwrite a
+    # tiebreak column that is itself a value column before later windows
+    # resolve, silently changing which tied right row later columns pick.
+    carried = unioned.withColumns(
+        {
+            f"{c}{suffix}": F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            for c in value_cols
+        }
+    )
     return carried.filter(F.col("__side") == 1).drop("__t", "__side")
 
 

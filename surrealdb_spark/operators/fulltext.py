@@ -82,15 +82,25 @@ class FulltextIndex:
         # DDL time so search() runs zero driver jobs before the ranked
         # query itself (was one groupBy+collect per search — r12).
         # Bounded by VOCABULARY size, not corpus size; guarded so a huge
-        # vocabulary falls back to the per-search lazy lookup.
+        # vocabulary falls back to the per-search lazy lookup.  The guard
+        # itself must be cheap: estimate the vocabulary first (HLL sketch,
+        # no row transfer) and only collect the dictionary when it fits —
+        # the old shape pulled up to 2M rows to the driver just to discard
+        # them when the cap tripped.  The estimate carries ~5% error, so
+        # the exact take() cap stays as the hard backstop for estimates
+        # that squeak under the line.
         self._dfreq: dict | None = None
-        rows = (
-            self.postings.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .take(2_000_001)
-        )
-        if len(rows) <= 2_000_000:
-            self._dfreq = {r["term"]: r["df"] for r in rows}
+        vocab_est = self.postings.agg(
+            F.approx_count_distinct("term").alias("v")
+        ).collect()[0]["v"]
+        if vocab_est <= 2_000_000 * 1.1:
+            rows = (
+                self.postings.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .take(2_000_001)
+            )
+            if len(rows) <= 2_000_000:
+                self._dfreq = {r["term"]: r["df"] for r in rows}
 
     def search(self, terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return _bm25_over(

@@ -56,6 +56,13 @@ def knn_join(
     )
     order = [F.col("dist").asc(), F.col("c_id").asc()]
     top = W.partitionBy("q_id").orderBy(*order)
+    # Relies on Spark >= 3.5's WindowGroupLimit rank-limit pushdown (the
+    # rank <= k filter becomes a partial per-map-partition top-k BEFORE the
+    # exchange — plans/r12/knn_cosine_after.txt).  On an older Spark, or
+    # with spark.sql.optimizer.windowGroupLimitThreshold set to -1, the
+    # full scored cross product would shuffle into per-query partitions;
+    # if that rewrite ever disappears, restore the hand-rolled salted
+    # partition-local top-k this replaced (r12 history of this file).
     return (
         scored.withColumn("rank", F.row_number().over(top))
         .filter(F.col("rank") <= k)

@@ -151,19 +151,26 @@ def minhash_lsh_pairs(
             for s in range(n_hashes)
         ]
     )
-    band_structs = ", ".join(
-        "struct({b} AS band, concat_ws(',', {cols}) AS bucket)".format(
-            b=b, cols=", ".join(f"mh{s}" for s in range(b * rows, (b + 1) * rows))
+    band_hashes = ", ".join(
+        "xxhash64(concat_ws(',', {cols}))".format(
+            cols=", ".join(f"mh{s}" for s in range(b * rows, (b + 1) * rows))
         )
         for b in range(bands)
     )
+    # Each bucket row carries the doc's FULL per-band bucket-hash array so
+    # the join can test earlier bands in-row (see cand below).  64-bit
+    # xxhash64 of the bucket string replaces the ~100-byte md5-concat
+    # string as both join key and equality probe (guide §2.3 narrower
+    # shuffle keys); a hash collision only ever ADDS a candidate pair
+    # (verify filters it), never drops one — the emission rule uses the
+    # same hashed values on both sides.
     buckets = wide.selectExpr(
-        "doc", "n", f"explode(array({band_structs})) AS __b"
-    ).selectExpr("doc", "n", "__b.band AS band", "__b.bucket AS bucket")
+        "doc", "n", f"array({band_hashes}) AS __bh"
+    ).selectExpr("doc", "n", "__bh", "posexplode(__bh) AS (band, bh)")
     b1 = buckets.select(F.col("doc").alias("id1"), F.col("n").alias("n1"),
-                        "band", "bucket")
+                        F.col("__bh").alias("__bh1"), "band", "bh")
     b2 = buckets.select(F.col("doc").alias("id2"), F.col("n").alias("n2"),
-                        "band", "bucket")
+                        F.col("__bh").alias("__bh2"), "band", "bh")
     # Size-compatibility prefilter (r12): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
     # so a pair whose set sizes differ by more than the threshold ratio can
     # NEVER qualify — drop it straight out of the bucket join, before the
@@ -174,17 +181,26 @@ def minhash_lsh_pairs(
     # provably-sub-threshold pairs are dropped).  |set| rides the same
     # signature aggregation (one more count per doc) — no size table, no
     # corpus-sized broadcast (guide §3.1).
+    # First-matching-band emission (r13): a pair is emitted ONLY from the
+    # lowest band where its buckets agree — `exists` over the earlier
+    # bands' hashes rejects re-emissions — so each candidate pair appears
+    # exactly once and the r12 shape's pair-level `.distinct()` (a full
+    # extra Exchange over every candidate row) disappears.  Same pairs:
+    # emitted-at-first-band ≡ distinct-over-all-bands.
     cand = (
-        b1.join(b2, ["band", "bucket"])
+        b1.join(b2, ["band", "bh"])
         .filter(
             (F.col("id1") < F.col("id2"))
             & (
                 F.least("n1", "n2").cast("double")
                 >= F.lit(threshold) * F.greatest("n1", "n2").cast("double")
             )
+            & ~F.expr(
+                "exists(zip_with(slice(__bh1, 1, band), slice(__bh2, 1, band),"
+                " (x, y) -> x = y), v -> v)"
+            )
         )
         .select("id1", "id2", "n1", "n2")
-        .distinct()
     )
     a = dw.select(F.col("doc").alias("id1"), "w")
     b = dw.select(F.col("doc").alias("id2"), "w")

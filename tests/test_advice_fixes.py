@@ -281,3 +281,48 @@ def test_quadratic_primitives_guarded(spark):
         cosine_pairs(emb, "vec_id", "embedding", 0.5)
     assert cosine_pairs(emb, "vec_id", "embedding", 0.5,
                         allow_quadratic=True).count() == 1
+
+
+def test_asof_tiebreak_overlapping_value_cols(spark):
+    """r13: multiple value columns with a tiebreak that is itself a value
+    column — every carried column must come from the SAME winning right row
+    (the max under the tiebreak order), not from a row picked against
+    already-carried values."""
+    from surrealdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "k string, lts int")
+    # Two right rows tied at ts=5: tiebreak v asc → (v=2, o='x') wins.
+    right = spark.createDataFrame(
+        [("k", 5, 1, "y"), ("k", 5, 2, "x")], "k string, rts int, v int, o string"
+    )
+    out = asof_join(
+        left, right, ["k"], "lts", "rts", ["v", "o"], right_tiebreak=["v"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v_asof"] == 2 and out[0]["o_asof"] == "x"
+
+
+def test_layout_cache_invalidated_on_rewrite(spark, tmp_path):
+    """r13: spread()'s layout cache is stamped by (mtime, size) — rewriting
+    a fixture at the same path must not serve the stale layout."""
+    from surrealdb_spark.catalog import Catalog
+
+    p = str(tmp_path / "orders.parquet")
+    spark.range(10).toDF("o_orderkey").write.mode("overwrite").parquet(p)
+    cat = Catalog(spark, str(tmp_path))
+    rg1, b1 = cat._layout("orders")
+    import os as _os
+    import time as _time
+
+    _time.sleep(0.01)
+    spark.range(5000).toDF("o_orderkey").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    # force a distinct mtime stamp even on coarse filesystems
+    _os.utime(
+        sorted(
+            _os.path.join(p, f) for f in _os.listdir(p) if f.endswith(".parquet")
+        )[0]
+    )
+    rg2, b2 = cat._layout("orders")
+    assert (rg2, b2) != (rg1, b1)
