@@ -27,6 +27,8 @@ column.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -859,6 +861,13 @@ def recursive_destructure_trees(spark, cat, start_rids: list, bounds,
 
 
 RECURSION_LIMIT = 256
+# Broadcast budget for a recursion's per-step hop projection (3 record-id
+# string columns): same rationale/order as graph.BCAST_EDGE_MAX_ROWS — the
+# checkpointed projection has no stats, so the planner would sort-merge
+# every level without the hint; above the budget its choice stands.
+_BCAST_HOP_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_RECURSE_BCAST_ROWS", "1000000")
+)
 
 
 def validate_recursion_bounds(lo, hi) -> None:
@@ -1037,26 +1046,66 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
     levels: list[DataFrame] = []
     reached = 0
     scalar_chain = all(s[0] == "link" for s in steps)
+    # Per-step hop projections built ONCE, not once per level (r13): each
+    # level's job otherwise re-resolves and re-scans the edge source, and
+    # — the frontier being a checkpointed RDD with no size statistics —
+    # sort-merge-joins it every level.  Multi-level traversals materialize
+    # the projection (one count job doubles as the materializer) and
+    # broadcast-hint it under the same row budget graph.recurse uses.
+    hops: dict[int, tuple] = {}
+    hop_counts: list[int] = []
+    for si, step in enumerate(steps):
+        if step[0] == "link":
+            continue
+        (dirn, edge, target) = step
+        e = edge_df(cat, edge)
+        if e is None:
+            hops[si] = None
+            continue
+        here, there = ("in", "out") if dirn == "out" else ("out", "in")
+        hop = e.select(
+            F.col(here).alias("__src"), F.col(there).alias("__dst"),
+            F.concat(F.lit(edge), F.lit(SEP), _kv_key(F.col("id"))
+                     ).alias("__piece"),
+        )
+        if target != "?":
+            hop = hop.filter(_rid_table(F.col("__dst")) == target)
+        if hi_eff >= 2:
+            hop = hop.localCheckpoint(eager=False)
+            n_hop = hop.count()
+            hop_counts.append(n_hop)
+            if n_hop <= _BCAST_HOP_MAX_ROWS:
+                hop = F.broadcast(hop)
+        hops[si] = hop
+    # Lazy-level mode (r13): for a small, BOUNDED default-kind recursion
+    # over edge steps only, skip every per-level checkpoint/probe job and
+    # resolve "the last non-empty level" inside the ONE final job (filter
+    # against a broadcast scalar max(__depth)).  A depth-d lazy plan
+    # recomputes level k in levels k..d, so it is gated on small hop
+    # tables (broadcast-cheap recompute) and small d; the materialized
+    # loop below stays the scale path, and cycle/timeout semantics
+    # (unbounded) always take it.
+    lazy_levels = (
+        kind == "last"
+        and not no_revisit
+        and 2 <= hi_eff <= 8
+        and steps
+        and all(s[0] != "link" for s in steps)
+        and all(hops.get(i) is not None for i in range(len(steps)))
+        and hop_counts
+        and max(hop_counts) <= _BCAST_HOP_MAX_ROWS
+    )
     for depth in range(1, hi_eff + 1):
         nxt = frontier
-        for step in steps:
+        for si, step in enumerate(steps):
             if step[0] == "link":
                 nxt, was_scalar = _link_hop(nxt, cat, step[1])
                 scalar_chain = scalar_chain and was_scalar
                 continue
-            (dirn, edge, target) = step
-            e = edge_df(cat, edge)
-            if e is None:
+            hop = hops[si]
+            if hop is None:
                 nxt = nxt.limit(0)
                 break
-            here, there = ("in", "out") if dirn == "out" else ("out", "in")
-            hop = e.select(
-                F.col(here).alias("__src"), F.col(there).alias("__dst"),
-                F.concat(F.lit(edge), F.lit(SEP), _kv_key(F.col("id"))
-                         ).alias("__piece"),
-            )
-            if target != "?":
-                hop = hop.filter(_rid_table(F.col("__dst")) == target)
             nxt = (
                 nxt.join(hop, nxt["__node"] == hop["__src"])
                 .select(
@@ -1084,8 +1133,16 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
                         "the timeout")
             # cycle rule: a path never revisits one of its own nodes
             nxt = nxt.filter(~revisits)
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        if lazy_levels:
+            levels.append(nxt.withColumn("__depth", F.lit(depth)))
+            frontier = nxt
+            continue
+        # ONE job per level (r13): count() both materializes the lazily-
+        # marked checkpoint (every partition computed and persisted under
+        # it — same lineage truncation as eager) and answers the emptiness
+        # probe, where eager-checkpoint + isEmpty paid two driver rounds.
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         reached = depth
         levels.append(nxt.withColumn("__depth", F.lit(depth)))
@@ -1093,7 +1150,24 @@ def recurse_value(df: DataFrame, cat, slot: str, base, rng, instr, steps,
 
     spark = df.sparkSession
     if kind == "last":
-        if not levels or reached < max(lo, 1):
+        if lazy_levels:
+            allr = levels[0]
+            for lv in levels[1:]:
+                allr = allr.unionByName(lv)
+            allr = allr.select("__rk", "__node", "__ord", "__depth")
+            # last non-empty level ≡ rows at the global max depth, gated
+            # on the min bound — the same levels[-1]/reached logic, but
+            # decided inside the plan instead of by driver probes.
+            mx = allr.agg(F.max("__depth").alias("__mx"))
+            rows = (
+                allr.crossJoin(F.broadcast(mx))
+                .filter(
+                    (F.col("__depth") == F.col("__mx"))
+                    & (F.col("__mx") >= max(lo, 1))
+                )
+                .select("__rk", "__node", "__ord", "__depth")
+            )
+        elif not levels or reached < max(lo, 1):
             rows = spark.createDataFrame(
                 [], "__rk string, __node string, __ord string, __depth int")
         else:
