@@ -106,15 +106,14 @@ class IvfIndex:
         scored = cand.select(
             "q_id", "c_id", dist_fn("__qv", "__cv").alias("dist")
         )
+        # Single window + rank filter: Spark's WindowGroupLimit rewrite
+        # runs the partial top-k per map partition BEFORE the exchange (the
+        # same r12 simplification as operators/knn.py — one Exchange + one
+        # Window instead of the hand-rolled salted local top-k's two).
         order = [F.col("dist").asc(), F.col("c_id").asc()]
-        local = W.partitionBy(F.spark_partition_id(), "q_id").orderBy(*order)
-        survivors = (
-            scored.withColumn("__lr", F.row_number().over(local))
-            .filter(F.col("__lr") <= k).drop("__lr")
-        )
         top = W.partitionBy("q_id").orderBy(*order)
         return (
-            survivors.withColumn("rank", F.row_number().over(top))
+            scored.withColumn("rank", F.row_number().over(top))
             .filter(F.col("rank") <= k)
         )
 
@@ -126,9 +125,10 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
 
     Init: the n_cells rows with the smallest md5(id) (a deterministic
     pseudo-random sample — one small sort-limit job).  Each iteration is
-    one assignment pass (broadcast matmul) + one groupBy(cell) mean
-    (posexplode → (cell, dim) partial sums: a single shuffle whose key
-    cardinality is k·dim — driver-independent of corpus size).
+    ONE narrow job: a mapInPandas pass that assigns cells (batch matmul)
+    and accumulates per-cell partial sums in the same sweep, emitting
+    k rows of (cell, sum-vector, count) per task — k·n_tasks tiny rows to
+    the driver, no shuffle, regardless of corpus size.
     """
     seed_rows = (
         corpus.select(F.col(vec_col).alias("v"),
@@ -138,24 +138,51 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
     centroids = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
 
     base = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    n_cells_eff = centroids.shape[0]
     for _ in range(iters):
-        assigned = base.withColumn("__cell", _assign_udf(centroids)(vec_col))
-        means = (
-            assigned.select(
-                "__cell", F.posexplode(vec_col).alias("d", "x")
+        # One NARROW job per Lloyd iteration (r13, guide §2.3/§2.4): the
+        # assignment matmul and the per-cell partial sums both happen inside
+        # one mapInPandas pass, emitting k rows of (cell, sum-vector, count)
+        # per task.  The r12 shape posexploded every vector into dim rows
+        # and shuffled N·dim rows into a (cell, dim) aggregation — a full
+        # Exchange per iteration whose only consumer was a k·dim collect.
+        # Partial sums accumulate in row order within each partition (the
+        # same order Spark's partial aggregation consumed them) and combine
+        # on the driver in partition order — deterministic.
+        C = centroids.astype(np.float64)
+        Cn = (C * C).sum(axis=1)
+
+        def partials(batches, _C=C, _Cn=Cn, _k=n_cells_eff, _vc=vec_col):
+            import pandas as pd
+
+            S = np.zeros_like(_C)
+            n = np.zeros(_k, dtype=np.int64)
+            for b in batches:
+                if not len(b):
+                    continue
+                M = np.vstack(b[_vc].to_numpy()).astype(np.float64)
+                cell = np.argmin(_Cn[None, :] - 2.0 * (M @ _C.T), axis=1)
+                np.add.at(S, cell, M)
+                np.add.at(n, cell, 1)
+            yield pd.DataFrame(
+                {"cell": np.arange(_k, dtype="int32"),
+                 "s": list(S), "n": n}
             )
-            .groupBy("__cell", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+
+        parts = (
+            base.select(vec_col)
+            .mapInPandas(partials, "cell int, s array<double>, n bigint")
             .collect()
         )
         fresh = centroids.copy()
-        acc: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
-        for r in means:
-            acc.setdefault(r["__cell"], np.zeros(centroids.shape[1]))[r["d"]] = r["s"]
-            cnt[r["__cell"]] = r["n"]
-        for cell, vec in acc.items():
-            fresh[cell] = vec / cnt[cell]
+        acc = np.zeros_like(C)
+        cnt = np.zeros(n_cells_eff, dtype=np.int64)
+        for r in parts:
+            acc[r["cell"]] += np.asarray(r["s"])
+            cnt[r["cell"]] += r["n"]
+        for cell in range(n_cells_eff):
+            if cnt[cell]:
+                fresh[cell] = acc[cell] / cnt[cell]
         centroids = fresh
 
     assigned = base.withColumn(

@@ -42,6 +42,17 @@ def get_spark(
         # is UTC-instant (values.py), so keep parquet reads on TIMESTAMP.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column API call with call-site
+        # origin capture for richer error messages: getActiveSession +
+        # conf.get + PySparkCurrentOrigin.set/clear = 3-4 extra py4j round
+        # trips and an inspect-stack walk PER CALL (pyspark/errors/utils.py
+        # _with_origin — "debugging options to reduce performance
+        # slowdown", default on).  The compiler/suite builders make tens of
+        # thousands of Column calls per query build; r13 A/B measured the
+        # surql child builds ~2x faster with it off.  Errors still raise
+        # with full Python tracebacks — only the JVM-side origin tag of the
+        # failing expression is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Scalar @udf lanes cross the Python boundary as Arrow batches, not
         # pickled rows (guide §4.3; the pipeline's heavy lanes are already
         # pandas_udf/mapInPandas — this covers the long tail).
@@ -59,8 +70,13 @@ def get_spark(
         # Let the planner pick shuffled-hash over sort-merge when a side's
         # per-partition build fits (guide §3.1/§9): skips both sorts; AQE
         # skew-split still applies.  Sort-merge remains the fallback for
-        # oversized builds via the size conditions.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # oversized builds via the size conditions.  Env-parameterised so
+        # the strategy can be A/B'd at larger scale without a code edit
+        # (r13: verified at the 10x-scaled layout, see OPTIMIZATION_r13.md).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -34,6 +34,17 @@ _SQL_TYPES = {"bigint": "BIGINT", "string": "VARCHAR", "double": "DOUBLE",
 
 
 def _align_df(df: DataFrame, tag: str, **cols: Column | str | None) -> DataFrame:
+    # Fast path (r13): when every mapping is a name/SQL-fragment string the
+    # whole alignment is ONE selectExpr (one py4j call, one parse) instead
+    # of ~25 Column-builder round trips per child (lit/col/cast/alias each
+    # cross the py4j socket; 19 children × ~25 calls dominated the merged
+    # suites' build time).  Same expressions, same plan.
+    if all(isinstance(c, str) or c is None for c in cols.values()):
+        parts = [f"'{tag}' AS c"]
+        for name, typ in _ALIGNED:
+            c = cols.get(name)
+            parts.append(f"CAST({c if c is not None else 'NULL'} AS {typ}) AS {name}")
+        return df.selectExpr(*parts)
     out = [F.lit(tag).alias("c")]
     for name, typ in _ALIGNED:
         c = cols.get(name)
@@ -458,18 +469,31 @@ def _surql_mapped_df(children: dict, spark: SparkSession, sf_dir: str) -> DataFr
     with ThreadPoolExecutor(max_workers=4) as pool:
         futures = {name: pool.submit(_run, name, spark, sf_dir)
                    for name in children}
-        out = None
+        pieces = []
         for name, mapping in children.items():
             tag = name.replace("surql_", "")
             df_map = {}
             for col, expr in mapping.items():
                 if isinstance(expr, str) and expr.startswith("__join:"):
-                    df_map[col] = _join_arr(expr[7:])
+                    # SQL-fragment form of _join_arr → stays on _align_df's
+                    # one-selectExpr fast path (identical expression tree)
+                    df_map[col] = (
+                        f"array_join(transform({expr[7:]},"
+                        f" x -> CAST(x AS string)), ',')"
+                    )
                 else:
                     df_map[col] = expr
-            piece = _align_df(futures[name].result(), tag, **df_map)
-            out = piece if out is None else out.unionAll(piece)
-    return out
+            pieces.append(_align_df(futures[name].result(), tag, **df_map))
+    # Balanced union: every DataFrame method eagerly re-analyzes its whole
+    # plan, so a left-deep chain of N unions costs O(N²) analysis of the
+    # accumulated tree; pairing halves the depth (same row order — union
+    # concatenation is associative and the leaf order is preserved).
+    while len(pieces) > 1:
+        pieces = [
+            pieces[i].unionAll(pieces[i + 1]) if i + 1 < len(pieces) else pieces[i]
+            for i in range(0, len(pieces), 2)
+        ]
+    return pieces[0]
 
 
 @query("surql_select_suite", oracle=_surql_mapped_sql(_SELECT_CHILDREN))

@@ -1,9 +1,11 @@
-"""Capture .explain("formatted") for every bench query → plans/r12/.
+"""Capture .explain("formatted") for suite queries → plans/<round>/.
 
-Usage: python tools/capture_plans.py [suffix] [query ...]
-Writes plans/r12/<query>_<suffix>.txt (suffix defaults to "before").
-Plans are captured without executing the query (cheap), after the same
-warmup (ft/srp index build) the bench itself performs so plan inputs match.
+Usage: python tools/capture_plans.py [--round rNN] [--all] [suffix] [query ...]
+Writes plans/<round>/<query>_<suffix>.txt (suffix defaults to "before";
+round defaults to r13).  With --all the non-bench library queries are
+capturable too.  Plans are captured without executing the query (cheap),
+after the same warmup (ft/srp index build) the bench itself performs so
+plan inputs match.
 """
 
 from __future__ import annotations
@@ -19,10 +21,18 @@ from surrealdb_spark import suite  # noqa: E402
 
 
 def main() -> None:
-    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    rnd = "r13"
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1]
+        del args[i : i + 2]
+    use_all = "--all" in args
+    args = [a for a in args if a != "--all"]
+    suffix = args[0] if args else "before"
+    only = set(args[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("plan_capture")
 
@@ -31,11 +41,11 @@ def main() -> None:
     ft_index(spark, sf_dir)
     srp_signed(spark, sf_dir)
 
-    bench = suite.bench_queries()
-    for name in sorted(bench):
+    qs = suite.all_queries() if use_all else suite.bench_queries()
+    for name in sorted(qs):
         if only and name not in only:
             continue
-        df = bench[name](spark, sf_dir)
+        df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
