@@ -4,7 +4,7 @@ bench query is overhead-bound — 8-core within 10% of 32-core — so scale
 wins/regressions are invisible; there is no driver-provided sf1).
 
 Usage: python tools/make_scaled_sf.py [factor] [out_dir]
-       (defaults: 10 /root/sfbig — i.e. an sf1-equivalent)
+       (defaults: 10 /root/sf1.0 — i.e. an sf1-equivalent)
 
 NOT an oracle fixture: /root/testdata stays untouched and no correctness
 claim is made at this scale — parity stays gated on the driver SFs.  The
@@ -121,7 +121,7 @@ def scale_table(name: str, factor: int, out_dir: Path) -> None:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/root/sfbig")
+    out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/root/sf1.0")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in ("region", "nation", "customer", "supplier", "part", "orders",
                  "lineitem", "events", "documents", "embeddings"):
