@@ -36,7 +36,10 @@ hidden=True)
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token counting + document fingerprinting (rolling-hash analogue → md5
     # of the normalized text; string::words core/src/fnc/string.rs).
-    docs = Catalog(spark, sf_dir).documents
+    cat = Catalog(spark, sf_dir)
+    # spread: regex tokenize + fingerprint per row is CPU-heavy per byte and
+    # otherwise runs on the scan's single row-group task (r13)
+    docs = cat.spread(cat.documents, "documents", "doc_id")
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -68,7 +71,8 @@ def _lang_case_sql() -> str:
 hidden=True)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Language-ID via marker-token hit counts + deterministic argmax.
-    docs = Catalog(spark, sf_dir).documents
+    cat = Catalog(spark, sf_dir)
+    docs = cat.spread(cat.documents, "documents", "doc_id")  # r13, as token_stats
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -102,7 +106,8 @@ _SQL_STOP = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 hidden=True)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality scoring: length/stopword/word-shape features, fixed double tree.
-    docs = Catalog(spark, sf_dir).documents
+    cat = Catalog(spark, sf_dir)
+    docs = cat.spread(cat.documents, "documents", "doc_id")  # r13, as token_stats
     f = T.quality_features("text")
     return docs.select(
         "doc_id",

@@ -140,7 +140,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pipeline/ivf.py; recall vs brute force in tests/test_vector.py).
     from surrealdb_spark.pipeline.ivf import ivf_build
 
-    emb = Catalog(spark, sf_dir).embeddings
+    cat = Catalog(spark, sf_dir)
+    # spread: the assigned-corpus artifact inherits the scan's partitioning,
+    # so a single-row-group corpus file pins BOTH the k-means passes and the
+    # probe-join scoring (candidates × dim-length distance folds) to one
+    # task (r13; identity at a multi-row-group layout)
+    emb = cat.spread(cat.embeddings, "embeddings", "vec_id")
     idx = ivf_build(emb, n_cells=16, iters=2)
     return idx.search(None, k=10, nprobe=4,
                       query_pred=F.col("vec_id") % 50 == 0, exclude_self=True)
