@@ -326,3 +326,43 @@ def test_layout_cache_invalidated_on_rewrite(spark, tmp_path):
     )
     rg2, b2 = cat._layout("orders")
     assert (rg2, b2) != (rg1, b1)
+
+
+def test_minhash_array_verify_equals_exploded_join(spark):
+    """r13: the exact-Jaccard verify counts the word intersection in-row
+    via size(array_intersect(ws1, ws2)) instead of exploding every
+    candidate by its word list.  On a corpus with near-dups, exact dups,
+    disjoint docs and a sub-threshold pair, the pair set and every
+    jaccard value must equal a direct all-pairs recompute."""
+    from itertools import combinations
+
+    from surrealdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    corpus = {
+        "d1": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "d2": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "d3": "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "d4": "one two three four five six seven eight nine ten",
+        "d5": "one two three four five six seven eight nine eleven",
+        "d6": "totally disjoint words only here now",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id string, text string")
+    threshold = 0.8
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold,
+                                   n_hashes=12, bands=4).collect()
+    }
+    # ground truth: exact Jaccard over all pairs (LSH with 4 bands can
+    # only MISS pairs, never invent them; at these similarities >= 0.8
+    # every qualifying pair shares at least one full band)
+    sets = {k: set(v.split()) for k, v in corpus.items()}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= threshold:
+            want[(a, b)] = jac
+    assert set(got) == set(want), (got, want)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
