@@ -141,6 +141,7 @@ def graph_hop(
     edge_filter: Column | None = None,
     start_id: str = "id",
     broadcast_edges: bool = False,
+    broadcast_start: bool = False,
 ) -> DataFrame:
     """One traversal hop: expand each start record id along the edge table.
 
@@ -148,17 +149,32 @@ def graph_hop(
     direction 'out' = ``->``, 'in' = ``<-``, 'both' = ``<->``
     (core/src/expr/dir.rs:18-26).  ``edge_filter`` is the
     ``->(edge WHERE ...)->`` predicate (core/src/expr/lookup.rs:63).
+
+    ``broadcast_start``: hint that the frontier is the small side.  The
+    edge side's size estimate comes from compressed parquet bytes of the
+    pruned key columns, which badly UNDER-estimates the record-id strings
+    the edge projection expands them into — at the 10x-scaled layout the
+    planner broadcast a 6M-row edge table (a multi-hundred-MB hash
+    relation rebuilt every run) under a seeded frontier of 30k rows
+    (guide §3.1: hint when a side is KNOWN small; r13).  Callers set it
+    when the frontier is a seeded/filtered set they know stays bounded.
     """
     if edge_filter is not None:
         edges = edges.filter(edge_filter)
     if direction == "both":
-        return graph_hop(start, edges, "out", None, start_id, broadcast_edges).unionByName(
-            graph_hop(start, edges, "in", None, start_id, broadcast_edges)
+        return graph_hop(
+            start, edges, "out", None, start_id, broadcast_edges, broadcast_start
+        ).unionByName(
+            graph_hop(
+                start, edges, "in", None, start_id, broadcast_edges, broadcast_start
+            )
         )
     here, there = (IN, OUT) if direction == "out" else (OUT, IN)
     e = edges.select(F.col(here).alias("__here"), F.col(there).alias("nbr"))
     if broadcast_edges:
         e = F.broadcast(e)
+    if broadcast_start:
+        start = F.broadcast(start)
     return start.join(e, start[start_id] == e.__here).drop("__here")
 
 
