@@ -67,7 +67,15 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
-    late = cat.lineitem.select("l_orderkey", "l_shipdate")
+    # merge hint (r13, guide §3.1): a LeftSemi BHJ can only build the
+    # RIGHT side, i.e. the corpus-sized lineitem projection — whose size
+    # estimate (compressed parquet bytes of 2 pruned columns) lands under
+    # the broadcast threshold while the actual hash relation is 6M+ rows
+    # rebuilt every run.  Sort-merge streams both sides and won at sf1
+    # (3.6→1.2 s) AND sf0.1 (0.55→0.43 s); at real scale the estimates
+    # exceed the threshold and the planner picks SMJ anyway — the hint
+    # makes the safe choice explicit instead of estimate-dependent.
+    late = cat.lineitem.select("l_orderkey", "l_shipdate").hint("merge")
     return (
         ords.join(
             late,
