@@ -72,27 +72,29 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def retention_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Day-over-day retention: distinct active days per user self-joined on
-    # day+1 (cohort-retention building block; int counts — exact).
+    # Day-over-day retention: distinct active days per user; "active again
+    # on day+1" read off the user's own sorted day sequence (int counts —
+    # exact).  The self-join form computed the distinct subtree TWICE
+    # (Spark does not share a subtree across join sides) and broadcast one
+    # copy; on distinct (user, day) rows lead(day) == day+1 is exactly the
+    # old join's match predicate, and the window reuses the distinct's
+    # user-keyed exchange (r13, guide §2.4; output verified equal at
+    # sf0.1/sf1, oracle green).
+    from pyspark.sql import Window as W
+
     ev = Catalog(spark, sf_dir).events
     active = ev.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
     ).distinct()
-    nxt = active.select(
-        F.col("user_id").alias("b_user"), F.date_sub("day", 1).alias("b_prev_day")
+    nxt = F.lead("day").over(W.partitionBy("user_id").orderBy("day"))
+    flagged = active.withColumn(
+        "__ret", (nxt == F.date_add("day", 1)).cast("int")
     )
     return (
-        active.join(
-            nxt,
-            (F.col("user_id") == F.col("b_user")) & (F.col("day") == F.col("b_prev_day")),
-            "left",
-        )
-        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        flagged.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("active_users"),
-            F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0)).alias(
-                "retained_next_day"
-            ),
+            F.sum(F.coalesce(F.col("__ret"), F.lit(0))).alias("retained_next_day"),
         )
     )
 

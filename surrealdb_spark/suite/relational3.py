@@ -142,12 +142,16 @@ def q12_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q12 shape: conditional integer counts by category.
     cat = Catalog(spark, sf_dir)
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # merge hint (r13): same estimate trap as q4 — the orders side's
+    # 2-column pruned-scan estimate stays under the broadcast threshold
+    # while the actual corpus-sized hash relation is rebuilt per run;
+    # interleaved A/B sf1 1.22→0.70 s, sf0.1 0.43→0.40 s (guide §3.1)
     return (
         cat.lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_count"),
