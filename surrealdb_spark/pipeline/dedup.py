@@ -2,7 +2,7 @@
 
 Tiers (each a standalone DataFrame transformation):
   * exact        — md5 fingerprint groupBy (hash-dedup)
-  * jaccard      — word-set Jaccard over an explode+self-join (exact near-dup)
+  * jaccard      — word-set Jaccard, prefix-filtered AllPairs (exact near-dup)
   * minhash_lsh  — MinHash signatures + banded bucketing + Jaccard verify:
                    the 100 TB path (shuffle keyed on (band, bucket), no
                    full cross product)
@@ -48,12 +48,16 @@ def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float,
     max_doc_freq: int | None = None, allow_quadratic: bool = False
 ) -> DataFrame:
-    """All pairs with word-set Jaccard ≥ threshold (exact, via self-join).
+    """All pairs with word-set Jaccard ≥ threshold (exact, prefix-filtered).
 
-    O(N²) VERIFY PRIMITIVE — refuses to run unless ``allow_quadratic=True``:
-    the token self-join explodes quadratically on shared words and will
-    not survive a large corpus.  The scale path is ``minhash_lsh_pairs``
+    O(N²)-CLASS VERIFY PRIMITIVE — refuses to run unless
+    ``allow_quadratic=True``: even prefix-filtered, worst-case candidate
+    count is quadratic (near-identical corpora), and the primitive is meant
+    for small verify scopes.  The scale path is ``minhash_lsh_pairs``
     (banded LSH candidates, exact Jaccard re-score on candidates only).
+    Candidates come from a rarity-ordered PREFIX token join (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search" — exact for any
+    threshold, see inline proof), not the full token self-join.
 
     ``max_doc_freq`` prunes ultra-common words before the join — at scale
     the hot-word skew dominates; dropping words in >X% of docs is the
@@ -66,23 +70,83 @@ def jaccard_pairs(
             "minhash_lsh_pairs for the scale path"
         )
     dw = doc_words(df, id_col, text_col)
+    # Prefix-filtered AllPairs (r13, Bayardo/Chaudhuri prefix principle;
+    # guide §3.2 "reduce the big side before shuffling it", §8.4 "decide
+    # with light rows").  Candidate generation no longer self-joins EVERY
+    # (doc, word) row — only each doc's PREFIX tokens join.  Order all
+    # words by global rarity (document frequency asc, word asc — a total
+    # order); for J(x,y) ≥ t, |x∩y| ≥ ⌈t·|x|⌉ =: αx (t·|x∪y| ≥ t·|x|), and
+    # the smallest shared word w* has ≥ αx intersection words at-or-after
+    # it inside x, so w* sits within x's first |x|−αx+1 words — and
+    # symmetrically within y's first |y|−αy+1.  Joining on prefix tokens
+    # therefore finds EVERY qualifying pair (exact, not approximate); at
+    # t = 0.99 the prefix is 1-2 rare tokens per doc instead of the whole
+    # word set, and rarity-first ordering keeps per-token join groups near
+    # singleton (the hot-word quadratic blow-up of the naive join is the
+    # skew §2.5 warns about).  ⌈t·n⌉ is computed as ceil(t·n − 1e-9): a
+    # float t·n that lands a hair ABOVE an exact integer k would otherwise
+    # ceil to k+1 and shorten the prefix below the sound length — the
+    # epsilon only ever lengthens the prefix (more candidates, never
+    # fewer), so exactness is preserved for any threshold.
+    wdf = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
-        freq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-        dw = dw.join(F.broadcast(freq.filter(F.col("df") <= max_doc_freq)), "w")
-    sizes = dw.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = dw.select(F.col("doc").alias("id1"), "w")
-    b = dw.select(F.col("doc").alias("id2"), "w")
-    inter = (
-        a.join(b, "w")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        # Word-level document-frequency prune (unchanged semantics); the df
+        # column doubles as the rarity sort key below, computed once.
+        wdf = wdf.filter(F.col("df") <= max_doc_freq)
+    docs = (
+        dw.join(wdf, "w")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "w"))).alias("sw"))
+        .select(
+            "doc",
+            F.expr("transform(sw, x -> x.w)").alias("ws"),
+            F.size("sw").alias("n"),
+        )
+        .select(
+            "doc",
+            "ws",
+            "n",
+            F.expr(
+                f"slice(ws, 1, n - CAST(ceil({threshold} * n - 1e-9) AS INT) + 1)"
+            ).alias("pfx"),
+        )
     )
-    s1 = sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
+    pf = docs.select("doc", "n", F.explode("pfx").alias("w"))
+    c1 = pf.select(F.col("doc").alias("id1"), F.col("n").alias("n1"), "w")
+    c2 = pf.select(F.col("doc").alias("id2"), F.col("n").alias("n2"), "w")
+    # Size-compatibility inside the token join (J ≤ min|set|/max|set|, so a
+    # size ratio below t can never qualify), then one distinct over the few
+    # surviving candidates (a pair can share several prefix tokens).
+    cand = (
+        c1.join(c2, "w")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (
+                F.least("n1", "n2").cast("double")
+                >= F.lit(threshold) * F.greatest("n1", "n2").cast("double")
+            )
+        )
+        .select("id1", "id2", "n1", "n2")
+        .distinct()
+    )
+    # Exact verify on the candidates only: word arrays ride one row per doc
+    # (same shape as minhash_lsh_pairs' verify); ws is built from the SAME
+    # dw rows the old explode-join counted (max_doc_freq filtering
+    # included), so size(array_intersect) ≡ the old per-pair join count and
+    # the jaccard division sees identical operands — bit-identical output.
+    wsets = docs.select("doc", "ws")
     return (
-        inter.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
+        cand.join(
+            wsets.select(F.col("doc").alias("id1"), F.col("ws").alias("ws1")), "id1"
+        )
+        .join(wsets.select(F.col("doc").alias("id2"), F.col("ws").alias("ws2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            "n1",
+            "n2",
+            F.size(F.array_intersect("ws1", "ws2")).alias("c"),
+        )
         .select(
             "id1",
             "id2",

@@ -366,3 +366,45 @@ def test_minhash_array_verify_equals_exploded_join(spark):
     assert set(got) == set(want), (got, want)
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v)
+
+
+def test_jaccard_pairs_prefix_filter_exact(spark):
+    """r13: jaccard_pairs generates candidates from rarity-ordered prefix
+    tokens (AllPairs prefix principle) instead of the full token self-join.
+    The filter must be EXACT — every brute-force pair at each threshold,
+    with the identical jaccard value, including docs whose rare prefix
+    tokens overlap nothing and near-identical docs differing by one word."""
+    from itertools import combinations
+
+    from surrealdb_spark.pipeline.dedup import jaccard_pairs
+
+    corpus = {
+        "d01": "alpha beta gamma delta epsilon zeta",
+        "d02": "alpha beta gamma delta epsilon eta",    # 5/7 with d01
+        "d03": "alpha beta gamma delta epsilon zeta",   # == d01
+        "d04": "theta iota kappa",
+        "d05": "theta iota kappa lambda",               # 3/4 with d04
+        "d06": "mu nu xi omicron pi rho sigma tau",
+        "d07": "mu nu xi omicron pi rho sigma upsilon", # 7/9 with d06
+        "d08": "alpha theta mu",                        # hot words only
+        "d09": "phi chi psi omega",
+        "d10": "phi chi psi omega phi chi",             # dup words in text
+    }
+    docs = spark.createDataFrame(list(corpus.items()),
+                                 "doc_id string, text string")
+    sets = {k: set(v.split()) for k, v in corpus.items()}
+    for t in (0.99, 0.75, 0.6, 0.3):
+        got = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in jaccard_pairs(docs, "doc_id", "text", t,
+                                   allow_quadratic=True).collect()
+        }
+        want = {}
+        for a, b in combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= t:
+                want[(a, b)] = jac
+        assert set(got) == set(want), (t, got, want)
+        for k, v in want.items():
+            assert got[k] == v, (t, k, got[k], v)
