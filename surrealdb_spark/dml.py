@@ -119,7 +119,30 @@ class Database:
         os.makedirs(self._data(td.name), exist_ok=True)
 
     def _data(self, tbl: str) -> str:
-        return f"{self.root}/{tbl}/data"
+        """Current-generation data dir.
+
+        Mutations rewrite the table into a FRESH ``data_g<N>`` dir (see
+        `_overwrite`) instead of truncating the dir readers hold lazy plans
+        over — so no full-table localCheckpoint is needed to guard the
+        self-overwrite, and a reader of generation N stays valid across
+        later mutations (MVCC-style; old generations are retained for the
+        Database's lifetime — these are short-lived per-connection dirs).
+        The pointer is the highest-numbered dir ON DISK, never in-memory
+        state, so transaction backup/restore (copytree of the db root) and
+        REMOVE TABLE (rmtree) carry it for free."""
+        base = f"{self.root}/{tbl}"
+        try:
+            gens = [d for d in os.listdir(base) if d.startswith("data_g")]
+        except FileNotFoundError:
+            gens = []
+        if not gens:
+            return f"{base}/data"
+        return f"{base}/{max(gens, key=lambda d: int(d[6:]))}"
+
+    def _next_data(self, tbl: str) -> str:
+        cur = self._data(tbl)
+        n = 0 if cur.endswith("/data") else int(cur.rsplit("data_g", 1)[1])
+        return f"{self.root}/{tbl}/data_g{n + 1}"
 
     def _changes(self, tbl: str) -> str:
         return f"{self.root}/{tbl}/_changes"
@@ -754,10 +777,22 @@ class Database:
         return df
 
     def _overwrite(self, tbl: str, df: DataFrame) -> None:
-        # Materialize before truncating the source dir (lazy plans read it).
-        staged = self._devoid(df).localCheckpoint(eager=True)
+        # Write the new state into a FRESH generation dir and let _data's
+        # dir scan advance the pointer (r13).  The plan may read the current
+        # generation lazily while writing the next one — no self-overwrite,
+        # so the old full-table localCheckpoint staging is gone (at scale it
+        # materialized the ENTIRE table in executor memory per mutation;
+        # now a mutation costs exactly one parquet write of the new state).
         self._snapshot(tbl)
-        staged.write.mode("overwrite").parquet(self._data(tbl))
+        dst = self._next_data(tbl)
+        try:
+            self._devoid(df).write.mode("overwrite").parquet(dst)
+        except BaseException:
+            # never leave a half-written dir as the newest generation
+            import shutil
+
+            shutil.rmtree(dst, ignore_errors=True)
+            raise
 
     @staticmethod
     def _returning(td: TableDef, before: DataFrame, after: DataFrame, mode: str) -> DataFrame:
