@@ -104,3 +104,40 @@ def test_srp_bucket_sizes_bounded(spark, sf_dir):
     biggest = max(r["count"] for r in buckets)
     # expected ≈ 16 per bucket; allow generous skew for random signatures
     assert biggest <= max(8 * 16, n // 4), f"degenerate bucket: {biggest}"
+
+
+def test_cosine_pairs_bitwise_matches_sql_fold(spark, sf_dir):
+    """The r13 Arrow-batched cosine_pairs must be BIT-identical to the SQL
+    left-fold expression it replaced (same rounded multiply/add sequence,
+    same division points) — pair set AND sim doubles."""
+    import struct
+
+    from surrealdb_spark.functions import vector as V
+    from surrealdb_spark.pipeline.similarity import cosine_pairs
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(300)
+    got = {
+        (r.id1, r.id2): struct.pack("<d", r.sim)
+        for r in cosine_pairs(
+            emb, "vec_id", "embedding", 0.35, allow_quadratic=True
+        ).collect()
+    }
+    e1 = emb.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"),
+        V.magnitude("embedding").alias("m1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"),
+        V.magnitude("embedding").alias("m2"),
+    )
+    ref = {
+        (r.id1, r.id2): struct.pack("<d", r.sim)
+        for r in e1.join(e2, F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            (V.dot("v1", "v2") / (F.col("m1") * F.col("m2"))).alias("sim"),
+        )
+        .filter(F.col("sim") > 0.35)
+        .collect()
+    }
+    assert got == ref and len(got) > 0
