@@ -45,15 +45,37 @@ def knn_join(
     exclude_self: bool = False,
 ) -> DataFrame:
     """For each query row, the k nearest corpus rows → (q_id, c_id, dist, rank)."""
-    dist_fn = V.METRICS[metric]
-    q = F.broadcast(queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("__qv")))
-    c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("__cv"))
+    if metric == "cosine":
+        # Hoist each side's magnitude out of the pair expression (r13, the
+        # same split cosine_pairs got in r12): cosine_distance evaluates
+        # THREE aggregate(zip_with(...)) folds per pair — dot(q,c) plus both
+        # self-dots — each materializing a transient array per evaluation.
+        # sqrt(dot(a,a)) is a pure function of the row, so computing it once
+        # per side and writing the pair term as 1.0 − dot/(|q|·|c|) keeps
+        # every rounding point of V.cosine_distance (same fold, same sqrt,
+        # same multiply/divide/subtract order → bit-identical dist; verified
+        # by full 100k-dist old-vs-new diff).  2 of 3 folds gone from the
+        # O(|Q|·|C|) stage: knn_cosine sf1 warm 1.8 → 0.7 s.
+        q = F.broadcast(queries.select(
+            F.col(q_id).alias("q_id"), F.col(q_vec).alias("__qv"),
+            V.magnitude(q_vec).alias("__qm"),
+        ))
+        c = corpus.select(
+            F.col(c_id).alias("c_id"), F.col(c_vec).alias("__cv"),
+            V.magnitude(c_vec).alias("__cm"),
+        )
+        pair_dist = F.lit(1.0) - V.dot("__qv", "__cv") / (
+            F.col("__qm") * F.col("__cm")
+        )
+    else:
+        dist_fn = V.METRICS[metric]
+        q = F.broadcast(queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("__qv")))
+        c = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("__cv"))
+        pair_dist = dist_fn("__qv", "__cv")
     pairs = c.crossJoin(q)
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
-    scored = pairs.select(
-        "q_id", "c_id", dist_fn("__qv", "__cv").alias("dist")
-    )
+    scored = pairs.select("q_id", "c_id", pair_dist.alias("dist"))
     order = [F.col("dist").asc(), F.col("c_id").asc()]
     top = W.partitionBy("q_id").orderBy(*order)
     # Relies on Spark >= 3.5's WindowGroupLimit rank-limit pushdown (the

@@ -91,21 +91,29 @@ class IvfIndex:
             q = queries.select(F.col(self.id_col).alias("q_id"),
                                F.col(self.vec_col).alias("__qv"))
         q = q.withColumn("__cell", F.explode(probe_cells("__qv")))
+        # Magnitude hoist for cosine (r13, same split as operators/knn.py):
+        # |q| and |c| are per-row constants, so the O(candidates) stage
+        # evaluates ONE fold per pair instead of three — and the rewritten
+        # 1.0 − dot/(|q|·|c|) hits V.cosine_distance's exact rounding
+        # points (bit-identical dist, same ordering).
+        corp = self.assigned.select(
+            F.col(self.id_col).alias("c_id"),
+            F.col(self.vec_col).alias("__cv"), "__cell",
+        )
+        if metric == "cosine":
+            q = q.withColumn("__qm", V.magnitude("__qv"))
+            corp = corp.withColumn("__cm", V.magnitude("__cv"))
+            pair_dist = F.lit(1.0) - V.dot("__qv", "__cv") / (
+                F.col("__qm") * F.col("__cm")
+            )
+        else:
+            pair_dist = V.METRICS[metric]("__qv", "__cv")
         # few queries × nprobe cells vs the big cell-partitioned corpus:
         # broadcast the query side, join keyed on cell id only
-        cand = F.broadcast(q).join(
-            self.assigned.select(
-                F.col(self.id_col).alias("c_id"),
-                F.col(self.vec_col).alias("__cv"), "__cell",
-            ),
-            "__cell",
-        )
+        cand = F.broadcast(q).join(corp, "__cell")
         if exclude_self:
             cand = cand.filter(F.col("q_id") != F.col("c_id"))
-        dist_fn = V.METRICS[metric]
-        scored = cand.select(
-            "q_id", "c_id", dist_fn("__qv", "__cv").alias("dist")
-        )
+        scored = cand.select("q_id", "c_id", pair_dist.alias("dist"))
         # Single window + rank filter: Spark's WindowGroupLimit rewrite
         # runs the partial top-k per map partition BEFORE the exchange (the
         # same r12 simplification as operators/knn.py — one Exchange + one
